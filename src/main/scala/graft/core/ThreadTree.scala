@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recursive comment-thread expansion — the reference's only recursive query
+  * (`WITH RECURSIVE post_tree`, depth <= 8, `engine/post_storage.py:303-309`).
+  *
+  * Spark has no recursive CTE in the DataFrame API; the idiomatic equivalent
+  * for a *bounded* recursion is a driver loop of self-joins (BFS by level).
+  * Depth is hard-capped (reference caps at 8), so the plan is at most `depth`
+  * shuffle joins; each frontier is persisted to stop Catalyst re-deriving the
+  * whole lineage each level, and the loop exits early when a frontier is empty.
+  */
+object ThreadTree {
+
+  /** All descendants of `roots` following edges child.parentKeyCol -> parent.
+    *
+    * @param edges    (childCol, parentCol) adjacency DataFrame
+    * @param roots    single-column DataFrame of root keys (column name = childCol)
+    * @param maxDepth inclusive bound on levels below the roots
+    * @return (node, depth) pairs, depth 1..maxDepth, deduplicated
+    */
+  def descendants(spark: SparkSession, edges: DataFrame, childCol: String,
+                  parentCol: String, roots: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
+    var frontier = roots.select(col(roots.columns.head).as("__parent")).distinct()
+    var acc: DataFrame = null
+    var depth = 1
+    var done = false
+    while (depth <= maxDepth && !done) {
+      val next = e.join(frontier, "__parent")
+        .select(col("__child"), lit(depth).as("depth"))
+        .distinct()
+        .persist()
+      if (next.isEmpty) { done = true; next.unpersist() }
+      else {
+        acc = if (acc == null) next else acc.unionByName(next)
+        frontier = next.select(col("__child").as("__parent"))
+        depth += 1
+      }
+    }
+    if (acc == null)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            edges.schema(childCol).dataType),
+          org.apache.spark.sql.types.StructField("depth",
+            org.apache.spark.sql.types.IntegerType))))
+    else
+      // a node reachable at several depths keeps its minimum depth (BFS)
+      acc.groupBy(col("__child").as("node")).agg(min(col("depth")).as("depth"))
+  }
+}
