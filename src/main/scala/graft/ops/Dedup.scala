@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators — the LLM-training-pipeline
+  * extension surface (north star), designed shuffle-first:
+  *
+  *  - exact:    one hash-groupBy, no pairwise work
+  *  - jaccard:  inverted-index token join (pairs only materialize for docs
+  *              sharing a token), then exact set-overlap arithmetic
+  *  - minhash:  per-doc signatures + banded LSH so candidate pairs come from
+  *              an equi-join on band hashes — the only pattern that survives
+  *              100 TB (no cross join anywhere)
+  *  - simhash:  64-bit fingerprint + 16-bit chunk blocking (pigeonhole: any
+  *              pair within hamming distance 3 shares one of 4 chunks)
+  *
+  * All hashing uses Spark's codegen'd xxhash64 — deterministic across runs
+  * and executors, no UDFs.
+  */
+object Dedup {
+
+  /** Distinct lower-cased whitespace tokens per document. */
+  def tokenSet(text: Column): Column =
+    array_remove(array_distinct(split(lower(text), "\\s+")), "")
+
+  /** Exact dedup by content hash: one row per distinct text, keeping the
+    * smallest id as representative. Single hash-shuffle; grouping on the
+    * 128-bit md5 rather than the full text keeps shuffle rows narrow.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** All pairs (a < b) with word-set Jaccard >= threshold, via an inverted
+    * index: explode distinct tokens, self-join on token (only co-occurring
+    * docs meet), count intersections, then |A∪B| = |A|+|B|−|A∩B|.
+    * Exact — the oracle-checkable baseline; minhash below is the approximate
+    * scale path when the token join itself is too dense (stop-word-heavy
+    * corpora should drop top-frequency tokens first).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(tokenSet(col(textCol))).as("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "jaccard")
+  }
+
+  /** MinHash signature: numHashes independent permutations approximated by
+    * xxhash64(token, seed); signature[i] = min over tokens. Shaped as an
+    * exploded (doc, seed) grid with min-aggregate, then reassembled ordered
+    * by seed — two shuffles, both keyed on doc id.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("tok"))
+      .select(col("id"), col("tok"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(xxhash64(col("seed"), col("tok"))).as("mh"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+
+  /** Banded LSH candidates: docs agreeing on any full band of the signature
+    * collide. Candidate generation is an equi-join on (band, band hash) —
+    * linear shuffle, no cross join. est_jaccard = fraction of equal
+    * signature positions (unbiased MinHash estimate of true Jaccard).
+    */
+  def minhashCandidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
+      .withColumn("band_hash", xxhash64(col("band"),
+        slice(col("sig"), col("band") * col("rows_per_band") + 1, col("rows_per_band"))))
+      .select("id", "sig", "band", "band_hash")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / size(col("sig_a")))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash: each token's xxhash64 contributes ±tf to each of 64 bit
+    * positions; the sign of the accumulated position becomes the bit. Shaped
+    * as (doc, bit) partial sums — pure groupBy aggregations; the per-doc
+    * 64-row fan-out is constant-factor, not data-dependent.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_remove(split(lower(col(textCol)), "\\s+"), "")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+      .select(col("id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        when(expr("(h >> bit) & 1") === 1L, col("tf")).otherwise(-col("tf")))
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+
+  /** Near-dup candidates by SimHash: block on 4×16-bit chunks (any pair with
+    * hamming distance <= 3 shares a chunk), then exact popcount filter.
+    */
+  def simhashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val chunked = hashes.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val", expr("(simhash >> (chunk * 16)) & 65535"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("h_a ^ h_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,6 +1,172 @@
 package graft.queries
 
-/** LLM-data-pipeline extensions (dedup/similarity/text/multimodal) — filled in M6. */
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline extensions (north star): deduplication, similarity
+  * search, text analysis, multimodal plumbing — over the `documents` and
+  * `embeddings` tables. Exact variants carry DuckDB oracles; the
+  * hash-approximate variants (minhash/simhash/LSH) are deterministic but not
+  * SQL-expressible, so they get rows-only checks here plus property tests in
+  * ScalaTest (approximation vs exact baselines).
+  */
 object ExtensionQueries {
-  val qs: Map[String, Q] = Map()
+
+  val qs: Map[String, Q] = Map(
+
+    // ---- exact dedup: one hash-groupBy, the 100 TB-safe baseline ----
+    "x1_dedup_exact" -> Q(
+      (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("fingerprint")),
+      Some("SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1")),
+
+    // ---- exact n-gram (word-set) Jaccard near-dup pairs via inverted index ----
+    "x2_dedup_jaccard" -> Q(
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+          FROM documents WHERE doc_id < 200),
+        sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+        SELECT id_a, id_b, inter,
+               cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // ---- MinHash + banded LSH candidates (deterministic xxhash64; no SQL
+    // oracle — checked by MinHashSpec against the exact Jaccard baseline) ----
+    "x3_minhash_candidates" -> Q(
+      (s, dir) => Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(
+          Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 32),
+        numBands = 8)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- SimHash near-dup pairs (chunk-blocked; no SQL oracle) ----
+    "x4_simhash_pairs" -> Q(
+      (s, dir) => Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text"),
+        maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- brute-force cosine top-k (exact ANN baseline, oracle-checked) ----
+    "x5_ann_cosine" -> Q(
+      (s, dir) => Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, s.c AS cos
+          FROM embeddings q, embeddings c,
+            LATERAL (SELECT sum(x::DOUBLE * y::DOUBLE)
+                            / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS c
+                     FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y)) s
+          WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id <> q.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- SRP-LSH bucketed ANN (the scale path; recall-tested in ScalaTest) ----
+    "x6_ann_lsh" -> Q(
+      (s, dir) => Similarity.lshTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numPlanes = 8, numTables = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- text statistics: token counts, quality, lang-ID heuristic ----
+    "x7_text_stats" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).as("n_words"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_bpeish_tokens"),
+          TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks
+          FROM documents),
+        m AS (SELECT doc_id, text, toks, ltoks,
+            cast(len(toks) AS BIGINT) AS n_words,
+            len(list_filter(ltoks, x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS en_hits,
+            len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','den','mit'))) AS de_hits,
+            len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS fr_hits,
+            len(list_filter(ltoks, x -> x IN ('el','la','los','las','y','es','un','una','que','por'))) AS es_hits,
+            cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS punct_ratio
+          FROM t)
+        SELECT doc_id, n_words,
+          cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens,
+          cast(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / greatest(n_words, 1) AS avg_word_len,
+          punct_ratio,
+          cast(en_hits AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio,
+          CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unk'
+               WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+               WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+               WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+               ELSE 'es' END AS lang_guess,
+          (CASE WHEN length(text) BETWEEN 200 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+           + CASE WHEN punct_ratio <= 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+           + CASE WHEN cast(en_hits AS DOUBLE) / greatest(n_words, 1) >= 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+        FROM m ORDER BY doc_id""")),
+
+    // ---- order-sensitive rolling-hash document fingerprint ----
+    "x8_fingerprint" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          list_reduce(
+            list_prepend(cast(0 AS BIGINT),
+              list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                w -> cast(ascii(w) AS BIGINT) * 256 + length(w))),
+            (h, v) -> (h * 31 + v) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- multimodal: binary column + metadata + stubbed batch decode.
+    // The byte-level "features" are deterministic, so even the mapPartitions
+    // decode path is oracle-checked. ----
+    "x9_multimodal_decode" -> Q(
+      (s, dir) => {
+        val media = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+        Multimodal.decodeStub(s, media).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          'utf8-text' AS format_guess,
+          cast(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+            i -> ascii(substring(text, cast(i AS INT), 1)))) AS BIGINT) AS byte_sum_16,
+          cast(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+            i -> ascii(substring(text, cast(i AS INT), 1)))) % 640 AS INT) AS fake_width,
+          cast(octet_length(encode(text)) % 480 AS INT) AS fake_height
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- multimodal: frame sampling shape over binary payloads ----
+    "x10_frame_sample" -> Q(
+      (s, dir) => Multimodal.frameSample(
+        Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"),
+        strideBytes = 64, maxFrames = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""SELECT doc_id, cast(f AS INT) AS frame_idx,
+          cast(least(64, octet_length(encode(text)) - f * 64) AS INT) AS frame_len
+        FROM documents,
+          LATERAL (SELECT unnest(range(0, least(4, (octet_length(encode(text)) + 63) // 64))) AS f)
+        ORDER BY doc_id, frame_idx"""))
+  )
 }
