@@ -79,7 +79,7 @@ object ExtensionQueries {
     "x6_ann_lsh" -> Q(
       (s, dir) => Similarity.lshTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numPlanes = 8, numTables = 4)
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numPlanes = 4, numTables = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))),
 

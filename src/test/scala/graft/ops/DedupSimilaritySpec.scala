@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Approximate dedup/ANN operators checked against their exact baselines. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    .filter(col("doc_id") < 100)
+
+  test("exact dedup: identical texts collapse to one representative") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .orderBy("keep_id").collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: hand-computed overlap") {
+    val df = Seq(
+      (1L, "a b c d"),   // {a b c d}
+      (2L, "a b c e"),   // inter 3, union 5 -> 0.6
+      (3L, "a b c d"))   // identical to 1 -> 1.0
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    assert(got == List((1L, 2L, 0.6), (1L, 3L, 1.0), (2L, 3L, 0.6)))
+  }
+
+  test("minhash estimate tracks exact jaccard (mean abs error < 0.2 @ 64 hashes)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.0)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 64)
+    val est = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, v) => s + v)
+          .cast("double") / size(col("a.sig"))).as("est"))
+    val joined = exact.join(est, Seq("id_a", "id_b"))
+      .select(avg(abs(col("jaccard") - col("est")))).first().getDouble(0)
+    assert(joined < 0.2, s"mean abs err $joined")
+  }
+
+  test("banded LSH finds every pair the exact method finds at high threshold") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 32)
+    val cands = Dedup.minhashCandidatePairs(sigs, numBands = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 bands of 2 rows: P(collide) = 1-(1-j^2)^16 ≈ 1.0 at j >= 0.8
+    assert(truth.subsetOf(cands), s"missed ${truth -- cands}")
+  }
+
+  test("simhash: identical docs -> hamming 0; disjoint docs -> far") {
+    val df = Seq(
+      (1L, "spark query engine fast"),
+      (2L, "spark query engine fast"),
+      (3L, "zebra yak xylophone walrus vulture")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(df, "doc_id", "text"), 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.getOrElse((1L, 3L), 64) > 10)
+  }
+
+  test("cosine: self similarity 1, orthogonal 0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("SRP-LSH recall vs brute force (>= 30% @ 4 planes x 8 tables, k=10)") {
+    // synthetic embeddings have weak neighbors (cos ~0.2 => ~78 deg), so SRP
+    // collision probability per plane is only ~0.57; few planes + many tables
+    // is the operating point. Real near-dup corpora sit at cos > 0.9 where
+    // 8-16 planes work.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", qs, 10,
+      numPlanes = 4, numTables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("text analysis: hand-checked stats") {
+    val df = Seq((1L, "The cat sat on the mat.")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.wordCount(col("text")),
+      TextAnalysis.regexTokenCount(col("text")),
+      TextAnalysis.langIdHeuristic(col("text")),
+      TextAnalysis.fingerprint(col("text"))).first()
+    assert(r.getLong(0) == 6)       // The cat sat on the mat.
+    assert(r.getLong(1) == 7)       // 6 words + '.'
+    assert(r.getString(2) == "en")  // two 'the' hits
+    assert(r.getLong(3) > 0)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("multimodal decode stub: batch shape, deterministic features") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.attachBinary(df, "doc_id", "text")
+    val feats = Multimodal.decodeStub(spark, media).collect()
+    assert(feats.length == 1)
+    assert(feats(0).n_bytes == 11L)
+    assert(feats(0).byte_sum_16 == "hello world".map(_.toLong).sum)
+    // frame sampling: 11 bytes, stride 4 -> frames of 4,4,3
+    val lens = Multimodal.frameSample(media, 4, 10)
+      .select(octet_length(col("frame_bytes"))).collect().map(_.getInt(0)).toList
+    assert(lens == List(4, 4, 3))
+  }
+}
