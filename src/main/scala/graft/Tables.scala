@@ -9,6 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query programs go through here rather than calling `spark.read` directly.
   */
 object Tables {
+  /** Standard decimal type for cross-engine-stable aggregation of doubles. */
+  val dec: org.apache.spark.sql.types.DecimalType =
+    org.apache.spark.sql.types.DecimalType(38, 6)
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

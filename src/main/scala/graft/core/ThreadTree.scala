@@ -52,4 +52,33 @@ object ThreadTree {
       // a node reachable at several depths keeps its minimum depth (BFS)
       acc.groupBy(col("__child").as("node")).agg(min(col("depth")).as("depth"))
   }
+
+  /** BFS that also carries the originating root down the tree — used for the
+    * reference's depth/url inheritance (`post_metadata.depth/url`,
+    * `processors/comment_processor_for_engine.py:182-201`): every node gets
+    * (root, depth) of its unique tree position. Edges must form a forest
+    * (each child one parent), as comment trees do.
+    */
+  def lineage(spark: SparkSession, edges: DataFrame, childCol: String,
+              parentCol: String, roots: DataFrame, rootCol: String,
+              maxDepth: Int): DataFrame = {
+    val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
+    var frontier = roots.select(col(rootCol).as("__parent"), col(rootCol).as("root"))
+    var acc = roots.select(col(rootCol).as("node"), col(rootCol).as("root"),
+      lit(0).as("depth"))
+    var depth = 1
+    var done = false
+    while (depth <= maxDepth && !done) {
+      val next = e.join(frontier, "__parent")
+        .select(col("__child"), col("root"), lit(depth).as("depth"))
+        .persist()
+      if (next.isEmpty) { done = true; next.unpersist() }
+      else {
+        acc = acc.unionByName(next.select(col("__child").as("node"), col("root"), col("depth")))
+        frontier = next.select(col("__child").as("__parent"), col("root"))
+        depth += 1
+      }
+    }
+    acc
+  }
 }

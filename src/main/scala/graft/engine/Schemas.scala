@@ -1,0 +1,115 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** State-table and input-stream schemas mirroring the reference DDL
+  * (`sql/engine.sql:3-162`; SURVEY.md §1.2-1.3, FIXTURES.md §B).
+  *
+  * Divergences by design: `tags` is ArrayType internally (the reference stores
+  * CSV-in-varchar and splits at query time); rshares/quantities are
+  * DecimalType(38,8) (the reference's PG `numeric` handled as Python Decimal);
+  * scores stay FloatType like PG `real`.
+  */
+object Schemas {
+
+  val decimal: DecimalType = DecimalType(38, 8)
+
+  val posts: StructType = StructType(Seq(
+    StructField("authorperm", StringType), StructField("token", StringType),
+    StructField("author", StringType), StructField("created", TimestampType),
+    StructField("tags", ArrayType(StringType)), StructField("app", StringType),
+    StructField("main_post", BooleanType), StructField("decline_payout", BooleanType),
+    StructField("vote_rshares", decimal), StructField("cashout_time", TimestampType),
+    StructField("last_payout", TimestampType), StructField("total_payout_value", decimal),
+    StructField("curator_payout_value", decimal), StructField("score_trend", FloatType),
+    StructField("score_hot", FloatType), StructField("beneficiaries_payout_value", decimal),
+    StructField("promoted", decimal), StructField("title", StringType),
+    StructField("desc", StringType), StructField("children", IntegerType),
+    StructField("parent_author", StringType), StructField("parent_permlink", StringType),
+    StructField("score_promoted", FloatType), StructField("muted", BooleanType)))
+
+  val postMetadata: StructType = StructType(Seq(
+    StructField("authorperm", StringType), StructField("body", StringType),
+    StructField("json_metadata", StringType), StructField("tags", ArrayType(StringType)),
+    StructField("children", IntegerType), StructField("parent_authorperm", StringType),
+    StructField("url", StringType), StructField("depth", ShortType)))
+
+  val votes: StructType = StructType(Seq(
+    StructField("authorperm", StringType), StructField("token", StringType),
+    StructField("voter", StringType), StructField("timestamp", TimestampType),
+    StructField("rshares", decimal), StructField("percent", ShortType)))
+
+  val accountHistory: StructType = StructType(Seq(
+    StructField("account", StringType), StructField("token", StringType),
+    StructField("timestamp", TimestampType), StructField("quantity", decimal),
+    StructField("trx", StringType), StructField("type", StringType),
+    StructField("authorperm", StringType)))
+
+  val accounts: StructType = StructType(Seq(
+    StructField("name", StringType), StructField("symbol", StringType),
+    StructField("last_post", TimestampType), StructField("last_root_post", TimestampType),
+    StructField("muted", BooleanType), StructField("last_follow_refresh_time", TimestampType)))
+
+  val follows: StructType = StructType(Seq(
+    StructField("follower", StringType), StructField("following", StringType),
+    StructField("state", ShortType)))   // 0 none / 1 follow / 2 mute
+
+  val reblogs: StructType = StructType(Seq(
+    StructField("account", StringType), StructField("authorperm", StringType),
+    StructField("timestamp", TimestampType)))
+
+  val tokenConfig: StructType = StructType(Seq(
+    StructField("token", StringType), StructField("cashout_window_days", IntegerType),
+    StructField("curation_reward_percentage", IntegerType),
+    StructField("author_curve_exponent", DecimalType(10, 4)),
+    StructField("curation_curve_exponent", DecimalType(10, 4)),
+    StructField("beneficiaries_reward_percentage", IntegerType),
+    StructField("beneficiaries_account", StringType),
+    StructField("promoted_post_account", StringType),
+    StructField("reward_pool_id", IntegerType), StructField("token_account", StringType),
+    StructField("vote_regeneration_days", IntegerType),
+    StructField("downvote_regeneration_days", IntegerType),
+    StructField("disable_downvoting", BooleanType),
+    StructField("ignore_decline_payout", BooleanType),
+    StructField("tags", ArrayType(StringType)), StructField("issuer", StringType)))
+
+  /** Flattened L1 op envelope (stream_blocks.py:225-258; FIXTURES.md §B2).
+    * `seq` is the global replay order (block_num * 10000 + op index).
+    */
+  val hiveOps: StructType = StructType(Seq(
+    StructField("seq", LongType), StructField("ts", TimestampType),
+    StructField("op_type", StringType),     // comment | custom_json | delete_comment
+    StructField("author", StringType), StructField("permlink", StringType),
+    StructField("parent_author", StringType), StructField("parent_permlink", StringType),
+    StructField("title", StringType), StructField("body", StringType),
+    StructField("json_metadata", StringType),
+    StructField("cj_id", StringType),       // follow | reblog | ...
+    StructField("cj_json", StringType),
+    StructField("posting_auths", ArrayType(StringType)),
+    StructField("auths", ArrayType(StringType))))
+
+  /** Flattened sidechain contract event (one row per logs.events[] entry, or
+    * per setMute/setPostMute action; FIXTURES.md §B3 flattened).
+    */
+  val scEvents: StructType = StructType(Seq(
+    StructField("seq", LongType), StructField("ts", TimestampType),
+    StructField("txid", StringType), StructField("sender", StringType),
+    StructField("action", StringType),      // comment | vote | setMute | setPostMute | createRewardPool ...
+    StructField("event", StringType),       // newComment | newVote | updateVote | curationReward | ...
+    StructField("symbol", StringType),
+    StructField("author", StringType), StructField("permlink", StringType),
+    StructField("authorperm", StringType),  // reward events carry it directly
+    StructField("voter", StringType), StructField("weight", ShortType),
+    StructField("rshares", decimal),
+    StructField("account", StringType), StructField("quantity", decimal),
+    StructField("mute", BooleanType),
+    StructField("config", MapType(StringType, StringType))))
+
+  /** Token-transfer op for post promotion (stream_engine_sidechain_blocks.py:60-87). */
+  val transfers: StructType = StructType(Seq(
+    StructField("seq", LongType), StructField("ts", TimestampType),
+    StructField("txid", StringType), StructField("sender", StringType),
+    StructField("symbol", StringType), StructField("quantity", StringType),
+    StructField("memo", StringType), StructField("to", StringType),
+    StructField("has_errors", BooleanType)))
+}
