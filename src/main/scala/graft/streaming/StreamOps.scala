@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicReference
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's stateful folds (SURVEY.md §2.9).
+  *
+  * Batch replay and these streams are the SAME semantics in two execution
+  * shapes: the batch form is a window/groupBy over the whole log; the stream
+  * form keeps per-key state in the state store and emits updates per
+  * micro-batch. StreamingSpec asserts their equivalence on shared fixtures.
+  *
+  * State is hash-partitioned by key across executors (state store), so a
+  * 1000-executor cluster shards the keyed state linearly — no single-node
+  * state bottleneck; checkpointing gives exactly-once per micro-batch (T3/T4).
+  */
+object StreamOps {
+
+  /** A keyed upsert event: op = "upsert" | "delete" (S6/S7 streaming form). */
+  case class KeyedEvent(key: String, seq: Long, op: String, payload: String)
+
+  /** Current state row emitted downstream after each change. */
+  case class KeyedState(key: String, seq: Long, payload: String)
+
+  /** Latest-wins keyed state (W6 streaming form): out-of-order events within
+    * a micro-batch are resolved by seq; deletes clear state. Emits the new
+    * current row (or nothing if the key was deleted).
+    */
+  def latestWinsStream(events: Dataset[KeyedEvent]): Dataset[KeyedState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[KeyedEvent], state: GroupState[KeyedState]) => {
+          val sorted = it.toSeq.sortBy(_.seq)
+          var cur = state.getOption
+          sorted.foreach { e =>
+            if (cur.forall(_.seq <= e.seq)) {
+              cur = if (e.op == "delete") None
+                    else Some(KeyedState(key, e.seq, e.payload))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s); Iterator.single(s)
+            case None    => state.remove(); Iterator.empty
+          }
+        })
+  }
+
+  /** One vote event for the streaming vote-delta fold (A6 streaming form). */
+  case class VoteEvent(authorperm: String, token: String, voter: String,
+                       seq: Long, ts: Timestamp, rshares: Double, reset: Boolean)
+
+  /** Per-post running state: voter -> current rshares, plus the running sum —
+    * the reference's `vote_rshares += new - old` fold
+    * (engine_comments_contract_processor.py:96-115) with the authorReward
+    * zero-reset, kept in the state store keyed by (authorperm, token).
+    */
+  case class PostVoteState(authorperm: String, token: String,
+                           voterMap: Map[String, Double],
+                           totalRshares: Double, lastTs: Timestamp)
+
+  def voteFoldStream(events: Dataset[VoteEvent]): Dataset[PostVoteState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.authorperm, e.token))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (String, String), it: Iterator[VoteEvent], state: GroupState[PostVoteState]) => {
+          var s = state.getOption.getOrElse(
+            PostVoteState(key._1, key._2, Map.empty, 0.0, null))
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (e.reset) {
+              // authorReward: zero the running total; voters keep their last
+              // vote rows (the reference subtracts them from future updates)
+              s = s.copy(totalRshares = 0.0, lastTs = s.lastTs)
+            } else {
+              val old = s.voterMap.getOrElse(e.voter, 0.0)
+              s = s.copy(
+                voterMap = s.voterMap + (e.voter -> e.rshares),
+                totalRshares = s.totalRshares + e.rshares - old,
+                lastTs = e.ts)
+            }
+          }
+          state.update(s)
+          Iterator.single(s)
+        })
+  }
+
+  /** T1/T2: the reference's two stream gates.
+    *
+    * T1 (freshness): an op younger than `minAgeSec` must not be processed yet
+    * (`stream_blocks.py:80-84`). T2 (alignment): an L1 op must wait until the
+    * sidechain stream's event time has passed it (`stream_blocks.py:86-93`).
+    * Spark has no cross-query primitive for T2, so the gate is a shared
+    * progress cell updated by the sidechain query's foreachBatch and read by
+    * the L1 stream's stateful buffer: events beyond the gate stay in keyed
+    * state and are released on a later trigger (processing-time timeout).
+    */
+  class AlignmentGate extends Serializable {
+    private val progress = new AtomicReference[Long](Long.MinValue)
+    def advance(toEpochMs: Long): Unit =
+      progress.updateAndGet(p => math.max(p, toEpochMs))
+    def current: Long = progress.get()
+  }
+
+  case class GatedOp(key: String, seq: Long, tsMs: Long, payload: String)
+
+  /** Buffer-and-release: emit ops whose event time has been passed by the
+    * gate; hold the rest in state and re-check on timeout ticks.
+    * NOTE: the gate cell is driver/executor-local — correct in local mode and
+    * in tests; a cluster deployment would back it with the checkpointed
+    * `configuration` table exactly as the reference does (S8).
+    */
+  /** timeoutMs > 0: held ops are re-checked on processing-time timeouts (use
+    * with an explicit trigger interval — timeouts with the default ASAP
+    * trigger degenerate into a busy batch loop). timeoutMs <= 0: release is
+    * arrival-driven only (each new micro-batch re-evaluates the buffer),
+    * which matches the reference's poll loop and is fully deterministic.
+    */
+  def alignedStream(ops: Dataset[GatedOp], gate: AlignmentGate,
+                    timeoutMs: Long = 3000): Dataset[GatedOp] = {
+    import ops.sparkSession.implicits._
+    implicit val bufEnc: Encoder[Seq[GatedOp]] = Encoders.kryo[Seq[GatedOp]]
+    val timeoutConf = if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    ops.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (key: String, it: Iterator[GatedOp], state: GroupState[Seq[GatedOp]]) => {
+          val incoming = it.toSeq
+          val buffered = state.getOption.getOrElse(Seq.empty)
+          val all = (buffered ++ incoming).sortBy(_.seq)
+          val cut = gate.current
+          val (release, hold) = all.partition(_.tsMs <= cut)
+          if (hold.nonEmpty) {
+            state.update(hold)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+          } else if (state.exists) {
+            state.remove()
+          }
+          release.iterator
+        })
+  }
+}

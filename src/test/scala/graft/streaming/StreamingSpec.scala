@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.core.Upsert
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming/batch equivalence (SURVEY.md §5.4): the flatMapGroupsWithState
+  * folds produce the same end state as the batch window forms on identical
+  * event logs, micro-batch by micro-batch.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamOps._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("latestWinsStream end state == batch latestWins") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = latestWinsStream(mem.toDS())
+      .writeStream.format("memory").queryName("lw")
+      .outputMode("update").start()
+
+    mem.addData(
+      KeyedEvent("a", 1, "upsert", "v1"),
+      KeyedEvent("b", 2, "upsert", "w1"))
+    q.processAllAvailable()
+    mem.addData(
+      KeyedEvent("a", 3, "upsert", "v2"),
+      KeyedEvent("b", 4, "delete", null),
+      KeyedEvent("c", 6, "upsert", "x2"),  // out-of-order within batch
+      KeyedEvent("c", 5, "upsert", "x1"))
+    q.processAllAvailable()
+    q.stop()
+
+    // latest update per key from the memory sink = stream end state
+    val streamed = spark.table("lw")
+      .groupBy("key").agg(max(struct(col("seq"), col("payload"))).as("s"))
+      .select(col("key"), col("s.payload"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+
+    val batchLog = Seq(
+      ("a", 1L, "upsert", "v1"), ("b", 2L, "upsert", "w1"),
+      ("a", 3L, "upsert", "v2"), ("b", 4L, "delete", null),
+      ("c", 6L, "upsert", "x2"), ("c", 5L, "upsert", "x1"))
+      .toDF("key", "seq", "op", "payload")
+    val batch = Upsert.compactLog(batchLog, Seq("key"), "seq", "op")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+
+    assert(batch == Map("a" -> "v2", "c" -> "x2"))
+    assert(streamed("a") == "v2" && streamed("c") == "x2")
+    assert(!batch.contains("b"))      // deleted in batch state
+  }
+
+  test("voteFoldStream: update replaces, reset zeroes, later votes re-add delta") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[VoteEvent]
+    val q = voteFoldStream(mem.toDS())
+      .writeStream.format("memory").queryName("vf")
+      .outputMode("update").start()
+
+    mem.addData(
+      VoteEvent("@a/p", "PAL", "bob", 1, t("2024-01-01 01:00:00"), 1000, reset = false),
+      VoteEvent("@a/p", "PAL", "bob", 2, t("2024-01-01 02:00:00"), 500, reset = false),
+      VoteEvent("@a/p", "PAL", "carol", 3, t("2024-01-01 03:00:00"), 2000, reset = false))
+    q.processAllAvailable()
+    mem.addData(
+      VoteEvent("@a/p", "PAL", null, 4, t("2024-01-08 00:00:00"), 0, reset = true),
+      VoteEvent("@a/p", "PAL", "bob", 5, t("2024-01-09 00:00:00"), 800, reset = false))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("vf").orderBy(col("lastTs").desc_nulls_last)
+      .collect().head
+    // after reset: total = 0, then bob 500 -> 800 adds delta 300
+    assert(last.getAs[Double]("totalRshares") == 300.0)
+  }
+
+  test("alignment gate holds L1 ops until the sidechain passes them (T2)") {
+    implicit val sq = spark.sqlContext
+    val gate = new AlignmentGate
+    val mem = MemoryStream[GatedOp]
+    // driven by arrivals (each batch re-evaluates the buffer); production
+    // uses the processing-time timeout for idle-release
+    val q = alignedStream(mem.toDS(), gate, timeoutMs = 0)
+      .writeStream.format("memory").queryName("gated")
+      .outputMode("append").start()
+
+    gate.advance(1500)                      // sidechain has reached t=1.5s
+    mem.addData(
+      GatedOp("k", 1, 1000, "early"),
+      GatedOp("k", 2, 5000, "late"))
+    q.processAllAvailable()
+    val afterFirst = spark.table("gated").collect().map(_.getString(3)).toSet
+    assert(afterFirst == Set("early"), s"got $afterFirst")
+
+    gate.advance(6000)                      // sidechain passes the late op
+    mem.addData(GatedOp("k", 3, 1200, "next"))  // next arrival flushes buffer
+    q.processAllAvailable()
+    val afterSecond = spark.table("gated").collect().map(_.getString(3)).toSet
+    q.stop()
+    assert(afterSecond == Set("early", "late", "next"), s"got $afterSecond")
+  }
+
+  test("freshness gate (T1): ops younger than 15s are filtered") {
+    val now = 100000L
+    val ops = Seq(("a", now - 20000), ("b", now - 10000), ("c", now - 16000))
+      .toDF("k", "ts_ms")
+    val gated = ops.filter(col("ts_ms") <= lit(now - 15000))
+      .collect().map(_.getString(0)).toSet
+    assert(gated == Set("a", "c"))
+  }
+}
