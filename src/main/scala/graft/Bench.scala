@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen, parquet reader, and broadcast machinery so the first
+    // timed query doesn't absorb JVM initialization
+    try {
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.join(org.apache.spark.sql.functions.broadcast(w.limit(1)), Seq("n_nationkey"))
+        .count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -23,17 +23,22 @@ object ThreadTree {
     */
   def descendants(spark: SparkSession, edges: DataFrame, childCol: String,
                   parentCol: String, roots: DataFrame, maxDepth: Int): DataFrame = {
+    // the edge list is scanned once per level — persist it (at cluster scale:
+    // pre-partition by parent so every level's join is shuffle-free)
     val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
+      .persist()
     var frontier = roots.select(col(roots.columns.head).as("__parent")).distinct()
     var acc: DataFrame = null
     var depth = 1
     var done = false
     while (depth <= maxDepth && !done) {
-      val next = e.join(frontier, "__parent")
+      val next = e.join(broadcast(frontier), "__parent")
         .select(col("__child"), lit(depth).as("depth"))
         .distinct()
         .persist()
-      if (next.isEmpty) { done = true; next.unpersist() }
+      // count() fully materializes the level so downstream consumption never
+      // re-derives the whole lineage chain
+      if (next.count() == 0) { done = true; next.unpersist() }
       else {
         acc = if (acc == null) next else acc.unionByName(next)
         frontier = next.select(col("__child").as("__parent"))
@@ -63,16 +68,17 @@ object ThreadTree {
               parentCol: String, roots: DataFrame, rootCol: String,
               maxDepth: Int): DataFrame = {
     val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
+      .persist()
     var frontier = roots.select(col(rootCol).as("__parent"), col(rootCol).as("root"))
     var acc = roots.select(col(rootCol).as("node"), col(rootCol).as("root"),
       lit(0).as("depth"))
     var depth = 1
     var done = false
     while (depth <= maxDepth && !done) {
-      val next = e.join(frontier, "__parent")
+      val next = e.join(broadcast(frontier), "__parent")
         .select(col("__child"), col("root"), lit(depth).as("depth"))
         .persist()
-      if (next.isEmpty) { done = true; next.unpersist() }
+      if (next.count() == 0) { done = true; next.unpersist() }
       else {
         acc = acc.unionByName(next.select(col("__child").as("node"), col("root"), col("depth")))
         frontier = next.select(col("__child").as("__parent"), col("root"))

@@ -212,12 +212,16 @@ object Feeds {
       .limit(math.min(limit, 1000))
 
   /** /get_follow_count (server/app.py:965-980). */
-  def followCount(st: EngineState, account: String): DataFrame = {
-    val f = st.follows.filter(col("state") === 1)
-    f.filter(col("follower") === account).agg(count(lit(1)).as("following_count"))
-      .crossJoin(
-        f.filter(col("following") === account).agg(count(lit(1)).as("follower_count")))
-  }
+  def followCount(st: EngineState, account: String): DataFrame =
+    // single scan: both counts as conditional sums (the reference runs two
+    // COUNT queries; one pass is strictly better at any scale)
+    st.follows.filter(col("state") === 1 &&
+        (col("follower") === account || col("following") === account))
+      .agg(
+        sum(when(col("follower") === account, 1).otherwise(0)).cast("long")
+          .as("following_count"),
+        sum(when(col("following") === account, 1).otherwise(0)).cast("long")
+          .as("follower_count"))
 
   /** /get_trending_tags (server/app.py:874-900 →
     * engine/post_storage.py:403-405): tag explode over posts cashed out in

@@ -50,14 +50,17 @@ object Similarity {
   /** ANN top-k via SRP-LSH: L tables of P planes; same-bucket candidates are
     * exact-rescored, then per-query top-k. Recall rises with L; candidate
     * count falls with P.
+    *
+    * @param dim embedding dimensionality — lets the plane matrices be plan
+    *            literals (codegen'd constants) instead of per-row hashing
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
-              numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+              numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
     val tables = (0 until numTables).map { t =>
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("table", lit(t))
-        .withColumn("bucket", srpBucketPacked(col("vec"), numPlanes, t))
+        .withColumn("bucket", srpBucketLiteral(col("vec"), numPlanes, t, dim))
     }.reduce(_ unionByName _)
     val q = tables.filter(col("id").isin(queryIds: _*))
       .select(col("table").as("q_table"), col("bucket").as("q_bucket"),
@@ -76,16 +79,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Packed SRP bucket: bit p set iff dot(vec, r_{table,p}) > 0. */
-  private[ops] def srpBucketPacked(vec: Column, numPlanes: Int, table: Int): Column = {
+  /** Packed SRP bucket: bit p set iff dot(vec, r_{table,p}) > 0. The
+    * Rademacher ±1 plane weights are derived from a deterministic splitmix
+    * of (table, plane, dim index) and embedded as array literals — the dot
+    * products stay inside whole-stage codegen with zero per-row hashing.
+    */
+  private[ops] def srpBucketLiteral(vec: Column, numPlanes: Int, table: Int,
+                                    dim: Int): Column = {
     val perPlane = (0 until numPlanes).map { p =>
+      val weights: Seq[Double] = (0 until dim).map { d =>
+        if (splitmix64(table.toLong * 1000003L + p.toLong * 8191L + d) % 2 == 0) 1.0
+        else -1.0
+      }
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-          x.cast("double") *
-            when(pmod(xxhash64(lit(table), lit(p), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        zip_with(vec, typedLit(weights), (x, w) => x.cast("double") * w),
         lit(0.0), (s, v) => s + v)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }
     perPlane.reduce(_ + _)
+  }
+
+  /** splitmix64 — public-domain 64-bit mix (Steele et al., JDK SplittableRandom). */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    math.abs(x ^ (x >>> 31))
   }
 }
