@@ -14,10 +14,13 @@ object FunctionQueries {
 
     // ---- F1/W1: trending score — sign·log10(max(|r|,1)) + ts/480000
     // (engine/utils.py:41-46). Rounded to 6 dp for cross-engine float parity. ----
+    // routed through the custom Catalyst ScoreExpression (doGenCode path) so
+    // the native expression itself is oracle-verified
     "f1_score_trend" -> Q(
       (s, dir) => Tables.events(s, dir)
         .select(col("event_id"),
-          round(Scores.scoreTrend(col("value"), unix_timestamp(col("ts"))), 4).as("score"))
+          round(graft.expressions.ScoreExpression.score(
+            col("value"), unix_timestamp(col("ts")), lit(480000L)), 4).as("score"))
         .orderBy(col("event_id")),
       Some("""SELECT event_id,
         round((CASE WHEN value > 0 THEN 1.0 ELSE -1.0 END) * log10(greatest(abs(value), 1.0))

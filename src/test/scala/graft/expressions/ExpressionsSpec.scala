@@ -1,0 +1,48 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.core.Scores
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ScoreExpression == built-in combo on real data (codegen path)") {
+    val e = graft.Tables.events(spark, sf())
+    val cmp = e.select(
+        ScoreExpression.score(col("value"), unix_timestamp(col("ts")), lit(480000L)).as("a"),
+        Scores.scoreTrend(col("value"), unix_timestamp(col("ts"))).as("b"))
+      .withColumn("diff", abs(col("a") - col("b")))
+      .agg(max(col("diff"))).first().getDouble(0)
+    assert(cmp == 0.0)
+  }
+
+  test("graft_score registered for SQL") {
+    ScoreExpression.register(spark)
+    val r = spark.sql(
+      "SELECT graft_score(CAST(1000.0 AS DOUBLE), CAST(1600000000 AS BIGINT), CAST(480000 AS BIGINT)) AS s")
+      .first().getDouble(0)
+    assert(math.abs(r - (3.0 + 1600000000.0 / 480000.0)) < 1e-9)
+  }
+
+  test("ScoreExpression null propagation + interpreted eval") {
+    val r = Seq((Some(10.0), 100L), (None, 200L)).toDF("rs", "ep")
+      .select(ScoreExpression.score(col("rs"), col("ep"), lit(480000L)).as("s"))
+      .collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+  }
+
+  test("PayoutAggregator == batch conditional sums") {
+    import PayoutAggregator._
+    val events = Seq(
+      RewardEvent("curationReward", BigDecimal("1.5")),
+      RewardEvent("beneficiaryReward", BigDecimal("0.5")),
+      RewardEvent("authorReward", BigDecimal("3.0")),
+      RewardEvent("somethingElse", BigDecimal("99")))
+    val ds = events.toDS()
+    val got = ds.select(instance.toColumn).first()
+    assert(got.total == BigDecimal("5.0"))
+    assert(got.curator == BigDecimal("1.5"))
+    assert(got.beneficiaries == BigDecimal("0.5"))
+  }
+}
