@@ -345,6 +345,41 @@ object RelationalQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // ---- A11: exact distinct counts (approx_count_distinct is spec-tested
+    // against this — HLL sketches can't hash-match a DuckDB oracle) ----
+    "a11_count_distinct" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_partkey) AS n_part, count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- T9 streaming form: Spark's native session_window must agree with
+    // the gaps-and-islands SQL formulation (full-precision timestamps) ----
+    "t9b_session_window" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH flagged AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
     // ---- W4: keyset pagination by time (server/app.py:570-584) ----
     "w4_keyset_time" -> Q(
       (s, dir) => Keyset.pageDesc(

@@ -32,6 +32,15 @@ class ExpressionsSpec extends SparkSpec {
     assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
   }
 
+  test("approx_count_distinct within 5% of exact (A11 extension)") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).first()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("PayoutAggregator == batch conditional sums") {
     import PayoutAggregator._
     val events = Seq(
