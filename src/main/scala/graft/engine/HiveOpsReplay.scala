@@ -75,6 +75,26 @@ object HiveOpsReplay {
       .select(col("account"), col("authorperm"), col("ts").as("timestamp"))
   }
 
+  /** scot_set_tribe_settings (`processors/custom_json_set_tribe_settings
+    * .py:18-47`): the token ISSUER may point promoted_post_account at a new
+    * account; addressed by reward_pool_id, non-issuer ops ignored.
+    * Returns (seq, token, promoted_post_account).
+    */
+  def tribeSettings(hiveOps: DataFrame, tokenCfg: DataFrame): DataFrame = {
+    val t = hiveOps
+      .filter(col("op_type") === "custom_json" &&
+        col("cj_id") === "scot_set_tribe_settings")
+      .withColumn("j", doubleDecode(col("cj_json")))
+      .withColumn("rpid", expr("try_cast(get_json_object(j, '$.reward_pool_id') AS INT)"))
+      .withColumn("ppa", get_json_object(col("j"), "$.promoted_post_account"))
+      .withColumn("user", user(hiveOps))
+      .filter(col("rpid").isNotNull && col("ppa").isNotNull)
+    t.join(broadcast(tokenCfg.select(col("token"), col("reward_pool_id"), col("issuer"))),
+        t("rpid") === col("reward_pool_id"), "inner")
+      .filter(col("user") === col("issuer"))
+      .select(col("seq"), col("token"), col("ppa").as("promoted_post_account"))
+  }
+
   /** delete_comment tombstones: (seq, authorperm) for ContractReplay. */
   def deletes(hiveOps: DataFrame): DataFrame =
     hiveOps.filter(col("op_type") === "delete_comment")

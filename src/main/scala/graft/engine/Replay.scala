@@ -21,9 +21,17 @@ case class EngineState(
   * adds its quantity to the post's promoted total.
   */
 object Promotion {
-  /** -> (seq, token, authorperm, amount) for valid promotion transfers. */
-  def parse(transfers: DataFrame, tokenConfig: DataFrame): DataFrame =
-    transfers
+  /** -> (seq, token, authorperm, amount) for valid promotion transfers.
+    *
+    * `ppaTimeline`: (token, seq, promoted_post_account) — the configured
+    * promotion account OVER TIME (initial config at seq = Long.MinValue plus
+    * issuer tribe-settings changes). Validity is as-of: a transfer counts iff
+    * its target equals the account configured at the transfer's seq, exactly
+    * like the reference's sequential check
+    * (stream_engine_sidechain_blocks.py:60-87).
+    */
+  def parse(transfers: DataFrame, ppaTimeline: DataFrame): DataFrame = {
+    val base = transfers
       .filter(!coalesce(col("has_errors"), lit(false)) &&     // check_engine_op
         col("symbol").isNotNull && col("quantity").isNotNull)
       .withColumn("amount", expr("try_cast(quantity AS DECIMAL(38,8))"))
@@ -34,11 +42,17 @@ object Promotion {
       .withColumn("authorperm",                               // F10 memo regex
         regexp_extract(col("memo_clean"), "h?@.*", 0))
       .filter(length(col("authorperm")) > 0)
-      .join(broadcast(tokenConfig
-          .select(col("token"), col("promoted_post_account"))),
-        col("symbol") === col("token") && col("to") === col("promoted_post_account"),
-        "left_semi")
+    val cfg = ppaTimeline.select(col("token").as("cfg_token"),
+      col("seq").as("cfg_seq"), col("promoted_post_account").as("ppa"))
+    // as-of: latest config row at or before the transfer (config is tiny ->
+    // broadcast; the "join" is a per-transfer max over a handful of rows)
+    base.join(broadcast(cfg),
+        col("symbol") === col("cfg_token") && col("cfg_seq") <= col("seq"), "left")
+      .groupBy(col("seq"), col("symbol"), col("authorperm"), col("amount"), col("to"))
+      .agg(max(struct(col("cfg_seq"), col("ppa"))).as("asof"))
+      .filter(col("to") === col("asof.ppa"))
       .select(col("seq"), col("symbol").as("token"), col("authorperm"), col("amount"))
+  }
 }
 
 /** Batch replay orchestration: fold both input streams into EngineState.
@@ -53,8 +67,21 @@ object Replay {
              transfers: DataFrame, initialTokenConfig: DataFrame): EngineState = {
 
     val deletes = HiveOpsReplay.deletes(hiveOps)
-    val tokenConfig = ContractReplay.tokenConfigState(scEvents, initialTokenConfig)
-    val promo = Promotion.parse(transfers, tokenConfig)
+    val tokenConfig0 = ContractReplay.tokenConfigState(scEvents, initialTokenConfig)
+    // L1 tribe-settings override of promoted_post_account (issuer-gated):
+    // a timeline of (token, seq, account) for the as-of promotion check,
+    // and latest-wins folded into the current config table
+    val tribeOps = HiveOpsReplay.tribeSettings(hiveOps, tokenConfig0)
+    val ppaTimeline = tokenConfig0
+      .select(col("token"), lit(Long.MinValue).as("seq"), col("promoted_post_account"))
+      .unionByName(tribeOps)
+    val tribeLatest = Upsert.latestWins(tribeOps, Seq("token"), Seq(col("seq")))
+      .select(col("token"), col("promoted_post_account").as("tribe_ppa"))
+    val tokenConfig = tokenConfig0.join(tribeLatest, Seq("token"), "left")
+      .withColumn("promoted_post_account",
+        coalesce(col("tribe_ppa"), col("promoted_post_account")))
+      .drop("tribe_ppa")
+    val promo = Promotion.parse(transfers, ppaTimeline)
     val postsCore = ContractReplay.postsState(scEvents, tokenConfig, deletes, promo)
 
     val l1 = HiveOpsReplay.l1PostFields(hiveOps)

@@ -84,7 +84,17 @@ class EngineSpec extends SparkSpec {
       permlink = "gone", parent_author = "", parent_permlink = "pal",
       title = "Bye", body = "x", json_metadata = "{}"),
     HiveOp(110, t("2024-01-01 00:17:00"), "delete_comment",
-      author = "eve", permlink = "gone"))
+      author = "eve", permlink = "gone"),
+    // tribe settings: the issuer moves promoted_post_account to promo2
+    // (seq 200 — between transfer batches); a non-issuer attempt is ignored
+    HiveOp(200, t("2024-01-03 00:00:00"), "custom_json",
+      cj_id = "scot_set_tribe_settings",
+      cj_json = """{"reward_pool_id":1,"promoted_post_account":"promo2"}""",
+      posting_auths = Seq("issuer"), auths = Seq()),
+    HiveOp(201, t("2024-01-03 00:01:00"), "custom_json",
+      cj_id = "scot_set_tribe_settings",
+      cj_json = """{"reward_pool_id":1,"promoted_post_account":"evil"}""",
+      posting_auths = Seq("mallory"), auths = Seq()))
     .toDF()
 
   private lazy val scEvents = Seq(
@@ -136,7 +146,13 @@ class EngineSpec extends SparkSpec {
     Transfer(83, t("2024-01-02 00:03:00"), sender = "fan", symbol = "PAL",
       quantity = "notanumber", memo = "@alice/post-1", to = "null"), // F14 reject
     Transfer(84, t("2024-01-02 00:04:00"), sender = "fan", symbol = "PAL",
-      quantity = "5.0", memo = "no at sign here", to = "null"))      // no memo ap
+      quantity = "5.0", memo = "no at sign here", to = "null"),      // no memo ap
+    // after the tribe-settings change (seq 200): "null" no longer counts,
+    // the new account does — as-of validity
+    Transfer(210, t("2024-01-04 00:00:00"), sender = "fan", symbol = "PAL",
+      quantity = "1.0", memo = "@alice/post-1", to = "promo2"),
+    Transfer(211, t("2024-01-04 00:01:00"), sender = "fan", symbol = "PAL",
+      quantity = "100.0", memo = "@alice/post-1", to = "null"))
     .toDF()
 
   private lazy val st = Replay.replay(spark, hiveOps, scEvents, transfers, tokenCfg)
@@ -202,11 +218,18 @@ class EngineSpec extends SparkSpec {
     assert(st.posts.filter(col("authorperm") === "@eve/gone").count() == 0)
   }
 
-  test("promotion: valid + quoted memos sum; wrong target / bad quantity / no-ap skipped") {
-    assert(pf("promoted") == d("12.50000000"))
-    val expected = 1.0 * math.log10(12.5) +
+  test("promotion: valid + quoted memos sum; wrong target / bad quantity / no-ap skipped; as-of account change") {
+    // 10.5 + 2.0 (pre-change, to "null") + 1.0 (post-change, to "promo2");
+    // the 100.0 to "null" after the tribe change must NOT count
+    assert(pf("promoted") == d("13.50000000"))
+    val expected = 1.0 * math.log10(13.5) +
       t("2024-01-01 00:00:09").getTime / 1000.0 / 480000.0
     assert(math.abs(pf("score_promoted").asInstanceOf[Float] - expected) < 1e-3)
+  }
+
+  test("tribe settings: issuer change applied to config, non-issuer ignored") {
+    val cfg = st.tokenConfig.filter(col("token") === "PAL").collect().head
+    assert(cfg.getAs[String]("promoted_post_account") == "promo2")
   }
 
   test("DMP patch applied to previous body") {
