@@ -1,0 +1,83 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class RawTx(contract: String, action: String, sender: String,
+                 transactionId: String, payload: String, logs: String)
+case class RawBlock(blockNumber: Long, timestamp: String,
+                    transactions: Seq[RawTx])
+
+/** Raw nested block JSON → flattened events, end to end (FIXTURES.md §B3). */
+class BlockParsersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val blocks = Seq(
+    RawBlock(100, "2024-01-01T00:00:00", Seq(
+      RawTx("comments", "comment", "alice", "tx-a",
+        """{"author":"alice","permlink":"p1"}""",
+        """{"events":[{"contract":"comments","event":"newComment","data":{"symbol":"PAL"}}]}"""),
+      RawTx("comments", "vote", "bob", "tx-b",
+        """{"author":"alice","permlink":"p1","voter":"bob","weight":10000}""",
+        """{"events":[{"contract":"comments","event":"newVote","data":{"symbol":"PAL","rshares":"1234"}}]}"""))),
+    RawBlock(101, "2024-01-01T00:00:03", Seq(
+      RawTx("comments", "setMute", "issuer", "tx-c",
+        """{"rewardPoolId":1,"account":"mallory","mute":true}""",
+        """{}"""),
+      RawTx("tokens", "transfer", "fan", "tx-d",
+        """{"symbol":"PAL","quantity":"2.5","memo":"@alice/p1","to":"null"}""",
+        """{}"""),
+      RawTx("tokens", "transfer", "fan", "tx-e",
+        """{"symbol":"PAL","quantity":"9.9","memo":"@alice/p1","to":"null"}""",
+        """{"errors":["insufficient balance"]}"""),
+      RawTx("comments", "createRewardPool", "issuer", "tx-f",
+        """{"symbol":"PAL","config":{"cashoutWindowDays":7,"curationRewardPercentage":50,"postRewardCurveParameter":"1.0","curationRewardCurveParameter":"0.5","tags":["pal","hive"]}}""",
+        """{"events":[{"contract":"comments","event":"createRewardPool","data":{"_id":"1"}}]}"""))))
+    .toDF()
+
+  private lazy val events = BlockParsers.sidechainEvents(blocks)
+
+  test("events flattened with stable seq and payload extraction") {
+    val nc = events.filter(col("event") === "newComment").collect().head
+    assert(nc.getAs[Long]("seq") == 100000000L)
+    assert(nc.getAs[String]("symbol") == "PAL")
+    assert(nc.getAs[String]("author") == "alice")
+
+    val nv = events.filter(col("event") === "newVote").collect().head
+    assert(nv.getAs[Long]("seq") == 100001000L)
+    assert(nv.getAs[java.math.BigDecimal]("rshares").longValue() == 1234L)
+    assert(nv.getAs[Short]("weight") == 10000)
+  }
+
+  test("setMute resolved from rewardPoolId via token config") {
+    val cfg = Seq(("PAL", 1)).toDF("token", "reward_pool_id")
+    val resolved = BlockParsers.resolveMuteSymbols(events, cfg)
+    val m = resolved.filter(col("action") === "setMute").collect().head
+    assert(m.getAs[String]("symbol") == "PAL")
+    assert(m.getAs[String]("account") == "mallory")
+    assert(m.getAs[Boolean]("mute"))
+  }
+
+  test("transfers parsed; contract errors flagged (check_engine_op)") {
+    val t = BlockParsers.sidechainTransfers(blocks)
+      .orderBy("seq").collect()
+    assert(t.length == 2)
+    assert(!t(0).getAs[Boolean]("has_errors") && t(0).getAs[String]("quantity") == "2.5")
+    assert(t(1).getAs[Boolean]("has_errors"))
+  }
+
+  test("reward-pool config projected into the data map (tags CSV-joined)") {
+    val rp = events.filter(col("event") === "createRewardPool").collect().head
+    val cfgMap = rp.getAs[Map[String, String]]("config")
+    assert(cfgMap("cashoutWindowDays") == "7")
+    assert(cfgMap("tags") == "pal,hive")
+    assert(cfgMap("postRewardCurveParameter") == "1.0")
+  }
+
+  test("parsed events drive ContractReplay end to end") {
+    val votes = ContractReplay.votesState(events)
+    val v = votes.collect().head
+    assert(v.getAs[String]("authorperm") == "@alice/p1")
+    assert(v.getAs[java.math.BigDecimal]("rshares").longValue() == 1234L)
+  }
+}
