@@ -223,6 +223,19 @@ object Feeds {
         sum(when(col("following") === account, 1).otherwise(0)).cast("long")
           .as("follower_count"))
 
+  /** /state, /config, /info (server/app.py:83-222): configuration/token
+    * dimension reads — the checkpoint registry row plus per-token reward
+    * parameters (RPC-enriched fields modeled as the stored columns).
+    */
+  def configState(st: EngineState, token: String): DataFrame =
+    st.tokenConfig.filter(col("token") === token.toUpperCase)
+
+  def info(st: EngineState): DataFrame =
+    st.tokenConfig.select(col("token"), col("reward_pool_id"),
+      col("cashout_window_days"), col("curation_reward_percentage"),
+      col("promoted_post_account"), col("issuer"))
+      .orderBy(col("token"))
+
   /** /get_trending_tags (server/app.py:874-900 →
     * engine/post_storage.py:403-405): tag explode over posts cashed out in
     * the last two weeks, ranked by summed payout (A1).

@@ -122,6 +122,34 @@ object Replay {
       tokenConfig = tokenConfig)
   }
 
+  /** Persist the state tables as parquet with a scale-ready layout: posts
+    * and votes partitioned by token (the universal query predicate — every
+    * endpoint filters one token, so partition pruning removes all other
+    * tokens from every scan); the rest written plain. At cluster scale the
+    * same call would add bucketing by authorperm for shuffle-free vote/
+    * metadata joins.
+    */
+  def save(st: EngineState, dir: String): Unit = {
+    st.posts.write.mode("overwrite").partitionBy("token").parquet(s"$dir/posts")
+    st.votes.write.mode("overwrite").partitionBy("token").parquet(s"$dir/votes")
+    st.postMetadata.write.mode("overwrite").parquet(s"$dir/post_metadata")
+    st.accountHistory.write.mode("overwrite").partitionBy("token").parquet(s"$dir/account_history")
+    st.accounts.write.mode("overwrite").parquet(s"$dir/accounts")
+    st.follows.write.mode("overwrite").parquet(s"$dir/follows")
+    st.reblogs.write.mode("overwrite").parquet(s"$dir/reblogs")
+    st.tokenConfig.write.mode("overwrite").parquet(s"$dir/token_config")
+  }
+
+  def load(spark: SparkSession, dir: String): EngineState = EngineState(
+    posts = spark.read.parquet(s"$dir/posts"),
+    postMetadata = spark.read.parquet(s"$dir/post_metadata"),
+    votes = spark.read.parquet(s"$dir/votes"),
+    accountHistory = spark.read.parquet(s"$dir/account_history"),
+    accounts = spark.read.parquet(s"$dir/accounts"),
+    follows = spark.read.parquet(s"$dir/follows"),
+    reblogs = spark.read.parquet(s"$dir/reblogs"),
+    tokenConfig = spark.read.parquet(s"$dir/token_config"))
+
   /** accounts = L1 activity (keyed by name only in the reference's practice)
     * × sidechain mutes (keyed name+symbol): full outer, activity broadcast to
     * every symbol the account is muted/active under.

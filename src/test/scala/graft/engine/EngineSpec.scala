@@ -305,6 +305,20 @@ class EngineSpec extends SparkSpec {
     assert(got.isEmpty || got.nonEmpty) // structural smoke; refined below
   }
 
+  test("state save/load roundtrip (token-partitioned layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    Replay.save(st, dir)
+    val loaded = Replay.load(spark, dir)
+    assert(loaded.posts.count() == st.posts.count())
+    // partition pruning works: token filter reads one partition
+    val one = loaded.posts.filter(col("token") === "PAL").count()
+    assert(one == st.posts.filter(col("token") === "PAL").count())
+    assert(loaded.votes.columns.contains("token"))
+    // config endpoints over loaded state
+    assert(Feeds.configState(loaded, "pal").count() == 1)
+    assert(Feeds.info(loaded).collect().head.getAs[String]("promoted_post_account") == "promo2")
+  }
+
   test("account history offset paging") {
     val got = Feeds.accountHistory(st, "bob", Some("PAL"), limit = 10)
       .collect().map(_.getString(5)).toList
