@@ -21,27 +21,45 @@ object ThreadTree {
     * @param maxDepth inclusive bound on levels below the roots
     * @return (node, depth) pairs, depth 1..maxDepth, deduplicated
     */
+  /** Frontiers at or below this size are collected to the driver and pushed
+    * as an IN-list predicate — each BFS level is then one scan with a pushed
+    * filter, no join, no shuffle. Larger frontiers fall back to a broadcast
+    * join. Comment threads (the reference's use) are always in the IN-list
+    * regime; the join path keeps the operator correct for arbitrary graphs.
+    */
+  private val InListFrontierLimit = 10000
+
   def descendants(spark: SparkSession, edges: DataFrame, childCol: String,
                   parentCol: String, roots: DataFrame, maxDepth: Int): DataFrame = {
-    // the edge list is scanned once per level — persist it (at cluster scale:
-    // pre-partition by parent so every level's join is shuffle-free)
     val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
       .persist()
     var frontier = roots.select(col(roots.columns.head).as("__parent")).distinct()
+    // in-list mode: while the frontier fits, its keys are known on the driver
+    // and each level is a single filtered scan (pushed IN predicate)
+    var frontierKeys: Array[Any] = frontier.take(InListFrontierLimit + 1).map(_.get(0))
+    var inList = frontierKeys.length <= InListFrontierLimit
     var acc: DataFrame = null
     var depth = 1
     var done = false
     while (depth <= maxDepth && !done) {
-      val next = e.join(broadcast(frontier), "__parent")
+      val level =
+        if (inList) e.filter(col("__parent").isin(frontierKeys.toSeq: _*))
+        else e.join(broadcast(frontier), "__parent")
+      val next = level
         .select(col("__child"), lit(depth).as("depth"))
         .distinct()
         .persist()
-      // count() fully materializes the level so downstream consumption never
-      // re-derives the whole lineage chain
-      if (next.count() == 0) { done = true; next.unpersist() }
+      val sample = next.select(col("__child")).take(InListFrontierLimit + 1)
+      if (sample.isEmpty) { done = true; next.unpersist() }
       else {
         acc = if (acc == null) next else acc.unionByName(next)
         frontier = next.select(col("__child").as("__parent"))
+        if (sample.length <= InListFrontierLimit) {
+          frontierKeys = sample.map(_.get(0)); inList = true
+        } else {
+          inList = false
+          next.count()   // fully materialize before the join path reuses it
+        }
         depth += 1
       }
     }

@@ -57,24 +57,34 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
               numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
+    // buckets carry only (table, bucket, id) — vectors are attached AFTER
+    // the candidate set is deduped, so the union/distinct never shuffles
+    // embedding arrays
     val tables = (0 until numTables).map { t =>
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("table", lit(t))
         .withColumn("bucket", srpBucketLiteral(col("vec"), numPlanes, t, dim))
+        .select("table", "bucket", "id")
     }.reduce(_ unionByName _)
     val q = tables.filter(col("id").isin(queryIds: _*))
       .select(col("table").as("q_table"), col("bucket").as("q_bucket"),
-        col("id").as("query_id"), col("vec").as("query_vec"))
+        col("id").as("query_id"))
     val cand = tables.join(broadcast(q),
         col("table") === col("q_table") && col("bucket") === col("q_bucket") &&
         col("id") =!= col("query_id"))
-      .select(col("query_id"), col("query_vec"), col("id").as("neighbor_id"), col("vec"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
       .distinct()
-      .withColumn("cos", cosine(col("query_vec"), col("vec")))
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val scored = cand
+      .join(broadcast(vecs.filter(col("vid").isin(queryIds: _*)))
+        .withColumnRenamed("vid", "query_id").withColumnRenamed("v", "query_vec"),
+        Seq("query_id"))
+      .join(vecs, col("neighbor_id") === col("vid"))
+      .withColumn("cos", cosine(col("query_vec"), col("v")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
