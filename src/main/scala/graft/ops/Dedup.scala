@@ -24,6 +24,14 @@ object Dedup {
   def tokenSet(text: Column): Column =
     array_remove(array_distinct(split(lower(text), "\\s+")), "")
 
+  /** Distinct character n-gram shingles (classic near-dup features — robust
+    * to word-boundary edits where word sets are not).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest id as representative. Single hash-shuffle; grouping on the
     * 128-bit md5 rather than the full text keeps shuffle rows narrow.
@@ -40,9 +48,10 @@ object Dedup {
     * corpora should drop top-frequency tokens first).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double,
+                   tokenizer: Column => Column = tokenSet): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-        explode(tokenSet(col(textCol))).as("tok"))
+        explode(tokenizer(col(textCol))).as("tok"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))

@@ -71,6 +71,27 @@ object TextAnalysis {
     lenOk + punctOk + stopOk
   }
 
+  /** TF-IDF top-k terms per document — the classic keyword-extraction /
+    * near-dup-feature weighting, shaped as two aggregations + a window
+    * (linear shuffles; document frequency is a broadcastable dimension).
+    */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc_id"),
+        explode(array_remove(split(lower(col(textCol)), "\\s+"), "")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.count()   // corpus-size scalar (dimension metadata, not data)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Order-sensitive rolling document fingerprint over words:
     * h = (h*31 + ascii(first char)*256 + len(word)) mod 1e9+7.
     * A pure left fold — unlike the bag-of-words hashes, word order matters,

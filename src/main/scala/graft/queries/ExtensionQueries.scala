@@ -39,6 +39,69 @@ object ExtensionQueries {
         WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
         ORDER BY id_a, id_b""")),
 
+    // ---- character 3-gram shingle Jaccard (robust to word-boundary edits) ----
+    "x11_dedup_char_shingles" -> Q(
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 100), "doc_id", "text",
+        threshold = 0.7, tokenizer = Dedup.charShingles(_, 3))
+        .select(col("id_a"), col("id_b"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            list_transform(range(1, greatest(length(text) - 1, 2)),
+              i -> substring(text, cast(i AS INT), 3)))) AS tok
+          FROM documents WHERE doc_id < 100),
+        sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+        SELECT id_a, id_b, inter,
+               round(cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
+        ORDER BY id_a, id_b""")),
+
+    // ---- TF-IDF top terms per document ----
+    "x12_tfidf_terms" -> Q(
+      (s, dir) => TextAnalysis.tfIdfTopTerms(
+        Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("rank"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH terms AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf * ln(cast(n.n AS DOUBLE) / df) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+                   FROM scored)
+        SELECT doc_id, cast(rank AS INT) AS rank, term, round(tfidf, 6) AS tfidf
+        FROM ranked WHERE rank <= 3 AND doc_id < 100
+        ORDER BY doc_id, rank""")),
+
+    // ---- embedding cosine near-dup pairs (brute among a bounded slice;
+    // the LSH path is the scale form) ----
+    "x13_embedding_neardup" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 150)
+          .select(col("vec_id"), col("embedding"))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6))
+          .filter(col("cos") >= 0.3)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b, s.c AS cos
+        FROM embeddings a, embeddings b,
+          LATERAL (SELECT round(sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))), 6) AS c
+                   FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) s
+        WHERE a.vec_id < 150 AND b.vec_id < 150 AND a.vec_id < b.vec_id AND s.c >= 0.3
+        ORDER BY id_a, id_b""")),
+
     // ---- MinHash + banded LSH candidates (deterministic xxhash64; no SQL
     // oracle — checked by MinHashSpec against the exact Jaccard baseline) ----
     "x3_minhash_candidates" -> Q(
