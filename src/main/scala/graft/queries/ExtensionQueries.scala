@@ -43,7 +43,7 @@ object ExtensionQueries {
     "x11_dedup_char_shingles" -> Q(
       (s, dir) => Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 100), "doc_id", "text",
-        threshold = 0.7, tokenizer = Dedup.charShingles(_, 3))
+        threshold = 0.65, tokenizer = Dedup.charShingles(_, 3))
         .select(col("id_a"), col("id_b"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH toks AS (
@@ -57,7 +57,7 @@ object ExtensionQueries {
         SELECT id_a, id_b, inter,
                round(cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
         FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-        WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
+        WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.65
         ORDER BY id_a, id_b""")),
 
     // ---- TF-IDF top terms per document ----
