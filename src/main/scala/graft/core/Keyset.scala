@@ -38,13 +38,8 @@ object Keyset {
     */
   def offsetPage(df: DataFrame, order: Seq[Column], limit: Int, offset: Int,
                  cap: Int = 1000): DataFrame = {
-    val n = math.min(limit + offset, cap)
-    val page = df.orderBy(order: _*).limit(n)
-    // small n (<= cap): a local window over the collected top-k is cheap
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(order: _*)
-    page.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > offset)
-      .drop("__rn")
+    // native OFFSET: plans as GlobalLimit over the top-k — no global window
+    val effective = math.max(0, math.min(limit, cap - offset))
+    df.orderBy(order: _*).offset(offset).limit(effective)
   }
 }

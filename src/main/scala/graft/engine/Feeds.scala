@@ -50,7 +50,15 @@ object Feeds {
     * post's cashout are excluded from display (server/app.py:421-422).
     */
   def attachVotes(page: DataFrame, votes: DataFrame): DataFrame = {
-    val v = votes.groupBy(col("authorperm").as("v_ap"), col("token").as("v_tok"))
+    // the page is `limit` rows — semi-join shrinks the votes scan to the
+    // page's posts BEFORE aggregating, so the collect_list never sees the
+    // full votes table
+    val pageKeys = broadcast(page.select(
+      col("authorperm").as("pk_ap"), col("token").as("pk_tok")))
+    val v = votes
+      .join(pageKeys, col("authorperm") === col("pk_ap") &&
+        col("token") === col("pk_tok"), "left_semi")
+      .groupBy(col("authorperm").as("v_ap"), col("token").as("v_tok"))
       .agg(sort_array(collect_list(struct(
         col("voter"), col("timestamp").as("ts"), col("rshares"), col("percent"))))
         .as("active_votes"))

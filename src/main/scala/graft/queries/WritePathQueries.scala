@@ -159,9 +159,14 @@ object WritePathQueries {
           .select(o("o_orderkey"), o("o_custkey"), o("o_totalprice"), acc("c_name"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
           .limit(20)
-        val votes = Tables.lineitem(s, dir).groupBy(col("l_orderkey")).agg(
-          count(lit(1)).as("n_votes"),
-          concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("voters"))
+        // semi-join the votes down to the 20-row page BEFORE aggregating —
+        // at scale the collect_list must never see the full table
+        val votes = Tables.lineitem(s, dir)
+          .join(broadcast(page.select(col("o_orderkey").as("pk"))),
+            col("l_orderkey") === col("pk"), "left_semi")
+          .groupBy(col("l_orderkey")).agg(
+            count(lit(1)).as("n_votes"),
+            concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("voters"))
         page.join(votes, page("o_orderkey") === votes("l_orderkey"), "left")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             col("c_name"), col("n_votes"), col("voters"))
