@@ -36,13 +36,15 @@ object FunctionQueries {
       (s, dir) => Tables.events(s, dir)
         .select(col("event_id"),
           round(Scores.scoreHot(col("value"), unix_timestamp(col("ts"))), 4).as("score"),
-          round(when(col("value") > 0, 1.0).otherwise(-1.0) *
-            log10(greatest(abs(col("value")), lit(1.0))), 6).as("order_term"))
+          // + 0.0 normalizes IEEE negative zero (-1 * log10(1) = -0.0, which
+          // DuckDB keeps and Spark's round folds to 0.0)
+          (round(when(col("value") > 0, 1.0).otherwise(-1.0) *
+            log10(greatest(abs(col("value")), lit(1.0))), 6) + lit(0.0)).as("order_term"))
         .orderBy(col("event_id")),
       Some("""SELECT event_id,
         round((CASE WHEN value > 0 THEN 1.0 ELSE -1.0 END) * log10(greatest(abs(value), 1.0))
               + cast(floor(epoch(ts)) AS BIGINT) / 10000.0, 4) AS score,
-        round((CASE WHEN value > 0 THEN 1.0 ELSE -1.0 END) * log10(greatest(abs(value), 1.0)), 6) AS order_term
+        round((CASE WHEN value > 0 THEN 1.0 ELSE -1.0 END) * log10(greatest(abs(value), 1.0)), 6) + 0.0 AS order_term
         FROM events ORDER BY event_id""")),
 
     // ---- F2: convergent_linear curve (engine/utils.py:33-34), integer inputs
