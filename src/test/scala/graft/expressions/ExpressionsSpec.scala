@@ -32,6 +32,15 @@ class ExpressionsSpec extends SparkSpec {
     assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
   }
 
+  test("GraftExtensions injects graft_score (spark.sql.extensions path)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)   // must register without throwing
+    // the same builder drives the in-process registration; prove it resolves
+    ScoreExpression.register(spark)
+    assert(spark.sql("SELECT graft_score(2.0D, 100L, 10L) AS s").first().getDouble(0)
+      == math.log10(2.0) + 10.0)
+  }
+
   test("approx_count_distinct within 5% of exact (A11 extension)") {
     val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
     val r = li.agg(
