@@ -109,25 +109,33 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  private val bitMasks: Seq[Long] = (0 until 64).map(1L << _)
+
   /** 64-bit SimHash: each token's xxhash64 contributes ±tf to each of 64 bit
-    * positions; the sign of the accumulated position becomes the bit. Shaped
-    * as (doc, bit) partial sums — pure groupBy aggregations; the per-doc
-    * 64-row fan-out is constant-factor, not data-dependent.
+    * positions; the sign of the accumulated position becomes the bit.
+    * Single-pass form: per (doc, token) a 64-element ±tf vector (bit masks
+    * are plan literals), folded per doc with an elementwise zip_with sum —
+    * one shuffle on doc id, no 64× row fan-out.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val masks = typedLit(bitMasks)
     df.select(col(idCol).as("id"),
         explode(array_remove(split(lower(col(textCol)), "\\s+"), "")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("tok")))
-      .select(col("id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("contrib",
-        when(expr("(h >> bit) & 1") === 1L, col("tf")).otherwise(-col("tf")))
-      .groupBy(col("id"), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
+      .withColumn("contrib", transform(masks, m =>
+        when(col("h").bitwiseAND(m) =!= 0, col("tf")).otherwise(-col("tf"))))
       .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(aggregate(
+        collect_list(col("contrib")),
+        typedLit(Seq.fill(64)(0L)),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("sums"))
+      .withColumn("simhash",
+        aggregate(zip_with(col("sums"), masks,
+            (s, m) => when(s > 0, m).otherwise(0L)),
+          lit(0L), (a, b) => a.bitwiseOR(b)))
+      .select("id", "simhash")
+  }
 
   /** Near-dup candidates by SimHash: block on 4×16-bit chunks (any pair with
     * hamming distance <= 3 shares a chunk), then exact popcount filter.
