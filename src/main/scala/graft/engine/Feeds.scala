@@ -231,6 +231,20 @@ object Feeds {
         sum(when(col("following") === account, 1).otherwise(0)).cast("long")
           .as("follower_count"))
 
+  /** API-edge row shaping (`format_feed_data`, server/app.py:380-447):
+    * authorperm resolved to author+permlink, tags rendered back to the
+    * reference's CSV form, timestamps ISO-formatted — the JSON-boundary
+    * projection applied AFTER the page is cut, so it touches `limit` rows.
+    */
+  def formatFeed(page: DataFrame): DataFrame =
+    page.withColumn("author",
+        regexp_extract(col("authorperm"), "^h?@([^/]+)/.*$", 1))
+      .withColumn("permlink",
+        regexp_extract(col("authorperm"), "^h?@[^/]+/(.*)$", 1))
+      .withColumn("tags_csv", substring(array_join(col("tags"), ","), 1, 256))
+      .withColumn("created_iso",
+        date_format(col("created"), "yyyy-MM-dd'T'HH:mm:ss"))
+
   /** /state, /config, /info (server/app.py:83-222): configuration/token
     * dimension reads — the checkpoint registry row plus per-token reward
     * parameters (RPC-enriched fields modeled as the stored columns).

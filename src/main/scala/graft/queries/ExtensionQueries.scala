@@ -102,6 +102,49 @@ object ExtensionQueries {
         WHERE a.vec_id < 150 AND b.vec_id < 150 AND a.vec_id < b.vec_id AND s.c >= 0.3
         ORDER BY id_a, id_b""")),
 
+    // ---- capstone: the full curation pipeline — quality filter, exact
+    // dedup, near-dup removal (keep the lowest id of each pair) ----
+    "x14_curation_pipeline" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        val quality = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+        val exactKeep = Dedup.exact(quality, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val nearDupLosers = Dedup.jaccardPairs(quality, "doc_id", "text", 0.8)
+          .select(col("id_b").as("doc_id")).distinct()
+        quality.join(exactKeep, Seq("doc_id"), "left_semi")
+          .join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH q AS (
+          SELECT doc_id, lang, n_chars, text,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 200),
+        scored AS (
+          SELECT *,
+            (CASE WHEN length(text) BETWEEN 200 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN cast(len(list_filter(ltoks, x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+          FROM q),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.7),
+        exact_keep AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        ktoks AS (SELECT doc_id AS id, unnest(list_distinct(ltoks)) AS tok FROM kept),
+        sizes AS (SELECT id, count(*) AS sz FROM ktoks GROUP BY 1),
+        losers AS (
+          SELECT DISTINCT b.id AS doc_id
+          FROM ktoks a JOIN ktoks b ON a.tok = b.tok AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING cast(count(*) AS DOUBLE) /
+            ((SELECT sz FROM sizes WHERE id = a.id) + (SELECT sz FROM sizes WHERE id = b.id) - count(*)) >= 0.8)
+        SELECT k.doc_id, k.lang, k.n_chars FROM kept k
+        JOIN exact_keep e ON k.doc_id = e.doc_id
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY k.doc_id""")),
+
     // ---- MinHash + banded LSH candidates (deterministic xxhash64; no SQL
     // oracle — checked by MinHashSpec against the exact Jaccard baseline) ----
     "x3_minhash_candidates" -> Q(

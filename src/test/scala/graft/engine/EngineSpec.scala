@@ -319,6 +319,15 @@ class EngineSpec extends SparkSpec {
     assert(Feeds.info(loaded).collect().head.getAs[String]("promoted_post_account") == "promo2")
   }
 
+  test("formatFeed: API-edge shaping (authorperm split, CSV tags, ISO time)") {
+    val page = Feeds.discussionsByCreated(st, "pal", now)
+    val r = Feeds.formatFeed(page).collect().head
+    assert(r.getAs[String]("author") == "alice")
+    assert(r.getAs[String]("permlink") == "post-1")
+    assert(r.getAs[String]("tags_csv") == "pal,test")
+    assert(r.getAs[String]("created_iso") == "2024-01-01T00:00:09")
+  }
+
   test("account history offset paging") {
     val got = Feeds.accountHistory(st, "bob", Some("PAL"), limit = 10)
       .collect().map(_.getString(5)).toList
