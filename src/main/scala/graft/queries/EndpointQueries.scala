@@ -98,9 +98,12 @@ object EndpointQueries {
     "e3_account_history" -> Q(
       (s, dir) => Feeds.accountHistory(
         analogState(s, dir), "7", Some("click"), limit = 5, offset = 2)
-        .select(col("account"), col("timestamp"), col("quantity"), col("trx")),
+        // micro-unit BIGINT output: decimal quantities hash differently across
+        // Spark-parquet and DuckDB decimal128 in the driver's canonicalizer
+        .select(col("account"), col("timestamp"),
+          (col("quantity") * lit(1000000L)).cast("long").as("quantity"), col("trx")),
       Some("""SELECT cast(user_id AS VARCHAR) AS account, ts AS timestamp,
-               cast(value AS DECIMAL(38,6)) AS quantity, cast(event_id AS VARCHAR) AS trx
+               cast(cast(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS quantity, cast(event_id AS VARCHAR) AS trx
         FROM events WHERE user_id = 7 AND upper(event_type) = 'CLICK'
         ORDER BY ts DESC, cast(event_id AS VARCHAR) ASC LIMIT 5 OFFSET 2""")),
 

@@ -20,6 +20,12 @@ object RelationalQueries {
 
   private val dec = DecimalType(38, 6)
   private def d(c: Column): Column = c.cast(dec)
+  /** Exact micro-unit output: DECIMAL(38,6) math stays internal (deterministic
+    * sums), but the FINAL column is scaled to integer micro-units. Spark-parquet
+    * decimals and DuckDB decimal128 canonicalize differently in the driver's
+    * hasher; a BIGINT is bit-identical on both sides with zero float rounding.
+    */
+  private def micro(c: Column): Column = (c * lit(1000000L)).cast("long")
 
   val qs: Map[String, Q] = Map(
 
@@ -28,15 +34,15 @@ object RelationalQueries {
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(d(col("l_quantity"))).as("sum_qty"),
-          sum(d(col("l_extendedprice"))).as("sum_price"),
-          sum(d(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          micro(sum(d(col("l_quantity")))).as("sum_qty"),
+          micro(sum(d(col("l_extendedprice")))).as("sum_price"),
+          micro(sum(d(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("sum_disc_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-        sum(cast(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-        sum(cast(l_extendedprice AS DECIMAL(38,6))) AS sum_price,
-        sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+        cast(sum(cast(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty,
+        cast(sum(cast(l_extendedprice AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_price,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_disc_price,
         count(*) AS n
         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
 
@@ -226,7 +232,7 @@ object RelationalQueries {
         val li = Tables.lineitem(s, dir)
         val votes = li.groupBy(col("l_orderkey")).agg(
           count(lit(1)).as("n_votes"),
-          sum(d(col("l_quantity"))).as("sum_qty"),
+          micro(sum(d(col("l_quantity")))).as("sum_qty"),
           concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("voters"))
         o.join(votes, o("o_orderkey") === votes("l_orderkey"), "left")
           .select(o("o_orderkey"), col("n_votes"), col("sum_qty"), col("voters"))
@@ -235,7 +241,7 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, v.n_votes, v.sum_qty, v.voters
         FROM orders LEFT JOIN (
           SELECT l_orderkey, count(*) AS n_votes,
-                 sum(cast(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+                 cast(sum(cast(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty,
                  string_agg(cast(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS voters
           FROM lineitem GROUP BY 1) v ON o_orderkey = v.l_orderkey
         WHERE o_orderkey < 300 ORDER BY o_orderkey""")),
@@ -245,10 +251,10 @@ object RelationalQueries {
       (s, dir) => Tables.part(s, dir)
         .select(explode(split(col("p_name"), " ")).as("tag"), col("p_retailprice"))
         .groupBy(col("tag"))
-        .agg(sum(d(col("p_retailprice"))).as("payout"), count(lit(1)).as("n"))
+        .agg(micro(sum(d(col("p_retailprice")))).as("payout"), count(lit(1)).as("n"))
         .orderBy(col("payout").desc, col("tag").asc)
         .limit(10),
-      Some("""SELECT tag, sum(cast(p_retailprice AS DECIMAL(38,6))) AS payout, count(*) AS n
+      Some("""SELECT tag, cast(sum(cast(p_retailprice AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS payout, count(*) AS n
         FROM (SELECT unnest(string_split(p_name, ' ')) AS tag, p_retailprice FROM part)
         GROUP BY tag ORDER BY payout DESC, tag ASC LIMIT 10""")),
 
@@ -282,13 +288,13 @@ object RelationalQueries {
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(
-          sum(when(col("event_type") === "click", d(col("value"))).otherwise(d(lit(0)))).as("click_total"),
-          sum(when(col("event_type") === "view", d(col("value"))).otherwise(d(lit(0)))).as("view_total"),
+          micro(sum(when(col("event_type") === "click", d(col("value"))).otherwise(d(lit(0))))).as("click_total"),
+          micro(sum(when(col("event_type") === "view", d(col("value"))).otherwise(d(lit(0))))).as("view_total"),
           sum(when(col("event_type") === "error", lit(1)).otherwise(lit(0))).cast("long").as("n_errors"))
         .orderBy(col("user_id")),
       Some("""SELECT user_id,
-        sum(CASE WHEN event_type = 'click' THEN cast(value AS DECIMAL(38,6)) ELSE cast(0 AS DECIMAL(38,6)) END) AS click_total,
-        sum(CASE WHEN event_type = 'view' THEN cast(value AS DECIMAL(38,6)) ELSE cast(0 AS DECIMAL(38,6)) END) AS view_total,
+        cast(sum(CASE WHEN event_type = 'click' THEN cast(value AS DECIMAL(38,6)) ELSE cast(0 AS DECIMAL(38,6)) END) * 1000000 AS BIGINT) AS click_total,
+        cast(sum(CASE WHEN event_type = 'view' THEN cast(value AS DECIMAL(38,6)) ELSE cast(0 AS DECIMAL(38,6)) END) * 1000000 AS BIGINT) AS view_total,
         cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
         FROM events GROUP BY 1 ORDER BY user_id""")),
 
@@ -339,9 +345,9 @@ object RelationalQueries {
     "a10_rollup" -> Q(
       (s, dir) => Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(d(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(micro(sum(d(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
-      Some("""SELECT l_returnflag, l_linestatus, sum(cast(l_quantity AS DECIMAL(38,6))) AS sum_qty, count(*) AS n
+      Some("""SELECT l_returnflag, l_linestatus, cast(sum(cast(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty, count(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 

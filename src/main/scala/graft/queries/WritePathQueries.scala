@@ -15,6 +15,10 @@ import graft.core.{Scores, ThreadTree, Upsert}
 object WritePathQueries {
 
   private val dec = DecimalType(38, 6)
+  /** Exact micro-unit output (see RelationalQueries.micro): decimal math stays
+    * internal, final column is integer micro-units — hash-stable across engines. */
+  private def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c * lit(1000000L)).cast("long")
 
   val qs: Map[String, Q] = Map(
 
@@ -59,11 +63,11 @@ object WritePathQueries {
           Tables.events(s, dir), Seq("user_id", "event_type"),
           Seq(col("ts"), col("event_id")))
         votes.groupBy(col("user_id"))
-          .agg(sum(col("value").cast(dec)).as("vote_rshares"),
+          .agg(micro(sum(col("value").cast(dec))).as("vote_rshares"),
                count(lit(1)).as("n_voters"))
           .orderBy(col("user_id"))
       },
-      Some("""SELECT user_id, sum(cast(value AS DECIMAL(38,6))) AS vote_rshares, count(*) AS n_voters
+      Some("""SELECT user_id, cast(sum(cast(value AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS vote_rshares, count(*) AS n_voters
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1
         GROUP BY 1 ORDER BY user_id""")),
@@ -94,19 +98,19 @@ object WritePathQueries {
         val e = Tables.events(s, dir)
         val posts = e.filter(col("event_type") === "view")
           .select(lit("posts").as("target"), col("event_id"), col("user_id"),
-            col("value").cast(dec).as("quantity"))
+            micro(col("value").cast(dec)).as("quantity"))
         val votes = e.filter(col("event_type") === "click")
           .select(lit("votes").as("target"), col("event_id"), col("user_id"),
-            col("value").cast(dec).as("quantity"))
+            micro(col("value").cast(dec)).as("quantity"))
         val ledger = e.filter(col("event_type") === "purchase")
           .select(lit("account_history").as("target"), col("event_id"), col("user_id"),
-            col("value").cast(dec).as("quantity"))
+            micro(col("value").cast(dec)).as("quantity"))
         posts.unionByName(votes).unionByName(ledger)
           .orderBy(col("event_id"))
       },
       Some("""SELECT CASE event_type WHEN 'view' THEN 'posts' WHEN 'click' THEN 'votes'
                      ELSE 'account_history' END AS target,
-               event_id, user_id, cast(value AS DECIMAL(38,6)) AS quantity
+               event_id, user_id, cast(cast(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS quantity
         FROM events WHERE event_type IN ('view', 'click', 'purchase')
         ORDER BY event_id""")),
 
@@ -221,14 +225,14 @@ object WritePathQueries {
           .groupBy(col("l_orderkey"))
           .agg(sum(col("l_extendedprice").cast(dec)).as("vote_rshares"))
         o.join(rshares, o("o_orderkey") === rshares("l_orderkey"), "inner")
-          .select(col("o_orderkey"), col("vote_rshares"),
+          .select(col("o_orderkey"), micro(col("vote_rshares")).as("vote_rshares"),
             round(Scores.scoreTrend(col("vote_rshares").cast("double"),
               unix_timestamp(col("o_orderdate"))), 4).as("score_trend"),
             round(Scores.scoreHot(col("vote_rshares").cast("double"),
               unix_timestamp(col("o_orderdate"))), 4).as("score_hot"))
           .orderBy(col("o_orderkey"))
       },
-      Some("""SELECT o_orderkey, vote_rshares,
+      Some("""SELECT o_orderkey, cast(vote_rshares * 1000000 AS BIGINT) AS vote_rshares,
           round((CASE WHEN rs > 0 THEN 1.0 ELSE -1.0 END) * log10(greatest(abs(rs), 1.0))
                 + cast(floor(epoch(o_orderdate)) AS BIGINT) / 480000.0, 4) AS score_trend,
           round((CASE WHEN rs > 0 THEN 1.0 ELSE -1.0 END) * log10(greatest(abs(rs), 1.0))
