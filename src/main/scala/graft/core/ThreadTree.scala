@@ -31,8 +31,22 @@ object ThreadTree {
 
   def descendants(spark: SparkSession, edges: DataFrame, childCol: String,
                   parentCol: String, roots: DataFrame, maxDepth: Int): DataFrame = {
+    // every persisted frame is released before returning: the caches only
+    // serve the BFS loop's own materializations; the returned plan (in the
+    // IN-list regime a flat union of pushed-filter scans) re-evaluates
+    // cheaply, and a long-lived session accumulates no cached RDDs
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try descendantsLoop(spark, edges, childCol, parentCol, roots, maxDepth, persisted)
+    finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
+  private def descendantsLoop(spark: SparkSession, edges: DataFrame,
+                              childCol: String, parentCol: String,
+                              roots: DataFrame, maxDepth: Int,
+                              persisted: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
     val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
       .persist()
+    persisted += e
     var frontier = roots.select(col(roots.columns.head).as("__parent")).distinct()
     // in-list mode: while the frontier fits, its keys are known on the driver
     // and each level is a single filtered scan (pushed IN predicate)
@@ -49,8 +63,9 @@ object ThreadTree {
         .select(col("__child"), lit(depth).as("depth"))
         .distinct()
         .persist()
+      persisted += next
       val sample = next.select(col("__child")).take(InListFrontierLimit + 1)
-      if (sample.isEmpty) { done = true; next.unpersist() }
+      if (sample.isEmpty) done = true
       else {
         acc = if (acc == null) next else acc.unionByName(next)
         frontier = next.select(col("__child").as("__parent"))
@@ -85,24 +100,29 @@ object ThreadTree {
   def lineage(spark: SparkSession, edges: DataFrame, childCol: String,
               parentCol: String, roots: DataFrame, rootCol: String,
               maxDepth: Int): DataFrame = {
-    val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
-      .persist()
-    var frontier = roots.select(col(rootCol).as("__parent"), col(rootCol).as("root"))
-    var acc = roots.select(col(rootCol).as("node"), col(rootCol).as("root"),
-      lit(0).as("depth"))
-    var depth = 1
-    var done = false
-    while (depth <= maxDepth && !done) {
-      val next = e.join(broadcast(frontier), "__parent")
-        .select(col("__child"), col("root"), lit(depth).as("depth"))
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
         .persist()
-      if (next.count() == 0) { done = true; next.unpersist() }
-      else {
-        acc = acc.unionByName(next.select(col("__child").as("node"), col("root"), col("depth")))
-        frontier = next.select(col("__child").as("__parent"), col("root"))
-        depth += 1
+      persisted += e
+      var frontier = roots.select(col(rootCol).as("__parent"), col(rootCol).as("root"))
+      var acc = roots.select(col(rootCol).as("node"), col(rootCol).as("root"),
+        lit(0).as("depth"))
+      var depth = 1
+      var done = false
+      while (depth <= maxDepth && !done) {
+        val next = e.join(broadcast(frontier), "__parent")
+          .select(col("__child"), col("root"), lit(depth).as("depth"))
+          .persist()
+        persisted += next
+        if (next.count() == 0) done = true
+        else {
+          acc = acc.unionByName(next.select(col("__child").as("node"), col("root"), col("depth")))
+          frontier = next.select(col("__child").as("__parent"), col("root"))
+          depth += 1
+        }
       }
-    }
-    acc
+      acc
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 }

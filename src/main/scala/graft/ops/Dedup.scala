@@ -49,21 +49,64 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
-                   tokenizer: Column => Column = tokenSet): DataFrame = {
+                   tokenizer: Column => Column = tokenSet,
+                   maxDocFreq: Option[Long] = None): DataFrame = maxDocFreq match {
+    case None =>
+      val toks = df.select(col(idCol).as("id"),
+          explode(tokenizer(col(textCol))).as("tok"))
+      val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.as("a").join(toks.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    case Some(cap) =>
+      // df-cap: candidate pairs only materialize through tokens with document
+      // frequency <= cap, so a stop-word-dense corpus can't go quadratic; the
+      // Jaccard itself is then rescored EXACTLY over the full token sets, so
+      // the cap only affects which pairs are *discovered*, not their measure.
+      val toks = df.select(col(idCol).as("id"),
+          explode(tokenizer(col(textCol))).as("tok"))
+      val rare = toks.join(
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+          .filter(col("dfreq") <= cap).select("tok"), Seq("tok"))
+      val cand = rare.as("a").join(rare.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      rescoreJaccard(cand, df, idCol, textCol, tokenizer)
+        .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact word-set Jaccard recomputed for an explicit candidate-pair set —
+    * the verification half of every candidates-then-verify near-dup pipeline
+    * (LSH generates, this measures). Cost scales with |pairs|, not |corpus|².
+    */
+  def rescoreJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+                     textCol: String,
+                     tokenizer: Column => Column = tokenSet): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(tokenizer(col(textCol))).as("tok"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = toks.as("a").join(toks.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+    val inter = pairs.select("id_a", "id_b")
+      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs.select("id_a", "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "jaccard")
   }
 
@@ -89,19 +132,24 @@ object Dedup {
     * signature positions (unbiased MinHash estimate of true Jaccard).
     */
   def minhashCandidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
+    // the band join and distinct shuffle only (band, band_hash, id) — the
+    // signature arrays are re-attached per id AFTER dedup, so no array
+    // payload ever rides a candidate row through the pair shuffles
     val banded = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
       .withColumn("band_hash", xxhash64(col("band"),
         slice(col("sig"), col("band") * col("rows_per_band") + 1, col("rows_per_band"))))
-      .select("id", "sig", "band", "band_hash")
-    banded.as("a").join(banded.as("b"),
+      .select("id", "band", "band_hash")
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -109,22 +157,48 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** End-to-end MinHash-LSH near-dup detection, candidates-then-verify: banded
+    * LSH proposes, exact Jaccard (full token sets) disposes. Output equals the
+    * exact `jaccardPairs` result whenever the band recall is total — which at
+    * 16 bands of 2 rows holds with P ≈ 1 − 8e-8 per pair at j = 0.8 — so a
+    * result-equality oracle against the exact SQL genuinely gates LSH recall.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, numHashes: Int = 32,
+                          numBands: Int = 16): DataFrame = {
+    val cand = minhashCandidatePairs(
+      minhashSignatures(df, idCol, textCol, numHashes), numBands)
+      .select("id_a", "id_b")
+    rescoreJaccard(cand, df, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
   private val bitMasks: Seq[Long] = (0 until 64).map(1L << _)
 
-  /** 64-bit SimHash: each token's xxhash64 contributes ±tf to each of 64 bit
-    * positions; the sign of the accumulated position becomes the bit.
-    * Single-pass form: per (doc, token) a 64-element ±tf vector (bit masks
-    * are plan literals), folded per doc with an elementwise zip_with sum —
-    * one shuffle on doc id, no 64× row fan-out.
+  /** 64-bit SimHash: each token contributes ±tf to each of 64 bit positions;
+    * the sign of the accumulated position becomes the bit. Single-pass form:
+    * per (doc, token) a 64-element ±tf vector, folded per doc with an
+    * elementwise zip_with sum — one shuffle on doc id, no 64× row fan-out.
+    *
+    * The token hash is PORTABLE integer arithmetic (31-base polynomial mod
+    * 1e9+7 over character codes, then 64 affine universal-hash bits), so any
+    * ANSI-SQL engine can recompute the identical fingerprint — which is what
+    * lets the driver's DuckDB oracle verify the simhash math end-to-end
+    * instead of trusting an engine-private hash.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val masks = typedLit(bitMasks)
     df.select(col(idCol).as("id"),
         explode(array_remove(split(lower(col(textCol)), "\\s+"), "")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
-      .withColumn("contrib", transform(masks, m =>
-        when(col("h").bitwiseAND(m) =!= 0, col("tf")).otherwise(-col("tf"))))
+      .withColumn("th", expr(
+        """aggregate(transform(sequence(1, length(tok)), i ->
+          |  cast(ascii(substring(tok, i, 1)) AS BIGINT)),
+          |  cast(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+      .withColumn("contrib", expr(
+        """transform(sequence(0, 63), i ->
+          |  CASE WHEN ((th * ((i * 2654435761 + 1) % 1000000007) + i) % 1000000007) % 2 = 1
+          |       THEN tf ELSE -tf END)""".stripMargin))
       .groupBy(col("id"))
       .agg(aggregate(
         collect_list(col("contrib")),
@@ -137,13 +211,17 @@ object Dedup {
       .select("id", "simhash")
   }
 
-  /** Near-dup candidates by SimHash: block on 4×16-bit chunks (any pair with
-    * hamming distance <= 3 shares a chunk), then exact popcount filter.
+  /** Near-dup candidates by SimHash: block on numChunks equal slices of the
+    * 64-bit fingerprint (pigeonhole: any pair within hamming distance
+    * numChunks−1 shares a chunk), then exact popcount filter.
     */
-  def simhashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(hashes: DataFrame, maxHamming: Int,
+                   numChunks: Int = 4): DataFrame = {
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
     val chunked = hashes.select(col("id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("chunk_val", expr("(simhash >> (chunk * 16)) & 65535"))
+        explode(sequence(lit(0), lit(numChunks - 1))).as("chunk"))
+      .withColumn("chunk_val", expr(s"(simhash >> (chunk * $bits)) & $mask"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
@@ -154,5 +232,23 @@ object Dedup {
       .withColumn("hamming", bit_count(expr("h_a ^ h_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** End-to-end SimHash near-dup detection, candidates-then-verify: chunk
+    * blocking + hamming prune proposes, exact Jaccard disposes. Recall is
+    * guaranteed total only within hamming <= numChunks−1 (pigeonhole);
+    * beyond that it degrades with distance — the operator is approximate by
+    * design and the exact rescore keeps its *precision* exact. Use
+    * `minhashNearDupPairs` when near-total recall at a Jaccard threshold is
+    * required (word-level SimHash distance correlates loosely with set
+    * Jaccard on short documents).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, maxHamming: Int = 24,
+                          numChunks: Int = 8): DataFrame = {
+    val cand = simhashPairs(simhash(df, idCol, textCol), maxHamming, numChunks)
+      .select("id_a", "id_b")
+    rescoreJaccard(cand, df, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
   }
 }

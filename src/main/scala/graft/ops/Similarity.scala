@@ -57,15 +57,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
               numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
-    // buckets carry only (table, bucket, id) — vectors are attached AFTER
-    // the candidate set is deduped, so the union/distinct never shuffles
-    // embedding arrays
-    val tables = (0 until numTables).map { t =>
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .withColumn("table", lit(t))
-        .withColumn("bucket", srpBucketLiteral(col("vec"), numPlanes, t, dim))
-        .select("table", "bucket", "id")
-    }.reduce(_ unionByName _)
+    // ONE corpus scan emits all L (table, bucket) entries per row via an
+    // array literal + explode — L tables never mean L scans. Buckets carry
+    // only (table, bucket, id); vectors are attached AFTER the candidate set
+    // is deduped, so the explode/distinct never shuffles embedding arrays.
+    val entries = (0 until numTables).map { t =>
+      struct(lit(t).as("table"),
+        srpBucketLiteral(col("vec"), numPlanes, t, dim).as("bucket"))
+    }
+    val tables = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), explode(array(entries: _*)).as("e"))
+      .select(col("e.table").as("table"), col("e.bucket").as("bucket"), col("id"))
     val q = tables.filter(col("id").isin(queryIds: _*))
       .select(col("table").as("q_table"), col("bucket").as("q_bucket"),
         col("id").as("query_id"))

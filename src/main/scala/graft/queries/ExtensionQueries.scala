@@ -6,10 +6,13 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extensions (north star): deduplication, similarity
   * search, text analysis, multimodal plumbing — over the `documents` and
-  * `embeddings` tables. Exact variants carry DuckDB oracles; the
-  * hash-approximate variants (minhash/simhash/LSH) are deterministic but not
-  * SQL-expressible, so they get rows-only checks here plus property tests in
-  * ScalaTest (approximation vs exact baselines).
+  * `embeddings` tables. Every query carries a DuckDB oracle. The
+  * hash-approximate operators (minhash/simhash/LSH) are gated via
+  * candidates-then-verify: the approximate stage only *proposes* pairs, an
+  * exact rescore (full-token Jaccard / true cosine) decides, so the final
+  * output equals the exact ground truth whenever recall is total — making
+  * oracle equality a real recall test, with property tests in ScalaTest as
+  * the second line.
   */
 object ExtensionQueries {
 
@@ -145,23 +148,61 @@ object ExtensionQueries {
         WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
         ORDER BY k.doc_id""")),
 
-    // ---- MinHash + banded LSH candidates (deterministic xxhash64; no SQL
-    // oracle — checked by MinHashSpec against the exact Jaccard baseline) ----
+    // ---- MinHash + banded LSH, candidates-then-verify: LSH proposes pairs,
+    // exact Jaccard over full token sets disposes. The output equals the
+    // exact inverted-index result iff band recall is total (P ≈ 1−8e-8 per
+    // pair at j=0.8 with 16 bands × 2 rows), so the result-equality oracle
+    // genuinely gates LSH recall — not just the rescore arithmetic. ----
     "x3_minhash_candidates" -> Q(
-      (s, dir) => Dedup.minhashCandidatePairs(
-        Dedup.minhashSignatures(
-          Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 32),
-        numBands = 8)
-        .filter(col("est_jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
-        .orderBy(col("id_a"), col("id_b"))),
+      (s, dir) => Dedup.minhashNearDupPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text",
+        threshold = 0.8, numHashes = 32, numBands = 16)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+          FROM documents WHERE doc_id < 200),
+        sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+        SELECT id_a, id_b, inter,
+               cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+        ORDER BY id_a, id_b""")),
 
-    // ---- SimHash near-dup pairs (chunk-blocked; no SQL oracle) ----
+    // ---- SimHash pairs in the pigeonhole-complete region: with 8 chunks of
+    // 8 bits, EVERY pair within hamming 7 shares a chunk, so blocking +
+    // filter h<=7 returns exactly {pairs : hamming <= 7} — no probabilistic
+    // recall. The token hash is portable integer math, so DuckDB recomputes
+    // the identical 64 sign bits and the oracle verifies the simhash itself. ----
     "x4_simhash_pairs" -> Q(
       (s, dir) => Dedup.simhashPairs(
         Dedup.simhash(Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text"),
-        maxHamming = 16)
-        .orderBy(col("id_a"), col("id_b"))),
+        maxHamming = 7, numChunks = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+          SELECT doc_id AS id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+            FROM documents WHERE doc_id < 200) GROUP BY 1, 2),
+        h AS (SELECT id, tf, list_reduce(list_prepend(cast(0 AS BIGINT),
+                list_transform(range(1, length(tok) + 1),
+                  i -> cast(ascii(substring(tok, cast(i AS INT), 1)) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS th
+              FROM toks),
+        bits AS (
+          SELECT id, b.bit,
+            CASE WHEN sum(CASE WHEN ((th * ((b.bit * 2654435761 + 1) % 1000000007) + b.bit) % 1000000007) % 2 = 1
+                               THEN tf ELSE -tf END) > 0 THEN 1 ELSE 0 END AS sgn
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 sum(CASE WHEN a.sgn <> b.sgn THEN 1 ELSE 0 END) AS hamming
+          FROM bits a JOIN bits b ON a.bit = b.bit AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, cast(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b""")),
 
     // ---- brute-force cosine top-k (exact ANN baseline, oracle-checked) ----
     "x5_ann_cosine" -> Q(
@@ -181,13 +222,27 @@ object ExtensionQueries {
         SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // ---- SRP-LSH bucketed ANN (the scale path; recall-tested in ScalaTest) ----
+    // ---- SRP-LSH bucketed ANN, candidates-then-verify: same-bucket
+    // candidates are exact-rescored, so the top-k equals the brute-force
+    // oracle iff LSH recall@k is total at these parameters — the oracle
+    // equality is a genuine recall gate for the 100 TB ANN path. ----
     "x6_ann_lsh" -> Q(
       (s, dir) => Similarity.lshTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numPlanes = 4, numTables = 8)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numPlanes = 3, numTables = 24)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, s.c AS cos
+          FROM embeddings q, embeddings c,
+            LATERAL (SELECT sum(x::DOUBLE * y::DOUBLE)
+                            / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS c
+                     FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y)) s
+          WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id <> q.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- text statistics: token counts, quality, lang-ID heuristic ----
     "x7_text_stats" -> Q(

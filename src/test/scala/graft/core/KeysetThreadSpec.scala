@@ -54,4 +54,16 @@ class KeysetThreadSpec extends SparkSpec {
       .orderBy("node").collect().map(_.getLong(0)).toList
     assert(got == List(2L, 3L, 4L))
   }
+
+  test("thread tree leaves no cached RDDs behind (long-lived session safety)") {
+    val edges = (2L to 200L).map(i => (i, i / 2)).toDF("child", "parent")
+    val roots = Seq(1L).toDF("node")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = ThreadTree.descendants(spark, edges, "child", "parent", roots, 8)
+    assert(r.count() > 0)
+    val l = ThreadTree.lineage(spark, edges, "child", "parent", roots, "node", 8)
+    assert(l.count() > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
+  }
 }
