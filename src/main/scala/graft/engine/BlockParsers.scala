@@ -67,7 +67,7 @@ object BlockParsers {
         col("ev.data")("account").as("account"),
         col("ev.data")("quantity").cast(Schemas.decimal).as("quantity"),
         lit(null).cast("boolean").as("mute"),
-        configMap().as("config"))
+        configMap(col("ev.data")).as("config"))
 
     val fromMutes = t
       .filter(col("action").isin("setMute", "setPostMute"))
@@ -119,7 +119,7 @@ object BlockParsers {
   /** createRewardPool/updateRewardPool carry their config in the payload —
     * project the fields ContractReplay consumes into the data map.
     */
-  private def configMap(): Column = {
+  private def configMap(data: Column): Column = {
     val fields = Seq(
       "postRewardCurveParameter", "curationRewardCurveParameter",
       "curationRewardPercentage", "cashoutWindowDays", "voteRegenerationDays",
@@ -132,7 +132,10 @@ object BlockParsers {
       Seq(lit("tags"),
         array_join(coalesce(from_json(
           get_json_object(col("payload"), "$.config.tags"),
-          ArrayType(StringType)), array().cast(ArrayType(StringType))), ","))
+          ArrayType(StringType)), array().cast(ArrayType(StringType))), ",")) ++
+      // createRewardPool events carry the new pool's id in data._id
+      // (engine_comments_contract_processor.py:219-224)
+      Seq(lit("_id"), data("_id"))
     map(pairs: _*)
   }
 }

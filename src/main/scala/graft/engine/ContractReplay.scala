@@ -13,16 +13,24 @@ import graft.core.{Scores, Upsert}
   * derives identical end states set-wise:
   *
   *  - votes:   latest vote row per (authorperm, token, voter)          [T8]
-  *  - rshares: the incremental `vote_rshares += new - old` fold, with the
-  *             authorReward zero-reset, has the closed form
-  *             Σ_voters (last_vote_after_reset − last_vote_before_reset) [A6]
+  *  - rshares: the incremental `vote_rshares += new - old` fold reads and
+  *             writes PERSISTED state (engine_comments_contract_processor
+  *             .py:80-116), so its closed form is Σ_voters last rshares.
+  *             The authorReward "zeroing" of vote_rshares/score_trend/
+  *             score_hot (py:199-202) mutates only the per-block
+  *             `paid_out_posts` dict, whose flush (py:277-304) writes back
+  *             total/curator alone — a dead store the replica reproduces
+  *             by NOT resetting (bug-compatible)                        [A6]
   *  - scores:  _score(final rshares, ts of *last vote event*) — the
   *             reference stamps scores with the vote block's time, not the
-  *             post's creation time; an authorReward after the last vote
-  *             pins them to 0                                           [W1]
-  *  - payouts: conditional sums per event type; beneficiaryReward rows log
-  *             history type "curation_reward" (reference quirk,
-  *             engine_comments_contract_processor.py:178)               [A7]
+  *             post's creation time; never-voted posts keep the DDL
+  *             `real DEFAULT 0 NOT NULL` (sql/engine.sql:92-93)         [W1]
+  *  - payouts: the flush persists only total_payout_value (all reward
+  *             types) and curator_payout_value (curation only);
+  *             beneficiaries_payout_value stays at its DDL default 0 and
+  *             last_payout at epoch — both dict-only in the reference.
+  *             beneficiaryReward rows log history type "curation_reward"
+  *             (reference quirk, py:178)                                [A7]
   *
   * Every derivation is a groupBy/window keyed by (authorperm, token[, voter])
   * — linear shuffles, replay-idempotent, no driver state.
@@ -96,25 +104,15 @@ object ContractReplay {
         col("ts").as("created"), col("seq").as("created_seq"),
         expr("ts + make_dt_interval(cwd)").as("cashout_time"))
 
-    // --- author-reset boundary per (authorperm, token) ----------------------
-    val resets = ev.filter(col("event") === "authorReward")
-      .groupBy(col("authorperm"), col("symbol").as("token"))
-      .agg(max(col("seq")).as("reset_seq"))
-
-    // --- vote_rshares: closed form of the delta fold ------------------------
-    val ve = voteEvents(ev)
-      .join(resets, Seq("authorperm", "token"), "left")
-      .withColumn("reset_seq", coalesce(col("reset_seq"), lit(Long.MinValue)))
-    val perVoter = ve.groupBy(col("authorperm"), col("token"), col("voter"))
-      .agg(
-        max(when(col("seq") > col("reset_seq"), struct(col("seq"), col("rshares")))).as("after"),
-        max(when(col("seq") <= col("reset_seq"), struct(col("seq"), col("rshares")))).as("before"))
-      .withColumn("contribution",
-        when(col("after").isNull, lit(0).cast(decimal))
-          .otherwise(col("after.rshares") -
-            coalesce(col("before.rshares"), lit(0).cast(decimal))))
+    // --- vote_rshares: closed form of the persisted delta fold --------------
+    // `+= new − old` over persisted state telescopes to the last rshares per
+    // voter; the reference's authorReward reset is a dict-only dead store
+    // (never flushed), so no reset boundary exists in persisted state
+    val perVoter = voteEvents(ev)
+      .groupBy(col("authorperm"), col("token"), col("voter"))
+      .agg(max(struct(col("seq"), col("rshares"))).as("last"))
     val rshares = perVoter.groupBy(col("authorperm"), col("token"))
-      .agg(sum(col("contribution")).cast(decimal).as("vote_rshares"))
+      .agg(sum(col("last.rshares")).cast(decimal).as("vote_rshares"))
 
     // --- scores: stamped at the last vote event's block time ----------------
     val lastVote = voteEvents(ev).groupBy(col("authorperm"), col("token"))
@@ -122,17 +120,16 @@ object ContractReplay {
       .select(col("authorperm"), col("token"),
         col("lv.seq").as("last_vote_seq"), col("lv.ts").as("last_vote_ts"))
 
-    // --- payout accumulation ------------------------------------------------
+    // --- payout accumulation: only the columns the reference's flush
+    // actually writes back (total from ALL reward types, curator from
+    // curation); beneficiaries/last_payout are dict-only dead stores -------
     val rewards = ev.filter(
         col("event").isin("curationReward", "beneficiaryReward", "authorReward"))
       .groupBy(col("authorperm"), col("symbol").as("token"))
       .agg(
         sum(col("quantity")).cast(decimal).as("total_payout_value"),
         sum(when(col("event") === "curationReward", col("quantity"))
-          .otherwise(lit(0))).cast(decimal).as("curator_payout_value"),
-        sum(when(col("event") === "beneficiaryReward", col("quantity"))
-          .otherwise(lit(0))).cast(decimal).as("beneficiaries_payout_value"),
-        max(col("ts")).as("last_payout"))
+          .otherwise(lit(0))).cast(decimal).as("curator_payout_value"))
 
     // --- muted: author's mute state as-of creation, overridden by later
     // setPostMute actions. Both are "last value by seq" over a merged stream.
@@ -163,7 +160,6 @@ object ContractReplay {
     base
       .join(rshares, keys, "left")
       .join(lastVote, keys, "left")
-      .join(resets, keys, "left")
       .join(rewards, keys, "left")
       .join(creationMute, keys, "left")
       .join(postMute, keys, "left")
@@ -171,28 +167,31 @@ object ContractReplay {
       .withColumn("vote_rshares",
         coalesce(col("vote_rshares"), lit(0).cast(decimal)))
       .withColumn("rs_d", col("vote_rshares").cast("double"))
-      .withColumn("score_alive",
-        col("last_vote_seq").isNotNull &&
-          (col("reset_seq").isNull || col("last_vote_seq") > col("reset_seq")))
       .select(
         col("authorperm"), col("token"), col("author"), col("created"),
         col("cashout_time"),
-        coalesce(col("last_payout"), to_timestamp(lit("1970-01-01"))).as("last_payout"),
+        // the reference's flush never persists last_payout for existing posts
+        // (and is a no-op for unknown ones) — DDL default epoch survives
+        to_timestamp(lit("1970-01-01")).as("last_payout"),
         col("vote_rshares"),
-        when(col("score_alive"),
+        // never-voted posts keep `real DEFAULT 0 NOT NULL` — NULL here would
+        // also silently drop them from keyset score anchors
+        when(col("last_vote_seq").isNotNull,
             Scores.scoreTrend(col("rs_d"), unix_timestamp(col("last_vote_ts"))))
-          .when(col("reset_seq").isNotNull, lit(0.0))
+          .otherwise(lit(0.0))
           .cast("float").as("score_trend"),
-        when(col("score_alive"),
+        when(col("last_vote_seq").isNotNull,
             Scores.scoreHot(col("rs_d"), unix_timestamp(col("last_vote_ts"))))
-          .when(col("reset_seq").isNotNull, lit(0.0))
+          .otherwise(lit(0.0))
           .cast("float").as("score_hot"),
         coalesce(col("total_payout_value"), lit(0).cast(decimal)).as("total_payout_value"),
         coalesce(col("curator_payout_value"), lit(0).cast(decimal)).as("curator_payout_value"),
-        coalesce(col("beneficiaries_payout_value"), lit(0).cast(decimal)).as("beneficiaries_payout_value"),
+        // dict-only in the reference — persisted column stays at DDL 0
+        lit(0).cast(decimal).as("beneficiaries_payout_value"),
         coalesce(col("promoted"), lit(0).cast(decimal)).as("promoted"),
         when(col("promoted").isNotNull,
             Scores.score(col("promoted").cast("double"), unix_timestamp(col("created")), 480000L))
+          .otherwise(lit(0.0))
           .cast("float").as("score_promoted"),
         coalesce(col("post_muted"), col("creation_muted"), lit(false)).as("muted"),
         col("created_seq"))
@@ -214,10 +213,14 @@ object ContractReplay {
         split(col("config")("tags"), ",").as("tags"),
         col("sender").as("issuer"),
         coalesce(col("config")("disableDownvote").cast("boolean"), lit(false)).as("disable_downvoting"),
-        coalesce(col("config")("ignoreDeclinePayout").cast("boolean"), lit(false)).as("ignore_decline_payout"))
+        coalesce(col("config")("ignoreDeclinePayout").cast("boolean"), lit(false)).as("ignore_decline_payout"),
+        // createRewardPool carries the pool id in data._id; null on update
+        // events keeps the prior value through the sparse-upsert compaction
+        col("config")("_id").cast("int").as("reward_pool_id"))
     val evCols = cfgEv.columns.filterNot(c => c == "seq" || c == "token")
     // columns only the initial dimension carries (never updated by events)
-    val staticCols = Seq("reward_pool_id", "promoted_post_account")
+    val staticCols = Seq("promoted_post_account",
+      "beneficiaries_reward_percentage", "beneficiaries_account", "token_account")
     val initAligned = initial
       .select(("token" +: (evCols ++ staticCols)).map(col): _*)
       .withColumn("seq", lit(Long.MinValue))

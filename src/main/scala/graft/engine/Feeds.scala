@@ -46,8 +46,10 @@ object Feeds {
     tag.map(t => array_contains(col("tags"), t)).getOrElse(lit(true))
 
   /** Attach votes as a sorted per-post list — one join replacing the
-    * reference's N+1 loop (server/app.py:407-416); votes cast after the
-    * post's cashout are excluded from display (server/app.py:421-422).
+    * reference's N+1 loop (server/app.py:407-416). Votes cast after the
+    * post's cashout stay in the list: the reference's `continue` at
+    * server/app.py:421-422 only skips timestamp *formatting* of such a
+    * vote, which remains in vote_list and is returned in active_votes.
     */
   def attachVotes(page: DataFrame, votes: DataFrame): DataFrame = {
     // the page is `limit` rows — semi-join shrinks the votes scan to the
@@ -65,9 +67,8 @@ object Feeds {
     page.join(v, page("authorperm") === col("v_ap") && page("token") === col("v_tok"), "left")
       .drop("v_ap", "v_tok")
       .withColumn("active_votes",
-        filter(coalesce(col("active_votes"),
-            array().cast("array<struct<voter:string,ts:timestamp,rshares:decimal(38,8),percent:smallint>>")),
-          x => x.getField("ts") <= col("cashout_time")))
+        coalesce(col("active_votes"),
+          array().cast("array<struct<voter:string,ts:timestamp,rshares:decimal(38,8),percent:smallint>>")))
   }
 
   /** /get_discussions_by_created (server/app.py:599-639). */
@@ -83,24 +84,30 @@ object Feeds {
 
   /** /get_discussions_by_{trending,hot,promoted} and payout variants
     * (server/app.py:687-709 → engine/post_storage.py:360-401): same program,
-    * parameterized by score column; payout adds the pending-cashout sentinel
-    * (last_payout at epoch 0, cashout_time still ahead — P4).
+    * parameterized by score column. The promoted variant replicates the
+    * reference's score_key='promoted' exactly (post_storage.py:386-388):
+    * ordering by the RAW promoted amount with the pending sentinel
+    * (last_payout at epoch), promoted > 0, and cashout_time still ahead —
+    * attached whenever the promoted column is requested, under either
+    * spelling. `pendingOnly` adds the same sentinel to other score keys.
     */
   def discussionsByScore(st: EngineState, token: String, scoreCol: String,
       now: Timestamp, limit: Int = 20, tag: Option[String] = None,
       hiveSelect: Int = 2, mainPost: Boolean = true,
       pendingOnly: Boolean = false,
       anchor: Option[(Double, String)] = None): DataFrame = {
+    val promotedVariant = scoreCol == "promoted" || scoreCol == "score_promoted"
     var base = st.posts.filter(col("token") === token.toUpperCase &&
       col("main_post") === mainPost && window30d(now) &&
       tagPred(tag) && hivePred(hiveSelect))
-    if (pendingOnly)
+    if (pendingOnly || promotedVariant)
       base = base.filter(col("last_payout") === lit(Timestamp.valueOf("1970-01-01 00:00:00")) &&
         col("cashout_time") > lit(now))
-    if (scoreCol == "score_promoted")
+    if (promotedVariant)
       base = base.filter(col("promoted") > 0)
+    val sortCol = if (promotedVariant) col("promoted") else col(scoreCol)
     Keyset.pageDesc(notMuted(base, st.accounts),
-      col(scoreCol).cast("double"), col("authorperm"),
+      sortCol.cast("double"), col("authorperm"),
       anchor.map { case (s, ap) => (lit(s), lit(ap)) }, limit)
   }
 

@@ -48,30 +48,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("vote-delta closed form == sequential incremental fold with resets") {
+  test("vote-delta closed form == sequential persisted fold (no reset: the " +
+       "reference's authorReward zeroing is a dict-only dead store)") {
     val rnd = new Random(7)
     (1 to 50).foreach { _ =>
       val log = List.fill(25) {
-        (s"v${rnd.nextInt(3)}", rnd.nextInt(150) - 50, rnd.nextInt(10) == 0)
+        (s"v${rnd.nextInt(3)}", rnd.nextInt(150) - 50)
       }
-      // sequential reference fold: total += new - old; reset zeroes total
+      // sequential reference fold over PERSISTED state
+      // (engine_comments_contract_processor.py:80-116): total += new - old
       var total = 0
       var cur = Map.empty[String, Int]
-      log.foreach { case (v, rs, reset) =>
-        if (reset) total = 0
-        else { total += rs - cur.getOrElse(v, 0); cur += v -> rs }
+      log.foreach { case (v, rs) =>
+        total += rs - cur.getOrElse(v, 0); cur += v -> rs
       }
-      // closed form (ContractReplay): per voter, lastAfterReset - lastBeforeReset
-      val resetIdx = log.zipWithIndex.collect { case ((_, _, true), i) => i }
-        .lastOption.getOrElse(-1)
-      val closed = log.zipWithIndex
-        .filter(!_._1._3)
-        .groupBy(_._1._1)
-        .map { case (_, evs) =>
-          val after = evs.filter(_._2 > resetIdx).lastOption.map(_._1._2)
-          val before = evs.filter(_._2 <= resetIdx).lastOption.map(_._1._2)
-          after.map(a => a - before.getOrElse(0)).getOrElse(0)
-        }.sum
+      // closed form (ContractReplay): the fold telescopes to the last
+      // rshares per voter
+      val closed = log.groupBy(_._1).map { case (_, evs) => evs.last._2 }.sum
       assert(closed == total, s"log=$log")
     }
   }

@@ -37,11 +37,13 @@ class EngineSpec extends SparkSpec {
   private def d(v: String) = new java.math.BigDecimal(v)
 
   private lazy val tokenCfg: DataFrame = Seq(
-    ("PAL", 7, 50, "1.0", "1.0", 5, 10, Seq("pal"), "issuer", false, false, 1, "null"))
+    ("PAL", 7, 50, "1.0", "1.0", 5, 10, Seq("pal"), "issuer", false, false, 1, "null",
+      10, "benacct", "palcoin"))
     .toDF("token", "cashout_window_days", "curation_reward_percentage",
       "ace", "cce", "vote_regeneration_days", "downvote_regeneration_days",
       "tags", "issuer", "disable_downvoting", "ignore_decline_payout",
-      "reward_pool_id", "promoted_post_account")
+      "reward_pool_id", "promoted_post_account",
+      "beneficiaries_reward_percentage", "beneficiaries_account", "token_account")
     .withColumn("author_curve_exponent", col("ace").cast("decimal(10,4)"))
     .withColumn("curation_curve_exponent", col("cce").cast("decimal(10,4)"))
     .drop("ace", "cce")
@@ -185,14 +187,19 @@ class EngineSpec extends SparkSpec {
     assert(math.abs(pf("score_trend").asInstanceOf[Float] - expected) < 1e-3)
   }
 
-  test("payout accumulation + author reset on the reply") {
+  test("payout flush persists total+curator only (reference dead stores reproduced)") {
     val r = st.posts.filter(col("authorperm") === "@bob/re-post-1").collect().head
     def f(n: String) = r.get(r.fieldIndex(n))
-    assert(f("total_payout_value") == d("5.00000000"))
+    assert(f("total_payout_value") == d("5.00000000"))   // 1.5 + 0.5 + 3.0
     assert(f("curator_payout_value") == d("1.50000000"))
-    assert(f("beneficiaries_payout_value") == d("0.50000000"))
+    // beneficiaries accumulation and last_payout update are dict-only in the
+    // reference (engine_comments_contract_processor.py:277-304): the flush
+    // writes back total/curator alone, so DDL defaults survive
+    assert(f("beneficiaries_payout_value") == d("0E-8") ||
+      f("beneficiaries_payout_value") == d("0.00000000"))
+    assert(f("last_payout") == t("1970-01-01 00:00:00"))
     assert(f("vote_rshares") == d("0E-8") || f("vote_rshares") == d("0.00000000"))
-    assert(f("last_payout") == t("2024-01-08 00:00:00"))
+    assert(f("score_trend") == 0.0f && f("score_hot") == 0.0f)  // DDL DEFAULT 0, never voted
     assert(f("muted") == false)  // post-mute then unmute
   }
 

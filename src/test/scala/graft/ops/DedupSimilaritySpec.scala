@@ -53,6 +53,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.subsetOf(cands), s"missed ${truth -- cands}")
   }
 
+  test("df-cap changes candidate discovery, not the measure: results equal " +
+       "when the cap only removes corpus-wide stop-words") {
+    // 'the' appears in every doc (df = 4 > cap 3); every near-dup pair still
+    // shares a rarer token, so the capped index discovers the same pairs and
+    // the exact rescore reports identical jaccard values
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox leaps"),
+      (3L, "the slow green turtle walks"),
+      (4L, "the slow green turtle crawls")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    val uncapped = rows(Dedup.jaccardPairs(df, "doc_id", "text", 0.5))
+    val capped = rows(Dedup.jaccardPairs(df, "doc_id", "text", 0.5,
+      maxDocFreq = Some(3L)))
+    assert(uncapped == capped && capped.nonEmpty)
+    // and the cap really bounds the join: with cap 0 no candidates survive
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", 0.0,
+      maxDocFreq = Some(0L)).count() == 0)
+  }
+
+  test("minhashNearDupPairs == exact jaccardPairs at high threshold (recall gate)") {
+    val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b", "inter", "jaccard").orderBy("id_a", "id_b").collect().toList
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b", "inter", "jaccard").orderBy("id_a", "id_b").collect().toList
+    assert(got == exact && exact.nonEmpty)
+  }
+
   test("simhash: identical docs -> hamming 0; disjoint docs -> far") {
     val df = Seq(
       (1L, "spark query engine fast"),

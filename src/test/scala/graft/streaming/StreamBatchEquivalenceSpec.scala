@@ -53,13 +53,16 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     val q = voteFoldStream(mem.toDS())
       .writeStream.format("memory").queryName("sbe")
       .outputMode("update").start()
+    // persisted reference semantics: authorReward never resets the stored
+    // vote_rshares (its zeroing is a dict-only dead store), so the stream
+    // fold sees only the vote events
     val voteEvents = events.filter(e =>
-        e.event == "newVote" || e.event == "updateVote" || e.event == "authorReward")
+        e.event == "newVote" || e.event == "updateVote")
       .map(e => VoteEvent("@alice/p", "PAL",
         Option(e.voter).getOrElse(""), e.seq, e.ts,
         Option(e.rshares).map(_.doubleValue).getOrElse(0.0),
-        reset = e.event == "authorReward"))
-    // deliver in two micro-batches split across the reset boundary
+        reset = false))
+    // deliver in two micro-batches split at the payout boundary
     val (first, second) = voteEvents.partition(_.seq < 50)
     mem.addData(first: _*)
     q.processAllAvailable()
@@ -69,8 +72,8 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     val streamed = spark.table("sbe").orderBy(col("lastTs").desc).collect().head
       .getAs[Double]("totalRshares")
 
-    // reference math: 1000 -> 400 (update), reset, carol +700, bob 400->900 (+500)
-    assert(batch.doubleValue == 1200.0, s"batch=$batch")
-    assert(streamed == 1200.0, s"streamed=$streamed")
+    // persisted fold: bob 1000 -> 400 -> 900 (latest 900), carol 700
+    assert(batch.doubleValue == 1600.0, s"batch=$batch")
+    assert(streamed == 1600.0, s"streamed=$streamed")
   }
 }
