@@ -95,21 +95,55 @@ object StreamOps {
     * progress cell updated by the sidechain query's foreachBatch and read by
     * the L1 stream's stateful buffer: events beyond the gate stay in keyed
     * state and are released on a later trigger (processing-time timeout).
+    *
+    * With `persistDir` set, progress is durably published to a
+    * configuration-table file exactly like the reference's persisted
+    * `configuration` row (stream_blocks.py:86-93, sql/engine.sql:31-48):
+    * `advance` writes the new watermark via atomic tmp-file rename, and
+    * `current` folds in the persisted value — so a restarted query (or a
+    * different JVM sharing the filesystem, e.g. executors on a shared store)
+    * resumes at the surviving watermark instead of Long.MinValue. Without
+    * `persistDir` the gate is purely in-memory (tests / single-process).
     */
-  class AlignmentGate extends Serializable {
+  class AlignmentGate(persistDir: Option[String] = None) extends Serializable {
+    // non-transient: each micro-batch re-serializes the driver's closure, so
+    // the in-memory cell travels with it (local/test mode); the persisted
+    // watermark below is the cross-process source of truth
     private val progress = new AtomicReference[Long](Long.MinValue)
-    def advance(toEpochMs: Long): Unit =
-      progress.updateAndGet(p => math.max(p, toEpochMs))
-    def current: Long = progress.get()
+
+    private def cfgFile: Option[java.io.File] =
+      persistDir.map(d => new java.io.File(d, "alignment_progress"))
+
+    private def loadPersisted(): Long = cfgFile.filter(_.exists).map { f =>
+      try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+      catch { case _: NumberFormatException => Long.MinValue }
+    }.getOrElse(Long.MinValue)
+
+    def advance(toEpochMs: Long): Unit = {
+      val v = progress.updateAndGet(p => math.max(p, toEpochMs))
+      cfgFile.foreach { f =>
+        f.getParentFile.mkdirs()
+        val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+        java.nio.file.Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
+        tmp.renameTo(f)   // atomic publish, readers never see a torn write
+      }
+    }
+
+    /** Monotonic max of the in-memory cell and the persisted watermark (the
+      * reference re-reads the configuration row per poll; one stat+read per
+      * micro-batch group is the same cost shape).
+      */
+    def current: Long =
+      if (persistDir.isEmpty) progress.get()
+      else progress.updateAndGet(p => math.max(p, loadPersisted()))
   }
 
   case class GatedOp(key: String, seq: Long, tsMs: Long, payload: String)
 
   /** Buffer-and-release: emit ops whose event time has been passed by the
-    * gate; hold the rest in state and re-check on timeout ticks.
-    * NOTE: the gate cell is driver/executor-local — correct in local mode and
-    * in tests; a cluster deployment would back it with the checkpointed
-    * `configuration` table exactly as the reference does (S8).
+    * gate; hold the rest in state and re-check on timeout ticks. Construct
+    * the gate with `persistDir` on a shared filesystem for cluster mode /
+    * restart durability (the configuration-table pattern above).
     */
   /** timeoutMs > 0: held ops are re-checked on processing-time timeouts (use
     * with an explicit trigger interval — timeouts with the default ASAP

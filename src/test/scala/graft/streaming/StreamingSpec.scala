@@ -104,6 +104,43 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond == Set("early", "late", "next"), s"got $afterSecond")
   }
 
+  test("alignment gate survives a query restart via the configuration table") {
+    implicit val sq = spark.sqlContext
+    val cfgDir = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gate-ckpt").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val mem = MemoryStream[GatedOp]
+    def start(gate: AlignmentGate) =
+      alignedStream(mem.toDS(), gate, timeoutMs = 0)
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[GatedOp], _: Long) =>
+          b.collect().foreach(o => emitted.add(o.payload)); ()
+        }.start()
+
+    // first incarnation: sidechain at t=1.5s, the late op stays buffered
+    val g1 = new AlignmentGate(Some(cfgDir))
+    g1.advance(1500)
+    val q1 = start(g1)
+    mem.addData(GatedOp("k", 1, 1000, "early"), GatedOp("k", 2, 5000, "late"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.toArray.toSet == Set("early"))
+
+    // the sidechain query advances the persisted watermark, then everything
+    // restarts: a FRESH gate instance must resume at the persisted progress,
+    // and the restarted query must release the op buffered before the restart
+    new AlignmentGate(Some(cfgDir)).advance(6000)
+    val g2 = new AlignmentGate(Some(cfgDir))
+    assert(g2.current == 6000L)
+    val q2 = start(g2)
+    mem.addData(GatedOp("k", 3, 1200, "next"))   // arrival triggers re-evaluation
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.toArray.toSet == Set("early", "late", "next"),
+      s"got ${emitted.toArray.toSet}")
+  }
+
   test("freshness gate (T1): ops younger than 15s are filtered") {
     val now = 100000L
     val ops = Seq(("a", now - 20000), ("b", now - 10000), ("c", now - 16000))

@@ -42,4 +42,43 @@ class UpsertSinkSpec extends SparkSpec {
       .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
     assert(replayed == state)
   }
+
+  test("bounded rewrite: a merge leaves untouched key buckets byte-identical") {
+    val dir = Files.createTempDirectory("graft-sink-bounded").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op", numBuckets = 8)
+    // seed state with keys spread across many buckets
+    sink.merge((1 to 64).map(i => (s"k$i", i.toLong, "upsert", s"v$i"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+
+    def snapshot(): Map[String, String] = {
+      val cur = new java.io.File(s"$dir/current")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(cur).filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        f.getAbsolutePath -> md5.map("%02x".format(_)).mkString
+      }.toMap
+    }
+
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // single-key merge: only that key's bucket may change
+    sink.merge(Seq(("k1", 100L, "upsert", "v1b"))
+      .toDF("key", "seq", "op", "payload"), batchId = 1L)
+    val after = snapshot()
+
+    val changedDirs = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+      .map(p => new java.io.File(p).getParentFile.getName)
+    assert(changedDirs.size == 1, s"expected exactly one rewritten bucket, got $changedDirs")
+    // every file outside the touched bucket is byte-identical (same path, same md5)
+    val untouched = before.filter { case (p, _) =>
+      new java.io.File(p).getParentFile.getName != changedDirs.head }
+    assert(untouched.forall { case (p, h) => after.get(p).contains(h) })
+    // and the merge itself is correct
+    val got = sink.state().filter(col("key") === "k1").collect()
+      .map(_.getAs[String]("payload")).toList
+    assert(got == List("v1b"))
+  }
 }
