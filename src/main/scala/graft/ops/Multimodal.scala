@@ -7,25 +7,27 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * The Spark-side shape is real — schema, partitioning, batch iteration —
-  * while the actual media decode is STUBBED with a deterministic fake
-  * (this container has no image/audio codecs). A production deployment
-  * swaps `decodeStub` for a JNI/FFI decoder with the same signature; the
-  * `mapPartitions` batch shape (one iterator per partition, reused decoder
-  * instance) is exactly what a vectorized/Arrow decode path needs.
+  * The decode path is REAL for the container-friendly formats: BMP and PNG
+  * headers (image dimensions) and canonical RIFF/WAVE (channels, sample
+  * rate, bit depth, sample count) are parsed from bytes, pure JVM, no
+  * codec libraries. Anything unrecognized falls back to utf8-text byte
+  * statistics. A production deployment adds JPEG/H.264/… via JNI/FFI inside
+  * the same `mapPartitions` contract (decoder amortized per partition, no
+  * driver collect, columnar-friendly output).
   */
 object Multimodal {
 
-  /** One decoded-media feature row. */
+  /** One decoded-media feature row. Format-specific fields are None when the
+    * payload is not that format.
+    */
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
       format_guess: String,
-      // STUB features — deterministic byte statistics standing in for real
-      // decoded signal (e.g. image size / mel energy / frame count):
-      byte_sum_16: Long,
-      fake_width: Int,
-      fake_height: Int)
+      width: Option[Int], height: Option[Int],          // bmp / png
+      channels: Option[Int], sample_rate: Option[Int],  // wav
+      n_samples: Option[Long],                          // wav
+      byte_sum_16: Option[Long])                        // utf8-text checksum
 
   /** Attach an opaque binary column + metadata struct to a text table,
     * standing in for ingest of raw media bytes. In production the binary
@@ -39,25 +41,108 @@ object Multimodal {
         lit("utf8-text").as("format"),
         ascii(substring(col(textCol), 1, 1)).as("first_byte")).as("media_meta"))
 
-  /** Batch "decode": per-partition iteration over binary payloads, emitting
-    * typed features. The decoder body is a STUB — deterministic byte math in
-    * place of a real codec — but the distribution shape (no driver collect,
-    * decoder amortized per partition, output columnar-friendly) is the real
-    * contract.
+  // ---- real header decoders (pure JVM byte math) ---------------------------
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** Decode one payload: BMP/PNG dims, WAV audio params, else text stats. */
+  private[ops] def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length.toLong
+    if (n >= 54 && bytes(0) == 'B' && bytes(1) == 'M')
+      MediaFeatures(id, n, "bmp",
+        width = Some(le32(bytes, 18)), height = Some(math.abs(le32(bytes, 22))),
+        channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
+    else if (n >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      MediaFeatures(id, n, "png",
+        width = Some(be32(bytes, 16)), height = Some(be32(bytes, 20)),
+        channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
+    else if (n >= 44 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+             bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      val channels = le16(bytes, 22)
+      val rate = le32(bytes, 24)
+      val bits = le16(bytes, 34)
+      // walk RIFF chunks from offset 12 to the data chunk (canonical files
+      // have it at 36, but fmt extensions can shift it)
+      var off = 12
+      var dataSize = -1L
+      while (dataSize < 0 && off + 8 <= bytes.length) {
+        val sz = le32(bytes, off + 4).toLong & 0xffffffffL
+        if (bytes(off) == 'd' && bytes(off + 1) == 'a' && bytes(off + 2) == 't' && bytes(off + 3) == 'a')
+          dataSize = sz
+        else off += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      val frameBytes = math.max(1, channels * math.max(8, bits) / 8)
+      MediaFeatures(id, n, "wav",
+        width = None, height = None,
+        channels = Some(channels), sample_rate = Some(rate),
+        n_samples = Some(math.max(0L, dataSize) / frameBytes), byte_sum_16 = None)
+    } else
+      MediaFeatures(id, n, "utf8-text",
+        width = None, height = None,
+        channels = None, sample_rate = None, n_samples = None,
+        byte_sum_16 = Some(bytes.take(16).foldLeft(0L)((s, b) => s + (b & 0xff))))
+  }
+
+  /** Batch decode: per-partition iteration over binary payloads, emitting
+    * typed features — no driver collect, decoder state amortized per
+    * partition, output columnar-friendly.
     */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def decode(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // a real implementation would initialize the codec once here
-        it.map { case (id, bytes) =>
-          val n = bytes.length.toLong
-          val sum16 = bytes.take(16).foldLeft(0L)((s, b) => s + (b & 0xff))
-          // ??? real decode goes here; fake dims derived deterministically
-          MediaFeatures(id, n, "utf8-text", sum16,
-            fake_width = (sum16 % 640).toInt, fake_height = (n % 480).toInt)
-        }
-      }
+      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
+  }
+
+  // ---- deterministic synthetic media (ingest simulation for tests) ---------
+
+  /** A minimal valid 24-bit BMP: 54-byte header + zero-filled padded rows. */
+  private[ops] def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    def putLe32(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, 54 + dataSize); putLe32(10, 54); putLe32(14, 40)
+    putLe32(18, width); putLe32(22, height)
+    out(26) = 1; out(28) = 24
+    putLe32(34, dataSize)
+    out
+  }
+
+  /** A canonical 16-bit PCM WAV: 44-byte header + zero-filled data chunk. */
+  private[ops] def wavBytes(channels: Int, sampleRate: Int, nSamples: Long): Array[Byte] = {
+    val dataSize = (nSamples * channels * 2).toInt
+    val out = new Array[Byte](44 + dataSize)
+    def putLe16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def putLe32(o: Int, v: Int): Unit = { putLe16(o, v); putLe16(o + 2, v >> 16) }
+    def putTag(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, i) => out(o + i) = c.toByte }
+    putTag(0, "RIFF"); putLe32(4, 36 + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 1); putLe16(22, channels)
+    putLe32(24, sampleRate); putLe32(28, sampleRate * channels * 2)
+    putLe16(32, channels * 2); putLe16(34, 16)
+    putTag(36, "data"); putLe32(40, dataSize)
+    out
+  }
+
+  /** Deterministic mixed-modality corpus over a text table: by doc_id mod 3,
+    * a real BMP (dims derived from the id), a real WAV (audio params derived
+    * from the id), or the raw utf8 text — so a decoder downstream can be
+    * verified end-to-end against closed-form expectations.
+    */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val gen = udf((id: Long, text: String) => (id % 3) match {
+      case 0 => bmpBytes((id % 64).toInt + 1, (id % 48).toInt + 1)
+      case 1 => wavBytes((id % 2).toInt + 1, 8000 + (id % 8).toInt * 1000, 100 + id % 50)
+      case _ => text.getBytes("UTF-8")
+    })
+    df.select(col(idCol).as("doc_id"),
+      gen(col(idCol), col(textCol)).as("media"))
   }
 
   /** Fake frame sampling for "video" payloads: every strideBytes-th slice as

@@ -298,22 +298,28 @@ object ExtensionQueries {
             (h, v) -> (h * 31 + v) % 1000000007) AS fp
         FROM documents ORDER BY doc_id""")),
 
-    // ---- multimodal: binary column + metadata + stubbed batch decode.
-    // The byte-level "features" are deterministic, so even the mapPartitions
-    // decode path is oracle-checked. ----
+    // ---- multimodal: REAL header decode (BMP dims, WAV audio params, utf8
+    // fallback) over a deterministic mixed corpus — synthetic BMP/WAV bytes
+    // are built from closed-form id-derived parameters, so the oracle
+    // verifies the decoder inverts the encoder, field for field. ----
     "x9_multimodal_decode" -> Q(
-      (s, dir) => {
-        val media = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
-        Multimodal.decodeStub(s, media).toDF()
-          .orderBy(col("doc_id"))
-      },
-      Some("""SELECT doc_id, cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          'utf8-text' AS format_guess,
-          cast(list_sum(list_transform(range(1, least(length(text), 16) + 1),
-            i -> ascii(substring(text, cast(i AS INT), 1)))) AS BIGINT) AS byte_sum_16,
-          cast(list_sum(list_transform(range(1, least(length(text), 16) + 1),
-            i -> ascii(substring(text, cast(i AS INT), 1)))) % 640 AS INT) AS fake_width,
-          cast(octet_length(encode(text)) % 480 AS INT) AS fake_height
+      (s, dir) => Multimodal.decode(s,
+          Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          cast(CASE WHEN doc_id % 3 = 0 THEN 54 + (((doc_id % 64 + 1) * 3 + 3) // 4) * 4 * (doc_id % 48 + 1)
+                    WHEN doc_id % 3 = 1 THEN 44 + (100 + doc_id % 50) * (doc_id % 2 + 1) * 2
+                    ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+          CASE WHEN doc_id % 3 = 0 THEN 'bmp' WHEN doc_id % 3 = 1 THEN 'wav'
+               ELSE 'utf8-text' END AS format_guess,
+          cast(CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 1 END AS INT) AS width,
+          cast(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1 END AS INT) AS height,
+          cast(CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 END AS INT) AS channels,
+          cast(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+          cast(CASE WHEN doc_id % 3 = 1 THEN 100 + doc_id % 50 END AS BIGINT) AS n_samples,
+          cast(CASE WHEN doc_id % 3 = 2 THEN list_sum(list_transform(range(1, least(length(text), 16) + 1),
+            i -> ascii(substring(text, cast(i AS INT), 1)))) END AS BIGINT) AS byte_sum_16
         FROM documents ORDER BY doc_id""")),
 
     // ---- multimodal: frame sampling shape over binary payloads ----

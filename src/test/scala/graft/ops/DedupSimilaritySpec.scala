@@ -141,13 +141,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fps(0) != fps(1))
   }
 
-  test("multimodal decode stub: batch shape, deterministic features") {
+  test("multimodal decode: real BMP/WAV header parsing round-trips the encoder") {
+    val bmp = Multimodal.decodeOne(1L, Multimodal.bmpBytes(17, 9))
+    assert(bmp.format_guess == "bmp" && bmp.width.contains(17) && bmp.height.contains(9))
+    val wav = Multimodal.decodeOne(2L, Multimodal.wavBytes(2, 44100, 1234L))
+    assert(wav.format_guess == "wav" && wav.channels.contains(2) &&
+      wav.sample_rate.contains(44100) && wav.n_samples.contains(1234L))
+  }
+
+  test("multimodal decode: batch shape, utf8 fallback features, frame sampling") {
     val df = Seq((1L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.attachBinary(df, "doc_id", "text")
-    val feats = Multimodal.decodeStub(spark, media).collect()
+    val feats = Multimodal.decode(spark, media).collect()
     assert(feats.length == 1)
-    assert(feats(0).n_bytes == 11L)
-    assert(feats(0).byte_sum_16 == "hello world".map(_.toLong).sum)
+    assert(feats(0).n_bytes == 11L && feats(0).format_guess == "utf8-text")
+    assert(feats(0).byte_sum_16.contains("hello world".map(_.toLong).sum))
     // frame sampling: 11 bytes, stride 4 -> frames of 4,4,3
     val lens = Multimodal.frameSample(media, 4, 10)
       .select(octet_length(col("frame_bytes"))).collect().map(_.getInt(0)).toList
