@@ -265,6 +265,18 @@ object Feeds {
       col("promoted_post_account"), col("issuer"))
       .orderBy(col("token"))
 
+  /** /get_staked_accounts (server/app.py:356-377): the reference pages the
+    * external engine RPC 1000 holders at a time and concatenates the lot; as
+    * a data program that loop is a single scan of the holders side-input
+    * projected to (name, staked_tokens) — the pagination is an artifact of
+    * the RPC transport, not of the semantics, and collapses at any scale.
+    * `holders` is the S5-style side-input fixture (account, token, stake).
+    */
+  def stakedAccounts(holders: DataFrame, token: String): DataFrame =
+    holders.filter(col("token") === token.toUpperCase)
+      .select(col("account").as("name"), col("stake").as("staked_tokens"))
+      .orderBy(col("name").asc)
+
   /** /get_trending_tags (server/app.py:874-900 →
     * engine/post_storage.py:403-405): tag explode over posts cashed out in
     * the last two weeks, ranked by summed payout (A1).

@@ -107,6 +107,18 @@ object EndpointQueries {
         FROM events WHERE user_id = 7 AND upper(event_type) = 'CLICK'
         ORDER BY ts DESC, cast(event_id AS VARCHAR) ASC LIMIT 5 OFFSET 2""")),
 
+    // ---- get_staked_accounts through the real program (holders side-input
+    // analog: customers hold token 'O' with stake = acctbal) ----
+    "e5_staked_accounts" -> Q(
+      (s, dir) => Feeds.stakedAccounts(
+        Tables.customer(s, dir).select(
+          col("c_custkey").cast("string").as("account"),
+          lit("O").as("token"),
+          col("c_acctbal").as("stake")),
+        "o"),
+      Some("""SELECT cast(c_custkey AS VARCHAR) AS name, c_acctbal AS staked_tokens
+        FROM customer ORDER BY name ASC""")),
+
     // ---- get_follow_count through the real program ----
     "e4_follow_count" -> Q(
       (s, dir) => Feeds.followCount(analogState(s, dir), "17"),

@@ -54,8 +54,16 @@ object StreamOps {
 
   /** Per-post running state: voter -> current rshares, plus the running sum —
     * the reference's `vote_rshares += new - old` fold
-    * (engine_comments_contract_processor.py:96-115) with the authorReward
-    * zero-reset, kept in the state store keyed by (authorperm, token).
+    * (engine_comments_contract_processor.py:96-115), kept in the state store
+    * keyed by (authorperm, token).
+    *
+    * An event with `reset = true` marks the post's payout (authorReward).
+    * The persisted total is never zeroed (the reference's zeroing is a
+    * dict-only dead store — see ContractReplay), but the payout EVICTS the
+    * post's keyed state: votes stop at cashout on-chain, so a 100 TB replay
+    * holds state only for live posts instead of growing forever. A vote that
+    * nonetheless arrived after eviction would rebuild from an empty voter
+    * map — a documented divergence for events the chain does not produce.
     */
   case class PostVoteState(authorperm: String, token: String,
                            voterMap: Map[String, Double],
@@ -68,21 +76,29 @@ object StreamOps {
         (key: (String, String), it: Iterator[VoteEvent], state: GroupState[PostVoteState]) => {
           var s = state.getOption.getOrElse(
             PostVoteState(key._1, key._2, Map.empty, 0.0, null))
+          var live = state.exists
           it.toSeq.sortBy(_.seq).foreach { e =>
             if (e.reset) {
-              // authorReward: zero the running total; voters keep their last
-              // vote rows (the reference subtracts them from future updates)
-              s = s.copy(totalRshares = 0.0, lastTs = s.lastTs)
+              s = PostVoteState(key._1, key._2, Map.empty, 0.0, s.lastTs)
+              live = false
             } else {
               val old = s.voterMap.getOrElse(e.voter, 0.0)
               s = s.copy(
                 voterMap = s.voterMap + (e.voter -> e.rshares),
                 totalRshares = s.totalRshares + e.rshares - old,
                 lastTs = e.ts)
+              live = true
             }
           }
-          state.update(s)
-          Iterator.single(s)
+          if (live) {
+            state.update(s)
+            Iterator.single(s)
+          } else {
+            // payout: drop the keyed state, publish nothing (the sink keeps
+            // the last emitted total, matching the persisted reference state)
+            if (state.exists) state.remove()
+            Iterator.empty
+          }
         })
   }
 

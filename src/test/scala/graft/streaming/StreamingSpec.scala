@@ -54,7 +54,7 @@ class StreamingSpec extends SparkSpec {
     assert(!batch.contains("b"))      // deleted in batch state
   }
 
-  test("voteFoldStream: update replaces, reset zeroes, later votes re-add delta") {
+  test("voteFoldStream: update replaces; payout evicts the post's keyed state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[VoteEvent]
     val q = voteFoldStream(mem.toDS())
@@ -66,16 +66,23 @@ class StreamingSpec extends SparkSpec {
       VoteEvent("@a/p", "PAL", "bob", 2, t("2024-01-01 02:00:00"), 500, reset = false),
       VoteEvent("@a/p", "PAL", "carol", 3, t("2024-01-01 03:00:00"), 2000, reset = false))
     q.processAllAvailable()
+    // payout alone publishes nothing (persisted total is never zeroed — the
+    // reference's zeroing is a dict-only dead store) and drops keyed state
     mem.addData(
-      VoteEvent("@a/p", "PAL", null, 4, t("2024-01-08 00:00:00"), 0, reset = true),
+      VoteEvent("@a/p", "PAL", null, 4, t("2024-01-08 00:00:00"), 0, reset = true))
+    q.processAllAvailable()
+    val afterPayout = spark.table("vf").orderBy(col("lastTs").desc_nulls_last)
+      .collect().head
+    assert(afterPayout.getAs[Double]("totalRshares") == 2500.0)  // 500 + 2000
+    // a (chain-impossible) late vote rebuilds from an empty voter map —
+    // proof the payout really evicted the state
+    mem.addData(
       VoteEvent("@a/p", "PAL", "bob", 5, t("2024-01-09 00:00:00"), 800, reset = false))
     q.processAllAvailable()
     q.stop()
-
     val last = spark.table("vf").orderBy(col("lastTs").desc_nulls_last)
       .collect().head
-    // after reset: total = 0, then bob 500 -> 800 adds delta 300
-    assert(last.getAs[Double]("totalRshares") == 300.0)
+    assert(last.getAs[Double]("totalRshares") == 800.0)
   }
 
   test("alignment gate holds L1 ops until the sidechain passes them (T2)") {
