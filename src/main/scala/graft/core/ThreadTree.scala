@@ -44,6 +44,19 @@ object ThreadTree {
                               childCol: String, parentCol: String,
                               roots: DataFrame, maxDepth: Int,
                               persisted: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val childType = edges.schema(childCol).dataType
+    val levelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__child", childType),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    // a completed in-list level's keys are already on the driver (bounded by
+    // InListFrontierLimit) — its union contribution is a LITERAL frame, so
+    // the level's scan+distinct runs exactly once and nothing is cached
+    def literalLevel(keys: Array[Any], depth: Int): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(keys.map(k =>
+          org.apache.spark.sql.Row(k, depth)): _*), levelSchema)
+
     val e = edges.select(col(childCol).as("__child"), col(parentCol).as("__parent"))
       .persist()
     persisted += e
@@ -52,43 +65,45 @@ object ThreadTree {
     // and each level is a single filtered scan (pushed IN predicate)
     var frontierKeys: Array[Any] = frontier.take(InListFrontierLimit + 1).map(_.get(0))
     var inList = frontierKeys.length <= InListFrontierLimit
-    var acc: DataFrame = null
+    var accFrames = List.empty[DataFrame]
     var depth = 1
     var done = false
     while (depth <= maxDepth && !done) {
-      val level =
-        if (inList) e.filter(col("__parent").isin(frontierKeys.toSeq: _*))
-        else e.join(broadcast(frontier), "__parent")
-      val next = level
-        .select(col("__child"), lit(depth).as("depth"))
-        .distinct()
-        .persist()
-      persisted += next
+      val next =
+        (if (inList) e.filter(col("__parent").isin(frontierKeys.toSeq: _*))
+         else e.join(broadcast(frontier), "__parent"))
+          .select(col("__child"), lit(depth).as("depth"))
+          .distinct()
       val sample = next.select(col("__child")).take(InListFrontierLimit + 1)
       if (sample.isEmpty) done = true
-      else {
-        acc = if (acc == null) next else acc.unionByName(next)
-        frontier = next.select(col("__child").as("__parent"))
-        if (sample.length <= InListFrontierLimit) {
-          frontierKeys = sample.map(_.get(0)); inList = true
-        } else {
-          inList = false
-          next.count()   // fully materialize before the join path reuses it
-        }
+      else if (sample.length <= InListFrontierLimit) {
+        // complete level on the driver: literal contribution, in-list next
+        frontierKeys = sample.map(_.get(0))
+        accFrames ::= literalLevel(frontierKeys, depth)
+        inList = true
+        depth += 1
+      } else {
+        // frontier outgrew the driver bound: cache the level for the join
+        // path (its lineage chains level over level from here on)
+        val p = next.persist(); persisted += p
+        p.count()
+        accFrames ::= p
+        frontier = p.select(col("__child").as("__parent"))
+        inList = false
         depth += 1
       }
     }
-    if (acc == null)
+    if (accFrames.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node",
-            edges.schema(childCol).dataType),
+          org.apache.spark.sql.types.StructField("node", childType),
           org.apache.spark.sql.types.StructField("depth",
             org.apache.spark.sql.types.IntegerType))))
     else
       // a node reachable at several depths keeps its minimum depth (BFS)
-      acc.groupBy(col("__child").as("node")).agg(min(col("depth")).as("depth"))
+      accFrames.reduce(_ unionByName _)
+        .groupBy(col("__child").as("node")).agg(min(col("depth")).as("depth"))
   }
 
   /** BFS that also carries the originating root down the tree — used for the

@@ -57,17 +57,43 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
               numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
-    // ONE corpus scan emits all L (table, bucket) entries per row via an
-    // array literal + explode — L tables never mean L scans. Buckets carry
-    // only (table, bucket, id); vectors are attached AFTER the candidate set
-    // is deduped, so the explode/distinct never shuffles embedding arrays.
-    val entries = (0 until numTables).map { t =>
-      struct(lit(t).as("table"),
-        srpBucketLiteral(col("vec"), numPlanes, t, dim).as("bucket"))
-    }
-    val tables = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(col("id"), explode(array(entries: _*)).as("e"))
-      .select(col("e.table").as("table"), col("e.bucket").as("bucket"), col("id"))
+    // ONE corpus scan emits all L (table, bucket) entries per row — L tables
+    // never mean L scans. The SRP dot products run in a compiled partition
+    // mapper over the precomputed ±1 plane weights: expressing L×P dim-wide
+    // literal arrays as Column folds made the plan tree O(L·P·dim) nodes and
+    // the query analysis/interpretation-dominated; the typed mapper is O(1)
+    // plan nodes, fully distributed, and JIT-compiled tight loops. Buckets
+    // carry only (table, bucket, id); vectors are attached AFTER the
+    // candidate set is deduped, so the explode/distinct never shuffles
+    // embedding arrays.
+    val weights: Array[Array[Array[Double]]] =
+      Array.tabulate(numTables, numPlanes, dim)((t, p, d) =>
+        if (splitmix64(t.toLong * 1000003L + p.toLong * 8191L + d) % 2 == 0) 1.0 else -1.0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tables = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until numTables).iterator.map { t =>
+            var bucket = 0L
+            var p = 0
+            while (p < numPlanes) {
+              val w = weights(t)(p)
+              var s = 0.0
+              var d = 0
+              val n = math.min(v.length, dim)
+              while (d < n) { s += v(d) * w(d); d += 1 }
+              if (s > 0) bucket |= (1L << p)
+              p += 1
+            }
+            (t, bucket, id)
+          }
+        }
+      }
+      .toDF("table", "bucket", "id")
     val q = tables.filter(col("id").isin(queryIds: _*))
       .select(col("table").as("q_table"), col("bucket").as("q_bucket"),
         col("id").as("query_id"))
@@ -89,26 +115,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
-  }
-
-  /** Packed SRP bucket: bit p set iff dot(vec, r_{table,p}) > 0. The
-    * Rademacher ±1 plane weights are derived from a deterministic splitmix
-    * of (table, plane, dim index) and embedded as array literals — the dot
-    * products stay inside whole-stage codegen with zero per-row hashing.
-    */
-  private[ops] def srpBucketLiteral(vec: Column, numPlanes: Int, table: Int,
-                                    dim: Int): Column = {
-    val perPlane = (0 until numPlanes).map { p =>
-      val weights: Seq[Double] = (0 until dim).map { d =>
-        if (splitmix64(table.toLong * 1000003L + p.toLong * 8191L + d) % 2 == 0) 1.0
-        else -1.0
-      }
-      val dot = aggregate(
-        zip_with(vec, typedLit(weights), (x, w) => x.cast("double") * w),
-        lit(0.0), (s, v) => s + v)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    perPlane.reduce(_ + _)
   }
 
   /** splitmix64 — public-domain 64-bit mix (Steele et al., JDK SplittableRandom). */
