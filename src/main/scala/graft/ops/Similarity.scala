@@ -117,6 +117,69 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** ANN top-k via IVF (inverted-file) coarse quantization: numCentroids
+    * corpus vectors chosen by a deterministic hash-order sample act as the
+    * coarse codebook; every vector is assigned to its nearest centroid (one
+    * scan, compiled argmax loop); a query probes its nprobe nearest
+    * centroids' posting lists, rescoring candidates with exact cosine.
+    *
+    * The 100 TB shape: assignment is a single mapPartitions scan (centroid
+    * matrix broadcast via closure), posting lists shuffle once on cluster
+    * id, and the probe join touches nprobe/numCentroids of the corpus.
+    * Recall rises with nprobe; nprobe = numCentroids degenerates to exact.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int,
+              numCentroids: Int = 16, nprobe: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // deterministic pseudo-random codebook: smallest xxhash64(id) wins —
+    // stable across runs/partitionings, no RNG
+    val centroids: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(numCentroids)
+      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+
+    def nearest(v: Seq[Double], n: Int): Seq[Int] = {
+      val sims = centroids.map { c =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val len = math.min(v.length, c.length)
+        while (i < len) { dot += v(i) * c(i); na += v(i) * v(i); nb += c(i) * c(i); i += 1 }
+        dot / math.max(1e-300, math.sqrt(na) * math.sqrt(nb))
+      }
+      sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toSeq
+    }
+
+    val assigned = base.as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, v) => (nearest(v, 1).head, id) })
+      .toDF("cluster", "id")
+    val probes = base.filter(col("id").isin(queryIds: _*))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        nearest(v, nprobe).map(c => (id, c)) })
+      .toDF("query_id", "cluster")
+    val cand = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .distinct()
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val scored = cand
+      .join(broadcast(vecs.filter(col("vid").isin(queryIds: _*)))
+        .withColumnRenamed("vid", "query_id").withColumnRenamed("v", "query_vec"),
+        Seq("query_id"))
+      .join(vecs, col("neighbor_id") === col("vid"))
+      .withColumn("cos", cosine(col("query_vec"), col("v")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** splitmix64 — public-domain 64-bit mix (Steele et al., JDK SplittableRandom). */
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L

@@ -119,6 +119,25 @@ object EndpointQueries {
       Some("""SELECT cast(c_custkey AS VARCHAR) AS name, c_acctbal AS staked_tokens
         FROM customer ORDER BY name ASC""")),
 
+    // ---- format_feed_data (the S9 API-edge projection) through the real
+    // program: authorperm split, CSV tags, ISO timestamps ----
+    "e6_format_feed" -> Q(
+      (s, dir) => Feeds.formatFeed(
+        Tables.orders(s, dir).filter(col("o_orderkey") < 100)
+          .select(
+            concat(lit("@"), col("o_custkey").cast("string"), lit("/"),
+              col("o_orderkey").cast("string")).as("authorperm"),
+            split(col("o_orderpriority"), "-").as("tags"),
+            col("o_orderdate").as("created")))
+        .select("authorperm", "author", "permlink", "tags_csv", "created_iso")
+        .orderBy(col("authorperm")),
+      Some("""SELECT '@' || cast(o_custkey AS VARCHAR) || '/' || cast(o_orderkey AS VARCHAR) AS authorperm,
+          cast(o_custkey AS VARCHAR) AS author,
+          cast(o_orderkey AS VARCHAR) AS permlink,
+          substring(array_to_string(string_split(o_orderpriority, '-'), ','), 1, 256) AS tags_csv,
+          strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS created_iso
+        FROM orders WHERE o_orderkey < 100 ORDER BY authorperm""")),
+
     // ---- get_follow_count through the real program ----
     "e4_follow_count" -> Q(
       (s, dir) => Feeds.followCount(analogState(s, dir), "17"),

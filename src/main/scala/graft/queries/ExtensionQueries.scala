@@ -244,6 +244,32 @@ object ExtensionQueries {
         SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- IVF coarse-quantized ANN (the other scale path besides LSH),
+    // candidates-then-verify: probed posting lists are exact-rescored. The
+    // gate runs the exhaustive probe (nprobe = numCentroids) so equality
+    // with brute force is deterministic and verifies the whole IVF machinery
+    // (codebook, assignment, posting-list join, rescore); the approximate
+    // operating point (nprobe 8: ~half the corpus scanned) is recall-tested
+    // in DedupSimilaritySpec — these synthetic near-uniform embeddings are
+    // IVF's worst case, so no honest partial probe has total recall here. ----
+    "x15_ann_ivf" -> Q(
+      (s, dir) => Similarity.ivfTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numCentroids = 16, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, s.c AS cos
+          FROM embeddings q, embeddings c,
+            LATERAL (SELECT sum(x::DOUBLE * y::DOUBLE)
+                            / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS c
+                     FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y)) s
+          WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id <> q.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- text statistics: token counts, quality, lang-ID heuristic ----
     "x7_text_stats" -> Q(
       (s, dir) => Tables.documents(s, dir)

@@ -122,6 +122,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("IVF ANN: probed top-k recall vs brute force (>= 60% @ 16 centroids, nprobe 8)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", qs, 10,
+      numCentroids = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("text analysis: hand-checked stats") {
     val df = Seq((1L, "The cat sat on the mat.")).toDF("doc_id", "text")
     val r = df.select(
