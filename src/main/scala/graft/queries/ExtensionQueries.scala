@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 
 /** LLM-data-pipeline extensions (north star): deduplication, similarity
   * search, text analysis, multimodal plumbing — over the `documents` and
@@ -269,6 +270,21 @@ object ExtensionQueries {
                    FROM scored)
         SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- skew-salted two-stage aggregation: must equal the plain group-by
+    // (the salt only changes the shuffle shape, never the result) ----
+    "x16_skew_salted_agg" -> Q(
+      (s, dir) => Skew.saltedSum(
+        Tables.lineitem(s, dir)
+          .withColumn("q", col("l_quantity").cast(DecimalType(38, 6))),
+        Seq("l_returnflag"), "q", distinctBy = col("l_orderkey"), saltBuckets = 16)
+        .select(col("l_returnflag"),
+          (col("sum_q") * lit(1000000L)).cast("long").as("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          cast(sum(cast(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty,
+          count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // ---- text statistics: token counts, quality, lang-ID heuristic ----
     "x7_text_stats" -> Q(
