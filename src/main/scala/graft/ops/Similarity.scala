@@ -117,6 +117,61 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** All embedding near-duplicate pairs (a < b, cosine >= threshold) via
+    * SRP-LSH bucketing, candidates-then-verify: pairs sharing any (table,
+    * bucket) are proposed by an equi-join — never a cross join — and exact
+    * cosine decides. Output equals the exact all-pairs result whenever
+    * bucket recall is total at the threshold; with few planes and many
+    * tables the miss probability per qualifying pair is (1−p^P)^L for
+    * p = 1 − θ/π. This is the 100 TB form of the bounded cross-join
+    * baseline (`x13`): candidate volume is sum of bucket-pair sizes, tuned
+    * by P (bucket granularity) vs L (recall).
+    */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double,
+                      numPlanes: Int = 2, numTables: Int = 24): DataFrame = {
+    val weights: Array[Array[Array[Double]]] =
+      Array.tabulate(numTables, numPlanes, 64)((t, p, d) =>
+        if (splitmix64(t.toLong * 1000003L + p.toLong * 8191L + d) % 2 == 0) 1.0 else -1.0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val buckets = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until numTables).iterator.map { t =>
+            var bucket = 0L
+            var p = 0
+            while (p < numPlanes) {
+              val w = weights(t)(p)
+              var s = 0.0
+              var d = 0
+              val n = math.min(v.length, 64)
+              while (d < n) { s += v(d) * w(d); d += 1 }
+              if (s > 0) bucket |= (1L << p)
+              p += 1
+            }
+            (t, bucket, id)
+          }
+        }
+      }
+      .toDF("table", "bucket", "id")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** ANN top-k via IVF (inverted-file) coarse quantization: numCentroids
     * corpus vectors chosen by a deterministic hash-order sample act as the
     * coarse codebook; every vector is assigned to its nearest centroid (one

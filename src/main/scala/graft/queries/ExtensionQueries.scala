@@ -271,6 +271,26 @@ object ExtensionQueries {
         SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- embedding near-dup pairs via SRP-LSH bucketing — the 100 TB form
+    // of x13's bounded cross-join baseline, candidates-then-verify: equality
+    // with the exact all-pairs oracle gates bucket recall at the threshold. ----
+    "x17_embedding_neardup_lsh" -> Q(
+      (s, dir) => Similarity.lshNearDupPairs(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 150), "vec_id", "embedding",
+        // op threshold slightly under the display cut: the oracle filters on
+        // the ROUNDED cosine, so boundary pairs must survive into the round
+        threshold = 0.2999995, numPlanes = 2, numTables = 24)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b, s.c AS cos
+        FROM embeddings a, embeddings b,
+          LATERAL (SELECT round(sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))), 6) AS c
+                   FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) s
+        WHERE a.vec_id < 150 AND b.vec_id < 150 AND a.vec_id < b.vec_id AND s.c >= 0.3
+        ORDER BY id_a, id_b""")),
+
     // ---- skew-salted two-stage aggregation: must equal the plain group-by
     // (the salt only changes the shuffle shape, never the result) ----
     "x16_skew_salted_agg" -> Q(

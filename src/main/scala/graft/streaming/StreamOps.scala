@@ -102,6 +102,39 @@ object StreamOps {
         })
   }
 
+  /** A document arriving on the ingest stream, keyed by content fingerprint
+    * (md5/xxhash of the normalized text — computed upstream so the state
+    * key is narrow).
+    */
+  case class IngestDoc(docId: Long, fingerprint: String, ts: Timestamp)
+
+  case class SeenFingerprint(keepId: Long)
+
+  /** Streaming exact dedup at ingest (LLM-pipeline extension): only the
+    * FIRST document per content fingerprint passes; later arrivals — in the
+    * same micro-batch or any later one — are dropped. The streaming
+    * equivalent of `Dedup.exact`'s keep-set, as keyed state sharded across
+    * executors by fingerprint.
+    *
+    * State holds one narrow row per distinct fingerprint. For bounded-window
+    * dedup (e.g. "drop repeats within a day") add a processing-time timeout;
+    * corpus-lifetime dedup at 100 TB belongs to the batch `Dedup.exact`
+    * compaction with this stream handling the intra-day increment.
+    */
+  def dedupStream(docs: Dataset[IngestDoc]): Dataset[IngestDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: String, it: Iterator[IngestDoc], state: GroupState[SeenFingerprint]) => {
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.toSeq.minBy(d => (d.ts.getTime, d.docId))
+            state.update(SeenFingerprint(first.docId))
+            Iterator.single(first)
+          }
+        })
+  }
+
   /** T1/T2: the reference's two stream gates.
     *
     * T1 (freshness): an op younger than `minAgeSec` must not be processed yet

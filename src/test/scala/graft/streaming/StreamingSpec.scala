@@ -148,6 +148,26 @@ class StreamingSpec extends SparkSpec {
       s"got ${emitted.toArray.toSet}")
   }
 
+  test("streaming ingest dedup: first fingerprint occurrence passes, repeats drop across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[IngestDoc]
+    val q = dedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("ddup")
+      .outputMode("append").start()
+    mem.addData(
+      IngestDoc(1, "fpA", t("2024-01-01 00:00:01")),
+      IngestDoc(2, "fpA", t("2024-01-01 00:00:02")),   // same-batch dup
+      IngestDoc(3, "fpB", t("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    mem.addData(
+      IngestDoc(4, "fpA", t("2024-01-02 00:00:00")),   // cross-batch dup
+      IngestDoc(5, "fpC", t("2024-01-02 00:00:01")))
+    q.processAllAvailable()
+    q.stop()
+    val passed = spark.table("ddup").collect().map(_.getLong(0)).toSet
+    assert(passed == Set(1L, 3L, 5L), s"got $passed")
+  }
+
   test("freshness gate (T1): ops younger than 15s are filtered") {
     val now = 100000L
     val ops = Seq(("a", now - 20000), ("b", now - 10000), ("c", now - 16000))
