@@ -140,6 +140,34 @@ object Replay {
     st.tokenConfig.write.mode("overwrite").parquet(s"$dir/token_config")
   }
 
+  /** Bucketed persistence for the hot join keys: posts, votes, and
+    * post_metadata are written bucketBy(authorperm) via saveAsTable (the
+    * DataFrame parquet writer cannot record bucket specs), so the engine's
+    * highest-volume joins — vote attach (J9), metadata enrich (J2), thread
+    * expansion — read co-located sides and plan with NO shuffle Exchange on
+    * either input. At 100 TB this is the difference between re-shuffling the
+    * votes table per page query and a pure map-side join; a spec asserts the
+    * Exchange-free plan.
+    *
+    * Tables land in the session's warehouse under `<db>` (set
+    * `spark.sql.warehouse.dir` to shared storage in a deployment).
+    */
+  def saveBucketed(st: EngineState, db: String, numBuckets: Int = 64): Unit = {
+    val spark = st.posts.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def write(df: DataFrame, table: String): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(numBuckets, "authorperm").sortBy("authorperm")
+        .format("parquet").saveAsTable(s"$db.$table")
+    write(st.posts, "posts")
+    write(st.votes, "votes")
+    write(st.postMetadata, "post_metadata")
+  }
+
+  def loadBucketed(spark: SparkSession, db: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.table(s"$db.posts"), spark.table(s"$db.votes"),
+      spark.table(s"$db.post_metadata"))
+
   def load(spark: SparkSession, dir: String): EngineState = EngineState(
     posts = spark.read.parquet(s"$dir/posts"),
     postMetadata = spark.read.parquet(s"$dir/post_metadata"),

@@ -326,6 +326,23 @@ class EngineSpec extends SparkSpec {
     assert(Feeds.info(loaded).collect().head.getAs[String]("promoted_post_account") == "promo2")
   }
 
+  test("bucketed state tables: posts-votes join plans with no shuffle exchange") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed LOCATION '/tmp/graft-bucketed-wh'")
+    Replay.saveBucketed(st, "graft_bucketed", numBuckets = 4)
+    val (posts, votes, _) = Replay.loadBucketed(spark, "graft_bucketed")
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = posts.join(votes, Seq("authorperm"))
+        .select(posts("authorperm"), votes("voter"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("formatFeed: API-edge shaping (authorperm split, CSV tags, ISO time)") {
     val page = Feeds.discussionsByCreated(st, "pal", now)
     val r = Feeds.formatFeed(page).collect().head
