@@ -327,7 +327,8 @@ class EngineSpec extends SparkSpec {
   }
 
   test("bucketed state tables: posts-votes join plans with no shuffle exchange") {
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed LOCATION '/tmp/graft-bucketed-wh'")
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed-wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucketed LOCATION '$wh'")
     Replay.saveBucketed(st, "graft_bucketed", numBuckets = 4)
     val (posts, votes, _) = Replay.loadBucketed(spark, "graft_bucketed")
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
