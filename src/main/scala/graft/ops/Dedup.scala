@@ -242,6 +242,52 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Near-duplicate clusters: connected components over a pair set, as
+    * iterative min-label propagation — each doc's label becomes the minimum
+    * label in its neighborhood until fixpoint (bounded by `maxIters`, which
+    * must exceed the component diameter; near-dup components are dense, so
+    * convergence is fast). The cluster id is the smallest doc id reachable,
+    * i.e. exactly the representative `exact`/`jaccardPairs` keep: this is
+    * the step that turns a pair list into "keep one per duplicate group".
+    *
+    * Each iteration is one join + one groupBy keyed on doc id — linear
+    * shuffles, no driver state. Every round eagerly `localCheckpoint`s its
+    * labels: iterative self-referencing lineage otherwise grows the logical
+    * plan exponentially (the plan STRING alone can OOM the driver by ~10
+    * iterations); truncation keeps the per-round plan O(1). Superseded
+    * rounds' blocks are reclaimed by Spark's ContextCleaner as their frames
+    * go unreachable; a cluster deployment would use reliable `checkpoint`
+    * to a shared dir instead.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var changed = true
+      var i = 0
+      while (changed && i < maxIters) {
+        val prop = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+        val next = labels.select(col("id"), col("label"))
+          .join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val diff = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        changed = diff > 0
+        i += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** End-to-end SimHash near-dup detection, candidates-then-verify: chunk
     * blocking + hamming prune proposes, exact Jaccard disposes. Recall is
     * guaranteed total only within hamming <= numChunks−1 (pigeonhole);

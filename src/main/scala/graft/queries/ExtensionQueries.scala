@@ -291,6 +291,36 @@ object ExtensionQueries {
         WHERE a.vec_id < 150 AND b.vec_id < 150 AND a.vec_id < b.vec_id AND s.c >= 0.3
         ORDER BY id_a, id_b""")),
 
+    // ---- near-dup clusters: connected components over the exact jaccard
+    // pair set — the "keep one per duplicate group" step; oracle recomputes
+    // components via a recursive transitive closure ----
+    "x18_neardup_clusters" -> Q(
+      (s, dir) => Dedup.nearDupClusters(
+        Dedup.jaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 0.8))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE
+        toks AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+          FROM documents WHERE doc_id < 200),
+        sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+          WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src)
+        SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""")),
+
     // ---- skew-salted two-stage aggregation: must equal the plain group-by
     // (the salt only changes the shuffle shape, never the result) ----
     "x16_skew_salted_agg" -> Q(

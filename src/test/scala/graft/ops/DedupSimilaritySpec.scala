@@ -83,6 +83,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == exact && exact.nonEmpty)
   }
 
+  test("near-dup clusters: components labeled by their minimum doc id") {
+    // components: {1,2,3} (chain 1-2, 2-3), {7,9}, singleton-free
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+    // long chain exercises multi-iteration propagation
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain)
+      .collect().map(_.getLong(1)).toSet
+    assert(labels == Set(1L))
+  }
+
   test("simhash: identical docs -> hamming 0; disjoint docs -> far") {
     val df = Seq(
       (1L, "spark query engine fast"),
