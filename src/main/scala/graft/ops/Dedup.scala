@@ -193,6 +193,13 @@ object Dedup {
     // oracle recomputes the same integer math). Ids must be integral.
     val spark = df.sparkSession
     import spark.implicits._
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"simhash requires an integral id column; '$idCol' is $other — " +
+        "map string/other ids to a dense long (e.g. xxhash64 or a dictionary) first")
+    }
     df.select(col(idCol).cast("long").as("id"),
         explode(array_remove(split(lower(col(textCol)), "\\s+"), "")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -284,6 +291,10 @@ object Dedup {
         changed = diff > 0
         i += 1
       }
+      if (changed) throw new IllegalStateException(
+        s"nearDupClusters did not converge within maxIters=$maxIters " +
+        "(a component's diameter exceeds the iteration bound); raise maxIters " +
+        "— returning unconverged labels would silently split clusters")
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     } finally edges.unpersist(blocking = false)
   }

@@ -77,8 +77,17 @@ object StreamOps {
           var s = state.getOption.getOrElse(
             PostVoteState(key._1, key._2, Map.empty, 0.0, null))
           var live = state.exists
+          // a micro-batch spans many blocks, so a vote and the payout that
+          // follows it can land in ONE invocation; the vote's contribution
+          // must still be published (batch ContractReplay includes it), so
+          // each reset that was preceded by unpublished votes emits the
+          // pre-reset state before clearing it
+          val out = scala.collection.mutable.ArrayBuffer.empty[PostVoteState]
+          var unpublishedVotes = false
           it.toSeq.sortBy(_.seq).foreach { e =>
             if (e.reset) {
+              if (unpublishedVotes) out += s
+              unpublishedVotes = false
               s = PostVoteState(key._1, key._2, Map.empty, 0.0, s.lastTs)
               live = false
             } else {
@@ -88,17 +97,19 @@ object StreamOps {
                 totalRshares = s.totalRshares + e.rshares - old,
                 lastTs = e.ts)
               live = true
+              unpublishedVotes = true
             }
           }
           if (live) {
             state.update(s)
-            Iterator.single(s)
+            out += s
           } else {
-            // payout: drop the keyed state, publish nothing (the sink keeps
-            // the last emitted total, matching the persisted reference state)
+            // payout: drop the keyed state; the pre-reset emission above (if
+            // any) is the last row the sink keeps, matching the persisted
+            // reference total
             if (state.exists) state.remove()
-            Iterator.empty
           }
+          out.iterator
         })
   }
 
@@ -172,8 +183,12 @@ object StreamOps {
       val v = progress.updateAndGet(p => math.max(p, toEpochMs))
       cfgFile.foreach { f =>
         f.getParentFile.mkdirs()
+        // fold the persisted watermark into the write: a writer whose
+        // in-memory cell lags (another process advanced further) must not
+        // regress the durable value with a last-writer-wins overwrite
+        val publish = math.max(v, loadPersisted())
         val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
-        java.nio.file.Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
+        java.nio.file.Files.write(tmp.toPath, publish.toString.getBytes("UTF-8"))
         tmp.renameTo(f)   // atomic publish, readers never see a torn write
       }
     }

@@ -42,14 +42,35 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     d.exists() && Option(d.listFiles()).exists(_.nonEmpty)
   }
 
-  def state(): DataFrame =
+  /** Crash recovery for the install-first/delete-last bucket swap below: a
+    * leftover `old-<batch>-<k>` dir means a crash interrupted a swap. If the
+    * bucket's current dir is missing, the crash hit between moving the old
+    * data aside and installing the staged replacement — move the old data
+    * back (the checkpointed batch will replay and redo the merge). If the
+    * current dir exists, the install completed — the old copy is garbage.
+    */
+  private def recover(): Unit = {
+    val leftovers = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("old-"))
+    leftovers.foreach { old =>
+      val k = old.getName.substring(old.getName.lastIndexOf('-') + 1)
+      val curPart = new java.io.File(s"$current/$BucketCol=$k")
+      if (!curPart.exists()) { new java.io.File(current).mkdirs(); old.renameTo(curPart) }
+      else delete(old)
+    }
+  }
+
+  def state(): DataFrame = {
+    recover()
     if (hasState) spark.read.parquet(current).drop(BucketCol)
     else spark.emptyDataFrame
+  }
 
   /** Merge one micro-batch of upsert-log rows into the state table,
     * rewriting only the key buckets the batch touches.
     */
   def merge(batch: DataFrame, batchId: Long): Unit = {
+    recover()
     val b = withBucket(batch)
     val touched = b.select(BucketCol).distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
@@ -68,19 +89,21 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     val next = Upsert.compactLog(log, keys, seqCol, opCol)
     next.write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
     // swap ONLY the touched bucket directories; every other bucket's files
-    // are left untouched on disk
+    // are left untouched on disk. Order is install-first/delete-last: the
+    // current data is moved aside (rename, not delete), the staged
+    // replacement installed, and only then the old copy removed — a crash at
+    // any point leaves either the old or the new data in place, and
+    // recover() + checkpointed replay heals the half-done swap.
     new java.io.File(current).mkdirs()
     touched.foreach { k =>
       val stagePart = new java.io.File(s"$staging/$BucketCol=$k")
       val curPart = new java.io.File(s"$current/$BucketCol=$k")
-      if (curPart.exists()) {
-        val old = new java.io.File(s"$stateDir/old-$batchId-$k")
-        curPart.renameTo(old)
-        delete(old)
-      }
+      val old = new java.io.File(s"$stateDir/old-$batchId-$k")
+      if (curPart.exists()) curPart.renameTo(old)
       // a bucket whose keys were all deleted has no staging output — the
       // bucket directory simply disappears
       if (stagePart.exists()) stagePart.renameTo(curPart)
+      if (old.exists()) delete(old)
     }
     delete(new java.io.File(staging))
   }

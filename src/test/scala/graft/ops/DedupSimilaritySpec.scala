@@ -97,6 +97,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels == Set(1L))
   }
 
+  test("near-dup clusters: non-convergence within maxIters fails loudly") {
+    // a 12-node path needs ~11 propagation rounds; maxIters=3 cannot reach
+    // fixpoint and must throw rather than return silently split clusters
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("maxIters"))
+  }
+
+  test("simhash: non-integral id column is rejected with a clear error") {
+    val df = Seq(("doc-1", "spark query engine")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhash(df, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("simhash: identical docs -> hamming 0; disjoint docs -> far") {
     val df = Seq(
       (1L, "spark query engine fast"),

@@ -85,6 +85,37 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("totalRshares") == 800.0)
   }
 
+  test("voteFoldStream: vote and payout in ONE micro-batch still publishes the vote") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[VoteEvent]
+    val q = voteFoldStream(mem.toDS())
+      .writeStream.format("memory").queryName("vf_same_batch")
+      .outputMode("update").start()
+    // a micro-batch spanning many blocks: two votes then the payout, all in
+    // one trigger. Batch ContractReplay's total for this post is 1000+2000;
+    // the stream sink's last row must agree even though the payout evicts
+    // the keyed state in the same invocation.
+    mem.addData(
+      VoteEvent("@a/q", "PAL", "bob", 1, t("2024-01-01 01:00:00"), 1000, reset = false),
+      VoteEvent("@a/q", "PAL", "carol", 2, t("2024-01-01 02:00:00"), 2000, reset = false),
+      VoteEvent("@a/q", "PAL", null, 3, t("2024-01-08 00:00:00"), 0, reset = true))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("vf_same_batch").collect()
+    assert(rows.nonEmpty, "the same-batch vote contribution was never emitted")
+    val last = rows.maxBy(_.getAs[Timestamp]("lastTs").getTime)
+    assert(last.getAs[Double]("totalRshares") == 3000.0, s"got $last")
+  }
+
+  test("alignment gate: a lagging writer cannot regress the persisted watermark") {
+    val cfgDir = java.nio.file.Files.createTempDirectory("graft-gate-regress").toString
+    new AlignmentGate(Some(cfgDir)).advance(6000)
+    // a second process whose in-memory cell is behind publishes a smaller
+    // value; the durable watermark must stay at the max
+    new AlignmentGate(Some(cfgDir)).advance(1000)
+    assert(new AlignmentGate(Some(cfgDir)).current == 6000L)
+  }
+
   test("alignment gate holds L1 ops until the sidechain passes them (T2)") {
     implicit val sq = spark.sqlContext
     val gate = new AlignmentGate

@@ -81,4 +81,36 @@ class UpsertSinkSpec extends SparkSpec {
       .map(_.getAs[String]("payload")).toList
     assert(got == List("v1b"))
   }
+
+  test("crash between moving a bucket aside and installing the staged copy is recovered") {
+    val dir = Files.createTempDirectory("graft-sink-crash").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op", numBuckets = 4)
+    sink.merge((1 to 16).map(i => (s"k$i", i.toLong, "upsert", s"v$i"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    val before = sink.state().collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toMap
+
+    // simulate the worst-case crash point: the current bucket dir was moved
+    // aside to old-<batch>-<k> but the staged replacement never landed
+    val cur = new java.io.File(s"$dir/current")
+    val part = Option(cur.listFiles()).toSeq.flatten
+      .find(_.getName.startsWith("__bucket=")).get
+    val k = part.getName.stripPrefix("__bucket=")
+    assert(part.renameTo(new java.io.File(s"$dir/old-7-$k")))
+
+    // the next read (or merge) must heal the half-done swap: no key lost
+    val recovered = sink.state().collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toMap
+    assert(recovered == before, "keys lost across simulated crash")
+    assert(!new java.io.File(s"$dir/old-7-$k").exists())
+
+    // completed-install crash shape: old copy left behind AFTER the staged
+    // dir was installed — recovery must keep the new data and drop the old
+    val stale = new java.io.File(s"$dir/old-8-$k")
+    stale.mkdirs()
+    val healed = sink.state().collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toMap
+    assert(healed == before)
+    assert(!stale.exists())
+  }
 }
