@@ -19,15 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float|double> columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, v) => s + v))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, v) => s + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two array<float|double> columns (double math).
+    * A native codegen'd expression: the HOF form (`aggregate(zip_with(...))`)
+    * is interpreted per element and dominated ANN rescoring; the expression
+    * emits one fused Java loop with identical summation order (bit-identical
+    * results, so the rounded-cosine oracles are unaffected).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSimExpression.cosine(a, b)
 
   /** Exact top-k neighbors for each query id. `queries` must be small enough
     * to broadcast (it is the page of ids being searched, not the corpus).
