@@ -111,20 +111,22 @@ object Dedup {
   }
 
   /** MinHash signature: numHashes independent permutations approximated by
-    * xxhash64(token, seed); signature[i] = min over tokens. Shaped as an
-    * exploded (doc, seed) grid with min-aggregate, then reassembled ordered
-    * by seed — two shuffles, both keyed on doc id.
+    * xxhash64(seed, token); signature[i] = min over tokens. One hash-shuffle
+    * keyed on doc id with numHashes `min` aggregates (all codegen'd, with
+    * map-side partial aggregation): each token row is hashed numHashes ways
+    * in place — no (doc, seed) row fan-out, no second shuffle, and shuffle
+    * volume is the token count, not token count × numHashes.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("tok"))
-      .select(col("id"), col("tok"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .groupBy(col("id"), col("seed"))
-      .agg(min(xxhash64(col("seed"), col("tok"))).as("mh"))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+                        numHashes: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("tok"))
+    val mins = (0 until numHashes).map(s =>
+      min(xxhash64(lit(s), col("tok"))).as(s"__mh$s"))
+    toks.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(s => col(s"__mh$s")): _*).as("sig"))
+  }
 
   /** Banded LSH candidates: docs agreeing on any full band of the signature
     * collide. Candidate generation is an equi-join on (band, band hash) —
@@ -279,16 +281,17 @@ object Dedup {
       while (changed && i < maxIters) {
         val prop = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+        // carry the per-row "did this label shrink" flag through the
+        // checkpoint: the convergence check is then a scan of the already
+        // materialized round — no second join against the previous labels
         val next = labels.select(col("id"), col("label"))
           .join(prop, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (coalesce(col("nlabel"), col("label")) < col("label")).as("__changed"))
           .localCheckpoint(true)
-        val diff = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels = next
-        changed = diff > 0
+        changed = next.filter(col("__changed")).limit(1).count() > 0
+        labels = next.select(col("id"), col("label"))
         i += 1
       }
       if (changed) throw new IllegalStateException(
