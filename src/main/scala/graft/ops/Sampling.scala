@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines
+  * (north-star extension): reproducible train/val/test assignment and
+  * stratified subsampling that give the SAME answer on every run, every
+  * partitioning, and every engine — no RNG, no seed files.
+  *
+  * The bucket hash is an affine map mod a prime over the integral id
+  * (portable integer arithmetic — any ANSI-SQL engine recomputes it, which
+  * is what lets the DuckDB oracle verify membership row-for-row rather than
+  * just sample-size statistics). All operators are pure Column expressions
+  * or window functions: scan-pipelined, no extra shuffle beyond the window.
+  */
+object Sampling {
+
+  /** Deterministic pseudo-uniform bucket in [0, mod) from an integral id.
+    * Affine mod-prime: ((id * 2654435761 + 12345) mod 1e9+7) mod `mod`.
+    * (Knuth's multiplicative constant; values stay < 2^63 for any id the
+    * data model produces, so 64-bit engines agree exactly.)
+    */
+  def hashBucket(id: Column, mod: Int): Column =
+    pmod(pmod(id.cast("long") * lit(2654435761L) + lit(12345L),
+      lit(1000000007L)), lit(mod.toLong))
+
+  /** Train/val/test label by hash bucket percent: [0,trainPct) -> train,
+    * [trainPct, trainPct+valPct) -> val, rest -> test. Assignment is a pure
+    * function of the id — adding documents never reassigns existing ones
+    * (the property that keeps eval sets stable as a corpus grows).
+    */
+  def splitLabel(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(id, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Keep ~`fraction` of rows, deterministically by id hash (ppm
+    * granularity). A filter, not a sample(): pushes down, no RNG state.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol), 1000000) <
+      lit(math.round(fraction * 1e6)))
+
+  /** Exact-count stratified sample: ceil(fraction * |stratum|) rows per
+    * stratum, chosen by hash order (id tie-break) — deterministic, and every
+    * stratum is represented, unlike plain hash sampling where small strata
+    * can vanish. One window shuffle keyed on the stratum.
+    */
+  def stratifiedSampleByHash(df: DataFrame, strataCol: String, idCol: String,
+                             fraction: Double): DataFrame = {
+    val order = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
+    val whole = Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(order))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rn") <= ceil(col("__n").cast("double") * fraction))
+      .drop("__rn", "__n")
+  }
+}

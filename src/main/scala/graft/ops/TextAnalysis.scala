@@ -92,6 +92,62 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Word n-grams (lower-cased, space-joined); empty array when the document
+    * has fewer than n words. Pure Column expression — scan-pipelined.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Repeated-n-gram fraction: 1 − distinct/total n-grams (0 for short docs) —
+    * the Gopher/MassiveText-style repetition filter (boilerplate, spam, and
+    * degenerate generations score high). Exact integer ratio in double math,
+    * so any ANSI engine reproduces it bit-for-bit.
+    */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val gs = wordNgrams(text, n)
+    when(size(gs) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(gs)).cast("double") / size(gs).cast("double"))
+  }
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the cheap stand-in for the CCNet/KenLM perplexity
+    * quality signal (gibberish and boilerplate sit in the tails). Shape: one
+    * token-keyed aggregation for the frequency table, a scalar total, one
+    * token-keyed join back, one doc-keyed aggregation — all linear shuffles;
+    * the frequency table is Zipf-bounded (vocabulary, not corpus, sized).
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("tot"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(tot)   // 1-row scalar: broadcast nested-loop, no shuffle
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("cnt").cast("double") / col("tot").cast("double")))
+          .as("avg_logprob"))
+  }
+
+  /** PII scrubbing for training corpora: emails, phone-shaped digit runs
+    * with separators, and long bare digit runs are replaced by typed
+    * placeholder tags. Plain regexp_replace chain (codegen'd, portable
+    * regex — no lookbehind/lookahead, so RE2-family engines agree).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+        lit("\\+\\d[\\d-]{7,}\\d"), lit("<PHONE>")),
+      lit("\\b\\d{7,}\\b"), lit("<NUM>"))
+
   /** Order-sensitive rolling document fingerprint over words:
     * h = (h*31 + ascii(first char)*256 + len(word)) mod 1e9+7.
     * A pure left fold — unlike the bag-of-words hashes, word order matters,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 
 /** LLM-data-pipeline extensions (north star): deduplication, similarity
   * search, text analysis, multimodal plumbing — over the `documents` and
@@ -413,6 +413,106 @@ object ExtensionQueries {
           cast(CASE WHEN doc_id % 3 = 2 THEN list_sum(list_transform(range(1, least(length(text), 16) + 1),
             i -> ascii(substring(text, cast(i AS INT), 1)))) END AS BIGINT) AS byte_sum_16
         FROM documents ORDER BY doc_id""")),
+
+    // ---- repeated-2-gram fraction (Gopher/MassiveText repetition filter):
+    // exact integer ratio in double math, bit-identical across engines ----
+    "x19_repetition_score" -> Q(
+      (s, dir) => Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          round(TextAnalysis.repetitionScore(col("text"), 2), 6).as("rep_2gram"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 200),
+        g AS (
+          SELECT doc_id, list_transform(range(1, len(toks)),
+            i -> concat_ws(' ', toks[i], toks[i+1])) AS gs
+          FROM t)
+        SELECT doc_id,
+          round(CASE WHEN len(gs) = 0 THEN 0.0
+                     ELSE 1.0 - len(list_distinct(gs))::DOUBLE / len(gs) END, 6) AS rep_2gram
+        FROM g ORDER BY doc_id""")),
+
+    // ---- mean unigram log-prob under the corpus's own distribution (the
+    // cheap CCNet/KenLM perplexity stand-in); frequency table built over the
+    // FULL corpus, scored docs are a slice ----
+    "x20_unigram_logprob" -> Q(
+      (s, dir) => TextAnalysis.unigramLogProb(
+        Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 4).as("avg_logprob"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM freq)
+        SELECT doc_id, count(*) AS n_tokens,
+          round(avg(ln(cnt::DOUBLE / tot)), 4) AS avg_logprob
+        FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        WHERE doc_id < 100
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- PII redaction over a deterministically augmented corpus (each doc
+    // gets a synthetic email/phone/id suffix so the regexes demonstrably
+    // fire); both engines apply identical RE2-safe patterns ----
+    "x21_pii_redact" -> Q(
+      (s, dir) => Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(concat(
+            col("text"),
+            lit(" Contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad(pmod(col("doc_id") * 7919, lit(10000000L)).cast("string"), 7, "0"),
+            lit(" ref "),
+            (col("doc_id") * col("doc_id") * lit(1000003L) + lit(10000000L)).cast("string")
+          )).as("redacted"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                text || ' Contact user' || doc_id::VARCHAR || '@example.com or +1-555-' ||
+                  lpad(((doc_id * 7919) % 10000000)::VARCHAR, 7, '0') ||
+                  ' ref ' || (doc_id * doc_id * 1000003 + 10000000)::VARCHAR,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\+\d[\d-]{7,}\d', '<PHONE>', 'g'),
+            '\b\d{7,}\b', '<NUM>', 'g') AS redacted
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
+
+    // ---- deterministic train/val/test split: portable affine-mod-prime
+    // bucket, so the oracle verifies MEMBERSHIP row-for-row (adding docs
+    // never reassigns existing ones) ----
+    "x22_hash_split" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), Sampling.splitLabel(col("doc_id")).as("split"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                ((doc_id * 2654435761 + 12345) % 1000000007) % 100 AS b
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    // ---- exact-count stratified sample (10% per language, hash-ordered):
+    // every stratum represented, deterministic membership ----
+    "x23_stratified_sample" -> Q(
+      (s, dir) => Sampling.stratifiedSampleByHash(
+        Tables.documents(s, dir), "lang", "doc_id", 0.10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (
+          SELECT doc_id, lang,
+            ((doc_id * 2654435761 + 12345) % 1000000007) % 1000000 AS hb
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM h)
+        SELECT doc_id, lang FROM r WHERE rn <= ceil(n::DOUBLE * 0.10)
+        ORDER BY doc_id""")),
 
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(
