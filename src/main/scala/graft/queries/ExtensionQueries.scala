@@ -336,6 +336,26 @@ object ExtensionQueries {
           count(*) AS n
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // ---- skew-salted fact-dim join: must equal the plain join (salting
+    // only spreads a hot key over saltBuckets tasks, never changes rows);
+    // aggregated so the oracle is order-free ----
+    "x24_skew_salted_join" -> Q(
+      (s, dir) => Skew.saltedJoin(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(38, 6)).as("q")),
+        Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        key = "l_orderkey", distinctBy = col("l_orderkey"), saltBuckets = 16)
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg((sum(col("q")) * lit(1000000L)).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"), col("l_returnflag")),
+      Some("""SELECT o_orderpriority, l_returnflag,
+          cast(sum(cast(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty,
+          count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- text statistics: token counts, quality, lang-ID heuristic ----
     "x7_text_stats" -> Q(
       (s, dir) => Tables.documents(s, dir)
