@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Incremental MinHash-LSH near-duplicate dedup — the streaming increment of
+  * `Dedup.minhashNearDupPairs` (north-star extension): each micro-batch of
+  * documents is checked against every previously KEPT document and against
+  * itself; only near-dup-free survivors pass, and only their signatures are
+  * added to the state.
+  *
+  * Scale shape (the part that must survive 100 TB of accumulated corpus):
+  *  - the state is an APPEND-ONLY parquet band index `(band_hash, id, sig)`,
+  *    hash-partitioned by `__bucket = band_hash % numBuckets` — no batch ever
+  *    rewrites it (contrast UpsertSink, whose state mutates);
+  *  - a batch probes the state by equi-join on band_hash AFTER pruning to
+  *    the `__bucket` partitions its own band hashes fall in — small batches
+  *    read a few partition directories, never the whole index;
+  *  - candidates are est-Jaccard-scored from the stored signatures (no text
+  *    is kept in state), so probe cost is |candidates|, not |corpus|.
+  *
+  * Dedup is first-wins, like `StreamOps.dedupStream`: an earlier batch's kept
+  * doc beats a later near-duplicate; within a batch the smaller id wins
+  * (deterministic). A doc dropped as a near-dup does NOT enter the index, so
+  * a chain A~B~C (A kept) drops B and keeps C only if C is genuinely far
+  * from A — matching the batch keep-one-per-cluster convention.
+  */
+class NearDupSink(spark: SparkSession, stateDir: String,
+                  threshold: Double, numHashes: Int = 32, numBands: Int = 16,
+                  numBuckets: Int = 16)
+    extends Serializable {
+
+  private val index = s"$stateDir/band_index"
+
+  private def hasState: Boolean = {
+    val d = new java.io.File(index)
+    d.exists() && Option(d.listFiles()).exists(_.nonEmpty)
+  }
+
+  /** (band, band_hash, id, sig) rows for a signature frame. */
+  private def banded(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
+      .withColumn("band_hash", xxhash64(col("band"),
+        slice(col("sig"), col("band") * col("rows_per_band") + 1, col("rows_per_band"))))
+      .select(col("band_hash"), col("id"), col("sig"))
+
+  private def estJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
+  /** Process one micro-batch of (idCol, textCol) rows: returns the kept
+    * (near-dup-free) ids and appends their band index entries to state.
+    *
+    * Index rows carry the writing batch id, and the historical probe only
+    * sees STRICTLY EARLIER batches — so a checkpoint-replayed batch (crash
+    * between append and commit) reproduces its original kept set instead of
+    * matching its own half-written entries and dropping everything.
+    */
+  def process(batch: DataFrame, idCol: String, textCol: String,
+              batchId: Long): DataFrame = {
+    val sigs = Dedup.minhashSignatures(batch, idCol, textCol, numHashes)
+      .persist()
+    val batchBands = banded(sigs)
+      .withColumn("__bucket", pmod(col("band_hash"), lit(numBuckets.toLong)))
+      .persist()
+    try {
+      // historical dups: probe ONLY the state partitions this batch's band
+      // hashes fall in (partition pruning via the isin filter)
+      val histDupIds =
+        if (hasState) {
+          val touched = batchBands.select("__bucket").distinct()
+            .collect().map(_.getLong(0))
+          spark.read.parquet(index)
+            .filter(col("__bucket").isin(touched.map(Long.box).toSeq: _*))
+            .filter(col("__batch") < batchId)
+            .select(col("band_hash"), col("id").as("prior_id"), col("sig").as("prior_sig"))
+            .join(batchBands, Seq("band_hash"))
+            .filter(estJaccard(col("sig"), col("prior_sig")) >= threshold)
+            .select(col("id")).distinct()
+        } else sigs.select(col("id")).limit(0)
+      // intra-batch dups: smaller id wins (first-wins convention); a loser
+      // whose winner was itself a historical dup still drops — its near-dup
+      // chain leads to an already-kept prior doc, the batch
+      // keep-one-per-pair-chain convention
+      val intraDupIds = Dedup.minhashCandidatePairs(sigs, numBands)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id_b").as("id")).distinct()
+      val dupIds = histDupIds.unionByName(intraDupIds).distinct()
+      // eager + lineage-truncated: survives the unpersist below, reclaimed
+      // by the ContextCleaner once the caller drops it
+      val kept = sigs.select(col("id")).join(dupIds, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      // append ONLY survivors' index entries; state never rewrites
+      batchBands.join(kept, Seq("id"), "left_semi")
+        .select(col("__bucket"), col("band_hash"), col("id"), col("sig"),
+          lit(batchId).as("__batch"))
+        .write.partitionBy("__bucket").mode("append").parquet(index)
+      kept
+    } finally {
+      batchBands.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+    }
+  }
+
+  /** Attach as a foreachBatch sink: `onKept` receives the surviving ids of
+    * each micro-batch (join back to the payload stream downstream).
+    */
+  def attach[T](ds: Dataset[T], idCol: String, textCol: String)
+               (onKept: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    ds.writeStream.foreachBatch { (batch: Dataset[T], id: Long) =>
+      onKept(process(batch.toDF(), idCol, textCol, id), id)
+      ()
+    }
+}
