@@ -52,8 +52,11 @@ object Dedup {
                    tokenizer: Column => Column = tokenSet,
                    maxDocFreq: Option[Long] = None): DataFrame = maxDocFreq match {
     case None =>
+      // token rows feed the size aggregate and both sides of the inverted-
+      // index self-join — materialize the explode once, not three times
       val toks = df.select(col(idCol).as("id"),
           explode(tokenizer(col(textCol))).as("tok"))
+        .localCheckpoint(true)
       val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
       val inter = toks.as("a").join(toks.as("b"),
           col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
@@ -74,9 +77,12 @@ object Dedup {
       // the cap only affects which pairs are *discovered*, not their measure.
       val toks = df.select(col(idCol).as("id"),
           explode(tokenizer(col(textCol))).as("tok"))
+        .localCheckpoint(true)
+      // the df-capped token frame is BOTH sides of the candidate self-join
       val rare = toks.join(
         toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
           .filter(col("dfreq") <= cap).select("tok"), Seq("tok"))
+        .localCheckpoint(true)
       val cand = rare.as("a").join(rare.as("b"),
           col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -92,14 +98,19 @@ object Dedup {
   def rescoreJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
                      textCol: String,
                      tokenizer: Column => Column = tokenSet): DataFrame = {
+    // the pair set is read twice (intersection build + final assembly) and
+    // is usually an expensive candidate-generation subplan — run it once;
+    // likewise the token explode feeds the size aggregate and two joins
+    val p = pairs.select("id_a", "id_b").localCheckpoint(true)
     val toks = df.select(col(idCol).as("id"),
         explode(tokenizer(col(textCol))).as("tok"))
+      .localCheckpoint(true)
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = pairs.select("id_a", "id_b")
+    val inter = p
       .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
       .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    pairs.select("id_a", "id_b")
+    p
       .join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("inter"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -136,8 +147,15 @@ object Dedup {
   def minhashCandidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
     // the band join and distinct shuffle only (band, band_hash, id) — the
     // signature arrays are re-attached per id AFTER dedup, so no array
-    // payload ever rides a candidate row through the pair shuffles
-    val banded = sigs.select(col("id"), col("sig"),
+    // payload ever rides a candidate row through the pair shuffles.
+    // The signature frame is materialized once (eager, lineage-truncated):
+    // it feeds BOTH sides of the self-join plus two re-attach joins, and
+    // without the checkpoint Spark re-derives the full signature pipeline
+    // (scan + explode + aggregate) for each of the four uses — at corpus
+    // scale that is four scans of the raw text instead of one pass over a
+    // 32-longs-per-doc index.
+    val s = sigs.localCheckpoint(true)
+    val banded = s.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
       .withColumn("band_hash", xxhash64(col("band"),
@@ -150,8 +168,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -236,7 +254,11 @@ object Dedup {
                    numChunks: Int = 4): DataFrame = {
     val bits = 64 / numChunks
     val mask = (1L << bits) - 1
-    val chunked = hashes.select(col("id"), col("simhash"),
+    // materialize the (id, simhash) frame once — 2 longs per doc — so the
+    // chunk self-join's two sides read cached blocks instead of re-running
+    // the whole simhash pipeline (scan + tf aggregate + 64-lane fold) twice
+    val h = hashes.localCheckpoint(true)
+    val chunked = h.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(numChunks - 1))).as("chunk"))
       .withColumn("chunk_val", expr(s"(simhash >> (chunk * $bits)) & $mask"))
     chunked.as("a").join(chunked.as("b"),

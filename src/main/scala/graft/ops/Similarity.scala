@@ -93,6 +93,10 @@ object Similarity {
         }
       }
       .toDF("table", "bucket", "id")
+      // 3 longs per (doc, table) row, read by both the query-side filter and
+      // the corpus side of the bucket join — materialize once instead of
+      // running the SRP bucketer scan twice
+      .localCheckpoint(true)
     val q = tables.filter(col("id").isin(queryIds: _*))
       .select(col("table").as("q_table"), col("bucket").as("q_bucket"),
         col("id").as("query_id"))
@@ -157,6 +161,8 @@ object Similarity {
         }
       }
       .toDF("table", "bucket", "id")
+      // both sides of the bucket self-join — one bucketer scan, not two
+      .localCheckpoint(true)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
