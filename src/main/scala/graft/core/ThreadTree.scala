@@ -69,28 +69,53 @@ object ThreadTree {
     var depth = 1
     var done = false
     while (depth <= maxDepth && !done) {
-      val next =
-        (if (inList) e.filter(col("__parent").isin(frontierKeys.toSeq: _*))
-         else e.join(broadcast(frontier), "__parent"))
+      if (inList) {
+        // in-list level: ONE job over the cached edge projection — a pushed
+        // IN filter + bounded collect, NO exchange. The level's keys land on
+        // the driver regardless (they become the next IN list), so the
+        // dedup happens there instead of paying a distinct() shuffle per
+        // level — for forest edges (comment trees) there are no duplicates
+        // to begin with.
+        val sample = e.filter(col("__parent").isin(frontierKeys.toSeq: _*))
+          .select(col("__child")).take(InListFrontierLimit + 1)
+        if (sample.isEmpty) done = true
+        else if (sample.length <= InListFrontierLimit) {
+          frontierKeys = sample.map(_.get(0)).distinct
+          accFrames ::= literalLevel(frontierKeys, depth)
+          depth += 1
+        } else {
+          // raw child rows outgrew the driver bound (many rows or a dup-
+          // heavy graph): rebuild this level with a cluster-side distinct
+          // and continue on the join path
+          val p = e.filter(col("__parent").isin(frontierKeys.toSeq: _*))
+            .select(col("__child"), lit(depth).as("depth")).distinct()
+            .persist()
+          persisted += p
+          p.count()
+          accFrames ::= p
+          frontier = p.select(col("__child").as("__parent"))
+          inList = false
+          depth += 1
+        }
+      } else {
+        val next = e.join(broadcast(frontier), "__parent")
           .select(col("__child"), lit(depth).as("depth"))
           .distinct()
-      val sample = next.select(col("__child")).take(InListFrontierLimit + 1)
-      if (sample.isEmpty) done = true
-      else if (sample.length <= InListFrontierLimit) {
-        // complete level on the driver: literal contribution, in-list next
-        frontierKeys = sample.map(_.get(0))
-        accFrames ::= literalLevel(frontierKeys, depth)
-        inList = true
-        depth += 1
-      } else {
-        // frontier outgrew the driver bound: cache the level for the join
-        // path (its lineage chains level over level from here on)
-        val p = next.persist(); persisted += p
-        p.count()
-        accFrames ::= p
-        frontier = p.select(col("__child").as("__parent"))
-        inList = false
-        depth += 1
+        val sample = next.select(col("__child")).take(InListFrontierLimit + 1)
+        if (sample.isEmpty) done = true
+        else if (sample.length <= InListFrontierLimit) {
+          // frontier shrank back under the driver bound: return to in-list
+          frontierKeys = sample.map(_.get(0))
+          accFrames ::= literalLevel(frontierKeys, depth)
+          inList = true
+          depth += 1
+        } else {
+          val p = next.persist(); persisted += p
+          p.count()
+          accFrames ::= p
+          frontier = p.select(col("__child").as("__parent"))
+          depth += 1
+        }
       }
     }
     if (accFrames.isEmpty)

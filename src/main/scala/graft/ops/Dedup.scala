@@ -324,6 +324,19 @@ object Dedup {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Materialize the dedup decision a pair/cluster analysis implies: keep
+    * each cluster's canonical member (the min-id representative that is the
+    * cluster's label in `nearDupClusters` output) plus every unclustered
+    * doc. One anti-join against the non-canonical member list — the member
+    * list is tiny relative to the corpus (only docs inside dup clusters),
+    * so Spark broadcasts it and the corpus is never shuffled.
+    */
+  def keepCanonical(df: DataFrame, clusters: DataFrame, idCol: String): DataFrame = {
+    val nonCanonical = clusters.filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(broadcast(nonCanonical), Seq(idCol), "left_anti")
+  }
+
   /** End-to-end SimHash near-dup detection, candidates-then-verify: chunk
     * blocking + hamming prune proposes, exact Jaccard disposes. Recall is
     * guaranteed total only within hamming <= numChunks−1 (pigeonhole);

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Skew, TemporalJoin, TextAnalysis}
 
 /** LLM-data-pipeline extensions (north star): deduplication, similarity
   * search, text analysis, multimodal plumbing — over the `documents` and
@@ -340,12 +340,18 @@ object ExtensionQueries {
     // only spreads a hot key over saltBuckets tasks, never changes rows);
     // aggregated so the oracle is order-free ----
     "x24_skew_salted_join" -> Q(
+      // distinctBy varies WITHIN an orderkey (the salt must spread a hot
+      // key's rows, not move them together); threshold 5 makes 6+-line
+      // orders take the salted path so both paths are exercised and must
+      // still reproduce the plain join exactly
       (s, dir) => Skew.saltedJoin(
         Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_returnflag"),
+          col("l_linenumber"),
           col("l_quantity").cast(DecimalType(38, 6)).as("q")),
         Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
           col("o_orderpriority")),
-        key = "l_orderkey", distinctBy = col("l_orderkey"), saltBuckets = 16)
+        key = "l_orderkey", distinctBy = col("l_linenumber"), saltBuckets = 16,
+        hotKeyThreshold = 5L)
         .groupBy(col("o_orderpriority"), col("l_returnflag"))
         .agg((sum(col("q")) * lit(1000000L)).cast("long").as("sum_qty"),
           count(lit(1)).as("n"))
@@ -533,6 +539,112 @@ object ExtensionQueries {
           FROM h)
         SELECT doc_id, lang FROM r WHERE rn <= ceil(n::DOUBLE * 0.10)
         ORDER BY doc_id""")),
+
+    // ---- as-of join: latest purchase state at each click, per user.
+    // Single-shuffle union+window form vs DuckDB's native ASOF JOIN ----
+    "x25_asof_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        // unique (user, time) on the right side: equal-time duplicates have
+        // no deterministic "latest" (both engines would pick arbitrarily)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("p_value"))
+          .withColumnRenamed("ts", "p_ts")
+        TemporalJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+            Seq("p_value", "p_ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("p_value"), col("p_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+          SELECT user_id, ts AS p_ts, max(value) AS p_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.ts, p.p_value, p.p_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        ORDER BY event_id""")),
+
+    // ---- bounded range join: clicks within 6 hours after each error,
+    // per user — bucketed equi-join, never a theta/nested-loop join ----
+    "x26_range_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        TemporalJoin.rangeJoinBucketed(errors, clicks, Seq("user_id"),
+            "ts", "c_ts", windowMicros = 6L * 3600 * 1000000)
+          .groupBy(col("event_id"), col("user_id"), col("ts"))
+          .agg(count(lit(1)).as("n_follow"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id, e.ts, count(*) AS n_follow
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id
+          AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+        WHERE e.event_type = 'error' AND c.event_type = 'click'
+        GROUP BY 1, 2, 3 ORDER BY 1""")),
+
+    // ---- the dedup endgame: drop every non-canonical near-dup cluster
+    // member, keep canonical representatives + unclustered docs ----
+    "x27_dedup_canonical" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        val clusters = Dedup.nearDupClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", 0.8))
+        Dedup.keepCanonical(docs, clusters, "doc_id")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+        toks AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+          FROM documents WHERE doc_id < 200),
+        sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+          WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id < 200
+          AND doc_id NOT IN (SELECT doc_id FROM comp WHERE cluster_id <> doc_id)
+        ORDER BY doc_id""")),
+
+    // ---- distribution statistics: exact linear-interpolated quantiles
+    // per group (what a curation pipeline thresholds on). Exact percentile
+    // is the oracle-checkable form; at 100 TB swap in approx_percentile
+    // (t-digest, single pass, mergeable) with the same call shape ----
+    "x28_percentiles" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99D)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+          round(quantile_cont(value, 0.5), 6) AS p50,
+          round(quantile_cont(value, 0.9), 6) AS p90,
+          round(quantile_cont(value, 0.99), 6) AS p99,
+          count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")),
 
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(
