@@ -115,6 +115,19 @@ object WritePathQueries {
         ORDER BY event_id""")),
 
     // ---- T9-extension: sessionization (gaps-and-islands, 30-min gap).
+    // ---- tumbling-window counts: the batch face of StreamOps.windowedCounts
+    // (same plan incrementalized under a watermark in streaming; DuckDB's
+    // epoch-aligned time_bucket reproduces Spark's window() boundaries) ----
+    "t11_tumbling_window" -> Q(
+      (s, dir) => graft.streaming.StreamOps.windowedCounts(
+        Tables.events(s, dir), "ts", "event_type",
+        windowDur = "1 hour", watermarkDelay = "1 hour")
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+          time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+          event_type, count(*) AS n
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""")),
+
     // The reference has only rolling cutoffs; this is the windowed extension
     // every event pipeline needs, shaped to match Structured Streaming's
     // session_window semantics in batch. ----

@@ -146,6 +146,30 @@ object StreamOps {
         })
   }
 
+  /** Watermarked tumbling-window aggregation — the canonical Structured
+    * Streaming windowed count. Epoch-aligned windows of `windowDur`; events
+    * later than `watermarkDelay` behind the max seen event time are dropped,
+    * and in append mode a window emits exactly once, when the watermark
+    * passes its end.
+    *
+    * The same plan runs in BATCH mode (window + groupBy over the full log)
+    * and produces the same (window, key, n) rows — the streaming form is
+    * the incremental execution of the batch query, which is what lets the
+    * DuckDB oracle (time_bucket, also epoch-aligned) gate the window math
+    * while StreamBatchEquivalenceSpec gates the incremental path.
+    */
+  def windowedCounts(events: org.apache.spark.sql.DataFrame, tsCol: String,
+                     keyCol: String, windowDur: String,
+                     watermarkDelay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val base = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+               else events
+    base.groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"))
+  }
+
   /** T1/T2: the reference's two stream gates.
     *
     * T1 (freshness): an op younger than `minAgeSec` must not be processed yet

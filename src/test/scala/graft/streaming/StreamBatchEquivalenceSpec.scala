@@ -6,6 +6,9 @@ import graft.engine.{ContractReplay, ScEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+/** Top-level so the product encoder codegen can find the constructor. */
+case class Ev(ts: Timestamp, kind: String)
+
 /** Cross-layer check: streaming the sidechain vote events through the
   * flatMapGroupsWithState fold must land on the same vote_rshares as the
   * batch ContractReplay closed form over the identical event list.
@@ -75,5 +78,44 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // persisted fold: bob 1000 -> 400 -> 900 (latest 900), carol 700
     assert(batch.doubleValue == 1600.0, s"batch=$batch")
     assert(streamed == 1600.0, s"streamed=$streamed")
+  }
+
+  test("watermarked tumbling windows: append-mode stream == batch windowing") {
+    val evs = Seq(
+      Ev(t("2024-01-01 00:05:00"), "click"), Ev(t("2024-01-01 00:40:00"), "click"),
+      Ev(t("2024-01-01 00:55:00"), "view"),  Ev(t("2024-01-01 01:10:00"), "click"),
+      Ev(t("2024-01-01 02:20:00"), "view"),  Ev(t("2024-01-01 02:30:00"), "view"))
+    // sentinel far in the future: pushes the watermark past every real
+    // window's end so append mode emits them all deterministically
+    val sentinel = Ev(t("2024-01-02 12:00:00"), "sentinel")
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.windowedCounts(mem.toDF(), "ts", "kind",
+        windowDur = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("twc")
+      .outputMode("append").start()
+    val (h1, h2) = evs.splitAt(3)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    mem.addData(sentinel); q.processAllAvailable()
+    // one more empty pass so the watermark advanced by the sentinel batch
+    // flushes the last real windows
+    mem.addData(); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twc")
+      .filter(col("kind") =!= "sentinel")
+      .select("window_start", "kind", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = StreamOps.windowedCounts(
+        evs.toDF("ts", "kind"), "ts", "kind", "1 hour", "30 minutes")
+      .select("window_start", "kind", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch == Set(
+      (t("2024-01-01 00:00:00"), "click", 2L), (t("2024-01-01 00:00:00"), "view", 1L),
+      (t("2024-01-01 01:00:00"), "click", 1L), (t("2024-01-01 02:00:00"), "view", 2L)))
   }
 }
