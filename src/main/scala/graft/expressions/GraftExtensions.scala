@@ -16,5 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ScoreExpression].getName, "graft_score"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ScoreExpression(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpression].getName, "graft_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimExpression(exprs(0), exprs(1))))
   }
 }

@@ -39,6 +39,10 @@ class ExpressionsSpec extends SparkSpec {
     ScoreExpression.register(spark)
     assert(spark.sql("SELECT graft_score(2.0D, 100L, 10L) AS s").first().getDouble(0)
       == math.log10(2.0) + 10.0)
+    CosineSimExpression.register(spark)
+    assert(spark.sql(
+      "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+      .first().getDouble(0) == 1.0)
   }
 
   test("approx_count_distinct within 5% of exact (A11 extension)") {
