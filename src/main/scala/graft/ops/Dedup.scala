@@ -274,10 +274,12 @@ object Dedup {
   }
 
   /** Near-duplicate clusters: connected components over a pair set, as
-    * iterative min-label propagation — each doc's label becomes the minimum
-    * label in its neighborhood until fixpoint (bounded by `maxIters`, which
-    * must exceed the component diameter; near-dup components are dense, so
-    * convergence is fast). The cluster id is the smallest doc id reachable,
+    * iterative min-label propagation with pointer jumping — each round a
+    * doc takes the minimum label in its neighborhood, then adopts its
+    * label's own label, so the distance to the component minimum shrinks
+    * geometrically and fixpoint lands in O(log diameter) rounds (chain-
+    * shaped duplicate clusters, routine in near-dup corpora, stay well
+    * inside `maxIters`). The cluster id is the smallest doc id reachable,
     * i.e. exactly the representative `exact`/`jaccardPairs` keep: this is
     * the step that turns a pair list into "keep one per duplicate group".
     *
@@ -303,14 +305,26 @@ object Dedup {
       while (changed && i < maxIters) {
         val prop = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
-        // carry the per-row "did this label shrink" flag through the
-        // checkpoint: the convergence check is then a scan of the already
-        // materialized round — no second join against the previous labels
-        val next = labels.select(col("id"), col("label"))
+        // neighbor-min step; __prev carries the pre-round label so one flag
+        // covers both steps of the round
+        val stepped = labels.select(col("id"), col("label").as("__prev"))
           .join(prop, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-            (coalesce(col("nlabel"), col("label")) < col("label")).as("__changed"))
+            least(col("__prev"), coalesce(col("nlabel"), col("__prev"))).as("label"),
+            col("__prev"))
+          .localCheckpoint(true)
+        // pointer jumping: adopt the label OF one's label (labels are node
+        // ids, so the lookup is a self-join). This halves the remaining
+        // distance to the component minimum every round — O(log diameter)
+        // rounds instead of O(diameter), which is what keeps chain-shaped
+        // duplicate clusters (A~B~C~…, routine in near-dup corpora) inside
+        // the iteration bound at scale.
+        val lbl = stepped.select(col("id").as("__lid"), col("label").as("__llabel"))
+        val next = stepped.join(lbl, stepped("label") === col("__lid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"),
+            (least(col("label"), coalesce(col("__llabel"), col("label")))
+              < col("__prev")).as("__changed"))
           .localCheckpoint(true)
         changed = next.filter(col("__changed")).limit(1).count() > 0
         labels = next.select(col("id"), col("label"))

@@ -89,8 +89,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = Dedup.nearDupClusters(pairs)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(got == List((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
-    // long chain exercises multi-iteration propagation
-    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+    // a long chain needs pointer jumping to converge inside the default
+    // bound: plain neighbor-min would need ~119 rounds for a 120-node path,
+    // far beyond maxIters=30 — O(log diameter) jumping gets there in ~7
+    val chain = (1L to 120L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     val labels = Dedup.nearDupClusters(chain)
       .collect().map(_.getLong(1)).toSet
@@ -98,12 +100,13 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("near-dup clusters: non-convergence within maxIters fails loudly") {
-    // a 12-node path needs ~11 propagation rounds; maxIters=3 cannot reach
-    // fixpoint and must throw rather than return silently split clusters
-    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+    // even with pointer jumping, 2 rounds reach only a bounded distance
+    // along a 400-node path; the loop must throw rather than return
+    // silently split clusters
+    val chain = (1L to 400L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.nearDupClusters(chain, maxIters = 3).collect()
+      Dedup.nearDupClusters(chain, maxIters = 2).collect()
     }
     assert(e.getMessage.contains("maxIters"))
   }
