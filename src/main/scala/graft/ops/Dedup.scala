@@ -139,15 +139,33 @@ object Dedup {
         array((0 until numHashes).map(s => col(s"__mh$s")): _*).as("sig"))
   }
 
+  /** Distinct (id_a < id_b) pairs agreeing on any full band — the bare
+    * candidate set, no signature payload. The band join and distinct shuffle
+    * only (band, band_hash, id): no array column ever rides a candidate row
+    * through the pair shuffles. `sigs` must already be materialized (it
+    * feeds both sides of the self-join).
+    */
+  private def bandedCandidates(sigs: DataFrame, numBands: Int): DataFrame = {
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
+      .withColumn("band_hash", xxhash64(col("band"),
+        slice(col("sig"), col("band") * col("rows_per_band") + 1, col("rows_per_band"))))
+      .select("id", "band", "band_hash")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Banded LSH candidates: docs agreeing on any full band of the signature
     * collide. Candidate generation is an equi-join on (band, band hash) —
     * linear shuffle, no cross join. est_jaccard = fraction of equal
     * signature positions (unbiased MinHash estimate of true Jaccard).
     */
   def minhashCandidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
-    // the band join and distinct shuffle only (band, band_hash, id) — the
-    // signature arrays are re-attached per id AFTER dedup, so no array
-    // payload ever rides a candidate row through the pair shuffles.
     // The signature frame is materialized once (eager, lineage-truncated):
     // it feeds BOTH sides of the self-join plus two re-attach joins, and
     // without the checkpoint Spark re-derives the full signature pipeline
@@ -155,19 +173,7 @@ object Dedup {
     // scale that is four scans of the raw text instead of one pass over a
     // 32-longs-per-doc index.
     val s = sigs.localCheckpoint(true)
-    val banded = s.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
-      .withColumn("band_hash", xxhash64(col("band"),
-        slice(col("sig"), col("band") * col("rows_per_band") + 1, col("rows_per_band"))))
-      .select("id", "band", "band_hash")
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
+    bandedCandidates(s, numBands)
       .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
@@ -186,9 +192,12 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, numHashes: Int = 32,
                           numBands: Int = 16): DataFrame = {
-    val cand = minhashCandidatePairs(
-      minhashSignatures(df, idCol, textCol, numHashes), numBands)
-      .select("id_a", "id_b")
+    // exact rescore decides membership, so the MinHash estimate is never
+    // consulted here — generate BARE candidate pairs and skip the two
+    // signature re-attach joins `minhashCandidatePairs` does for est_jaccard
+    val cand = bandedCandidates(
+      minhashSignatures(df, idCol, textCol, numHashes).localCheckpoint(true),
+      numBands)
     rescoreJaccard(cand, df, idCol, textCol)
       .filter(col("jaccard") >= threshold)
   }
@@ -297,30 +306,36 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
+      // seed with the FIRST neighbor-min fold fused into initialization:
+      // label(v) = min(v, min neighbor) — edges are symmetric so every node
+      // appears as src, and one round's work rides the init materialization
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("id"), least(col("id"), col("__mn")).as("label"))
         .localCheckpoint(true)
       var changed = true
       var i = 0
       while (changed && i < maxIters) {
         val prop = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
-        // neighbor-min step; __prev carries the pre-round label so one flag
-        // covers both steps of the round
-        val stepped = labels.select(col("id"), col("label").as("__prev"))
-          .join(prop, Seq("id"), "left")
-          .select(col("id"),
-            least(col("__prev"), coalesce(col("nlabel"), col("__prev"))).as("label"),
-            col("__prev"))
-          .localCheckpoint(true)
         // pointer jumping: adopt the label OF one's label (labels are node
         // ids, so the lookup is a self-join). This halves the remaining
         // distance to the component minimum every round — O(log diameter)
         // rounds instead of O(diameter), which is what keeps chain-shaped
         // duplicate clusters (A~B~C~…, routine in near-dup corpora) inside
-        // the iteration bound at scale.
-        val lbl = stepped.select(col("id").as("__lid"), col("label").as("__llabel"))
-        val next = stepped.join(lbl, stepped("label") === col("__lid"), "left")
+        // the iteration bound at scale. The lookup table is the PREVIOUS
+        // round's materialized labels — one hop staler than jumping through
+        // this round's neighbor-min output, still monotone and convergent
+        // (labels only decrease, toward the component min), and it lets the
+        // whole round (neighbor-min + jump + change flag) materialize as ONE
+        // job instead of two, with the O(E) propagate join executed once.
+        val lbl = labels.select(col("id").as("__lid"), col("label").as("__llabel"))
+        val next = labels.select(col("id"), col("label").as("__prev"))
+          .join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("__prev"), coalesce(col("nlabel"), col("__prev"))).as("label"),
+            col("__prev"))
+          .join(lbl, col("label") === col("__lid"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"),
             (least(col("label"), coalesce(col("__llabel"), col("label")))

@@ -80,7 +80,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val terms = df.select(col(idCol).as("doc_id"),
         explode(array_remove(split(lower(col(textCol)), "\\s+"), "")).as("term"))
+    // tf feeds BOTH the document-frequency aggregate and the ranked join —
+    // materialize it once, or Spark re-runs the corpus-wide explode+groupBy
+    // (the expensive pass at 100 TB) for each consumer
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.count()   // corpus-size scalar (dimension metadata, not data)
     val w = Window.partitionBy(col("doc_id"))
