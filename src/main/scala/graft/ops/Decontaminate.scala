@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (north-star extension): find training documents
+  * that share any word n-gram with an evaluation/benchmark set — the overlap
+  * filter every serious pretraining pipeline runs before training (the
+  * GPT-3/PaLM-style "13-gram collision" check, parameterized n).
+  *
+  * Scale shape: distinct n-grams explode on both sides and meet in ONE
+  * equi-join on the n-gram — work is linear in corpus n-grams plus matches,
+  * never |train| × |benchmark|. The benchmark side is typically bounded
+  * (eval sets are small), so Spark broadcasts it and the 100 TB train side
+  * never shuffles. The join key is the n-gram string for exactness (the
+  * DuckDB oracle recomputes it verbatim); at production scale substitute
+  * xxhash64(ngram) on both sides to keep shuffle/broadcast rows narrow —
+  * same plan, 8-byte keys.
+  */
+object Decontaminate {
+
+  /** Distinct (per document) lower-cased word n-grams, exploded. */
+  private def ngrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("ng"))
+
+  /** Training documents contaminated by the benchmark: one row per train doc
+    * sharing >= 1 word n-gram with any benchmark doc, with the count of
+    * distinct shared n-grams (the evidence strength a threshold policy can
+    * act on).
+    */
+  def contaminatedDocs(train: DataFrame, benchmark: DataFrame, idCol: String,
+                       textCol: String, n: Int): DataFrame = {
+    val bench = ngrams(benchmark, idCol, textCol, n).select("ng").distinct()
+    ngrams(train, idCol, textCol, n)
+      .join(bench, Seq("ng"))   // benchmark side is small -> auto-broadcast
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The dedup decision: train rows with every contaminated doc removed.
+    * One anti-join against the (small) contaminated-id list.
+    */
+  def removeContaminated(train: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val dirty = contaminatedDocs(train, benchmark, idCol, textCol, n)
+      .select(col("doc_id").as(idCol))
+    train.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
+}

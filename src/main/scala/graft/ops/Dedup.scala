@@ -366,6 +366,40 @@ object Dedup {
     df.join(broadcast(nonCanonical), Seq(idCol), "left_anti")
   }
 
+  /** Drop every corpus document whose exact text also appears in a reference
+    * corpus (blocklist, already-trained shard, benchmark dump) — an
+    * anti-join by content fingerprint, GATED by a Bloom filter so the big
+    * side never shuffles: the filter is built over the (bounded) reference
+    * fingerprints and broadcast; corpus rows it definitely-rejects keep
+    * their narrow scan-pipelined path, and only the "maybe" rows — true
+    * matches plus the fpp sliver of false positives — enter the exact
+    * anti-join that decides. No false negatives (Bloom guarantee), false
+    * positives are re-checked exactly, so the result EQUALS the plain
+    * anti-join — which is what lets a result-equality oracle gate the whole
+    * gadget. At 100 TB: the corpus is read once with a broadcast membership
+    * test (no shuffle), the join input is |matches| + fpp·|corpus| rows.
+    *
+    * The membership probe is a closure over the broadcast sketch — the one
+    * place a UDF is the honest tool (Spark's BloomFilterMightContain
+    * expression is internal to runtime-filter injection, not a public
+    * Column function).
+    */
+  def bloomDedupAgainst(corpus: DataFrame, reference: DataFrame, idCol: String,
+                        textCol: String, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val ref = reference.select(md5(col(textCol)).as("__fp")).distinct()
+      .localCheckpoint(true)   // feeds the sketch build AND the verify join
+    val expected = math.max(ref.count(), 1L)
+    val bloom = ref.stat.bloomFilter("__fp", expected, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bloomBc.value.mightContainString(fp))
+    val withFp = corpus.withColumn("__fp", md5(col(textCol)))
+    val definiteKeep = withFp.filter(!mightContain(col("__fp")))
+    val confirmedKeep = withFp.filter(mightContain(col("__fp")))
+      .join(ref, Seq("__fp"), "left_anti")
+    definiteKeep.unionByName(confirmedKeep).drop("__fp")
+  }
+
   /** End-to-end SimHash near-dup detection, candidates-then-verify: chunk
     * blocking + hamming prune proposes, exact Jaccard disposes. Recall is
     * guaranteed total only within hamming <= numChunks−1 (pigeonhole);

@@ -60,4 +60,39 @@ object Sampling {
       .filter(col("__rn") <= ceil(col("__n").cast("double") * fraction))
       .drop("__rn", "__n")
   }
+
+  /** Temperature-style group rebalancing (multilingual / multi-source
+    * mixing): keep ceil(sqrt(|group|) * scale) rows per group, chosen by
+    * hash order — a concave keep-curve, so dominant groups (the English
+    * pile) are downsampled hard while small groups keep most of their rows,
+    * the alpha = 0.5 point of the temperature-sampling family. sqrt is used
+    * rather than a general pow(n, alpha) because IEEE 754 requires sqrt to
+    * be correctly rounded — every engine computes the identical keep count,
+    * so membership is oracle-verifiable row-for-row (pow's last-ulp
+    * variation could flip a ceil boundary). Deterministic: a pure function
+    * of (group size, id hash); one window shuffle keyed on the group.
+    */
+  def temperatureRebalance(df: DataFrame, groupCol: String, idCol: String,
+                           scale: Double = 1.0): DataFrame = {
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
+    val whole = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(order))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rn") <= ceil(sqrt(col("__n").cast("double")) * scale))
+      .drop("__rn", "__n")
+  }
+
+  /** Top k rows per group under an explicit ordering (deterministic —
+    * include a unique tie-break column in `order`). One window shuffle;
+    * Spark's WindowGroupLimit rule pushes the rank bound below the
+    * exchange, so each mapper ships at most k rows per group it sees —
+    * the per-group form of TakeOrderedAndProject, safe for giant groups.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, k: Int,
+                   order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -118,6 +118,33 @@ object TextAnalysis {
         size(array_distinct(gs)).cast("double") / size(gs).cast("double"))
   }
 
+  /** Cross-document boilerplate score: the fraction of a document's distinct
+    * word n-grams that are corpus-common (document frequency >= minDf) — the
+    * C4/CCNet-style signal for navigation chrome, license headers, and
+    * templated spam that repeat across many pages. Documents shorter than n
+    * words have no n-grams and drop out.
+    *
+    * Shape: one n-gram explode feeding both the document-frequency aggregate
+    * and the per-doc rejoin — materialized once (at 100 TB the explode IS
+    * the corpus pass; running it twice doubles the job). Both shuffles key
+    * on the n-gram / doc id, linear in corpus n-grams.
+    */
+  def boilerplateScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, n: Int,
+                       minDf: Long): org.apache.spark.sql.DataFrame = {
+    val g = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+      .localCheckpoint(true)
+    val dfreq = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("__common"))
+      .select(col("doc_id"), col("n_ngrams"),
+        (col("__common").cast("double") / col("n_ngrams").cast("double"))
+          .as("boilerplate_frac"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram distribution — the cheap stand-in for the CCNet/KenLM perplexity
     * quality signal (gibberish and boilerplate sit in the tails). Shape: one

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Decontaminate, Dedup, Sampling, TextAnalysis}
+
+/** Round-4 curation operators: benchmark decontamination, cross-document
+  * boilerplate scoring, bloom-gated reference dedup, temperature-style
+  * group rebalancing, and per-group top-k — the remaining pieces of the
+  * training-data-pipeline surface. Every query carries a DuckDB oracle;
+  * the bloom query's oracle is the plain anti-join the gadget must equal.
+  */
+object CurationQueries {
+
+  val qs: Map[String, Q] = Map(
+
+    // ---- benchmark decontamination: train docs sharing any word 4-gram
+    // with the benchmark slice (doc_id % 20 == 0), with evidence counts ----
+    "x29_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Decontaminate.contaminatedDocs(
+          docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(20L)) === 0L),
+          "doc_id", "text", n = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))) AS ng
+          FROM toks),
+        bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0)
+        SELECT doc_id, count(*) AS n_hits
+        FROM g JOIN bench USING (ng)
+        WHERE doc_id % 20 <> 0
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- cross-document boilerplate: fraction of a doc's distinct 3-grams
+    // appearing in >= 2 documents (C4-style template/chrome signal) ----
+    "x30_boilerplate" -> Q(
+      (s, dir) => TextAnalysis.boilerplateScore(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, minDf = 2L)
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("boilerplate_frac"), 6).as("boilerplate_frac"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS ng
+          FROM toks),
+        d AS (SELECT ng, count(*) AS df FROM g GROUP BY 1)
+        SELECT doc_id, count(*) AS n_ngrams,
+          round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS boilerplate_frac
+        FROM g JOIN d USING (ng)
+        WHERE doc_id < 150
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- bloom-gated reference dedup: drop docs whose text appears in the
+    // reference slice (doc_id % 7 == 0); the result must EQUAL the plain
+    // content anti-join — the oracle gates the bloom gadget end-to-end ----
+    "x31_bloom_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.bloomDedupAgainst(docs,
+          docs.filter(pmod(col("doc_id"), lit(7L)) === 0L), "doc_id", "text")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+        WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 = 0)
+        ORDER BY doc_id""")),
+
+    // ---- temperature rebalancing: ceil(sqrt(|lang|) * 4) docs per lang by
+    // hash order — the multilingual mixing downsampler, membership exact ----
+    "x32_temperature_rebalance" -> Q(
+      (s, dir) => Sampling.temperatureRebalance(
+        Tables.documents(s, dir), "lang", "doc_id", scale = 4.0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (
+          SELECT doc_id, lang,
+            ((doc_id * 2654435761 + 12345) % 1000000007) % 1000000 AS hb
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM h)
+        SELECT doc_id, lang FROM r WHERE rn <= ceil(sqrt(n::DOUBLE) * 4)
+        ORDER BY doc_id""")),
+
+    // ---- per-group top-k: 5 longest docs per language (deterministic
+    // tie-break on doc_id); WindowGroupLimit keeps it partial-top-k ----
+    "x33_topk_per_group" -> Q(
+      (s, dir) => Sampling.topKPerGroup(
+        Tables.documents(s, dir), "lang", k = 5,
+        order = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rank")),
+      Some("""SELECT lang, cast(rank AS INT) AS rank, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+          FROM documents)
+        WHERE rank <= 5 ORDER BY lang, rank"""))
+  )
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation operators — decontamination, boilerplate scoring,
+  * bloom-gated reference dedup, temperature rebalancing, per-group top-k
+  * (oracle-gated via x29–x33; these specs pin hand-checkable semantics).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminatedDocs: flags exactly the docs sharing an n-gram, with counts") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),      // shares "the quick brown" + "quick brown fox"
+      (2L, "completely disjoint words here"),
+      (3L, "quick brown fox runs away")).toDF("doc_id", "text")  // shares "quick brown fox"
+    val bench = Seq((100L, "the quick brown fox sleeps")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminatedDocs(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))  // doc1: "the quick brown" + "quick brown fox"; doc3: 1
+    val clean = Decontaminate.removeContaminated(train, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("boilerplateScore: fraction of n-grams with df >= minDf, short docs drop") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),   // 3-grams: [abc, bcd] both shared with doc 2
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally unique trigram content"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = BoilerplateFixture.collect(df)
+    assert(got(1L) == (2L, 1.0))             // both 3-grams appear in doc 2 too
+    assert(got(2L)._1 == 3L && got(2L)._2 == 2.0 / 3.0)
+    assert(got(3L) == (2L, 0.0))
+    assert(!got.contains(4L))                // < 3 words -> no n-grams -> absent
+  }
+
+  test("bloomDedupAgainst equals the plain anti-join (no false drops or keeps)") {
+    val corpus = (1L to 300L).map(i => (i, s"document body number ${i % 60}"))
+      .toDF("doc_id", "text")   // 60 distinct texts, each repeated 5x
+    val ref = corpus.filter(col("doc_id") <= 20)   // texts 1..20 (mod 60)
+    val got = Dedup.bloomDedupAgainst(corpus, ref, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    val want = corpus.join(ref.select(col("text")).distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty && got.length < 300)
+  }
+
+  test("temperatureRebalance: ceil(sqrt(n)*scale) per group, small groups keep more proportionally") {
+    val df = ((1L to 400L).map(i => (i, "big")) ++ (401L to 425L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.temperatureRebalance(df, "lang", "doc_id", scale = 1.0)
+      .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(kept("big") == 20)    // ceil(sqrt(400)) — 5% of the big pile
+    assert(kept("small") == 5)   // ceil(sqrt(25))  — 20% of the small one
+    // deterministic: same membership on re-run
+    val ids1 = Sampling.temperatureRebalance(df, "lang", "doc_id", 1.0)
+      .select("doc_id").as[Long].collect().sorted
+    val ids2 = Sampling.temperatureRebalance(df, "lang", "doc_id", 1.0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids1.sameElements(ids2))
+  }
+
+  test("topKPerGroup: k rows per group in order, deterministic tie-break") {
+    val df = Seq(
+      ("en", 1L, 10L), ("en", 2L, 30L), ("en", 3L, 30L), ("en", 4L, 5L),
+      ("fr", 5L, 7L)).toDF("lang", "doc_id", "n_chars")
+    val got = Sampling.topKPerGroup(df, "lang", 2,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("lang", "rank", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(("en", 1, 2L), ("en", 2, 3L), ("fr", 1, 5L)))
+  }
+}
+
+/** Keeps the boilerplate expectations readable in the spec body. */
+private object BoilerplateFixture {
+  def collect(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+    TextAnalysis.boilerplateScore(df, "doc_id", "text", n = 3, minDf = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+}
