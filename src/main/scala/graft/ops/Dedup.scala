@@ -214,12 +214,11 @@ object Dedup {
     * instead of trusting an engine-private hash.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // tokenization + term frequency stay declarative (pushdown, codegen);
-    // the per-token hash and 64-lane ±tf fold run in a compiled group
-    // mapper: as Column higher-order functions they were interpreted per
-    // (token, lane) — a ~5× constant factor on the hash stage. Same shuffle
-    // count (two, both keyed on doc id), bit-identical output (the DuckDB
-    // oracle recomputes the same integer math). Ids must be integral.
+    // tokenization stays declarative (pushdown, codegen); the per-token
+    // hash and 64-lane ±tf fold run in a compiled group mapper: as Column
+    // higher-order functions they were interpreted per (token, lane) — a
+    // ~5× constant factor on the hash stage. Bit-identical output (the
+    // DuckDB oracle recomputes the same integer math). Ids must be integral.
     val spark = df.sparkSession
     import spark.implicits._
     df.schema(idCol).dataType match {
@@ -229,21 +228,27 @@ object Dedup {
         s"simhash requires an integral id column; '$idCol' is $other — " +
         "map string/other ids to a dense long (e.g. xxhash64 or a dictionary) first")
     }
+    // ONE shuffle keyed on doc id: token rows group straight into the
+    // compiled mapper, which builds the per-doc term-frequency table
+    // in-memory (bounded by a single document's vocabulary) and folds the
+    // 64 ±tf lanes in the same pass — the previous (id, tok) pre-aggregate
+    // was a second full shuffle for work a per-doc hash map does for free.
     df.select(col(idCol).cast("long").as("id"),
         explode(array_remove(split(lower(col(textCol)), "\\s+"), "")).as("tok"))
-      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .as[(Long, String, Long)]
+      .as[(Long, String)]
       .groupByKey(_._1)
       .mapGroups { (id, rows) =>
+        val tf = new scala.collection.mutable.HashMap[String, Long]()
+        rows.foreach { case (_, tok) => tf.update(tok, tf.getOrElse(tok, 0L) + 1L) }
         val sums = new Array[Long](64)
-        rows.foreach { case (_, tok, tf) =>
+        tf.foreach { case (tok, n) =>
           var th = 0L
           var i = 0
           while (i < tok.length) { th = (th * 31 + tok.charAt(i).toLong) % 1000000007L; i += 1 }
           var b = 0
           while (b < 64) {
             val bit = ((th * ((b * 2654435761L + 1L) % 1000000007L) + b) % 1000000007L) % 2L
-            sums(b) += (if (bit == 1L) tf else -tf)
+            sums(b) += (if (bit == 1L) n else -n)
             b += 1
           }
         }

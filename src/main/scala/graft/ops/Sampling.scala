@@ -83,6 +83,25 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Sequence-packing assignment: bin documents into fixed token-budget
+    * training sequences, in deterministic id order within each shard
+    * (`groupCol` — a source/split shard, NEVER a global ordering: the
+    * window partitions by shard, so a 100 TB corpus packs shard-parallel
+    * with one shuffle). bin_id = floor(exclusive-prefix-sum(tokens) /
+    * budget): fixed boundaries, so an overflowing document straddles two
+    * bins — exactly what a packer that splits documents across sequence
+    * boundaries (the standard pretraining concatenate-then-chunk) needs to
+    * know. Pure integer window arithmetic — engine-portable, row-for-row.
+    */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    tokenCountCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCountCol)
+      .withColumn("bin_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budget)))
+  }
+
   /** Top k rows per group under an explicit ordering (deterministic —
     * include a unique tie-break column in `order`). One window shuffle;
     * Spark's WindowGroupLimit rule pushes the rank bound below the

@@ -95,6 +95,23 @@ object CurationQueries {
         SELECT doc_id, lang FROM r WHERE rn <= ceil(sqrt(n::DOUBLE) * 4)
         ORDER BY doc_id""")),
 
+    // ---- sequence packing: fixed token-budget bin assignment per source
+    // shard in doc_id order (the concatenate-then-chunk pretraining step) ----
+    "x34_pack_sequences" -> Q(
+      (s, dir) => graft.ops.Sampling.packSequences(
+        Tables.documents(s, dir), "source", "doc_id",
+        TextAnalysis.wordCount(col("text")), budget = 500L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin_id"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+          SELECT doc_id, source,
+            cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, source, n_tokens,
+          cast(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT) AS bin_id
+        FROM t ORDER BY doc_id""")),
+
     // ---- per-group top-k: 5 longest docs per language (deterministic
     // tie-break on doc_id); WindowGroupLimit keeps it partial-top-k ----
     "x33_topk_per_group" -> Q(

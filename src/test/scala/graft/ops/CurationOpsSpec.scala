@@ -64,6 +64,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(ids1.sameElements(ids2))
   }
 
+  test("packSequences: exclusive-cumsum bins per shard, overflow doc straddles") {
+    val df = Seq(
+      (1L, "s1", 300L), (2L, "s1", 300L), (3L, "s1", 900L), (4L, "s1", 10L),
+      (5L, "s2", 100L)).toDF("doc_id", "source", "toks")
+    val got = Sampling.packSequences(df, "source", "doc_id", col("toks"), budget = 500L)
+      .select("doc_id", "bin_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // s1 prefix sums (exclusive): 0, 300, 600, 1500 -> bins 0, 0, 1, 3
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L, 5L -> 0L))
+  }
+
   test("topKPerGroup: k rows per group in order, deterministic tie-break") {
     val df = Seq(
       ("en", 1L, 10L), ("en", 2L, 30L), ("en", 3L, 30L), ("en", 4L, 5L),
