@@ -19,11 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct (per document) lower-cased word n-grams, exploded. */
+  /** Distinct (per document) lower-cased word n-grams, exploded and
+    * 64-bit-hashed. The token array is projected into a bound attribute
+    * first so the n-gram lambda slices it instead of re-tokenizing per
+    * index (see wordNgramsOf); the n-gram string immediately narrows to
+    * xxhash64 so the downstream join/broadcast carries 8-byte keys instead
+    * of ~8n-char strings. A hash collision can only ADD a phantom match
+    * (P ≈ pairs/2^64 — negligible, and the oracle gate would surface it).
+    */
   private def ngrams(df: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("ng"))
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.wordNgramsOf(col("__toks"), n))).as("ng"))
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
 
   /** Training documents contaminated by the benchmark: one row per train doc
     * sharing >= 1 word n-gram with any benchmark doc, with the count of
@@ -32,9 +42,9 @@ object Decontaminate {
     */
   def contaminatedDocs(train: DataFrame, benchmark: DataFrame, idCol: String,
                        textCol: String, n: Int): DataFrame = {
-    val bench = ngrams(benchmark, idCol, textCol, n).select("ng").distinct()
+    val bench = ngrams(benchmark, idCol, textCol, n).select("ngh").distinct()
     ngrams(train, idCol, textCol, n)
-      .join(bench, Seq("ng"))   // benchmark side is small -> auto-broadcast
+      .join(bench, Seq("ngh"))   // benchmark side is small -> auto-broadcast
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -99,12 +99,20 @@ object TextAnalysis {
   /** Word n-grams (lower-cased, space-joined); empty array when the document
     * has fewer than n words. Pure Column expression — scan-pipelined.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsOf(tokens(lower(text)), n)
+
+  /** Word n-grams from an ALREADY-TOKENIZED array column. Corpus-scale
+    * callers should project the token array into a real column first and
+    * pass the attribute: referenced inside the transform lambda, a derived
+    * `toks` EXPRESSION is re-evaluated per n-gram index (tokenization goes
+    * O(words²) per document), while a bound attribute is computed once per
+    * row — the difference was ~6× on the sf0.1 n-gram queries.
+    */
+  def wordNgramsOf(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
 
   /** Repeated-n-gram fraction: 1 − distinct/total n-grams (0 for short docs) —
     * the Gopher/MassiveText-style repetition filter (boilerplate, spam, and
@@ -133,7 +141,9 @@ object TextAnalysis {
                        textCol: String, n: Int,
                        minDf: Long): org.apache.spark.sql.DataFrame = {
     val g = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+        tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgramsOf(col("__toks"), n))).as("ng"))
       .localCheckpoint(true)
     val dfreq = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
     g.join(dfreq, Seq("ng"))
