@@ -112,6 +112,58 @@ object CurationQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT) AS bin_id
         FROM t ORDER BY doc_id""")),
 
+    // ---- corpus health report: the per-language profile a curation run
+    // starts from (counts, token volume, quality, length median, sources) ----
+    "x35_corpus_stats" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wordCount(col("text"))).as("n_tokens"),
+          round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("avg_quality"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+      Some("""WITH t AS (
+          SELECT doc_id, lang, source, n_chars, text,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks
+          FROM documents),
+        m AS (SELECT lang, source, n_chars,
+            cast(len(toks) AS BIGINT) AS n_words,
+            (CASE WHEN length(text) BETWEEN 200 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+             + CASE WHEN cast(len(list_filter(ltoks, x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+          FROM t)
+        SELECT lang, count(*) AS n_docs, sum(n_words) AS n_tokens,
+          round(avg(quality), 4) AS avg_quality,
+          round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+          count(DISTINCT source) AS n_sources
+        FROM m GROUP BY 1 ORDER BY 1""")),
+
+    // ---- most common word 3-grams corpus-wide (by document frequency) —
+    // the report a boilerplate blocklist is seeded from; exact heavy
+    // hitters via one groupBy + global top-k (TakeOrderedAndProject) ----
+    "x36_common_ngrams" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+        .select(explode(array_distinct(
+          TextAnalysis.wordNgramsOf(col("__toks"), 3))).as("ng"))
+        .groupBy(col("ng")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ng").asc)
+        .limit(20),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS ng
+          FROM toks)
+        SELECT ng, count(*) AS df FROM g
+        GROUP BY 1 ORDER BY df DESC, ng ASC LIMIT 20""")),
+
     // ---- per-group top-k: 5 longest docs per language (deterministic
     // tie-break on doc_id); WindowGroupLimit keeps it partial-top-k ----
     "x33_topk_per_group" -> Q(
