@@ -12,28 +12,27 @@ import org.apache.spark.sql.functions._
   * equi-join on the n-gram — work is linear in corpus n-grams plus matches,
   * never |train| × |benchmark|. The benchmark side is typically bounded
   * (eval sets are small), so Spark broadcasts it and the 100 TB train side
-  * never shuffles. The join key is the n-gram string for exactness (the
-  * DuckDB oracle recomputes it verbatim); at production scale substitute
-  * xxhash64(ngram) on both sides to keep shuffle/broadcast rows narrow —
-  * same plan, 8-byte keys.
+  * never shuffles. The join key is a 64-bit hash of the n tokens — narrow
+  * rows through broadcast and probe; the oracle recomputes the overlap from
+  * the n-gram strings, gating the hashed plan against the exact semantics.
   */
 object Decontaminate {
 
-  /** Distinct (per document) lower-cased word n-grams, exploded and
-    * 64-bit-hashed. The token array is projected into a bound attribute
-    * first so the n-gram lambda slices it instead of re-tokenizing per
-    * index (see wordNgramsOf); the n-gram string immediately narrows to
-    * xxhash64 so the downstream join/broadcast carries 8-byte keys instead
-    * of ~8n-char strings. A hash collision can only ADD a phantom match
-    * (P ≈ pairs/2^64 — negligible, and the oracle gate would surface it).
+  /** Distinct (per document) lower-cased word n-grams, exploded as 64-bit
+    * hashes. The token array is projected into a bound attribute first so
+    * the n-gram lambda reads it instead of re-tokenizing per index (see
+    * wordNgramsOf); ngramHashesOf hashes the n token slots directly — the
+    * n-gram string is never materialized, and the downstream join/broadcast
+    * carries 8-byte keys instead of ~8n-char strings. A hash collision can
+    * only ADD a phantom match (P ≈ pairs/2^64 — negligible, and the oracle
+    * gate would surface it).
     */
   private def ngrams(df: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.wordNgramsOf(col("__toks"), n))).as("ng"))
-      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
+        explode(array_distinct(TextAnalysis.ngramHashesOf(col("__toks"), n))).as("ngh"))
 
   /** Training documents contaminated by the benchmark: one row per train doc
     * sharing >= 1 word n-gram with any benchmark doc, with the count of

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators — the LLM-training-pipeline
@@ -421,5 +422,57 @@ object Dedup {
       .select("id_a", "id_b")
     rescoreJaccard(cand, df, idCol, textCol)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** WITHIN-document duplicated-span removal, the exact-substring dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (2022), approximated at fixed token-window granularity: chunk every
+    * document into consecutive w-token windows, keep only the globally
+    * FIRST occurrence (by (doc id, position)) of each distinct window, and
+    * reassemble each document from its surviving windows. Unlike the
+    * doc-level dedup family above, this removes repeated passages (license
+    * headers, quoted chain-mails, templated sections) while keeping the
+    * novel remainder of every document.
+    *
+    * Shape: one explode (linear in corpus tokens), one window keyed on the
+    * chunk value to pick winners, one groupBy(doc) to reassemble — no
+    * suffix array, no all-pairs. Window partitions are per-distinct-chunk
+    * (small by construction: duplicates of one span), so no skew blowup; a
+    * pathological corpus-wide boilerplate chunk concentrates its
+    * occurrences on one partition, which AQE skew handling splits. The
+    * chunk string rides the shuffle because reassembly needs it anyway —
+    * at 100 TB, shrink w-gram payloads by shuffling (doc_id, pos, hash)
+    * and re-slicing winners from the source text in the final join.
+    *
+    * Returns (doc_id, n_chunks, n_kept, clean_text); a fully-duplicated
+    * document survives as an empty clean_text row (the caller decides
+    * whether to drop it), and chunk order is restored by position.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    val chunks = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("__toks")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), ((size(col("__toks")) - 1) / w).cast("int")),
+            i => concat_ws(" ", slice(col("__toks"), i * w + 1, lit(w)))))))
+      .toDF("doc_id", "pos", "chunk")
+    val firstOccurrence = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("pos"))
+    chunks
+      .withColumn("rn", row_number().over(firstOccurrence))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
   }
 }

@@ -114,6 +114,19 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** 64-bit n-gram hashes straight off the token array, for callers that
+    * only need a join/distinct KEY and never the n-gram's surface form.
+    * Multi-argument xxhash64 over the n token slots replaces the
+    * slice + concat_ws string build of wordNgramsOf — no per-index array
+    * or string allocation, and (tokens being whitespace-free) the same
+    * identity: two n-grams collide only with P ≈ pairs/2^64, which can at
+    * most ADD a phantom match downstream.
+    */
+  def ngramHashesOf(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64((0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+
   /** Repeated-n-gram fraction: 1 − distinct/total n-grams (0 for short docs) —
     * the Gopher/MassiveText-style repetition filter (boilerplate, spam, and
     * degenerate generations score high). Exact integer ratio in double math,

@@ -164,6 +164,27 @@ object CurationQueries {
         SELECT ng, count(*) AS df FROM g
         GROUP BY 1 ORDER BY df DESC, ng ASC LIMIT 20""")),
 
+    // ---- within-document duplicated-span removal (Lee et al. exact
+    // substring dedup at 5-token-window granularity): first global
+    // occurrence survives, documents reassembled from surviving spans ----
+    "x37_span_dedup" -> Q(
+      (s, dir) => Dedup.spanDedup(Tables.documents(s, dir),
+          "doc_id", "text", w = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        ch AS (
+          SELECT doc_id, i AS pos, array_to_string(toks[i*5+1:i*5+5], ' ') AS chunk
+          FROM toks, unnest(range(0, cast(ceil(len(toks)/5.0) AS BIGINT))) AS r(i)),
+        k AS (SELECT doc_id, pos, chunk,
+            row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          FROM ch)
+        SELECT doc_id, count(*) AS n_chunks,
+          sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+          coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
+        FROM k GROUP BY 1 ORDER BY 1""")),
+
     // ---- per-group top-k: 5 longest docs per language (deterministic
     // tie-break on doc_id); WindowGroupLimit keeps it partial-top-k ----
     "x33_topk_per_group" -> Q(

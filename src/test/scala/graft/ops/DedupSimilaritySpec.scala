@@ -211,4 +211,30 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(octet_length(col("frame_bytes"))).collect().map(_.getInt(0)).toList
     assert(lens == List(4, 4, 3))
   }
+
+  test("span dedup: first global occurrence survives, docs reassembled in order") {
+    // w=2 chunks: doc1 -> ["a b","c d"], doc2 -> ["c d","e f"] (dup "c d"
+    // dropped), doc3 -> ["a b","a b","x"] (later same-doc repeat dropped too)
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b a b x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(df, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toList
+    assert(got == List(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 3L, 1L, "x")))   // doc1's "a b" wins; both of doc3's repeats drop
+  }
+
+  test("span dedup: fully-duplicated doc survives as an empty row") {
+    val df = Seq((1L, "p q"), (2L, "p q")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(df, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toList
+    assert(got == List((1L, 1L, "p q"), (2L, 0L, "")))
+  }
 }
