@@ -247,4 +247,54 @@ object Similarity {
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     math.abs(x ^ (x >>> 31))
   }
+
+  /** Per-class mean-embedding prototypes: (label, centroid) where centroid
+    * dim d is round(avg(vec[d]), roundDp). One posexplode + one (label, dim)
+    * aggregate — both shuffles are tiny (classes × dims rows out). The
+    * rounding is not cosmetic: it snaps each coordinate to a decimal any
+    * engine reproduces bit-for-bit, making everything derived from the
+    * centroids (assignment argmax, confusion counts) engine-portable.
+    */
+  def classCentroids(df: DataFrame, vecCol: String, labelCol: String,
+                     roundDp: Int = 4): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))))
+      .toDF("label", "dim", "v")
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), roundDp).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+  /** Nearest-class-mean classification (Rocchio / NCM): assign every vector
+    * to the class whose mean embedding it is most cosine-similar to, and
+    * return the confusion matrix (true_label, assigned_label, n) — the
+    * standard embedding-space health check for labeled corpora (how
+    * separable are the classes the curriculum is balancing on?).
+    *
+    * 100 TB shape: the centroid table is classes × dims (collected to the
+    * driver like the IVF codebook — a few KB), re-embedded as plan
+    * literals, so classification is ONE full scan with a per-row fused
+    * argmax over numClasses codegen'd cosines — no join, no row
+    * amplification; the only shuffle is the classes² confusion aggregate.
+    * Ties break toward the smaller label. Safe only because centroids are
+    * rounded: see classCentroids.
+    */
+  def nearestClassMean(df: DataFrame, vecCol: String, labelCol: String,
+                       roundDp: Int = 4): DataFrame = {
+    val cents: Array[(Int, Seq[Double])] = classCentroids(df, vecCol, labelCol, roundDp)
+      .orderBy(col("label"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.length >= 2, s"need >= 2 classes, got ${cents.length}")
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scored = cents.map { case (l, c) =>
+      struct(cosine(v, array(c.map(lit): _*)).as("cos"),
+        lit(-l).as("neg_label"), lit(l).as("label"))
+    }
+    df.select(col(labelCol).as("true_label"),
+        greatest(scored.toIndexedSeq: _*).getField("label").as("assigned_label"))
+      .groupBy(col("true_label"), col("assigned_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -212,4 +212,30 @@ object TextAnalysis {
       transform(tokens(text), w =>
         ascii(w).cast("long") * 256L + length(w).cast("long")),
       lit(0L), (h, v) => pmod(h * 31L + v, lit(1000000007L)))
+
+  /** Cross-source content-overlap matrix: for every pair of sources, the
+    * number of distinct word n-grams they share — the leakage/plagiarism
+    * report that tells a curation run which feeds are republishing which
+    * (and which "independent" sources to collapse before per-source
+    * mixture weights are set).
+    *
+    * Shape: the distinct (source, n-gram-hash) inverted index is one
+    * explode + distinct; the self-join meets only on equal hashes, so work
+    * is Σ_gram pairs(sources sharing it) ≤ sources²/2 per gram — output
+    * and join fan-out are bounded by the (report-sized) source dimension,
+    * never by corpus². Keys are 8-byte hashes (ngramHashesOf); a collision
+    * can only add one phantom shared gram.
+    */
+  def sourceNgramOverlap(df: org.apache.spark.sql.DataFrame, srcCol: String,
+                         textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val g = df
+      .select(col(srcCol).as("src"), tokens(lower(col(textCol))).as("__toks"))
+      .select(col("src"), explode(array_distinct(
+        ngramHashesOf(col("__toks"), n))).as("ngh"))
+      .distinct()
+    g.as("a").join(g.as("b"),
+        col("a.ngh") === col("b.ngh") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Decontaminate, Dedup, Sampling, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Round-4 curation operators: benchmark decontamination, cross-document
   * boilerplate scoring, bloom-gated reference dedup, temperature-style
@@ -163,6 +163,82 @@ object CurationQueries {
           FROM toks)
         SELECT ng, count(*) AS df FROM g
         GROUP BY 1 ORDER BY df DESC, ng ASC LIMIT 20""")),
+
+    // ---- cross-source leakage: distinct shared word 4-grams per source
+    // pair — which feeds republish which, before mixture weights are set ----
+    "x38_source_overlap" -> Q(
+      (s, dir) => TextAnalysis.sourceNgramOverlap(
+          Tables.documents(s, dir), "source", "text", n = 4)
+        .orderBy(col("src_a"), col("src_b")),
+      Some("""WITH toks AS (
+          SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (SELECT DISTINCT source, ng FROM (
+          SELECT source, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))) AS ng
+          FROM toks))
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_ngrams
+        FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- embedding-space QA: per-label vector counts and norm profile
+    // (degenerate/zero/outlier vectors surface here before ANN runs) ----
+    "x39_embedding_qa" -> Q(
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("label"),
+          sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, x) => a + x)).as("__norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("__norm")), 4).as("avg_norm"),
+          round(min(col("__norm")), 6).as("min_norm"),
+          round(max(col("__norm")), 6).as("max_norm"))
+        .orderBy(col("label")),
+      Some("""WITH v AS (
+          SELECT label,
+            sqrt(list_sum(list_transform(embedding,
+              x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) AS nrm
+          FROM embeddings)
+        SELECT label, count(*) AS n_vecs,
+          round(avg(nrm), 4) AS avg_norm,
+          round(min(nrm), 6) AS min_norm,
+          round(max(nrm), 6) AS max_norm
+        FROM v GROUP BY 1 ORDER BY 1""")),
+
+    // ---- nearest-class-mean classification: confusion matrix against the
+    // labels — the embedding-space separability health check; centroids are
+    // rounded to 4dp so assignment is engine-portable (min argmax margin on
+    // this data ~1e-5, float noise ~1e-15) ----
+    "x40_class_confusion" -> Q(
+      (s, dir) => Similarity.nearestClassMean(
+          Tables.embeddings(s, dir), "embedding", "label")
+        .orderBy(col("true_label"), col("assigned_label")),
+      Some("""WITH v AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        d AS (
+          SELECT label, i AS dim, vec[i] AS val
+          FROM v, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c AS (SELECT label AS clabel, dim, round(avg(val), 4) AS cv
+          FROM d GROUP BY 1, 2),
+        cent AS (SELECT clabel, list(cv ORDER BY dim) AS centroid
+          FROM c GROUP BY 1),
+        scored AS (
+          SELECT v.vec_id, v.label AS true_label, cent.clabel,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent),
+        best AS (
+          SELECT true_label, clabel AS assigned_label FROM (
+            SELECT true_label, clabel,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT true_label, assigned_label, count(*) AS n
+        FROM best GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- within-document duplicated-span removal (Lee et al. exact
     // substring dedup at 5-token-window granularity): first global

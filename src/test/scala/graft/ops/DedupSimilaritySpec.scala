@@ -237,4 +237,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toList
     assert(got == List((1L, 1L, "p q"), (2L, 0L, "")))
   }
+
+  test("nearest class mean: separable classes classify perfectly, centroids are rounded means") {
+    // class 0 along +x, class 1 along +y; one borderline vector still closer to its own mean
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.classCentroids(df, "embedding", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toList
+    assert(cents == List((0, List(0.95, 0.05)), (1, List(0.05, 0.95))))
+    val conf = Similarity.nearestClassMean(df, "embedding", "label")
+      .orderBy("true_label", "assigned_label").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toList
+    assert(conf == List((0, 0, 2L), (1, 1, 2L)))
+  }
+
+  test("source ngram overlap: counts distinct shared n-grams per source pair") {
+    val df = Seq(
+      ("a", "w x y z"),        // 2-grams {w x, x y, y z}
+      ("b", "x y z q"),        // shares {x y, y z} with a
+      ("c", "unrelated words"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceNgramOverlap(df, "source", "text", n = 2)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List(("a", "b", 2L)))
+  }
 }
