@@ -219,23 +219,27 @@ object TextAnalysis {
     * (and which "independent" sources to collapse before per-source
     * mixture weights are set).
     *
-    * Shape: the distinct (source, n-gram-hash) inverted index is one
-    * explode + distinct; the self-join meets only on equal hashes, so work
-    * is Σ_gram pairs(sources sharing it) ≤ sources²/2 per gram — output
-    * and join fan-out are bounded by the (report-sized) source dimension,
-    * never by corpus². Keys are 8-byte hashes (ngramHashesOf); a collision
-    * can only add one phantom shared gram.
+    * Shape: ONE corpus scan — explode n-gram hashes, collect_set(source)
+    * per gram (map-side partial aggregation caps every partition's
+    * contribution at the source count, so corpus-common grams don't skew
+    * the shuffle), then expand each gram's sorted source set into its
+    * ordered pairs (≤ sources²/2, a report-sized bound) and count. No
+    * self-join, no broadcast of a corpus-scale index. Keys are 8-byte
+    * hashes (ngramHashesOf); a collision can only add one phantom shared
+    * gram.
     */
   def sourceNgramOverlap(df: org.apache.spark.sql.DataFrame, srcCol: String,
-                         textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    val g = df
-      .select(col(srcCol).as("src"), tokens(lower(col(textCol))).as("__toks"))
+                         textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(srcCol).as("src"), tokens(lower(col(textCol))).as("__toks"))
       .select(col("src"), explode(array_distinct(
         ngramHashesOf(col("__toks"), n))).as("ngh"))
-      .distinct()
-    g.as("a").join(g.as("b"),
-        col("a.ngh") === col("b.ngh") && col("a.src") < col("b.src"))
-      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .groupBy(col("ngh"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"),
+        (a, i) => transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p").getField("src_a").as("src_a"),
+        col("p").getField("src_b").as("src_b"))
       .agg(count(lit(1)).as("shared_ngrams"))
-  }
 }
