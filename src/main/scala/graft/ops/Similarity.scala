@@ -297,4 +297,50 @@ object Similarity {
       .groupBy(col("true_label"), col("assigned_label"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Spherical k-means (Lloyd's algorithm under cosine similarity), the
+    * SemDeDup/cluster-then-curate workhorse: assign every vector to its
+    * most-similar centroid, recompute centroids as the (rounded) mean of
+    * their members, repeat. `init` seeds the codebook — class prototypes
+    * (classCentroids), an ivf-style hash sample, or a previous run's
+    * output. Returns the input with a `cluster` column appended under the
+    * final centroids; empty clusters drop out of the codebook.
+    *
+    * 100 TB shape: each iteration is ONE scan — the assignment argmax is a
+    * per-row fused expression over plan-literal centroids (no join), and
+    * the update aggregate returns clusters × dims rows to the driver (a
+    * few KB, like the IVF codebook). Rounding the updated centroids to
+    * roundDp snaps them onto a decimal grid any engine reproduces, which
+    * is what lets an external oracle replay the iteration exactly.
+    */
+  def kmeansAssign(df: DataFrame, vecCol: String,
+                   init: Array[(Int, Seq[Double])], iters: Int,
+                   roundDp: Int = 4): DataFrame = {
+    require(init.length >= 2, s"need >= 2 initial centroids, got ${init.length}")
+    val v = transform(col(vecCol), x => x.cast("double"))
+    def assignCol(cents: Array[(Int, Seq[Double])]): Column = {
+      val scored = cents.map { case (cl, c) =>
+        struct(cosine(v, array(c.map(lit): _*)).as("cos"),
+          lit(-cl).as("neg_cl"), lit(cl).as("cl"))
+      }
+      greatest(scored.toIndexedSeq: _*).getField("cl")
+    }
+    var cents = init.sortBy(_._1)
+    var it = 0
+    while (it < iters) {
+      cents = df
+        .select(assignCol(cents).as("cluster"), posexplode(v))
+        .toDF("cluster", "dim", "x")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(round(avg(col("x")), roundDp).as("c"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+        .orderBy(col("cluster"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      it += 1
+    }
+    df.withColumn("cluster", assignCol(cents))
+  }
 }

@@ -240,6 +240,57 @@ object CurationQueries {
         SELECT true_label, assigned_label, count(*) AS n
         FROM best GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- one Lloyd iteration of spherical k-means seeded from the class
+    // prototypes, reported as the label × refined-cluster contingency —
+    // rounded centroid updates make the iteration replayable in SQL ----
+    "x41_kmeans_refine" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val init = Similarity.classCentroids(e, "embedding", "label")
+          .orderBy(col("label")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        Similarity.kmeansAssign(e, "embedding", init, iters = 1)
+          .groupBy(col("label"), col("cluster"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("label"), col("cluster"))
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        d0 AS (SELECT label, i AS dim, vec[i] AS val
+          FROM v, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c0 AS (SELECT label AS cl, dim, round(avg(val), 4) AS cv
+          FROM d0 GROUP BY 1, 2),
+        cent0 AS (SELECT cl, list(cv ORDER BY dim) AS centroid
+          FROM c0 GROUP BY 1),
+        s0 AS (SELECT v.vec_id, v.label, v.vec, cent0.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent0.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent0.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent0),
+        a0 AS (SELECT vec_id, label, vec, cl AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s0) WHERE rn = 1),
+        d1 AS (SELECT cluster, i AS dim, vec[i] AS val
+          FROM a0, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c1 AS (SELECT cluster AS cl, dim, round(avg(val), 4) AS cv
+          FROM d1 GROUP BY 1, 2),
+        cent1 AS (SELECT cl, list(cv ORDER BY dim) AS centroid
+          FROM c1 GROUP BY 1),
+        s1 AS (SELECT v.vec_id, v.label, cent1.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent1.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent1.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent1),
+        a1 AS (SELECT vec_id, label, cl AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s1) WHERE rn = 1)
+        SELECT label, cluster, count(*) AS n
+        FROM a1 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- within-document duplicated-span removal (Lee et al. exact
     // substring dedup at 5-token-window granularity): first global
     // occurrence survives, documents reassembled from surviving spans ----

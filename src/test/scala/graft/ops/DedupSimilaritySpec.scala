@@ -254,6 +254,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(conf == List((0, 0, 2L), (1, 1, 2L)))
   }
 
+  test("kmeans: one iteration pulls a mis-seeded point to its true cluster, then fixed point") {
+    // two tight groups; init centroids deliberately offset so vec 4 starts
+    // mis-assigned, and the recomputed means capture it on the next pass
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.5f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val init = Array((0, Seq(1.0, 0.0)), (1, Seq(0.6, 0.55)))
+    def clusters(iters: Int): Map[Long, Int] =
+      Similarity.kmeansAssign(df, "embedding", init, iters)
+        .select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c0 = clusters(0)   // under the raw init, 4 sits with the x-axis? no: cos(4, c1) wins
+    assert(c0(4) == 1 && c0(3) == 1 && c0(0) == 0)
+    val c1 = clusters(1)
+    val c2 = clusters(2)
+    assert(c1 == c2, "assignment must reach a fixed point on separated groups")
+    assert(c1(0) == 0 && c1(1) == 0 && c1(2) == 0 && c1(3) == 1 && c1(4) == 1)
+  }
+
   test("source ngram overlap: counts distinct shared n-grams per source pair") {
     val df = Seq(
       ("a", "w x y z"),        // 2-grams {w x, x y, y z}
