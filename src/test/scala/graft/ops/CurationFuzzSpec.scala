@@ -60,6 +60,54 @@ class CurationFuzzSpec extends SparkSpec {
     }
   }
 
+  private def localCos(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val len = math.min(a.length, b.length)
+    while (i < len) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.max(1e-300, math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("fuzz: kmeansAssign matches a local Lloyd reference (rounded updates, cosine argmax)") {
+    val rng = new Random(11)
+    for (_ <- 1 to 5) {
+      val dims = 3 + rng.nextInt(4)
+      // snap to float precision up front: the DataFrame column is float32,
+      // so the reference must fold over the same values
+      val vecs = (0 until 12 + rng.nextInt(12)).map { i =>
+        (i.toLong, Seq.fill(dims)((rng.nextDouble() * 2 - 1).toFloat.toDouble))
+      }
+      val k = 2 + rng.nextInt(2)
+      val init = (0 until k).map(c => (c, vecs(c)._2)).toArray
+      val iters = rng.nextInt(3)
+      // local reference
+      var cents: Seq[(Int, Seq[Double])] = init.toSeq.sortBy(_._1)
+      def assign(cs: Seq[(Int, Seq[Double])]): Map[Long, Int] =
+        vecs.map { case (id, v) =>
+          id -> cs.map { case (cl, c) => (localCos(v, c), cl) }
+            .maxBy { case (cos, cl) => (cos, -cl) }._2
+        }.toMap
+      for (_ <- 0 until iters) {
+        val a = assign(cents)
+        cents = vecs.groupBy(v => a(v._1)).toSeq.sortBy(_._1).map { case (cl, members) =>
+          val mean = (0 until dims).map(d => round4(members.map(_._2(d)).sum / members.size))
+          (cl, mean)
+        }
+      }
+      val expected = assign(cents)
+      val vf = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val got = Similarity.kmeansAssign(
+          vf.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS embedding"),
+          "embedding", init, iters)
+        .select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"iters=$iters k=$k dims=$dims")
+    }
+  }
+
   test("fuzz: sourceNgramOverlap matches a local pairwise-intersection reference") {
     val rng = new Random(99)
     for (_ <- 1 to 8) {
