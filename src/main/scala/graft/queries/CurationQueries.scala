@@ -312,6 +312,63 @@ object CurationQueries {
           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
         FROM k GROUP BY 1 ORDER BY 1""")),
 
+    // ---- curation pipeline v2 (capstone over the round-4 operators):
+    // span dedup -> quality gate on the cleaned text -> decontamination
+    // against the benchmark slice, reporting surviving docs + token counts ----
+    "x42_pipeline_v2" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cleaned = Dedup.spanDedup(docs, "doc_id", "text", w = 5)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val qualified = cleaned
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+        val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+        Decontaminate.removeContaminated(qualified, bench, "doc_id", "text", n = 4)
+          .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        ch AS (
+          SELECT doc_id, i AS pos, array_to_string(toks[i*5+1:i*5+5], ' ') AS chunk
+          FROM toks, unnest(range(0, cast(ceil(len(toks)/5.0) AS BIGINT))) AS r(i)),
+        k AS (SELECT doc_id, pos, chunk,
+            row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          FROM ch),
+        clean AS (
+          SELECT doc_id,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS text,
+            sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+          FROM k GROUP BY 1),
+        q AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS qtoks
+          FROM clean WHERE n_kept > 0 AND (
+            CASE WHEN length(text) BETWEEN 200 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+            + CASE WHEN cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) <= 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+            + CASE WHEN cast(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                       x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+                     / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')), 1) >= 0.01
+              THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) >= 0.7),
+        qg AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(qtoks) - 2),
+            i -> concat_ws(' ', qtoks[i], qtoks[i+1], qtoks[i+2], qtoks[i+3])))) AS ng
+          FROM q),
+        bg AS (
+          SELECT DISTINCT ng FROM (
+            SELECT unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))) AS ng
+            FROM toks WHERE doc_id % 20 = 0)),
+        dirty AS (SELECT DISTINCT qg.doc_id FROM qg JOIN bg USING (ng))
+        SELECT q.doc_id,
+          cast(len(list_filter(string_split_regex(q.text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM q LEFT JOIN dirty ON q.doc_id = dirty.doc_id
+        WHERE dirty.doc_id IS NULL
+        ORDER BY 1""")),
+
     // ---- per-group top-k: 5 longest docs per language (deterministic
     // tie-break on doc_id); WindowGroupLimit keeps it partial-top-k ----
     "x33_topk_per_group" -> Q(
