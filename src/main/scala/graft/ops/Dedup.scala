@@ -448,11 +448,12 @@ object Dedup {
     * document survives as an empty clean_text row (the caller decides
     * whether to drop it), and chunk order is restored by position.
     */
-  def spanDedup(df: DataFrame, idCol: String, textCol: String,
-                w: Int): DataFrame = {
+  /** Non-overlapping w-token windows per document, position-indexed:
+    * (doc_id, pos, chunk). The trailing partial window is kept. */
+  private def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1 token, got $w")
-    val chunks = df
-      .select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("doc_id"), posexplode(
         when(size(col("__toks")) === 0, array().cast("array<string>"))
@@ -460,19 +461,52 @@ object Dedup {
             sequence(lit(0), ((size(col("__toks")) - 1) / w).cast("int")),
             i => concat_ws(" ", slice(col("__toks"), i * w + 1, lit(w)))))))
       .toDF("doc_id", "pos", "chunk")
-    val firstOccurrence = Window.partitionBy(col("chunk"))
-      .orderBy(col("doc_id"), col("pos"))
-    chunks
-      .withColumn("rn", row_number().over(firstOccurrence))
-      .groupBy(col("doc_id"))
+  }
+
+  /** Reassemble per-doc output from a chunk frame carrying a boolean
+    * `__keep` column: (doc_id, n_chunks, n_kept, clean_text). */
+  private def reassemble(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+              when(col("__keep"), struct(col("pos"), col("chunk"))))),
             s => s.getField("chunk")),
           " ").as("clean_text"))
+
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                w: Int): DataFrame = {
+    val firstOccurrence = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("pos"))
+    reassemble(tokenChunks(df, idCol, textCol, w)
+      .withColumn("rn", row_number().over(firstOccurrence))
+      .withColumn("__keep", col("rn") === 1))
+  }
+
+  /** SURGICAL decontamination: strip from every corpus document the w-token
+    * spans whose content appears anywhere in a reference corpus (benchmark
+    * dump, blocklist), keeping the rest of the document — the span-level
+    * counterpart of Decontaminate.removeContaminated (which drops whole
+    * docs). Returns (doc_id, n_chunks, n_kept, clean_text).
+    *
+    * Shape: the reference's distinct span hashes are a bounded set
+    * (benchmarks are small) → broadcast; the corpus is chunked in one scan
+    * and probed per row, so the only corpus-scale shuffle is the per-doc
+    * reassembly groupBy. A hash collision can only WRONGLY DROP one span
+    * (P ≈ spans·refSpans/2^64 — negligible, and the string-keyed oracle
+    * would surface it).
+    */
+  def spanDedupAgainst(corpus: DataFrame, reference: DataFrame, idCol: String,
+                       textCol: String, w: Int): DataFrame = {
+    val refSpans = tokenChunks(reference, idCol, textCol, w)
+      .select(xxhash64(col("chunk")).as("__ch")).distinct()
+      .withColumn("__hit", lit(1))
+    reassemble(tokenChunks(corpus, idCol, textCol, w)
+      .withColumn("__ch", xxhash64(col("chunk")))
+      .join(broadcast(refSpans), Seq("__ch"), "left")
+      .withColumn("__keep", col("__hit").isNull))
   }
 }

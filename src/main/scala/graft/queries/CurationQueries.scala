@@ -312,6 +312,33 @@ object CurationQueries {
           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
         FROM k GROUP BY 1 ORDER BY 1""")),
 
+    // ---- surgical decontamination: strip 3-token spans appearing in the
+    // benchmark slice from training docs (keep the novel remainder) ----
+    "x43_span_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.spanDedupAgainst(
+          docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(20L)) === 0L),
+          "doc_id", "text", w = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        ch AS (
+          SELECT doc_id, i AS pos, array_to_string(toks[i*3+1:i*3+3], ' ') AS chunk
+          FROM toks, unnest(range(0, cast(ceil(len(toks)/3.0) AS BIGINT))) AS r(i)),
+        ref AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % 20 = 0),
+        tr AS (
+          SELECT ch.doc_id, ch.pos, ch.chunk, (ref.chunk IS NOT NULL) AS hit
+          FROM ch LEFT JOIN ref ON ch.chunk = ref.chunk
+          WHERE ch.doc_id % 20 <> 0)
+        SELECT doc_id, count(*) AS n_chunks,
+          sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS n_kept,
+          coalesce(string_agg(CASE WHEN NOT hit THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
+        FROM tr GROUP BY 1 ORDER BY 1""")),
+
     // ---- curation pipeline v2 (capstone over the round-4 operators):
     // span dedup -> quality gate on the cleaned text -> decontamination
     // against the benchmark slice, reporting surviving docs + token counts ----

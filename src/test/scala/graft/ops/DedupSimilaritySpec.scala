@@ -238,6 +238,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == List((1L, 1L, "p q"), (2L, 0L, "")))
   }
 
+  test("spanDedupAgainst strips reference spans surgically, keeps the remainder") {
+    val corpus = Seq((1L, "a b c d"), (2L, "e f a b")).toDF("doc_id", "text")
+    val ref = Seq((100L, "a b x y")).toDF("doc_id", "text")   // ref 2-chunks: "a b", "x y"
+    val got = Dedup.spanDedupAgainst(corpus, ref, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    assert(got == List(
+      (1L, 2L, 1L, "c d"),    // "a b" stripped
+      (2L, 2L, 1L, "e f")))   // doc2 chunks "e f","a b" -> "a b" stripped
+  }
+
   test("nearest class mean: separable classes classify perfectly, centroids are rounded means") {
     // class 0 along +x, class 1 along +y; one borderline vector still closer to its own mean
     val df = Seq(
