@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.{Decontaminate, Dedup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Top-level for encoder codegen. */
+case class Doc(doc_id: Long, text: String)
+
+/** The curation gates are per-document given a static reference, so applying
+  * them inside foreachBatch must reproduce the batch run over the same docs
+  * regardless of how ingestion is micro-batched — the property that lets a
+  * pipeline run identically in backfill (batch) and ingest (stream) mode.
+  */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    Doc(1L, "alpha beta gamma delta epsilon zeta"),
+    Doc(2L, "secret bench phrase one alpha beta gamma delta"),
+    Doc(3L, "totally novel words nothing shared here"),
+    Doc(4L, "secret bench phrase one and more text"),
+    Doc(5L, "alpha beta gamma delta epsilon zeta"))   // dup of 1
+  private val reference = Seq(
+    Doc(100L, "secret bench phrase one")).toDF("doc_id", "text")
+
+  test("streamed span decontamination == batch run, any micro-batching") {
+    val batch = Dedup.spanDedupAgainst(
+        docs.toDF("doc_id", "text"), reference, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect().toSeq
+
+    val input = MemoryStream[Doc](spark)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Dedup.spanDedupAgainst(df, reference, "doc_id", "text", w = 2)
+          .collect()
+        ()
+      }
+      .start()
+    input.addData(docs.take(2)); q.processAllAvailable()
+    input.addData(docs.drop(2)); q.processAllAvailable()
+    q.stop()
+    assert(collected.sortBy(_.getLong(0)) == batch,
+      s"stream ${collected.toList} vs batch ${batch.toList}")
+  }
+
+  test("streamed whole-doc decontamination == batch run, any micro-batching") {
+    val batch = Decontaminate.removeContaminated(
+        docs.toDF("doc_id", "text"), reference, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+
+    val input = MemoryStream[Doc](spark)
+    val collected = scala.collection.mutable.Set.empty[Long]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Decontaminate.removeContaminated(df, reference, "doc_id", "text", n = 3)
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        ()
+      }
+      .start()
+    docs.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    assert(collected.toSet == batch)
+  }
+}
