@@ -137,7 +137,7 @@ object CurationQueries {
              + CASE WHEN cast(len(list_filter(ltoks, x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
                       / greatest(len(toks), 1) >= 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality
           FROM t)
-        SELECT lang, count(*) AS n_docs, sum(n_words) AS n_tokens,
+        SELECT lang, count(*) AS n_docs, cast(sum(n_words) AS BIGINT) AS n_tokens,
           round(avg(quality), 4) AS avg_quality,
           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
           count(DISTINCT source) AS n_sources
@@ -308,7 +308,7 @@ object CurationQueries {
             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
           FROM ch)
         SELECT doc_id, count(*) AS n_chunks,
-          sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+          cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
         FROM k GROUP BY 1 ORDER BY 1""")),
 
@@ -335,7 +335,7 @@ object CurationQueries {
           FROM ch LEFT JOIN ref ON ch.chunk = ref.chunk
           WHERE ch.doc_id % 20 <> 0)
         SELECT doc_id, count(*) AS n_chunks,
-          sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS n_kept,
+          cast(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           coalesce(string_agg(CASE WHEN NOT hit THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
         FROM tr GROUP BY 1 ORDER BY 1""")),
 

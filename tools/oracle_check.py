@@ -31,6 +31,20 @@ def norm_rows(cols, rows):
     out.sort()
     return [c for c in sorted(cols)], out
 
+# Output types whose canonicalization differs between DuckDB and the driver's
+# hasher even when values are equal (round-1: DECIMAL(38,6); round-4: HUGEINT
+# from uncast sum(int)). Oracles must cast these away (e.g. AS BIGINT/DOUBLE).
+BANNED_TYPE_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+def lint_oracle_types(con, name, sql):
+    """DESCRIBE the oracle SQL and flag driver-hash-unsafe output types."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:
+        return [f"describe error: {e}"]
+    return [f"{col}:{typ}" for col, typ, *_ in desc
+            if any(typ.upper().startswith(p) for p in BANNED_TYPE_PREFIXES)]
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -38,6 +52,12 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    lint_fail = 0
+    for name, sql in sorted(oracle.items()):
+        bad = lint_oracle_types(con, name, sql)
+        if bad:
+            print(f"LINT {name}: hash-unsafe oracle output types: {bad}")
+            lint_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
@@ -72,8 +92,8 @@ def main():
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
     # queries without oracle: rows-only
-    print(f"== {n_pass} pass / {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    print(f"== {n_pass} pass / {n_fail} fail / {lint_fail} type-lint ==")
+    sys.exit(1 if (n_fail or lint_fail) else 0)
 
 if __name__ == "__main__":
     main()
