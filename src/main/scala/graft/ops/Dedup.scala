@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators — the LLM-training-pipeline
@@ -382,13 +381,23 @@ object Dedup {
     * anti-join that decides. No false negatives (Bloom guarantee), false
     * positives are re-checked exactly, so the result EQUALS the plain
     * anti-join — which is what lets a result-equality oracle gate the whole
-    * gadget. At 100 TB: the corpus is read once with a broadcast membership
-    * test (no shuffle), the join input is |matches| + fpp·|corpus| rows.
+    * gadget.
+    *
+    * Two physical routes, picked by the known reference cardinality:
+    * broadcastable reference → ONE corpus scan, zero shuffle (a broadcast
+    * anti-join whose condition is bloom-gated, so definite-misses skip the
+    * hash probe); reference too big to broadcast → the corpus is scanned
+    * twice but only the "maybe" sliver (matches + fpp·|corpus|) ever
+    * shuffles into the sort-merge anti-join — at 100 TB a rescan of a
+    * columnar source is far cheaper than shuffling the full corpus by
+    * fingerprint.
     *
     * The membership probe is a closure over the broadcast sketch — the one
     * place a UDF is the honest tool (Spark's BloomFilterMightContain
     * expression is internal to runtime-filter injection, not a public
-    * Column function).
+    * Column function). The probe treats a null fingerprint (null text) as
+    * "definitely absent": an anti-join null key never matches, so null-text
+    * rows are kept, same as the plain anti-join.
     */
   def bloomDedupAgainst(corpus: DataFrame, reference: DataFrame, idCol: String,
                         textCol: String, fpp: Double = 0.01): DataFrame = {
@@ -398,12 +407,21 @@ object Dedup {
     val expected = math.max(ref.count(), 1L)
     val bloom = ref.stat.bloomFilter("__fp", expected, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => bloomBc.value.mightContainString(fp))
+    val mightContain =
+      udf((fp: String) => fp != null && bloomBc.value.mightContainString(fp))
     val withFp = corpus.withColumn("__fp", md5(col(textCol)))
-    val definiteKeep = withFp.filter(!mightContain(col("__fp")))
-    val confirmedKeep = withFp.filter(mightContain(col("__fp")))
-      .join(ref, Seq("__fp"), "left_anti")
-    definiteKeep.unionByName(confirmedKeep).drop("__fp")
+    val result =
+      if (expected <= 2000000L) {
+        withFp.join(broadcast(ref),
+          mightContain(withFp("__fp")) && withFp("__fp") === ref("__fp"),
+          "left_anti")
+      } else {
+        val definiteKeep = withFp.filter(!mightContain(col("__fp")))
+        val confirmedKeep = withFp.filter(mightContain(col("__fp")))
+          .join(ref, Seq("__fp"), "left_anti")
+        definiteKeep.unionByName(confirmedKeep)
+      }
+    result.drop("__fp")
   }
 
   /** End-to-end SimHash near-dup detection, candidates-then-verify: chunk
@@ -434,15 +452,16 @@ object Dedup {
     * headers, quoted chain-mails, templated sections) while keeping the
     * novel remainder of every document.
     *
-    * Shape: one explode (linear in corpus tokens), one window keyed on the
-    * chunk value to pick winners, one groupBy(doc) to reassemble — no
-    * suffix array, no all-pairs. Window partitions are per-distinct-chunk
-    * (small by construction: duplicates of one span), so no skew blowup; a
-    * pathological corpus-wide boilerplate chunk concentrates its
-    * occurrences on one partition, which AQE skew handling splits. The
-    * chunk string rides the shuffle because reassembly needs it anyway —
-    * at 100 TB, shrink w-gram payloads by shuffling (doc_id, pos, hash)
-    * and re-slicing winners from the source text in the final join.
+    * Shape: one explode hashing each window to 8 bytes (the chunk STRING
+    * never rides a shuffle), one groupBy(hash) picking the winning
+    * occurrence as min(struct(doc_id, pos)) — map-side partial aggregation
+    * absorbs a corpus-wide boilerplate chunk before the exchange, unlike a
+    * row_number window (whose per-key partitions AQE can NOT split; AQE
+    * skew handling applies to joins only) — one hash-keyed join-back to
+    * flag winners (a skewed hot hash here IS AQE-splittable), and one
+    * doc_id join against the source to re-slice surviving spans from the
+    * original text. No suffix array, no all-pairs; the only text-scale
+    * shuffle is the single doc_id-keyed re-slice join.
     *
     * Returns (doc_id, n_chunks, n_kept, clean_text); a fully-duplicated
     * document survives as an empty clean_text row (the caller decides
@@ -463,50 +482,80 @@ object Dedup {
       .toDF("doc_id", "pos", "chunk")
   }
 
-  /** Reassemble per-doc output from a chunk frame carrying a boolean
-    * `__keep` column: (doc_id, n_chunks, n_kept, clean_text). */
-  private def reassemble(chunks: DataFrame): DataFrame =
-    chunks.groupBy(col("doc_id"))
+  /** Hash-keyed chunk frame (doc_id, pos, __ch): the 8-byte-payload form
+    * of tokenChunks that all shuffling stages operate on. */
+  private def hashedChunks(df: DataFrame, idCol: String, textCol: String,
+                           w: Int): DataFrame =
+    tokenChunks(df, idCol, textCol, w)
+      .select(col("doc_id"), col("pos"), xxhash64(col("chunk")).as("__ch"))
+
+  /** Reassemble (doc_id, n_chunks, n_kept, clean_text) from a keep-flag
+    * frame (doc_id, pos, __keep) by RE-SLICING surviving windows out of the
+    * source text — chunk strings never shuffle; only (doc_id, kept
+    * positions) meets the source in one doc_id equi-join. */
+  private def reassembleFromSource(flags: DataFrame, src: DataFrame,
+                                   idCol: String, textCol: String,
+                                   w: Int): DataFrame = {
+    val perDoc = flags.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("__keep"), struct(col("pos"), col("chunk"))))),
-            s => s.getField("chunk")),
+        sort_array(collect_list(when(col("__keep"), col("pos"))))
+          .as("__kept_pos"))
+    perDoc
+      .join(src.select(col(idCol).as("doc_id"),
+          TextAnalysis.tokens(lower(col(textCol))).as("__toks")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        array_join(transform(col("__kept_pos"),
+          p => concat_ws(" ", slice(col("__toks"), p * w + 1, lit(w)))),
           " ").as("clean_text"))
+  }
 
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 w: Int): DataFrame = {
-    val firstOccurrence = Window.partitionBy(col("chunk"))
-      .orderBy(col("doc_id"), col("pos"))
-    reassemble(tokenChunks(df, idCol, textCol, w)
-      .withColumn("rn", row_number().over(firstOccurrence))
-      .withColumn("__keep", col("rn") === 1))
+    val chunks = hashedChunks(df, idCol, textCol, w)
+    val winners = chunks.groupBy(col("__ch"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__w"))
+    val flags = chunks.join(winners, Seq("__ch"))
+      .select(col("doc_id"), col("pos"),
+        (col("__w.doc_id") === col("doc_id") &&
+         col("__w.pos") === col("pos")).as("__keep"))
+    reassembleFromSource(flags, df, idCol, textCol, w)
   }
 
   /** SURGICAL decontamination: strip from every corpus document the w-token
-    * spans whose content appears anywhere in a reference corpus (benchmark
-    * dump, blocklist), keeping the rest of the document — the span-level
+    * spans whose content appears as a contiguous token run ANYWHERE in a
+    * reference corpus (benchmark dump, blocklist) — at any offset, not just
+    * w-aligned ones — keeping the rest of the document; the span-level
     * counterpart of Decontaminate.removeContaminated (which drops whole
-    * docs). Returns (doc_id, n_chunks, n_kept, clean_text).
+    * docs). The reference side is built from SLIDING grams of every length
+    * 1..w so that full-w corpus spans match at arbitrary reference
+    * alignment and partial tail spans (the final len%w tokens of a doc)
+    * match any same-length reference run. Returns
+    * (doc_id, n_chunks, n_kept, clean_text).
     *
-    * Shape: the reference's distinct span hashes are a bounded set
-    * (benchmarks are small) → broadcast; the corpus is chunked in one scan
-    * and probed per row, so the only corpus-scale shuffle is the per-doc
-    * reassembly groupBy. A hash collision can only WRONGLY DROP one span
-    * (P ≈ spans·refSpans/2^64 — negligible, and the string-keyed oracle
-    * would surface it).
+    * Shape: the reference's distinct sliding-gram hashes are a bounded set
+    * (benchmarks are small; ≤ w·tokens grams) → broadcast; the corpus is
+    * chunked and probed in one scan, so the only corpus-scale shuffles are
+    * the per-doc keep-flag groupBy (ints) and the re-slice join. A hash
+    * collision can only WRONGLY DROP one span (P ≈ spans·refSpans/2^64 —
+    * negligible, and the string-keyed oracle would surface it).
     */
   def spanDedupAgainst(corpus: DataFrame, reference: DataFrame, idCol: String,
                        textCol: String, w: Int): DataFrame = {
-    val refSpans = tokenChunks(reference, idCol, textCol, w)
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    val refToks = reference
+      .select(TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    val gramCols = (1 to w).map(g =>
+      TextAnalysis.wordNgramsOf(col("__toks"), g))
+    val refSpans = refToks
+      .select(explode(flatten(array(gramCols: _*))).as("chunk"))
       .select(xxhash64(col("chunk")).as("__ch")).distinct()
       .withColumn("__hit", lit(1))
-    reassemble(tokenChunks(corpus, idCol, textCol, w)
-      .withColumn("__ch", xxhash64(col("chunk")))
+    val flags = hashedChunks(corpus, idCol, textCol, w)
       .join(broadcast(refSpans), Seq("__ch"), "left")
-      .withColumn("__keep", col("__hit").isNull))
+      .select(col("doc_id"), col("pos"), col("__hit").isNull.as("__keep"))
+    reassembleFromSource(flags, corpus, idCol, textCol, w)
   }
 }

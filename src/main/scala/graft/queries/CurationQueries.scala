@@ -329,7 +329,12 @@ object CurationQueries {
         ch AS (
           SELECT doc_id, i AS pos, array_to_string(toks[i*3+1:i*3+3], ' ') AS chunk
           FROM toks, unnest(range(0, cast(ceil(len(toks)/3.0) AS BIGINT))) AS r(i)),
-        ref AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % 20 = 0),
+        ref AS (
+          SELECT DISTINCT array_to_string(toks[i:i+g-1], ' ') AS chunk
+          FROM toks,
+               unnest(range(1, 4)) AS gs(g),
+               unnest(range(1, greatest(len(toks) - g + 2, 1))) AS rs(i)
+          WHERE doc_id % 20 = 0),
         tr AS (
           SELECT ch.doc_id, ch.pos, ch.chunk, (ref.chunk IS NOT NULL) AS hit
           FROM ch LEFT JOIN ref ON ch.chunk = ref.chunk

@@ -39,6 +39,32 @@ class CurationFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: spanDedupAgainst matches a local sliding-gram containment reference") {
+    val rng = new Random(23)
+    for (_ <- 1 to 8) {
+      val docs = corpus(rng, 6 + rng.nextInt(10))
+      val w = 1 + rng.nextInt(3)
+      val (ref, train) = docs.partition(_._1 % 3 == 0)
+      // reference model: a corpus chunk is stripped iff its token run appears
+      // contiguously anywhere in the reference (any offset, any length 1..w)
+      val refGrams = ref.flatMap { case (_, t) =>
+        val toks = t.split(" ")
+        (1 to w).flatMap(g => toks.sliding(g).filter(_.length == g).map(_.mkString(" ")))
+      }.toSet
+      val expected = train.sortBy(_._1).map { case (id, t) =>
+        val chunks = t.split(" ").grouped(w).map(_.mkString(" ")).toSeq
+        val kept = chunks.filterNot(refGrams)
+        (id, chunks.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }
+      val got = Dedup.spanDedupAgainst(
+          train.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+          "doc_id", "text", w)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got == expected, s"w=$w docs=$docs")
+    }
+  }
+
   test("fuzz: contaminatedDocs matches a local shared-n-gram reference") {
     val rng = new Random(7)
     for (_ <- 1 to 8) {
