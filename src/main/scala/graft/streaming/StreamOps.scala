@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicReference
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -195,25 +196,50 @@ object StreamOps {
     // watermark below is the cross-process source of truth
     private val progress = new AtomicReference[Long](Long.MinValue)
 
-    private def cfgFile: Option[java.io.File] =
-      persistDir.map(d => new java.io.File(d, "alignment_progress"))
+    // All persistence goes through the Hadoop FileSystem API so the gate is
+    // durable on HDFS (and any FS with atomic file rename), not just the
+    // local disk. FileSystem handles are not serializable — resolve per call
+    // from the active session's Hadoop conf (driver) or the classpath
+    // defaults (executor-side deserialized copies).
+    private def hadoopConf =
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-    private def loadPersisted(): Long = cfgFile.filter(_.exists).map { f =>
-      try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
-      catch { case _: NumberFormatException => Long.MinValue }
+    private def cfgPath: Option[Path] =
+      persistDir.map(d => new Path(d, "alignment_progress"))
+
+    private def loadPersisted(): Long = cfgPath.map { p =>
+      val fs = p.getFileSystem(hadoopConf)
+      if (!fs.exists(p)) Long.MinValue
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](32)
+          val n = in.read(bytes)
+          new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong
+        } catch { case _: NumberFormatException => Long.MinValue }
+        finally in.close()
+      }
     }.getOrElse(Long.MinValue)
 
     def advance(toEpochMs: Long): Unit = {
       val v = progress.updateAndGet(p => math.max(p, toEpochMs))
-      cfgFile.foreach { f =>
-        f.getParentFile.mkdirs()
+      cfgPath.foreach { p =>
+        val fs = p.getFileSystem(hadoopConf)
+        fs.mkdirs(p.getParent)
         // fold the persisted watermark into the write: a writer whose
         // in-memory cell lags (another process advanced further) must not
         // regress the durable value with a last-writer-wins overwrite
         val publish = math.max(v, loadPersisted())
-        val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
-        java.nio.file.Files.write(tmp.toPath, publish.toString.getBytes("UTF-8"))
-        tmp.renameTo(f)   // atomic publish, readers never see a torn write
+        val tmp = new Path(p.getParent, p.getName + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(publish.toString.getBytes("UTF-8")) finally out.close()
+        // atomic publish via FileContext overwrite-rename (plain
+        // FileSystem.rename refuses an existing destination on HDFS);
+        // readers see either the previous or the new watermark, never torn
+        org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hadoopConf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
 

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Upsert
@@ -31,6 +32,14 @@ class UpsertSink(spark: SparkSession, stateDir: String,
   private val staging = s"$stateDir/staging"
   private val BucketCol = "__bucket"
 
+  /** All directory surgery goes through the Hadoop FileSystem API, so the
+    * sink works unchanged on HDFS and on the local FS (tests). Directory
+    * rename is atomic on HDFS and POSIX; on object stores (S3) rename is
+    * copy+delete — there, target the documented lakehouse MERGE instead.
+    */
+  private def fs: FileSystem =
+    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Stable key bucket: Murmur3 over the key columns, identical for a key on
     * the batch side and in the state layout.
     */
@@ -38,8 +47,8 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
   private def hasState: Boolean = {
-    val d = new java.io.File(current)
-    d.exists() && Option(d.listFiles()).exists(_.nonEmpty)
+    val d = new Path(current)
+    fs.exists(d) && fs.listStatus(d).nonEmpty
   }
 
   /** Crash recovery for the install-first/delete-last bucket swap below: a
@@ -50,13 +59,16 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     * current dir exists, the install completed — the old copy is garbage.
     */
   private def recover(): Unit = {
-    val leftovers = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("old-"))
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return
+    val leftovers = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("old-"))
     leftovers.foreach { old =>
-      val k = old.getName.substring(old.getName.lastIndexOf('-') + 1)
-      val curPart = new java.io.File(s"$current/$BucketCol=$k")
-      if (!curPart.exists()) { new java.io.File(current).mkdirs(); old.renameTo(curPart) }
-      else delete(old)
+      val name = old.getPath.getName
+      val k = name.substring(name.lastIndexOf('-') + 1)
+      val curPart = new Path(s"$current/$BucketCol=$k")
+      if (!fs.exists(curPart)) { fs.mkdirs(new Path(current)); fs.rename(old.getPath, curPart) }
+      else fs.delete(old.getPath, true)
     }
   }
 
@@ -94,18 +106,18 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     // replacement installed, and only then the old copy removed — a crash at
     // any point leaves either the old or the new data in place, and
     // recover() + checkpointed replay heals the half-done swap.
-    new java.io.File(current).mkdirs()
+    fs.mkdirs(new Path(current))
     touched.foreach { k =>
-      val stagePart = new java.io.File(s"$staging/$BucketCol=$k")
-      val curPart = new java.io.File(s"$current/$BucketCol=$k")
-      val old = new java.io.File(s"$stateDir/old-$batchId-$k")
-      if (curPart.exists()) curPart.renameTo(old)
+      val stagePart = new Path(s"$staging/$BucketCol=$k")
+      val curPart = new Path(s"$current/$BucketCol=$k")
+      val old = new Path(s"$stateDir/old-$batchId-$k")
+      if (fs.exists(curPart)) fs.rename(curPart, old)
       // a bucket whose keys were all deleted has no staging output — the
       // bucket directory simply disappears
-      if (stagePart.exists()) stagePart.renameTo(curPart)
-      if (old.exists()) delete(old)
+      if (fs.exists(stagePart)) fs.rename(stagePart, curPart)
+      if (fs.exists(old)) fs.delete(old, true)
     }
-    delete(new java.io.File(staging))
+    fs.delete(new Path(staging), true)
   }
 
   /** Attach as a foreachBatch sink on a stream of upsert-log rows. */
@@ -114,9 +126,4 @@ class UpsertSink(spark: SparkSession, stateDir: String,
       merge(batch.toDF(), id)
       ()
     }
-
-  private def delete(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(delete))
-    f.delete()
-  }
 }
