@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * The decode path is REAL for the container-friendly formats: BMP and PNG
-  * headers (image dimensions) and canonical RIFF/WAVE (channels, sample
-  * rate, bit depth, sample count) are parsed from bytes, pure JVM, no
-  * codec libraries. Anything unrecognized falls back to utf8-text byte
-  * statistics. A production deployment adds JPEG/H.264/… via JNI/FFI inside
+  * The decode path is REAL for the header-parseable formats: BMP and PNG
+  * dimensions, JPEG dimensions via a marker-segment walk to the SOF frame
+  * header (compressed payload untouched — SOF is plain byte math), GIF
+  * logical-screen dimensions, and canonical RIFF/WAVE audio params
+  * (channels, sample rate, bit depth, sample count) — all parsed from
+  * bytes, pure JVM, no codec libraries. Anything unrecognized falls back
+  * to utf8-text byte statistics. A production deployment adds full
+  * pixel/sample decode (H.264, JPEG entropy decode, …) via JNI/FFI inside
   * the same `mapPartitions` contract (decoder amortized per partition, no
   * driver collect, columnar-friendly output).
   */
@@ -47,10 +50,32 @@ object Multimodal {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
-  /** Decode one payload: BMP/PNG dims, WAV audio params, else text stats. */
+  /** Walk JPEG marker segments from after SOI to the first SOF frame header
+    * (FFC0-FFCF minus DHT/JPG/DAC) and read (width, height) — the standard
+    * dimensions probe that never touches entropy-coded data. None if no SOF
+    * before scan data / end.
+    */
+  private[ops] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var off = 2
+    while (off + 9 <= b.length && (b(off) & 0xff) == 0xff) {
+      val marker = b(off + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+        return Some((be16(b, off + 7), be16(b, off + 5)))   // (width, height)
+      if (marker == 0xd9 || marker == 0xda) return None     // EOI / scan start
+      off += 2 + be16(b, off + 2)
+    }
+    None
+  }
+
+  /** Decode one payload: BMP/PNG/JPEG/GIF dims, WAV audio params, else text
+    * stats.
+    */
   private[ops] def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = bytes.length.toLong
     if (n >= 54 && bytes(0) == 'B' && bytes(1) == 'M')
@@ -60,6 +85,17 @@ object Multimodal {
     else if (n >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
       MediaFeatures(id, n, "png",
         width = Some(be32(bytes, 16)), height = Some(be32(bytes, 20)),
+        channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
+    else if (n >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+             jpegDims(bytes).isDefined) {
+      val (w, h) = jpegDims(bytes).get
+      MediaFeatures(id, n, "jpeg",
+        width = Some(w), height = Some(h),
+        channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
+    } else if (n >= 13 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+               bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      MediaFeatures(id, n, "gif",
+        width = Some(le16(bytes, 6)), height = Some(le16(bytes, 8)),
         channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
     else if (n >= 44 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
              bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
@@ -115,6 +151,38 @@ object Multimodal {
     out
   }
 
+  /** A minimal well-formed JPEG: SOI + JFIF APP0 + grayscale SOF0 carrying
+    * the dimensions + EOI — 35 bytes, no entropy-coded data (the decoder
+    * only walks headers).
+    */
+  private[ops] def jpegBytes(width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](35)
+    def putBe16(o: Int, v: Int): Unit = { out(o) = (v >> 8).toByte; out(o + 1) = v.toByte }
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte                     // SOI
+    out(2) = 0xff.toByte; out(3) = 0xe0.toByte; putBe16(4, 16)     // APP0 len 16
+    "JFIF".zipWithIndex.foreach { case (c, i) => out(6 + i) = c.toByte }
+    out(11) = 1; out(12) = 1                                       // version 1.1
+    putBe16(14, 1); putBe16(16, 1)                                 // density 1x1
+    out(20) = 0xff.toByte; out(21) = 0xc0.toByte; putBe16(22, 11)  // SOF0 len 11
+    out(24) = 8                                                    // precision
+    putBe16(25, height); putBe16(27, width)
+    out(29) = 1; out(30) = 1; out(31) = 0x11; out(32) = 0          // 1 component
+    out(33) = 0xff.toByte; out(34) = 0xd9.toByte                   // EOI
+    out
+  }
+
+  /** A minimal GIF89a: 13-byte header (logical screen dims, no color table)
+    * + trailer — 14 bytes.
+    */
+  private[ops] def gifBytes(width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](14)
+    "GIF89a".zipWithIndex.foreach { case (c, i) => out(i) = c.toByte }
+    out(6) = width.toByte; out(7) = (width >> 8).toByte
+    out(8) = height.toByte; out(9) = (height >> 8).toByte
+    out(13) = 0x3b.toByte
+    out
+  }
+
   /** A canonical 16-bit PCM WAV: 44-byte header + zero-filled data chunk. */
   private[ops] def wavBytes(channels: Int, sampleRate: Int, nSamples: Long): Array[Byte] = {
     val dataSize = (nSamples * channels * 2).toInt
@@ -130,15 +198,17 @@ object Multimodal {
     out
   }
 
-  /** Deterministic mixed-modality corpus over a text table: by doc_id mod 3,
-    * a real BMP (dims derived from the id), a real WAV (audio params derived
-    * from the id), or the raw utf8 text — so a decoder downstream can be
-    * verified end-to-end against closed-form expectations.
+  /** Deterministic mixed-modality corpus over a text table: by doc_id mod 5,
+    * a real BMP, WAV, JPEG, or GIF (parameters derived from the id in closed
+    * form), or the raw utf8 text — so a decoder downstream can be verified
+    * end-to-end against closed-form expectations.
     */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val gen = udf((id: Long, text: String) => (id % 3) match {
+    val gen = udf((id: Long, text: String) => (id % 5) match {
       case 0 => bmpBytes((id % 64).toInt + 1, (id % 48).toInt + 1)
       case 1 => wavBytes((id % 2).toInt + 1, 8000 + (id % 8).toInt * 1000, 100 + id % 50)
+      case 2 => jpegBytes((id % 100).toInt + 1, (id % 80).toInt + 1)
+      case 3 => gifBytes((id % 32).toInt + 1, (id % 24).toInt + 1)
       case _ => text.getBytes("UTF-8")
     })
     df.select(col(idCol).as("doc_id"),

@@ -213,6 +213,41 @@ object TextAnalysis {
         ascii(w).cast("long") * 256L + length(w).cast("long")),
       lit(0L), (h, v) => pmod(h * 31L + v, lit(1000000007L)))
 
+  /** Corpus-wide most-common word n-grams by document frequency — the
+    * report a boilerplate blocklist is seeded from. Exact top-k WITHOUT
+    * ever shuffling n-gram strings: document frequency is counted on
+    * 8-byte ngramHashesOf keys (one narrow corpus shuffle), the k-th df
+    * value bounds a candidate hash set (k plus boundary ties), and ONE
+    * second corpus pass recovers the candidates' surface strings through
+    * a broadcast semi-join — rows surviving it are bounded by the
+    * candidates' own document frequencies, not the corpus. Final order
+    * (df desc, ng asc) matches the single-pass string groupBy, ties at
+    * the boundary included; a hash collision could only merge two grams'
+    * counts (P ≈ grams²/2^64, and the string-keyed oracle would surface
+    * it).
+    */
+  def topNgramsByDf(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val toksDf = df.select(tokens(lower(col(textCol))).as("__toks"))
+    val hashDf = toksDf
+      .select(explode(array_distinct(ngramHashesOf(col("__toks"), n))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)   // feeds the threshold probe AND the candidate filter
+    val kth = hashDf.orderBy(col("df").desc).limit(k)
+      .agg(min(col("df")).as("__t"))
+    val cand = hashDf.join(broadcast(kth), col("df") >= col("__t"))
+      .select("h", "df")
+    val parts = split(col("ng"), " ")
+    val surf = toksDf
+      .select(explode(array_distinct(wordNgramsOf(col("__toks"), n))).as("ng"))
+      .withColumn("h",
+        xxhash64((0 until n).map(i => element_at(parts, i + 1)): _*))
+    surf.join(broadcast(cand), Seq("h"))
+      .select(col("ng"), col("df")).distinct()
+      .orderBy(col("df").desc, col("ng").asc)
+      .limit(k)
+  }
+
   /** Cross-source content-overlap matrix: for every pair of sources, the
     * number of distinct word n-grams they share — the leakage/plagiarism
     * report that tells a curation run which feeds are republishing which

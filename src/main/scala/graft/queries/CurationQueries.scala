@@ -144,16 +144,11 @@ object CurationQueries {
         FROM m GROUP BY 1 ORDER BY 1""")),
 
     // ---- most common word 3-grams corpus-wide (by document frequency) —
-    // the report a boilerplate blocklist is seeded from; exact heavy
-    // hitters via one groupBy + global top-k (TakeOrderedAndProject) ----
+    // the report a boilerplate blocklist is seeded from; df counted on
+    // 8-byte hash keys, surface strings recovered in a narrow second pass ----
     "x36_common_ngrams" -> Q(
-      (s, dir) => Tables.documents(s, dir)
-        .select(TextAnalysis.tokens(lower(col("text"))).as("__toks"))
-        .select(explode(array_distinct(
-          TextAnalysis.wordNgramsOf(col("__toks"), 3))).as("ng"))
-        .groupBy(col("ng")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("ng").asc)
-        .limit(20),
+      (s, dir) => TextAnalysis.topNgramsByDf(
+        Tables.documents(s, dir), "text", n = 3, k = 20),
       Some("""WITH toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
           FROM documents),

@@ -416,27 +416,35 @@ object ExtensionQueries {
             (h, v) -> (h * 31 + v) % 1000000007) AS fp
         FROM documents ORDER BY doc_id""")),
 
-    // ---- multimodal: REAL header decode (BMP dims, WAV audio params, utf8
-    // fallback) over a deterministic mixed corpus — synthetic BMP/WAV bytes
-    // are built from closed-form id-derived parameters, so the oracle
-    // verifies the decoder inverts the encoder, field for field. ----
+    // ---- multimodal: REAL header decode (BMP/PNG dims, JPEG SOF dims via
+    // marker-segment walk, GIF logical-screen dims, WAV audio params, utf8
+    // fallback) over a deterministic mixed corpus — synthetic bytes are
+    // built from closed-form id-derived parameters, so the oracle verifies
+    // the decoder inverts each encoder, field for field. ----
     "x9_multimodal_decode" -> Q(
       (s, dir) => Multimodal.decode(s,
           Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text"))
         .toDF()
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-          cast(CASE WHEN doc_id % 3 = 0 THEN 54 + (((doc_id % 64 + 1) * 3 + 3) // 4) * 4 * (doc_id % 48 + 1)
-                    WHEN doc_id % 3 = 1 THEN 44 + (100 + doc_id % 50) * (doc_id % 2 + 1) * 2
+          cast(CASE WHEN doc_id % 5 = 0 THEN 54 + (((doc_id % 64 + 1) * 3 + 3) // 4) * 4 * (doc_id % 48 + 1)
+                    WHEN doc_id % 5 = 1 THEN 44 + (100 + doc_id % 50) * (doc_id % 2 + 1) * 2
+                    WHEN doc_id % 5 = 2 THEN 35
+                    WHEN doc_id % 5 = 3 THEN 14
                     ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
-          CASE WHEN doc_id % 3 = 0 THEN 'bmp' WHEN doc_id % 3 = 1 THEN 'wav'
+          CASE WHEN doc_id % 5 = 0 THEN 'bmp' WHEN doc_id % 5 = 1 THEN 'wav'
+               WHEN doc_id % 5 = 2 THEN 'jpeg' WHEN doc_id % 5 = 3 THEN 'gif'
                ELSE 'utf8-text' END AS format_guess,
-          cast(CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 1 END AS INT) AS width,
-          cast(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1 END AS INT) AS height,
-          cast(CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 END AS INT) AS channels,
-          cast(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
-          cast(CASE WHEN doc_id % 3 = 1 THEN 100 + doc_id % 50 END AS BIGINT) AS n_samples,
-          cast(CASE WHEN doc_id % 3 = 2 THEN list_sum(list_transform(range(1, least(length(text), 16) + 1),
+          cast(CASE WHEN doc_id % 5 = 0 THEN doc_id % 64 + 1
+                    WHEN doc_id % 5 = 2 THEN doc_id % 100 + 1
+                    WHEN doc_id % 5 = 3 THEN doc_id % 32 + 1 END AS INT) AS width,
+          cast(CASE WHEN doc_id % 5 = 0 THEN doc_id % 48 + 1
+                    WHEN doc_id % 5 = 2 THEN doc_id % 80 + 1
+                    WHEN doc_id % 5 = 3 THEN doc_id % 24 + 1 END AS INT) AS height,
+          cast(CASE WHEN doc_id % 5 = 1 THEN doc_id % 2 + 1 END AS INT) AS channels,
+          cast(CASE WHEN doc_id % 5 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+          cast(CASE WHEN doc_id % 5 = 1 THEN 100 + doc_id % 50 END AS BIGINT) AS n_samples,
+          cast(CASE WHEN doc_id % 5 = 4 THEN list_sum(list_transform(range(1, least(length(text), 16) + 1),
             i -> ascii(substring(text, cast(i AS INT), 1)))) END AS BIGINT) AS byte_sum_16
         FROM documents ORDER BY doc_id""")),
 
@@ -645,6 +653,58 @@ object ExtensionQueries {
           round(quantile_cont(value, 0.99), 6) AS p99,
           count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- the 100 TB quantile path, VERIFIED not asserted: x28's scaladoc
+    // names approx_percentile (t-digest-style mergeable sketch, single
+    // pass) as the at-scale swap — this query gates its rank stability.
+    // For each group the sketch value must land inside the EXACT
+    // interpolated [q-0.01, q+0.01] band (sketch rank error at accuracy
+    // 10000 is 1e-4, two orders tighter); groups too small for the band to
+    // be meaningful (< 200 rows, where order statistics vs interpolation
+    // quantization dominates) are reported trivially stable. The oracle
+    // pins every flag to 1: any drift outside the band at any SF
+    // hash-fails the gate. ----
+    "x44_approx_percentiles" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)").as("ap"),
+          expr("percentile(value, array(0.49D, 0.51D, 0.89D, 0.91D, 0.98D, 1.0D))").as("ex"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          when(col("n") < 200, lit(1)).otherwise(
+            (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(1)).cast("int"))
+            .as("p50_rank_stable"),
+          when(col("n") < 200, lit(1)).otherwise(
+            (col("ap")(1) >= col("ex")(2) && col("ap")(1) <= col("ex")(3)).cast("int"))
+            .as("p90_rank_stable"),
+          when(col("n") < 200, lit(1)).otherwise(
+            (col("ap")(2) >= col("ex")(4) && col("ap")(2) <= col("ex")(5)).cast("int"))
+            .as("p99_rank_stable"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+          1 AS p50_rank_stable, 1 AS p90_rank_stable, 1 AS p99_rank_stable
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- the 100 TB distinct-count path, same treatment: A11's
+    // approx_count_distinct (HLL++, one pass, mergeable, no per-group set)
+    // must land within 5% of the exact count per group (rsd 0.02 → ~2σ
+    // headroom), with an absolute-1 floor for tiny groups. Oracle pins the
+    // flag to 1 and carries the exact counts for substance. ----
+    "x45_approx_distinct" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("exact_sources"),
+          approx_count_distinct(col("source"), 0.02).as("__approx"))
+        .select(col("lang"), col("n_docs"), col("exact_sources"),
+          (abs(col("__approx") - col("exact_sources")) <=
+            greatest(lit(1L), (col("exact_sources").cast("double") * 0.05).cast("long")))
+            .cast("int").as("approx_within_5pct"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n_docs,
+          count(DISTINCT source) AS exact_sources, 1 AS approx_within_5pct
+        FROM documents GROUP BY 1 ORDER BY 1""")),
 
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(

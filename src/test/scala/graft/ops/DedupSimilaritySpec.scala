@@ -191,12 +191,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fps(0) != fps(1))
   }
 
-  test("multimodal decode: real BMP/WAV header parsing round-trips the encoder") {
+  test("multimodal decode: real BMP/WAV/JPEG/GIF header parsing round-trips the encoder") {
     val bmp = Multimodal.decodeOne(1L, Multimodal.bmpBytes(17, 9))
     assert(bmp.format_guess == "bmp" && bmp.width.contains(17) && bmp.height.contains(9))
     val wav = Multimodal.decodeOne(2L, Multimodal.wavBytes(2, 44100, 1234L))
     assert(wav.format_guess == "wav" && wav.channels.contains(2) &&
       wav.sample_rate.contains(44100) && wav.n_samples.contains(1234L))
+    val jpg = Multimodal.decodeOne(3L, Multimodal.jpegBytes(640, 480))
+    assert(jpg.format_guess == "jpeg" && jpg.width.contains(640) && jpg.height.contains(480))
+    val gif = Multimodal.decodeOne(4L, Multimodal.gifBytes(320, 200))
+    assert(gif.format_guess == "gif" && gif.width.contains(320) && gif.height.contains(200))
+    // SOF behind a fat APP segment still found; truncated-at-scan JPEG yields text fallback
+    assert(Multimodal.jpegDims(Multimodal.jpegBytes(1, 1)).contains((1, 1)))
+    val scanOnly = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x02).map(_.toByte)
+    assert(Multimodal.decodeOne(5L, scanOnly).format_guess == "utf8-text")
   }
 
   test("multimodal decode: batch shape, utf8 fallback features, frame sampling") {
