@@ -49,12 +49,17 @@ object Decontaminate {
   }
 
   /** The dedup decision: train rows with every contaminated doc removed.
-    * One anti-join against the (small) contaminated-id list.
+    * One anti-join against the contaminated-id list. No broadcast hint: the
+    * dirty list is bounded by |train|, not |benchmark| — under heavy
+    * contamination (or tiny n) it can be arbitrarily large, and a forced
+    * broadcast would OOM the driver. AQE converts the anti-join to a
+    * broadcast at runtime whenever the built side's actual size is small,
+    * which is the common case, without hard-wiring that assumption.
     */
   def removeContaminated(train: DataFrame, benchmark: DataFrame, idCol: String,
                          textCol: String, n: Int): DataFrame = {
     val dirty = contaminatedDocs(train, benchmark, idCol, textCol, n)
       .select(col("doc_id").as(idCol))
-    train.join(broadcast(dirty), Seq(idCol), "left_anti")
+    train.join(dirty, Seq(idCol), "left_anti")
   }
 }

@@ -492,7 +492,10 @@ object Dedup {
   /** Reassemble (doc_id, n_chunks, n_kept, clean_text) from a keep-flag
     * frame (doc_id, pos, __keep) by RE-SLICING surviving windows out of the
     * source text — chunk strings never shuffle; only (doc_id, kept
-    * positions) meets the source in one doc_id equi-join. */
+    * positions) meets the source in one doc_id equi-join. Right-joined to
+    * the source so a zero-token (empty/whitespace) document — which
+    * contributes no chunk rows at all — still comes back as
+    * (doc_id, 0, 0, ''), same as a fully-duplicated one. */
   private def reassembleFromSource(flags: DataFrame, src: DataFrame,
                                    idCol: String, textCol: String,
                                    w: Int): DataFrame = {
@@ -505,11 +508,13 @@ object Dedup {
     perDoc
       .join(src.select(col(idCol).as("doc_id"),
           TextAnalysis.tokens(lower(col(textCol))).as("__toks")),
-        Seq("doc_id"))
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-        array_join(transform(col("__kept_pos"),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(array_join(transform(col("__kept_pos"),
           p => concat_ws(" ", slice(col("__toks"), p * w + 1, lit(w)))),
-          " ").as("clean_text"))
+          " "), lit("")).as("clean_text"))
   }
 
   def spanDedup(df: DataFrame, idCol: String, textCol: String,

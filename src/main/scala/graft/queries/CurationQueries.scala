@@ -301,11 +301,16 @@ object CurationQueries {
           FROM toks, unnest(range(0, cast(ceil(len(toks)/5.0) AS BIGINT))) AS r(i)),
         k AS (SELECT doc_id, pos, chunk,
             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
-          FROM ch)
-        SELECT doc_id, count(*) AS n_chunks,
-          cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
-        FROM k GROUP BY 1 ORDER BY 1""")),
+          FROM ch),
+        agg AS (
+          SELECT doc_id, count(*) AS n_chunks,
+            cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
+          FROM k GROUP BY 1)
+        SELECT d.doc_id, cast(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+          cast(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+          coalesce(a.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY 1""")),
 
     // ---- surgical decontamination: strip 3-token spans appearing in the
     // benchmark slice from training docs (keep the novel remainder) ----
@@ -333,11 +338,17 @@ object CurationQueries {
         tr AS (
           SELECT ch.doc_id, ch.pos, ch.chunk, (ref.chunk IS NOT NULL) AS hit
           FROM ch LEFT JOIN ref ON ch.chunk = ref.chunk
-          WHERE ch.doc_id % 20 <> 0)
-        SELECT doc_id, count(*) AS n_chunks,
-          cast(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          coalesce(string_agg(CASE WHEN NOT hit THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
-        FROM tr GROUP BY 1 ORDER BY 1""")),
+          WHERE ch.doc_id % 20 <> 0),
+        agg AS (
+          SELECT doc_id, count(*) AS n_chunks,
+            cast(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            coalesce(string_agg(CASE WHEN NOT hit THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
+          FROM tr GROUP BY 1)
+        SELECT d.doc_id, cast(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+          cast(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+          coalesce(a.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.doc_id % 20 <> 0 ORDER BY 1""")),
 
     // ---- curation pipeline v2 (capstone over the round-4 operators):
     // span dedup -> quality gate on the cleaned text -> decontamination

@@ -246,6 +246,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == List((1L, 1L, "p q"), (2L, 0L, "")))
   }
 
+  test("span dedup: zero-token docs survive as (0, 0, '') rows") {
+    // empty / whitespace-only docs contribute no chunks at all, but must not
+    // vanish from the output (same contract as a fully-duplicated doc)
+    val df = Seq((1L, "p q"), (2L, ""), (3L, "  \t ")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(df, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    assert(got == List((1L, 1L, 1L, "p q"), (2L, 0L, 0L, ""), (3L, 0L, 0L, "")))
+    val against = Dedup.spanDedupAgainst(
+        df, Seq((9L, "p q")).toDF("doc_id", "text"), "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    assert(against == List((1L, 1L, 0L, ""), (2L, 0L, 0L, ""), (3L, 0L, 0L, "")))
+  }
+
   test("spanDedupAgainst strips reference spans surgically, keeps the remainder") {
     val corpus = Seq((1L, "a b c d"), (2L, "e f a b")).toDF("doc_id", "text")
     val ref = Seq((100L, "a b x y")).toDF("doc_id", "text")   // ref 2-chunks: "a b", "x y"
