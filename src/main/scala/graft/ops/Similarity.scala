@@ -240,6 +240,146 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** ANN top-k via product quantization (PQ — Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): unit-normalize,
+    * split each vector into `numSubspaces` contiguous sub-vectors, quantize
+    * each sub-vector to its nearest entry of a per-subspace `numCodes`-entry
+    * codebook, and store only the code bytes. A query builds an asymmetric-
+    * distance (ADC) table of exact sub-distances to every code; a
+    * candidate's approximate distance is the sum of `numSubspaces` table
+    * lookups over its codes. The ADC top-`shortlist` per query is re-ranked
+    * with exact cosine over the original vectors.
+    *
+    * 100 TB shape: the codebook is a TakeOrdered + KB-size collect (like the
+    * IVF codebook); encoding is ONE compiled scan; search scans CODES (m
+    * bytes/vector — a 32× read reduction at m=8 over 64 float dims), keeps a
+    * bounded per-partition top-`shortlist` heap per query, and only
+    * partitions × queries × shortlist candidate rows ever shuffle; the
+    * re-rank join touches `shortlist` vectors per query.
+    *
+    * Engine-replayability (what the oracle gates): the codebook is the
+    * `numCodes` smallest ids on an arithmetic stride (no RNG), sub-distances
+    * are scaled to integers (round(d·1e6) as long) so code argmin and ADC
+    * sums are order-independent integer math any engine reproduces, and ties
+    * break toward the smaller code / id. The oracle replays the WHOLE
+    * pipeline (normalize → codebook → encode → ADC shortlist → exact
+    * re-rank) in SQL, so the gate is value-exact regardless of recall;
+    * recall itself is a spec concern (see DedupSimilaritySpec).
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int,
+             numSubspaces: Int = 8, numCodes: Int = 16,
+             codebookStride: Long = 7, shortlist: Int = 64,
+             dim: Int = 64): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim must be divisible by numSubspaces $numSubspaces")
+    require(numCodes >= 2 && shortlist >= k)
+    val sub = dim / numSubspaces
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def normalize(raw: Seq[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      val n = math.min(raw.length, dim)
+      var s = 0.0; var i = 0
+      while (i < n) { s += raw(i) * raw(i); i += 1 }
+      val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+      i = 0
+      while (i < n) { out(i) = raw(i) * inv; i += 1 }
+      out
+    }
+    // scaled-integer squared L2 over subspace j — integer from here on, so
+    // every downstream comparison/sum is bit-portable across engines
+    def subDist(v: Array[Double], j: Int, c: Array[Double]): Long = {
+      var s = 0.0
+      var d = j * sub
+      val end = d + sub
+      while (d < end) { val t = v(d) - c(d); s += t * t; d += 1 }
+      math.round(s * 1e6)
+    }
+
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val cb: Array[Array[Double]] = base
+      .filter(pmod(col("id"), lit(codebookStride)) === 0)
+      .orderBy(col("id")).limit(numCodes)
+      .as[(Long, Seq[Double])].collect().map(r => normalize(r._2))
+    require(cb.length == numCodes,
+      s"corpus has only ${cb.length} codebook rows on stride $codebookStride, need $numCodes")
+
+    val encoded = base.as[(Long, Seq[Double])].mapPartitions(_.map { case (id, raw) =>
+      val v = normalize(raw)
+      val cs = new Array[Int](numSubspaces)
+      var j = 0
+      while (j < numSubspaces) {
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < numCodes) {
+          val d = subDist(v, j, cb(c))
+          if (d < bestD) { bestD = d; best = c }   // strict < : ties -> low c
+          c += 1
+        }
+        cs(j) = best
+        j += 1
+      }
+      (id, cs.toSeq)
+    }).toDF("id", "codes")
+
+    // per-query ADC tables, built driver-side from the (small) query page
+    val qTabs: Array[(Long, Array[Array[Long]])] = base
+      .filter(col("id").isin(queryIds: _*))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (qid, raw) =>
+        val v = normalize(raw)
+        (qid, Array.tabulate(numSubspaces, numCodes)((j, c) => subDist(v, j, cb(c))))
+      }
+    val nSub = numSubspaces
+    val nShort = shortlist
+    // one scan over the code table; bounded (adc, id) max-heap per query per
+    // partition — only partitions × queries × shortlist rows leave the scan
+    val partials = encoded.as[(Long, Seq[Int])].mapPartitions { it =>
+      val ord = Ordering.Tuple2[Long, Long]
+      val heaps = qTabs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord))
+      it.foreach { case (id, codes) =>
+        val cs = codes.toArray
+        var qi = 0
+        while (qi < qTabs.length) {
+          val (qid, tab) = qTabs(qi)
+          if (id != qid) {
+            var adc = 0L; var j = 0
+            while (j < nSub) { adc += tab(j)(cs(j)); j += 1 }
+            val h = heaps(qi)
+            if (h.size < nShort) h.enqueue((adc, id))
+            else if (ord.lt((adc, id), h.head)) { h.dequeue(); h.enqueue((adc, id)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (adc, id) => (qTabs(qi)._1, id, adc) }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    import org.apache.spark.sql.expressions.Window
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val cand = partials.withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val scored = cand
+      .join(broadcast(vecs.filter(col("vid").isin(queryIds: _*)))
+        .withColumnRenamed("vid", "query_id").withColumnRenamed("v", "query_vec"),
+        Seq("query_id"))
+      .join(vecs, col("neighbor_id") === col("vid"))
+      .withColumn("cos", cosine(col("query_vec"), col("v")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** splitmix64 — public-domain 64-bit mix (Steele et al., JDK SplittableRandom). */
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -342,5 +482,50 @@ object Similarity {
       it += 1
     }
     df.withColumn("cluster", assignCol(cents))
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023): cluster the embedding space,
+    * then WITHIN each cluster treat every pair with cosine >= threshold as
+    * semantic duplicates and keep one representative per duplicate group.
+    * Clustering here seeds from the label prototypes (classCentroids) —
+    * swap in a kmeansAssign refinement for unlabeled corpora; the dedup
+    * stage only needs SOME engine-replayable partition of the space.
+    *
+    * Returns (id, cluster, keep): `keep` is true for singletons and for the
+    * smallest id of each duplicate group (groups are connected components
+    * of the pair graph, so dedup is transitive within a cluster).
+    *
+    * 100 TB shape: assignment is the one-scan plan-literal argmax of
+    * nearestClassMean; the candidate generator is an equi-join on cluster id
+    * — never a corpus cross join — so pair volume is sum of cluster sizes
+    * squared, the knob SemDeDup itself turns via k (clusters should grow
+    * with the corpus so cluster size stays bounded); components use the
+    * pointer-jumping CC (O(log diameter) rounds); the keep verdict is one
+    * broadcast join back. Cosines are rounded to 6dp so the threshold cut
+    * is engine-portable (see classCentroids for why rounding makes the
+    * whole chain replayable).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, threshold: Double,
+                    roundDp: Int = 4): DataFrame = {
+    val init = classCentroids(df, vecCol, labelCol, roundDp)
+      .orderBy(col("label")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val assigned = kmeansAssign(
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+        "vec", init, iters = 0, roundDp)
+      .select(col("id"), col("cluster"), col("vec"))
+    val pairs = assigned.select(col("id").as("id_a"), col("cluster"), col("vec").as("va"))
+      .join(assigned.select(col("id").as("id_b"), col("cluster"), col("vec").as("vb")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select("id_a", "id_b")
+    val comps = Dedup.nearDupClusters(pairs)   // (doc_id, cluster_id)
+    assigned.select(col("id"), col("cluster"))
+      .join(comps.select(col("doc_id").as("id"), col("cluster_id")), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        (col("cluster_id").isNull || col("cluster_id") === col("id")).as("keep"))
   }
 }

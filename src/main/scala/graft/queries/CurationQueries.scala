@@ -286,6 +286,56 @@ object CurationQueries {
         SELECT label, cluster, count(*) AS n
         FROM a1 GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- SemDeDup: cluster the embedding space (label-prototype seeding),
+    // within each cluster link pairs with cosine >= 0.36 as semantic dups,
+    // keep the smallest id of each connected dup group. Oracle replays the
+    // full chain: rounded centroids -> NCM assignment -> within-cluster
+    // pair cut on the ROUNDED cosine -> recursive transitive closure. ----
+    "x47_semantic_dedup" -> Q(
+      (s, dir) => Similarity.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        threshold = 0.36)
+        .select(col("id").as("vec_id"), col("cluster"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE
+        v AS (SELECT vec_id, label,
+            list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        d AS (SELECT label, i AS dim, vec[i] AS val
+          FROM v, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c AS (SELECT label AS cl, dim, round(avg(val), 4) AS cv
+          FROM d GROUP BY 1, 2),
+        cent AS (SELECT cl, list(cv ORDER BY dim) AS centroid FROM c GROUP BY 1),
+        s AS (SELECT v.vec_id, cent.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent),
+        a AS (SELECT vec_id, cl AS cluster FROM (
+            SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s) WHERE rn = 1),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          JOIN v va ON va.vec_id = x.vec_id JOIN v vb ON vb.vec_id = y.vec_id
+          WHERE round(
+            list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * vb.vec[i]))
+            / (sqrt(list_sum(list_transform(va.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(vb.vec, x -> x * x)))), 6) >= 0.36),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS vec_id, least(src, min(dst)) AS comp_id
+                 FROM reach GROUP BY src)
+        SELECT a.vec_id, a.cluster,
+          CAST(comp.comp_id IS NULL OR comp.comp_id = a.vec_id AS INT) AS keep
+        FROM a LEFT JOIN comp USING (vec_id) ORDER BY a.vec_id""")),
+
     // ---- within-document duplicated-span removal (Lee et al. exact
     // substring dedup at 5-token-window granularity): first global
     // occurrence survives, documents reassembled from surviving spans ----

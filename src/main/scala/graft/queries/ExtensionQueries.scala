@@ -271,6 +271,62 @@ object ExtensionQueries {
         SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- product-quantization ANN (the compressed-domain scale path: scan
+    // m code bytes per vector, not the vectors). Unlike x6/x15 the oracle
+    // REPLAYS the whole PQ pipeline in SQL — deterministic strided codebook,
+    // integer-scaled sub-distances, ADC shortlist, exact re-rank — so the
+    // gate is value-exact independent of recall (recall is spec-tested). ----
+    "x46_ann_pq" -> Q(
+      (s, dir) => Similarity.pqTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+        numSubspaces = 8, numCodes = 16, codebookStride = 7, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH nv AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt(n2)) AS v
+          FROM (SELECT vec_id, embedding,
+                  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) AS t(x)) AS n2
+                FROM embeddings)),
+        cb AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+          FROM (SELECT * FROM nv WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16)),
+        subd AS (
+          SELECT n.vec_id, r.j, cb.c,
+            CAST(round((SELECT sum((z.a - z.b) * (z.a - z.b))
+                        FROM (SELECT unnest(n.v[r.j * 8 + 1 : r.j * 8 + 8]) AS a,
+                                     unnest(cb.v[r.j * 8 + 1 : r.j * 8 + 8]) AS b) z) * 1e6)
+                 AS BIGINT) AS d
+          FROM nv n, range(0, 8) AS r(j), cb),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+            FROM subd) WHERE rn = 1),
+        adc AS (
+          SELECT sd.vec_id AS query_id, co.vec_id AS neighbor_id, CAST(sum(sd.d) AS BIGINT) AS adc
+          FROM codes co JOIN subd sd ON sd.j = co.j AND sd.c = co.code
+          WHERE sd.vec_id IN (0, 1, 2, 3, 4) AND co.vec_id <> sd.vec_id
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srk
+          FROM adc),
+        rer AS (
+          SELECT s.query_id, s.neighbor_id, x.c AS cos
+          FROM short s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings cd ON cd.vec_id = s.neighbor_id,
+          LATERAL (SELECT sum(x::DOUBLE * y::DOUBLE)
+                          / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS c
+                   FROM (SELECT unnest(q.embedding) AS x, unnest(cd.embedding) AS y)) x
+          WHERE s.srk <= 64),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM rer)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- embedding near-dup pairs via SRP-LSH bucketing — the 100 TB form
     // of x13's bounded cross-join baseline, candidates-then-verify: equality
     // with the exact all-pairs oracle gates bucket recall at the threshold. ----

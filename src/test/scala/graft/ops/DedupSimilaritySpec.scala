@@ -272,6 +272,61 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, 2L, 1L, "e f")))   // doc2 chunks "e f","a b" -> "a b" stripped
   }
 
+  // 4 tight clusters around orthogonal 8-dim axes with deterministic jitter:
+  // ANN recall on this layout is total for any honest candidate generator
+  private def clusteredVecs(n: Int): Seq[(Long, Seq[Float])] =
+    (0L until n.toLong).map { id =>
+      val axis = (id % 4).toInt
+      val v = Array.fill(8)(0.01f * ((id * 7 % 5) - 2))
+      v(axis * 2) = 1f
+      v(axis * 2 + 1) = 0.1f * ((id % 3) - 1)
+      (id, v.toSeq)
+    }
+
+  test("pq: full shortlist equals brute force exactly (encode/ADC/re-rank plumbing)") {
+    val df = clusteredVecs(40).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L, 1L, 2L), k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", Seq(0L, 1L, 2L), k = 3,
+        numSubspaces = 4, numCodes = 8, codebookStride = 3, shortlist = 40, dim = 8)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(pq == brute)
+  }
+
+  test("pq: honest pruning (shortlist << corpus) still recovers the exact top-k on clustered data") {
+    val df = clusteredVecs(64).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L, 5L), k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    // shortlist 20 of 64: covers one 16-vector cluster, so the gate is that
+    // ADC ranks every same-cluster candidate below all cross-cluster ones
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", Seq(0L, 5L), k = 3,
+        numSubspaces = 4, numCodes = 8, codebookStride = 3, shortlist = 20, dim = 8)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(pq == brute)
+  }
+
+  test("semanticDedup: within-cluster dup groups keep their smallest id, singletons keep") {
+    // label 0 around +x: ids 0,1,2 mutually near (one dup group), id 3 far
+    // side of the cluster boundary but alone; label 1 around +y: 4,5 near
+    val df = Seq(
+      (0L, Seq(1.0f, 0.02f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.0f, 0.01f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.03f), 0),
+      (3L, Seq(0.6f, 0.0f, -0.8f, 0.0f), 0),
+      (4L, Seq(0.0f, 1.0f, 0.02f, 0.0f), 1),
+      (5L, Seq(0.01f, 0.99f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding", "label", threshold = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toList
+    assert(got == List((0L, true), (1L, false), (2L, false), (3L, true),
+      (4L, true), (5L, false)))
+  }
+
   test("nearest class mean: separable classes classify perfectly, centroids are rounded means") {
     // class 0 along +x, class 1 along +y; one borderline vector still closer to its own mean
     val df = Seq(
