@@ -139,19 +139,23 @@ object Dedup {
         array((0 until numHashes).map(s => col(s"__mh$s")): _*).as("sig"))
   }
 
-  /** Distinct (id_a < id_b) pairs agreeing on any full band — the bare
-    * candidate set, no signature payload. The band join and distinct shuffle
-    * only (band, band_hash, id): no array column ever rides a candidate row
-    * through the pair shuffles. `sigs` must already be materialized (it
-    * feeds both sides of the self-join).
-    */
-  private def bandedCandidates(sigs: DataFrame, numBands: Int): DataFrame = {
-    val banded = sigs.select(col("id"), col("sig"),
+  /** (id, band, band_hash) rows — one per signature band. Only 3 longs per
+    * (doc, band) row ever ride the candidate-join shuffles; signature arrays
+    * stay behind. */
+  private def bandHashes(sigs: DataFrame, numBands: Int): DataFrame =
+    sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
       .withColumn("band_hash", xxhash64(col("band"),
         slice(col("sig"), col("band") * col("rows_per_band") + 1, col("rows_per_band"))))
       .select("id", "band", "band_hash")
+
+  /** Distinct (id_a < id_b) pairs agreeing on any full band — the bare
+    * candidate set, no signature payload. `sigs` must already be
+    * materialized (it feeds both sides of the self-join).
+    */
+  private def bandedCandidates(sigs: DataFrame, numBands: Int): DataFrame = {
+    val banded = bandHashes(sigs, numBands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -200,6 +204,68 @@ object Dedup {
       numBands)
     rescoreJaccard(cand, df, idCol, textCol)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard for CROSS-corpus candidate pairs (id_a from `left`, id_b
+    * from `right`) — the two-frame form of `rescoreJaccard`, immune to id
+    * collisions between the corpora. Cost scales with |pairs|, not
+    * |left| × |right|. */
+  private def rescoreJaccardCross(pairs: DataFrame,
+                                  left: DataFrame, right: DataFrame,
+                                  idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol).as("id"),
+        explode(tokenSet(col(textCol))).as("tok"))
+      .localCheckpoint(true)
+    val p = pairs.select("id_a", "id_b").localCheckpoint(true)
+    val ta = toks(left); val tb = toks(right)
+    val szA = ta.groupBy(col("id")).agg(count(lit(1)).as("sz_a"))
+    val szB = tb.groupBy(col("id")).agg(count(lit(1)).as("sz_b"))
+    val inter = p
+      .join(ta.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(tb.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    p.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(szA.select(col("id").as("id_a"), col("sz_a")), "id_a")
+      .join(szB.select(col("id").as("id_b"), col("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** FUZZY reference decontamination: drop every corpus document whose token
+    * set is a near-duplicate (exact Jaccard >= threshold) of ANY reference
+    * document — the MinHash-LSH cross-corpus gate sitting between exact-text
+    * reference dedup (`exactDedupAgainst`/`bloomDedupAgainst`) and span-level
+    * decontamination (`spanDedupAgainst`): it catches lightly-edited copies
+    * of benchmark/blocklist content that exact hashing misses and span
+    * stripping would only partially remove. Returns the surviving corpus rows.
+    *
+    * Candidates-then-verify at cross-corpus: both sides' signatures meet in
+    * ONE banded equi-join (linear shuffle of 3-long rows — never
+    * |corpus| × |ref|), exact cross-Jaccard disposes, and one anti-join
+    * removes flagged docs. The corpus never shuffles: only its signature
+    * band rows, candidate ids, and the matched-pair token rows do. Output
+    * equals the exact all-pairs gate whenever band recall is total at the
+    * threshold — 16 bands of 2 rows miss a j = 0.8 pair with P ≈ 8e-8, and
+    * a DOC escapes only if every one of its qualifying pairs is missed —
+    * which is what the x48 equality oracle verifies end-to-end.
+    */
+  def minhashDedupAgainst(corpus: DataFrame, reference: DataFrame,
+                          idCol: String, textCol: String, threshold: Double,
+                          numHashes: Int = 32, numBands: Int = 16): DataFrame = {
+    val sigC = minhashSignatures(corpus, idCol, textCol, numHashes).localCheckpoint(true)
+    val sigR = minhashSignatures(reference, idCol, textCol, numHashes).localCheckpoint(true)
+    val cand = bandHashes(sigC, numBands).as("a")
+      .join(bandHashes(sigR, numBands).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val dirty = rescoreJaccardCross(cand, corpus, reference, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(dirty, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash: each token contributes ±tf to each of 64 bit positions;

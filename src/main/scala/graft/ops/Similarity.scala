@@ -516,6 +516,10 @@ object Similarity {
         df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
         "vec", init, iters = 0, roundDp)
       .select(col("id"), col("cluster"), col("vec"))
+    // the cluster equi-join shuffles 2N fixed-width vector rows (not pairs:
+    // pair fan-out happens post-join inside each cluster's partition, and
+    // the cosine cut is applied before anything else materializes); a hot
+    // cluster is a skewed JOIN partition, which AQE can split
     val pairs = assigned.select(col("id").as("id_a"), col("cluster"), col("vec").as("va"))
       .join(assigned.select(col("id").as("id_b"), col("cluster"), col("vec").as("vb")),
         Seq("cluster"))

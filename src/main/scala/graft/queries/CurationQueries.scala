@@ -286,6 +286,39 @@ object CurationQueries {
         SELECT label, cluster, count(*) AS n
         FROM a1 GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- fuzzy reference decontamination: drop train docs near-duplicate
+    // (exact Jaccard >= 0.8) of ANY benchmark-slice doc. MinHash-LSH
+    // proposes cross-corpus candidates, exact Jaccard disposes; the oracle
+    // is the exact all-pairs gate, so equality verifies band recall. ----
+    "x48_fuzzy_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashDedupAgainst(
+          docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(20L)) === 0L),
+          "doc_id", "text", threshold = 0.8)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+          FROM documents),
+        sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM toks a JOIN toks b ON a.tok = b.tok
+          WHERE a.id % 20 <> 0 AND b.id % 20 = 0
+          GROUP BY 1, 2),
+        dirty AS (
+          SELECT DISTINCT id_a AS doc_id FROM inter
+          JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+          WHERE cast(i AS DOUBLE) / cast(sa.sz + sb.sz - i AS DOUBLE) >= 0.8)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+        ORDER BY d.doc_id""")),
+
     // ---- SemDeDup: cluster the embedding space (label-prototype seeding),
     // within each cluster link pairs with cosine >= 0.36 as semantic dups,
     // keep the smallest id of each connected dup group. Oracle replays the

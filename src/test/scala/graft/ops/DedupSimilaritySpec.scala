@@ -272,6 +272,53 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, 2L, 1L, "e f")))   // doc2 chunks "e f","a b" -> "a b" stripped
   }
 
+  test("minhashDedupAgainst: drops near-dups of reference docs, id collisions are safe") {
+    // corpus id 1 is a light edit of reference doc (jaccard 4/5 = 0.8),
+    // corpus id 2 is unrelated; reference reuses id 1 to prove the two
+    // corpora's id spaces never mix
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, "alpha beta gamma delta zeta"),
+      (9L, "qq rr ss tt uu"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text",
+        threshold = 0.65, numHashes = 32, numBands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toList
+    assert(kept == List(2L))
+    // raise the bar past the overlap: nothing is dropped
+    val keptAll = Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text",
+        threshold = 0.9, numHashes = 32, numBands = 16)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toList
+    assert(keptAll == List(1L, 2L))
+  }
+
+  test("fuzz: minhashDedupAgainst equals the exact cross-jaccard gate on random corpora") {
+    val rng = new scala.util.Random(77)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    for (_ <- 1 to 5) {
+      val mk = () => Seq.fill(3 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0L until 12L).map(i => (i, mk()))
+      val ref = (0L until 5L).map(i => (i + 100L, mk()))
+      val t = 0.5
+      def tokset(s: String) = s.split(" ").toSet
+      val expected = corpus.filterNot { case (_, ct) =>
+        ref.exists { case (_, rt) =>
+          val (a, b) = (tokset(ct), tokset(rt))
+          val i = (a & b).size
+          i.toDouble / (a.size + b.size - i) >= t
+        }
+      }.map(_._1).sorted
+      val got = Dedup.minhashDedupAgainst(
+          corpus.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+          "doc_id", "text", threshold = t, numHashes = 64, numBands = 32)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toList
+      assert(got == expected.toList, s"corpus=$corpus ref=$ref")
+    }
+  }
+
   // 4 tight clusters around orthogonal 8-dim axes with deterministic jitter:
   // ANN recall on this layout is total for any honest candidate generator
   private def clusteredVecs(n: Int): Seq[(Long, Seq[Float])] =
