@@ -46,6 +46,25 @@ class CurationStreamSpec extends SparkSpec {
       s"stream ${collected.toList} vs batch ${batch.toList}")
   }
 
+  test("streamed fuzzy (near-dup) decontamination == batch run, any micro-batching") {
+    val batch = Dedup.minhashDedupAgainst(
+        docs.toDF("doc_id", "text"), reference, "doc_id", "text", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+
+    val input = MemoryStream[Doc](spark)
+    val collected = scala.collection.mutable.Set.empty[Long]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Dedup.minhashDedupAgainst(df, reference, "doc_id", "text", threshold = 0.4)
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        ()
+      }
+      .start()
+    docs.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    assert(collected.toSet == batch)
+  }
+
   test("streamed whole-doc decontamination == batch run, any micro-batching") {
     val batch = Decontaminate.removeContaminated(
         docs.toDF("doc_id", "text"), reference, "doc_id", "text", n = 3)
