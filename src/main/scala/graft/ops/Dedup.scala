@@ -100,10 +100,15 @@ object Dedup {
                      tokenizer: Column => Column = tokenSet): DataFrame = {
     // the pair set is read twice (intersection build + final assembly) and
     // is usually an expensive candidate-generation subplan — run it once;
-    // likewise the token explode feeds the size aggregate and two joins
+    // likewise the token explode feeds the size aggregate and two joins.
+    // Tokens ride those joins as 8-byte hashes, never strings: |inter| and
+    // |set| are hash-collision-exact up to P ≈ tokens²/2^64 (the string
+    // oracle would surface a collision), and the (pair, token) attach stage
+    // — the volume peak of the whole rescore — shuffles fixed-width rows
     val p = pairs.select("id_a", "id_b").localCheckpoint(true)
     val toks = df.select(col(idCol).as("id"),
-        explode(tokenizer(col(textCol))).as("tok"))
+        explode(tokenizer(col(textCol))).as("__t"))
+      .select(col("id"), xxhash64(col("__t")).as("tok"))
       .localCheckpoint(true)
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = p
@@ -213,8 +218,11 @@ object Dedup {
   private def rescoreJaccardCross(pairs: DataFrame,
                                   left: DataFrame, right: DataFrame,
                                   idCol: String, textCol: String): DataFrame = {
+    // token strings never ride the pair joins — 8-byte hashes do (see
+    // rescoreJaccard for the collision bound)
     def toks(df: DataFrame) = df.select(col(idCol).as("id"),
-        explode(tokenSet(col(textCol))).as("tok"))
+        explode(tokenSet(col(textCol))).as("__t"))
+      .select(col("id"), xxhash64(col("__t")).as("tok"))
       .localCheckpoint(true)
     val p = pairs.select("id_a", "id_b").localCheckpoint(true)
     val ta = toks(left); val tb = toks(right)
@@ -251,6 +259,13 @@ object Dedup {
     * threshold — 16 bands of 2 rows miss a j = 0.8 pair with P ≈ 8e-8, and
     * a DOC escapes only if every one of its qualifying pairs is missed —
     * which is what the x48 equality oracle verifies end-to-end.
+    *
+    * Cost is |candidates| × shared tokens, i.e. linear in true matches on a
+    * realistic corpus (rare matches → sparse candidates). The synthetic
+    * test corpus is the adversarial DENSE case — ~95% of all cross pairs
+    * are near-dups, so verification degenerates to exact all-pairs work
+    * there by construction; no candidate generator can prune pairs that
+    * genuinely qualify.
     */
   def minhashDedupAgainst(corpus: DataFrame, reference: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
