@@ -245,7 +245,7 @@ object Dedup {
   /** FUZZY reference decontamination: drop every corpus document whose token
     * set is a near-duplicate (exact Jaccard >= threshold) of ANY reference
     * document — the MinHash-LSH cross-corpus gate sitting between exact-text
-    * reference dedup (`exactDedupAgainst`/`bloomDedupAgainst`) and span-level
+    * reference dedup (`bloomDedupAgainst`) and span-level
     * decontamination (`spanDedupAgainst`): it catches lightly-edited copies
     * of benchmark/blocklist content that exact hashing misses and span
     * stripping would only partially remove. Returns the surviving corpus rows.
