@@ -492,7 +492,11 @@ object Dedup {
       udf((fp: String) => fp != null && bloomBc.value.mightContainString(fp))
     val withFp = corpus.withColumn("__fp", md5(col(textCol)))
     val result =
-      if (expected <= 2000000L) {
+      // the broadcast route ships every reference fingerprint to every
+      // executor: 200k 32-char strings ≈ 15 MB as a hash relation — a safe
+      // forced broadcast. Beyond that, the two-path route keeps the probe
+      // sketch (KBs) broadcast and only the maybe-sliver shuffles.
+      if (expected <= 200000L) {
         withFp.join(broadcast(ref),
           mightContain(withFp("__fp")) && withFp("__fp") === ref("__fp"),
           "left_anti")
@@ -600,7 +604,9 @@ object Dedup {
 
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 w: Int): DataFrame = {
-    val chunks = hashedChunks(df, idCol, textCol, w)
+    // the chunk frame feeds the winners aggregate AND the flag join-back —
+    // materialize the tokenize+explode+hash scan once, not twice
+    val chunks = hashedChunks(df, idCol, textCol, w).localCheckpoint(true)
     val winners = chunks.groupBy(col("__ch"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__w"))
     val flags = chunks.join(winners, Seq("__ch"))

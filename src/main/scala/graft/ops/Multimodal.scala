@@ -64,11 +64,14 @@ object Multimodal {
     var off = 2
     while (off + 9 <= b.length && (b(off) & 0xff) == 0xff) {
       val marker = b(off + 1) & 0xff
-      if (marker >= 0xc0 && marker <= 0xcf &&
+      if (marker == 0xff) off += 1                           // spec-legal fill byte
+      else if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
         return Some((be16(b, off + 7), be16(b, off + 5)))   // (width, height)
-      if (marker == 0xd9 || marker == 0xda) return None     // EOI / scan start
-      off += 2 + be16(b, off + 2)
+      else if (marker == 0xd9 || marker == 0xda) return None // EOI / scan start
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8))
+        off += 2                                             // standalone: TEM/RSTn/SOI — no length field
+      else off += 2 + be16(b, off + 2)
     }
     None
   }
@@ -78,6 +81,12 @@ object Multimodal {
     */
   private[ops] def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = bytes.length.toLong
+    // one marker walk per JPEG payload, shared by the branch test and the
+    // field extraction (EXIF-heavy headers make the walk non-trivial)
+    lazy val jpeg: Option[(Int, Int)] =
+      if (n >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        jpegDims(bytes)
+      else None
     if (n >= 54 && bytes(0) == 'B' && bytes(1) == 'M')
       MediaFeatures(id, n, "bmp",
         width = Some(le32(bytes, 18)), height = Some(math.abs(le32(bytes, 22))),
@@ -86,9 +95,8 @@ object Multimodal {
       MediaFeatures(id, n, "png",
         width = Some(be32(bytes, 16)), height = Some(be32(bytes, 20)),
         channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
-    else if (n >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
-             jpegDims(bytes).isDefined) {
-      val (w, h) = jpegDims(bytes).get
+    else if (jpeg.isDefined) {
+      val (w, h) = jpeg.get
       MediaFeatures(id, n, "jpeg",
         width = Some(w), height = Some(h),
         channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)

@@ -512,12 +512,15 @@ object Similarity {
     val init = classCentroids(df, vecCol, labelCol, roundDp)
       .orderBy(col("label")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     // the assignment frame feeds both sides of the pair self-join AND the
-    // final keep verdict — materialize the argmax scan once, not three times
-    val assigned = kmeansAssign(
-        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
-        "vec", init, iters = 0, roundDp)
-      .select(col("id"), col("cluster"), col("vec"))
+    // final keep verdict — materialize the argmax scan once, not three
+    // times. A single-label corpus is one big cluster (all pairs compared
+    // within it) — kmeansAssign's >= 2-centroid argmax is skipped.
+    val assigned = (init.length match {
+      case 1 => base.withColumn("cluster", lit(init.head._1))
+      case _ => kmeansAssign(base, "vec", init, iters = 0, roundDp)
+    }).select(col("id"), col("cluster"), col("vec"))
       .localCheckpoint(true)
     // the cluster equi-join shuffles 2N fixed-width vector rows (not pairs:
     // pair fan-out happens post-join inside each cluster's partition, and

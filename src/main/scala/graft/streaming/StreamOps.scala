@@ -215,9 +215,14 @@ object StreamOps {
       else {
         val in = fs.open(p)
         try {
+          // read to EOF: a single InputStream.read may short-read on HDFS,
+          // and a truncated '1754955600000' would parse as a LOWER value
+          // that the max-fold below then treats as authoritative
+          val buf = new java.io.ByteArrayOutputStream(32)
           val bytes = new Array[Byte](32)
-          val n = in.read(bytes)
-          new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong
+          var n = in.read(bytes)
+          while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+          new String(buf.toByteArray, "UTF-8").trim.toLong
         } catch { case _: NumberFormatException => Long.MinValue }
         finally in.close()
       }
@@ -232,7 +237,14 @@ object StreamOps {
         // in-memory cell lags (another process advanced further) must not
         // regress the durable value with a last-writer-wins overwrite
         val publish = math.max(v, loadPersisted())
-        val tmp = new Path(p.getParent, p.getName + ".tmp")
+        // per-writer tmp name: concurrent publishers must not share a tmp
+        // file (on HDFS the second create(overwrite) on a leased file
+        // throws; on a local FS a racing rename could publish a torn
+        // write). The max-fold above makes concurrent publishes converge
+        // upward; true compare-and-swap needs a coordination service and
+        // is out of scope (the reference serializes through one process).
+        val tmp = new Path(p.getParent,
+          p.getName + ".tmp." + java.util.UUID.randomUUID().toString)
         val out = fs.create(tmp, true)
         try out.write(publish.toString.getBytes("UTF-8")) finally out.close()
         // atomic publish via FileContext overwrite-rename (plain

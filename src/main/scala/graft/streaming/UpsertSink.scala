@@ -67,10 +67,24 @@ class UpsertSink(spark: SparkSession, stateDir: String,
       val name = old.getPath.getName
       val k = name.substring(name.lastIndexOf('-') + 1)
       val curPart = new Path(s"$current/$BucketCol=$k")
-      if (!fs.exists(curPart)) { fs.mkdirs(new Path(current)); fs.rename(old.getPath, curPart) }
+      if (!fs.exists(curPart)) {
+        fs.mkdirs(new Path(current))
+        renameOrThrow(old.getPath, curPart)
+      }
       else fs.delete(old.getPath, true)
     }
   }
+
+  /** Hadoop FileSystem.rename reports failure by RETURNING FALSE (it also
+    * moves src UNDER an existing dst directory instead of failing flat, the
+    * way java.io.File.renameTo did) — a discarded false here would let the
+    * next rename nest new state inside stale state and silently serve old
+    * rows. Every swap rename must therefore be checked and fail loudly;
+    * recover() + checkpointed replay heal the interrupted swap on restart.
+    */
+  private def renameOrThrow(src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   def state(): DataFrame = {
     recover()
@@ -111,10 +125,10 @@ class UpsertSink(spark: SparkSession, stateDir: String,
       val stagePart = new Path(s"$staging/$BucketCol=$k")
       val curPart = new Path(s"$current/$BucketCol=$k")
       val old = new Path(s"$stateDir/old-$batchId-$k")
-      if (fs.exists(curPart)) fs.rename(curPart, old)
+      if (fs.exists(curPart)) renameOrThrow(curPart, old)
       // a bucket whose keys were all deleted has no staging output — the
       // bucket directory simply disappears
-      if (fs.exists(stagePart)) fs.rename(stagePart, curPart)
+      if (fs.exists(stagePart)) renameOrThrow(stagePart, curPart)
       if (fs.exists(old)) fs.delete(old, true)
     }
     fs.delete(new Path(staging), true)

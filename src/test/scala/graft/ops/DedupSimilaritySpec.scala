@@ -205,6 +205,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Multimodal.jpegDims(Multimodal.jpegBytes(1, 1)).contains((1, 1)))
     val scanOnly = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x02).map(_.toByte)
     assert(Multimodal.decodeOne(5L, scanOnly).format_guess == "utf8-text")
+    // spec-legal fill bytes and standalone markers before the SOF must not
+    // derail the walk: FF D8 | FF FF (fill) | FF 01 (TEM, no length) | SOF0
+    val base = Multimodal.jpegBytes(33, 44)
+    val padded = (base.take(2) ++ Array(0xff, 0xff, 0x01).map(_.toByte) ++ base.drop(2))
+    assert(Multimodal.jpegDims(padded).contains((33, 44)))
   }
 
   test("multimodal decode: batch shape, utf8 fallback features, frame sampling") {
@@ -372,6 +377,18 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(2))).toList
     assert(got == List((0L, true), (1L, false), (2L, false), (3L, true),
       (4L, true), (5L, false)))
+  }
+
+  test("semanticDedup: single-label corpus is one cluster, dedup still applies") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),
+      (1L, Seq(0.99f, 0.01f), 7),   // near-dup of 0
+      (2L, Seq(0.0f, 1.0f), 7))     // orthogonal singleton
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding", "label", threshold = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toList
+    assert(got == List((0L, 7, true), (1L, 7, false), (2L, 7, true)))
   }
 
   test("nearest class mean: separable classes classify perfectly, centroids are rounded means") {
