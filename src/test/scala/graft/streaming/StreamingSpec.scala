@@ -116,6 +116,24 @@ class StreamingSpec extends SparkSpec {
     assert(new AlignmentGate(Some(cfgDir)).current == 6000L)
   }
 
+  test("alignment gate: concurrent publishers never crash and never tear the file") {
+    // racing advance() calls each write through a unique tmp name: no
+    // shared-tmp collision (HDFS lease crash / local torn write), and the
+    // durable file always parses to SOME published value. The max-fold is
+    // best-effort under races (documented: true CAS needs coordination),
+    // so the assertion is membership + parseability, not the exact max.
+    val cfgDir = java.nio.file.Files.createTempDirectory("graft-gate-conc").toString
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        val g = new AlignmentGate(Some(cfgDir))
+        (1 to 20).foreach(j => g.advance(i * 1000L + j))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val v = new AlignmentGate(Some(cfgDir)).current
+    assert(v >= 1001L && v <= 8020L, s"torn or unparseable watermark: $v")
+  }
+
   test("alignment gate holds L1 ops until the sidechain passes them (T2)") {
     implicit val sq = spark.sqlContext
     val gate = new AlignmentGate
