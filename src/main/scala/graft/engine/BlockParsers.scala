@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   *
   * logs JSON: {"errors": [...]?, "events": [{"contract","event","data":{..}}]?}
   *
-  * seq = blockNumber·1e6 + txIdx·1e3 + eventIdx keeps the reference's
-  * sequential processing order total and replay-stable.
+  * seq comes from `Schemas.sidechainSeq(ts, blockNumber, txIdx, evIdx)` —
+  * the timestamp-major cross-stream order that compares correctly against
+  * L1 seqs (see the encoder scaladoc in Schemas).
   */
 object BlockParsers {
 
@@ -55,7 +56,8 @@ object BlockParsers {
       .select(col("*"), posexplode(col("logs.events")).as(Seq("ev_idx", "ev")))
       .filter(col("ev.contract") === "comments")
       .select(
-        (col("blockNumber") * 1000000L + col("tx_idx") * 1000L + col("ev_idx")).as("seq"),
+        Schemas.sidechainSeq(col("ts"), col("blockNumber"),
+          col("tx_idx"), col("ev_idx")).as("seq"),
         col("ts"), col("txid"), col("sender"), col("action"),
         col("ev.event").as("event"),
         coalesce(col("ev.data")("symbol"), pj("symbol")).as("symbol"),
@@ -72,7 +74,8 @@ object BlockParsers {
     val fromMutes = t
       .filter(col("action").isin("setMute", "setPostMute"))
       .select(
-        (col("blockNumber") * 1000000L + col("tx_idx") * 1000L).as("seq"),
+        Schemas.sidechainSeq(col("ts"), col("blockNumber"),
+          col("tx_idx"), lit(0L)).as("seq"),
         col("ts"), col("txid"), col("sender"), col("action"),
         lit(null).cast("string").as("event"),
         lit(null).cast("string").as("symbol"),   // resolved from rewardPoolId below
@@ -110,7 +113,8 @@ object BlockParsers {
     txs(blocks)
       .filter(col("contract") === "tokens" && col("action") === "transfer")
       .select(
-        (col("blockNumber") * 1000000L + col("tx_idx") * 1000L).as("seq"),
+        Schemas.sidechainSeq(col("ts"), col("blockNumber"),
+          col("tx_idx"), lit(0L)).as("seq"),
         col("ts"), col("txid"), col("sender"),
         pj("symbol").as("symbol"), pj("quantity").as("quantity"),
         pj("memo").as("memo"), pj("to").as("to"),
@@ -128,11 +132,16 @@ object BlockParsers {
       "disableDownvote", "ignoreDeclinePayout")
     val pairs = fields.flatMap(f =>
       Seq(lit(f), get_json_object(col("payload"), s"$$.config.$f"))) ++
-      // tags is a JSON array -> CSV (the reference joins with commas)
+      // tags is a JSON array -> CSV (the reference joins with commas). An
+      // ABSENT config.tags must stay null — like every other field here —
+      // so the sparse-upsert compaction keeps the prior value; only an
+      // explicit tags:[] becomes the (present) empty string
       Seq(lit("tags"),
-        array_join(coalesce(from_json(
+        when(get_json_object(col("payload"), "$.config.tags").isNull,
+          lit(null).cast(StringType))
+        .otherwise(array_join(coalesce(from_json(
           get_json_object(col("payload"), "$.config.tags"),
-          ArrayType(StringType)), array().cast(ArrayType(StringType))), ",")) ++
+          ArrayType(StringType)), array().cast(ArrayType(StringType))), ","))) ++
       // createRewardPool events carry the new pool's id in data._id
       // (engine_comments_contract_processor.py:219-224)
       Seq(lit("_id"), data("_id"))

@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 import graft.core.{Scores, Upsert}
 
 /** Batch replay of the sidechain comments-contract event stream into the
@@ -40,7 +41,7 @@ object ContractReplay {
   import Schemas.decimal
 
   private def ap(author: Column, permlink: Column): Column =
-    concat(lit("@"), author, lit("/"), permlink)
+    Schemas.authorperm(author, permlink)
 
   private def voteEvents(ev: DataFrame): DataFrame =
     ev.filter(col("event").isin("newVote", "updateVote"))
@@ -193,7 +194,13 @@ object ContractReplay {
             Scores.score(col("promoted").cast("double"), unix_timestamp(col("created")), 480000L))
           .otherwise(lit(0.0))
           .cast("float").as("score_promoted"),
-        coalesce(col("post_muted"), col("creation_muted"), lit(false)).as("muted"),
+        // a setPostMute applies only to the CURRENT incarnation: newComment
+        // re-initializes muted from the author's account state
+        // (engine_comments_contract_processor.py:62-72), and delete_comment
+        // removes the row — so a mute that predates the (re-)creating
+        // newComment must not resurrect onto the new post
+        coalesce(when(col("post_mute_seq") > col("created_seq"), col("post_muted")),
+          col("creation_muted"), lit(false)).as("muted"),
         col("created_seq"))
   }
 
@@ -210,7 +217,10 @@ object ContractReplay {
         col("config")("cashoutWindowDays").cast("int").as("cashout_window_days"),
         col("config")("voteRegenerationDays").cast("int").as("vote_regeneration_days"),
         col("config")("downvoteRegenerationDays").cast("int").as("downvote_regeneration_days"),
-        split(col("config")("tags"), ",").as("tags"),
+        // null (absent) stays null for the sparse merge; explicit "" is an
+        // explicit empty tag list, NOT [""]
+        when(col("config")("tags") === "", array().cast(ArrayType(StringType)))
+          .otherwise(split(col("config")("tags"), ",")).as("tags"),
         col("sender").as("issuer"),
         coalesce(col("config")("disableDownvote").cast("boolean"), lit(false)).as("disable_downvoting"),
         coalesce(col("config")("ignoreDeclinePayout").cast("boolean"), lit(false)).as("ignore_decline_payout"),

@@ -101,7 +101,10 @@ object Feeds {
       col("main_post") === mainPost && window30d(now) &&
       tagPred(tag) && hivePred(hiveSelect))
     if (pendingOnly || promotedVariant)
-      base = base.filter(col("last_payout") === lit(Timestamp.valueOf("1970-01-01 00:00:00")) &&
+      // the epoch sentinel must be built the same way ContractReplay stores
+      // it (session-timezone to_timestamp) — Timestamp.valueOf would use the
+      // JVM default zone and silently match nothing when the two differ
+      base = base.filter(col("last_payout") === to_timestamp(lit("1970-01-01")) &&
         col("cashout_time") > lit(now))
     if (promotedVariant)
       base = base.filter(col("promoted") > 0)
@@ -121,14 +124,20 @@ object Feeds {
     val followed = st.follows
       .filter(col("follower") === account && col("state") === 1)
       .select(col("following"))
-    val authored = st.posts
-      .filter(col("token") === token.toUpperCase && col("main_post") && window30d(now))
+    // BOTH branches window on the POST's creation time and exclude the
+    // account's own posts (the reference's reblog branch carries
+    // `p.created > :cutoff AND author NOT IN :accounts` too,
+    // post_storage.py:338 — a reblog of a 2-year-old or self-authored post
+    // must not enter the feed)
+    val eligible = st.posts
+      .filter(col("token") === token.toUpperCase && col("main_post") &&
+        window30d(now) && col("author") =!= account)
+    val authored = eligible
       .join(broadcast(followed), col("author") === col("following"), "left_semi")
-      .filter(col("author") =!= account)
       .select(col("authorperm"), col("created").as("t"), lit(null).cast("string").as("reblogged_by"))
     val reblogged = st.reblogs
       .join(broadcast(followed), col("account") === col("following"), "left_semi")
-      .filter(col("account") =!= account)
+      .join(eligible.select(col("authorperm")).distinct(), Seq("authorperm"), "left_semi")
       .select(col("authorperm"), col("timestamp").as("t"), col("account").as("reblogged_by"))
     val merged = authored.unionByName(reblogged)
       .groupBy(col("authorperm"))
@@ -233,10 +242,12 @@ object Feeds {
     st.follows.filter(col("state") === 1 &&
         (col("follower") === account || col("following") === account))
       .agg(
-        sum(when(col("follower") === account, 1).otherwise(0)).cast("long")
-          .as("following_count"),
-        sum(when(col("following") === account, 1).otherwise(0)).cast("long")
-          .as("follower_count"))
+        // coalesce: the agg over an empty input yields NULL sums, but the
+        // reference's COUNT(*) answers 0 for an account with no follows
+        coalesce(sum(when(col("follower") === account, 1).otherwise(0)), lit(0))
+          .cast("long").as("following_count"),
+        coalesce(sum(when(col("following") === account, 1).otherwise(0)), lit(0))
+          .cast("long").as("follower_count"))
 
   /** API-edge row shaping (`format_feed_data`, server/app.py:380-447):
     * authorperm resolved to author+permlink, tags rendered back to the

@@ -23,7 +23,7 @@ object HiveOpsReplay {
     coalesce(get(col("posting_auths"), lit(0)), get(col("auths"), lit(0)))
 
   private def ap(author: Column, permlink: Column): Column =
-    concat(lit("@"), author, lit("/"), permlink)
+    Schemas.authorperm(author, permlink)
 
   /** follows state from custom_json id="follow" ops
     * (`processors/custom_json_follow_processor.py:20-42`): shape-validated,
@@ -101,13 +101,21 @@ object HiveOpsReplay {
       .select(col("seq"), ap(col("author"), col("permlink")).as("authorperm"))
 
   /** L1-maintained post fields from comment ops: title[:256], desc =
-    * body[:300], tags (category + metadata tags, deduped, order-preserving),
-    * parent linkage, main_post — latest op per authorperm
+    * APPLIED body[:300], tags (category + metadata tags, deduped,
+    * order-preserving), parent linkage, main_post — latest op per authorperm
     * (`processors/comment_processor_for_engine.py:32-150`).
+    *
+    * desc comes from the PATCH-FOLDED body (the reference truncates
+    * `new_body` AFTER dmp.patch_apply, py:132) — truncating the raw latest
+    * op body would serve diff-match-patch markup as the description
+    * whenever the newest edit arrived as a patch.
     */
   def l1PostFields(hiveOps: DataFrame): DataFrame = {
     val c = commentOps(hiveOps)
+    val bodies = PatchUdf.foldBodies(c)   // (authorperm, body) patch-applied
     Upsert.latestWins(c, Seq("authorperm"), Seq(col("seq")))
+      .drop("body")
+      .join(bodies, Seq("authorperm"), "left")
       .select(col("authorperm"),
         substring(col("title"), 1, 256).as("title"),
         substring(col("body"), 1, 300).as("desc"),

@@ -66,9 +66,15 @@ object PatchUdf {
             val exp = expectedOld.toString
             // DMP prints start+1 for non-empty hunks
             val stated = math.max(0, s1.toInt - 1)
+            // every placement path is monotone (>= srcPos): an earlier hunk
+            // placed forward of its stated offset must not let a later
+            // hunk's stated/exact position point BEHIND the consumed
+            // prefix — substring(srcPos, pos) would throw and the catch
+            // would replace the whole body with raw patch text
             val at = {
               val exact =
-                if (oldBody.regionMatches(stated, exp, 0, exp.length)) stated
+                if (stated >= srcPos &&
+                    oldBody.regionMatches(stated, exp, 0, exp.length)) stated
                 else oldBody.indexOf(exp, srcPos)
               if (exact >= 0) exact
               else matchBitap(oldBody, exp, stated) match {
@@ -77,7 +83,8 @@ object PatchUdf {
               }
             }
             if (exp.isEmpty || at >= 0) {
-              val pos = if (exp.isEmpty) math.min(stated, oldBody.length) else at
+              val pos = if (exp.isEmpty)
+                math.min(math.max(stated, srcPos), oldBody.length) else at
               sb ++= oldBody.substring(srcPos, pos)
               sb ++= replacement.toString
               srcPos = math.min(pos + exp.length, oldBody.length)

@@ -14,6 +14,53 @@ object Schemas {
 
   val decimal: DecimalType = DecimalType(38, 8)
 
+  /** Cross-stream replay order. The reference runs L1 and sidechain
+    * ingestion as two processes whose only coupling is the alignment gate:
+    * an L1 op at timestamp T is held until the sidechain has streamed past
+    * T (`stream_blocks.py:85-91`). The canonical batch-replay total order
+    * is therefore TIMESTAMP-major with the sidechain lane winning ties —
+    * and every `seq`, from either stream, must come from these encoders so
+    * that cross-stream comparisons (L1 delete vs sidechain create,
+    * tribe-settings as-of vs promotion transfer) compare meaningfully.
+    * Encoding one stream as block·10⁶ and the other as block·10⁴ would
+    * make every sidechain seq exceed every L1 seq at real block heights.
+    *
+    * Long layout (high → low): unix seconds ×2²⁴ | lane ×2²³ (0 sidechain,
+    * 1 L1) | block#%4 ×2²¹ | tx/op idx ×2¹⁰ | event idx. Capacity: 4
+    * same-second blocks per lane, 2048 txs (or L1 ops) per block, 1024
+    * events per tx — each ≥3 orders of magnitude above the chains' actual
+    * rates (one block per ~3 s). Max epoch ~5×10¹¹ s before long overflow.
+    */
+  private def packedSeq(ts: org.apache.spark.sql.Column, lane: Int,
+                        blockNum: org.apache.spark.sql.Column,
+                        majorIdx: org.apache.spark.sql.Column,
+                        minorIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    unix_timestamp(ts) * (1L << 24) + lit(lane.toLong * (1L << 23)) +
+      pmod(blockNum, lit(4L)) * (1L << 21) + majorIdx * (1L << 10) + minorIdx
+  }
+
+  def sidechainSeq(ts: org.apache.spark.sql.Column, blockNum: org.apache.spark.sql.Column,
+                   txIdx: org.apache.spark.sql.Column,
+                   evIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    packedSeq(ts, 0, blockNum, txIdx, evIdx)
+
+  def l1Seq(ts: org.apache.spark.sql.Column, blockNum: org.apache.spark.sql.Column,
+            opIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    packedSeq(ts, 1, blockNum, opIdx, lit(0L))
+  }
+
+  /** Canonical authorperm key: "@author/permlink" (utils.construct_authorperm)
+    * — the join key between every L1- and sidechain-derived table, so there
+    * is exactly ONE construction rule.
+    */
+  def authorperm(author: org.apache.spark.sql.Column,
+                 permlink: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("@"), author, lit("/"), permlink)
+  }
+
   val posts: StructType = StructType(Seq(
     StructField("authorperm", StringType), StructField("token", StringType),
     StructField("author", StringType), StructField("created", TimestampType),
@@ -74,7 +121,9 @@ object Schemas {
     StructField("tags", ArrayType(StringType)), StructField("issuer", StringType)))
 
   /** Flattened L1 op envelope (stream_blocks.py:225-258; FIXTURES.md §B2).
-    * `seq` is the global replay order (block_num * 10000 + op index).
+    * `seq` is the CROSS-STREAM replay order — ingestion must build it with
+    * `Schemas.l1Seq(ts, blockNum, opIdx)` (see the encoder scaladoc above)
+    * so it totally orders against sidechain seqs.
     */
   val hiveOps: StructType = StructType(Seq(
     StructField("seq", LongType), StructField("ts", TimestampType),

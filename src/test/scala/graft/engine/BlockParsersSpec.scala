@@ -39,14 +39,39 @@ class BlockParsersSpec extends SparkSpec {
 
   test("events flattened with stable seq and payload extraction") {
     val nc = events.filter(col("event") === "newComment").collect().head
-    assert(nc.getAs[Long]("seq") == 100000000L)
     assert(nc.getAs[String]("symbol") == "PAL")
     assert(nc.getAs[String]("author") == "alice")
 
     val nv = events.filter(col("event") === "newVote").collect().head
-    assert(nv.getAs[Long]("seq") == 100001000L)
     assert(nv.getAs[java.math.BigDecimal]("rshares").longValue() == 1234L)
     assert(nv.getAs[Short]("weight") == 10000)
+
+    // seq is the cross-stream total order: within a block later txs sort
+    // later, across blocks later timestamps sort later
+    assert(nc.getAs[Long]("seq") < nv.getAs[Long]("seq"))
+    val mute = events.filter(col("action") === "setMute").collect().head
+    assert(nv.getAs[Long]("seq") < mute.getAs[Long]("seq"))
+  }
+
+  test("cross-stream order: same-second L1 ops sort after sidechain events, later seconds after both") {
+    // the reference's alignment gate releases an L1 op at ts T only once the
+    // sidechain has streamed past T (stream_blocks.py:85-91): sidechain
+    // first on timestamp ties, timestamp-major everywhere else
+    val probe = Seq(("2024-01-01T00:00:00", "2024-01-01T00:00:03"))
+      .toDF("t0", "t1")
+      .select(
+        Schemas.sidechainSeq(to_timestamp(col("t0")), lit(100L), lit(5L), lit(2L)).as("sc_t0"),
+        Schemas.l1Seq(to_timestamp(col("t0")), lit(83000000L), lit(0L)).as("l1_t0"),
+        Schemas.sidechainSeq(to_timestamp(col("t1")), lit(101L), lit(0L), lit(0L)).as("sc_t1"),
+        Schemas.l1Seq(to_timestamp(col("t1")), lit(83000001L), lit(7L)).as("l1_t1"))
+      .collect().head
+    val (scT0, l1T0, scT1, l1T1) =
+      (probe.getLong(0), probe.getLong(1), probe.getLong(2), probe.getLong(3))
+    assert(scT0 < l1T0, "sidechain wins the same-second tie")
+    assert(l1T0 < scT1 && scT1 < l1T1, "timestamp-major across streams")
+    // an L1 delete in the same second as a sidechain create kills it
+    // (the gate guarantees the create was processed first)
+    assert(Seq(scT0, l1T0, scT1, l1T1) == Seq(scT0, l1T0, scT1, l1T1).sorted)
   }
 
   test("setMute resolved from rewardPoolId via token config") {

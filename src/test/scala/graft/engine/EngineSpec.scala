@@ -96,7 +96,24 @@ class EngineSpec extends SparkSpec {
     HiveOp(201, t("2024-01-03 00:01:00"), "custom_json",
       cj_id = "scot_set_tribe_settings",
       cj_json = """{"reward_pool_id":1,"promoted_post_account":"evil"}""",
-      posting_auths = Seq("mallory"), auths = Seq()))
+      posting_auths = Seq("mallory"), auths = Seq()),
+    // phoenix: frank's post is deleted on L1 and re-created — a setPostMute
+    // from the FIRST incarnation must not resurrect onto the second
+    HiveOp(320, t("2024-01-02 12:00:00"), "delete_comment",
+      author = "frank", permlink = "phoenix"),
+    HiveOp(331, t("2024-01-02 13:01:00"), "comment", author = "frank",
+      permlink = "phoenix", parent_author = "", parent_permlink = "pal",
+      title = "Phoenix", body = "reborn", json_metadata = "{}"),
+    // erin reblogs frank's own post AND alice's post; frank follows erin
+    HiveOp(340, t("2024-01-02 14:00:00"), "custom_json", cj_id = "reblog",
+      cj_json = """["reblog",{"account":"erin","author":"frank","permlink":"phoenix"}]""",
+      posting_auths = Seq("erin"), auths = Seq()),
+    HiveOp(342, t("2024-01-02 14:00:30"), "custom_json", cj_id = "reblog",
+      cj_json = """["reblog",{"account":"erin","author":"alice","permlink":"post-1"}]""",
+      posting_auths = Seq("erin"), auths = Seq()),
+    HiveOp(341, t("2024-01-02 14:01:00"), "custom_json", cj_id = "follow",
+      cj_json = """["follow",{"follower":"frank","following":"erin","what":["blog"]}]""",
+      posting_auths = Seq("frank"), auths = Seq()))
     .toDF()
 
   private lazy val scEvents = Seq(
@@ -133,7 +150,18 @@ class EngineSpec extends SparkSpec {
     ScEvent(71, t("2024-01-08 01:01:00"), action = "setPostMute",
       symbol = "PAL", authorperm = "@bob/re-post-1", mute = Some(true)),
     ScEvent(72, t("2024-01-08 01:02:00"), action = "setPostMute",
-      symbol = "PAL", authorperm = "@bob/re-post-1", mute = Some(false)))
+      symbol = "PAL", authorperm = "@bob/re-post-1", mute = Some(false)),
+    // phoenix incarnations around the L1 delete at seq 320
+    ScEvent(300, t("2024-01-02 10:00:00"), action = "comment", event = "newComment",
+      symbol = "PAL", author = "frank", permlink = "phoenix"),
+    ScEvent(310, t("2024-01-02 11:00:00"), action = "setPostMute",
+      symbol = "PAL", authorperm = "@frank/phoenix", mute = Some(true)),
+    ScEvent(330, t("2024-01-02 13:00:00"), action = "comment", event = "newComment",
+      symbol = "PAL", author = "frank", permlink = "phoenix"),
+    // sparse config update WITHOUT tags: prior tags must survive the merge
+    ScEvent(360, t("2024-01-05 00:00:00"), action = "createRewardPool",
+      event = "updateRewardPool", symbol = "PAL", sender = "issuer",
+      config = Map("curationRewardPercentage" -> "60")))
     .toDF()
     .withColumn("rshares", col("rshares").cast(Schemas.decimal))
     .withColumn("quantity", col("quantity").cast(Schemas.decimal))
@@ -213,12 +241,13 @@ class EngineSpec extends SparkSpec {
   test("follows: blog=1, double-encoded ignore=2") {
     val f = st.follows.orderBy("follower").collect()
       .map(r => (r.getString(0), r.getString(1), r.getShort(2))).toList
-    assert(f == List(("bob", "alice", 1), ("carol", "alice", 2)))
+    assert(f == List(("bob", "alice", 1), ("carol", "alice", 2), ("frank", "erin", 1)))
   }
 
   test("reblogs: delete removes carol, dave remains") {
-    val r = st.reblogs.collect().map(_.getString(0)).toList
-    assert(r == List("dave"))
+    val r = st.reblogs.filter(col("authorperm") === "@alice/post-1")
+      .orderBy("account").collect().map(_.getString(0)).toList
+    assert(r == List("dave", "erin"))
   }
 
   test("L1 delete removes the post across tokens") {
@@ -263,16 +292,16 @@ class EngineSpec extends SparkSpec {
   // --- feed endpoints on the replayed state --------------------------------
   private val now = t("2024-01-10 00:00:00")
 
-  test("discussionsByCreated: alice's main post only, newest first") {
+  test("discussionsByCreated: main posts only, newest first") {
     val got = Feeds.discussionsByCreated(st, "pal", now)
       .select("authorperm").collect().map(_.getString(0)).toList
-    assert(got == List("@alice/post-1"))
+    assert(got == List("@frank/phoenix", "@alice/post-1"))
   }
 
   test("discussionsByScore(trending): scored post ranks") {
     val got = Feeds.discussionsByScore(st, "PAL", "score_trend", now)
       .select("authorperm").collect().map(_.getString(0)).toList
-    assert(got == List("@alice/post-1"))
+    assert(got == List("@alice/post-1", "@frank/phoenix"))   // phoenix never voted: score 0
   }
 
   test("feed: bob follows alice -> sees her post (not his own)") {
@@ -303,6 +332,43 @@ class EngineSpec extends SparkSpec {
   test("follow counts") {
     val r = Feeds.followCount(st, "alice").collect().head
     assert((r.getLong(0), r.getLong(1)) == ((0L, 1L)))  // alice follows 0, followed by 1 (bob; carol muted=2)
+  }
+
+  test("follow counts: account with no follow rows answers 0, not null") {
+    val r = Feeds.followCount(st, "nobody-at-all").collect().head
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+    assert((r.getLong(0), r.getLong(1)) == ((0L, 0L)))
+  }
+
+  test("desc comes from the PATCH-APPLIED body, not raw patch text") {
+    // alice's latest edit arrived as a DMP patch; the reference truncates
+    // new_body AFTER patch_apply (comment_processor_for_engine.py:132)
+    assert(pf("desc") == "first body!")
+  }
+
+  test("setPostMute from a deleted incarnation does not resurrect") {
+    // mute at seq 310 predates the re-creating newComment at 330: the new
+    // row initializes muted from frank's (unmuted) account state
+    val row = st.posts.filter(col("authorperm") === "@frank/phoenix").collect().head
+    assert(row.getAs[Boolean]("muted") == false)
+  }
+
+  test("sparse config update without tags keeps the prior tag list") {
+    val cfg = st.tokenConfig.filter(col("token") === "PAL").collect().head
+    assert(cfg.getAs[Int]("curation_reward_percentage") == 60)   // updated
+    assert(cfg.getAs[scala.collection.Seq[String]]("tags").toList == List("pal")) // preserved
+  }
+
+  test("feed: reblogs window on the POST's creation time and exclude own posts") {
+    // frank follows erin; erin reblogged both @alice/post-1 and frank's own
+    // @frank/phoenix — the feed carries the former, never the latter
+    val got = Feeds.feed(st, "PAL", "frank", now)
+      .select("authorperm", "reblogged_by").collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    assert(got == List(("@alice/post-1", "erin")))
+    // both branches are 30-day-windowed on post creation: far-future "now"
+    // empties the feed even though reblog rows exist
+    assert(Feeds.feed(st, "PAL", "frank", t("2024-03-01 00:00:00")).count() == 0)
   }
 
   test("trending tags from cashed-out posts") {
@@ -346,7 +412,7 @@ class EngineSpec extends SparkSpec {
 
   test("formatFeed: API-edge shaping (authorperm split, CSV tags, ISO time)") {
     val page = Feeds.discussionsByCreated(st, "pal", now)
-    val r = Feeds.formatFeed(page).collect().head
+    val r = Feeds.formatFeed(page).filter(col("author") === "alice").collect().head
     assert(r.getAs[String]("author") == "alice")
     assert(r.getAs[String]("permlink") == "post-1")
     assert(r.getAs[String]("tags_csv") == "pal,test")

@@ -43,6 +43,17 @@ class PatchSpec extends AnyFunSuite {
     assert(PatchUdf.matchBitap("zzzzzz", "abcdef", 0) == -1)
   }
 
+  test("out-of-order hunk placement stays monotone instead of clobbering the body") {
+    // hunk 1's stated offset (6, 1-based) does not match, so it relocates
+    // via indexOf to position 0, consuming the prefix; hunk 2's stated
+    // offset (1) then points BEHIND the consumed position but its context
+    // matches there exactly — placement must move FORWARD to the next
+    // occurrence (position 4), not crash and fall back to raw patch text
+    val body = "AB xAB y"
+    val patch = "@@ -6,2 +6,2 @@\n-AB\n+ZZ\n@@ -1,2 +1,2 @@\n-AB\n+QQ\n"
+    assert(PatchUdf.applyPatch(patch, body) == "ZZ xQQ y")
+  }
+
   test("fold: a later patch whose offsets were shifted by an earlier edit applies") {
     // op1: full body; op2: prepend via full-body edit; op3: patch written
     // against the ORIGINAL offsets — placement must survive the shift
