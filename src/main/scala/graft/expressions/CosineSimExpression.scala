@@ -30,6 +30,22 @@ case class CosineSimExpression(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 
+  // analysis-time rejection for the SQL-registered paths: without this a
+  // `graft_cosine(string_array, ...)` query fails per-row mid-job instead
+  // of at planning
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects numeric array inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 

@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst implementation of the reference's ranking score
   * (`engine/utils.py:41-46`):
@@ -18,11 +18,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class ScoreExpression(rshares: Expression, epochSec: Expression,
                            timescale: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
 
   override def first: Expression = rshares
   override def second: Expression = epochSec
   override def third: Expression = timescale
+
+  // analysis-time coercion/rejection for the SQL-registered paths — the
+  // Column entry point casts explicitly, but `SELECT graft_score(int, ...)`
+  // must coerce instead of throwing ClassCastException mid-job
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType, LongType)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.exists(_.nullable)
@@ -35,13 +40,18 @@ case class ScoreExpression(rshares: Expression, epochSec: Expression,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (r, e, t) =>
+    nullSafeCodeGen(ctx, ev, (r, e, t) => {
+      // freshName: a fixed local name would collide (duplicate-variable
+      // Janino error -> silent interpreted fallback) when two graft_score
+      // calls land in one codegen scope
+      val sign = ctx.freshName("graftSign")
       s"""
-         |double graft_sign = ($r > 0.0) ? 1.0 : -1.0;
-         |${ev.value} = graft_sign * java.lang.Math.log10(
+         |double $sign = ($r > 0.0) ? 1.0 : -1.0;
+         |${ev.value} = $sign * java.lang.Math.log10(
          |    java.lang.Math.max(java.lang.Math.abs($r), 1.0))
          |  + ((double) $e) / ((double) $t);
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

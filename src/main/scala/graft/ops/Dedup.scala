@@ -135,6 +135,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     val toks = df.select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("tok"))
     val mins = (0 until numHashes).map(s =>
       min(xxhash64(lit(s), col("tok"))).as(s"__mh$s"))
@@ -146,8 +147,9 @@ object Dedup {
 
   /** (id, band, band_hash) rows — one per signature band. Only 3 longs per
     * (doc, band) row ever ride the candidate-join shuffles; signature arrays
-    * stay behind. */
-  private def bandHashes(sigs: DataFrame, numBands: Int): DataFrame =
+    * stay behind. Shared with the streaming NearDupSink so batch and stream
+    * band identically. */
+  private[graft] def bandHashes(sigs: DataFrame, numBands: Int): DataFrame =
     sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
@@ -174,6 +176,12 @@ object Dedup {
     * linear shuffle, no cross join. est_jaccard = fraction of equal
     * signature positions (unbiased MinHash estimate of true Jaccard).
     */
+  /** Fraction of equal signature positions — the unbiased MinHash estimate
+    * of Jaccard; one definition shared by batch and streaming paths. */
+  private[graft] def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
   def minhashCandidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
     // The signature frame is materialized once (eager, lineage-truncated):
     // it feeds BOTH sides of the self-join plus two re-attach joins, and
@@ -185,10 +193,7 @@ object Dedup {
     bandedCandidates(s, numBands)
       .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / size(col("sig_a")))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .select("id_a", "id_b", "est_jaccard")
   }
 
@@ -201,6 +206,8 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, numHashes: Int = 32,
                           numBands: Int = 16): DataFrame = {
+    require(numBands >= 1 && numHashes / numBands >= 1,
+      s"numBands $numBands must leave >= 1 signature row per band at $numHashes hashes (0-row bands would hash every doc into one bucket)")
     // exact rescore decides membership, so the MinHash estimate is never
     // consulted here — generate BARE candidate pairs and skip the two
     // signature re-attach joins `minhashCandidatePairs` does for est_jaccard
@@ -270,6 +277,8 @@ object Dedup {
   def minhashDedupAgainst(corpus: DataFrame, reference: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
                           numHashes: Int = 32, numBands: Int = 16): DataFrame = {
+    require(numBands >= 1 && numHashes / numBands >= 1,
+      s"numBands $numBands must leave >= 1 signature row per band at $numHashes hashes (0-row bands would hash every doc into one bucket)")
     val sigC = minhashSignatures(corpus, idCol, textCol, numHashes).localCheckpoint(true)
     val sigR = minhashSignatures(reference, idCol, textCol, numHashes).localCheckpoint(true)
     val cand = bandHashes(sigC, numBands).as("a")

@@ -112,13 +112,17 @@ object Multimodal {
       val bits = le16(bytes, 34)
       // walk RIFF chunks from offset 12 to the data chunk (canonical files
       // have it at 36, but fmt extensions can shift it)
-      var off = 12
+      // walk with LONG offsets: a malformed/huge unsigned chunk size would
+      // wrap an int offset negative and crash the scan on a corrupt file;
+      // walking past the payload just ends the loop (dataSize stays -1)
+      var off = 12L
       var dataSize = -1L
       while (dataSize < 0 && off + 8 <= bytes.length) {
-        val sz = le32(bytes, off + 4).toLong & 0xffffffffL
-        if (bytes(off) == 'd' && bytes(off + 1) == 'a' && bytes(off + 2) == 't' && bytes(off + 3) == 'a')
+        val o = off.toInt
+        val sz = le32(bytes, o + 4).toLong & 0xffffffffL
+        if (bytes(o) == 'd' && bytes(o + 1) == 'a' && bytes(o + 2) == 't' && bytes(o + 3) == 'a')
           dataSize = sz
-        else off += 8 + sz.toInt + (sz.toInt & 1)
+        else off += 8L + sz + (sz & 1L)
       }
       val frameBytes = math.max(1, channels * math.max(8, bits) / 8)
       MediaFeatures(id, n, "wav",

@@ -56,7 +56,10 @@ object TextAnalysis {
     val en = stopHits(text, enStop); val de = stopHits(text, deStop)
     val fr = stopHits(text, frStop); val es = stopHits(text, esStop)
     val m = greatest(en, de, fr, es)
-    when(m === 0, "unk")
+    // null text first: every when-condition below evaluates to null on null
+    // input (treated as false), which would fall through to .otherwise("es")
+    when(text.isNull, lit(null).cast("string"))
+      .when(m === 0, "unk")
       .when(en === m, "en").when(de === m, "de")
       .when(fr === m, "fr").otherwise("es")
   }

@@ -31,25 +31,30 @@ class NearDupSink(spark: SparkSession, stateDir: String,
                   numBuckets: Int = 16)
     extends Serializable {
 
+  require(numBands >= 1 && numHashes / numBands >= 1,
+    s"numBands $numBands must leave >= 1 signature row per band at $numHashes hashes")
+
   private val index = s"$stateDir/band_index"
 
+  // Hadoop FS probe, not java.io.File: on an HDFS/object-store stateDir a
+  // local-file probe is always false, silently disabling every historical
+  // near-dup check (cf. UpsertSink.fs)
   private def hasState: Boolean = {
-    val d = new java.io.File(index)
-    d.exists() && Option(d.listFiles()).exists(_.nonEmpty)
+    val p = new org.apache.hadoop.fs.Path(index)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  /** (band, band_hash, id, sig) rows for a signature frame. */
+  /** (band_hash, id, sig) rows for a signature frame — the SAME banding
+    * layout as batch LSH (`Dedup.bandHashes`), so stream and batch propose
+    * identical candidates. */
   private def banded(sigs: DataFrame): DataFrame =
-    sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .withColumn("rows_per_band", (size(col("sig")) / numBands).cast("int"))
-      .withColumn("band_hash", xxhash64(col("band"),
-        slice(col("sig"), col("band") * col("rows_per_band") + 1, col("rows_per_band"))))
+    Dedup.bandHashes(sigs, numBands)
+      .join(sigs, Seq("id"))
       .select(col("band_hash"), col("id"), col("sig"))
 
   private def estJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+    Dedup.estJaccard(a, b)
 
   /** Process one micro-batch of (idCol, textCol) rows: returns the kept
     * (near-dup-free) ids and appends their band index entries to state.
@@ -89,9 +94,13 @@ class NearDupSink(spark: SparkSession, stateDir: String,
         .filter(col("est_jaccard") >= threshold)
         .select(col("id_b").as("id")).distinct()
       val dupIds = histDupIds.unionByName(intraDupIds).distinct()
+      // kept starts from the BATCH ids, not the signature frame: a
+      // zero-token (empty/whitespace) doc yields no signature row, but it
+      // is not a duplicate of anything and must survive the gate.
       // eager + lineage-truncated: survives the unpersist below, reclaimed
       // by the ContextCleaner once the caller drops it
-      val kept = sigs.select(col("id")).join(dupIds, Seq("id"), "left_anti")
+      val kept = batch.select(col(idCol).as("id")).distinct()
+        .join(dupIds, Seq("id"), "left_anti")
         .localCheckpoint(true)
       // append ONLY survivors' index entries; state never rewrites
       batchBands.join(kept, Seq("id"), "left_semi")

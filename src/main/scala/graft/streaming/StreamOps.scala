@@ -28,6 +28,14 @@ object StreamOps {
   /** Latest-wins keyed state (W6 streaming form): out-of-order events within
     * a micro-batch are resolved by seq; deletes clear state. Emits the new
     * current row (or nothing if the key was deleted).
+    *
+    * A delete keeps a TOMBSTONE (payload = null) carrying its seq instead of
+    * removing the state entry: with the entry removed, a late out-of-order
+    * upsert in a LATER micro-batch would resurrect the deleted key — the
+    * same events inside one micro-batch correctly leave it dead, and batch
+    * `compactLog` agrees. Tombstone state is bounded by deleted-key
+    * cardinality (the reference likewise keeps the deleted row's absence
+    * durable in PostgreSQL).
     */
   def latestWinsStream(events: Dataset[KeyedEvent]): Dataset[KeyedState] = {
     import events.sparkSession.implicits._
@@ -38,13 +46,14 @@ object StreamOps {
           var cur = state.getOption
           sorted.foreach { e =>
             if (cur.forall(_.seq <= e.seq)) {
-              cur = if (e.op == "delete") None
+              cur = if (e.op == "delete") Some(KeyedState(key, e.seq, null))
                     else Some(KeyedState(key, e.seq, e.payload))
             }
           }
           cur match {
-            case Some(s) => state.update(s); Iterator.single(s)
-            case None    => state.remove(); Iterator.empty
+            case Some(s) if s.payload != null => state.update(s); Iterator.single(s)
+            case Some(t) => state.update(t); Iterator.empty   // tombstone
+            case None    => Iterator.empty
           }
         })
   }
@@ -211,6 +220,11 @@ object StreamOps {
 
     private def loadPersisted(): Long = cfgPath.map { p =>
       val fs = p.getFileSystem(hadoopConf)
+      // no checksum verification on this read: ChecksumFileSystem renames
+      // the data file and its .crc sidecar non-atomically, so a concurrent
+      // publish can briefly mismatch them. The value self-validates (it
+      // must parse as a long), and the DATA file rename is atomic.
+      fs.setVerifyChecksum(false)
       if (!fs.exists(p)) Long.MinValue
       else {
         val in = fs.open(p)

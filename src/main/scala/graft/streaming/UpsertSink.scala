@@ -86,14 +86,29 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
 
+  private val SeqState = "__seq"
+  private val DeletedState = "__deleted"
+
   def state(): DataFrame = {
     recover()
-    if (hasState) spark.read.parquet(current).drop(BucketCol)
+    if (hasState) spark.read.parquet(current)
+      .filter(!col(DeletedState))
+      .drop(BucketCol, SeqState, DeletedState)
     else spark.emptyDataFrame
   }
 
   /** Merge one micro-batch of upsert-log rows into the state table,
     * rewriting only the key buckets the batch touches.
+    *
+    * The state parquet carries two bookkeeping columns per key so that
+    * CROSS-batch out-of-order delivery reproduces full-log compaction:
+    * `__seq` — the highest seq ever applied to the key — lets existing
+    * state re-enter the fold at its TRUE position (re-entering at seq −inf
+    * would let any late event in a later micro-batch overwrite newer
+    * state); and `__deleted` tombstones keep a trailing delete's seq, so a
+    * late upsert older than the delete stays dead instead of resurrecting
+    * the key. With those two, a late row's columns merge exactly where the
+    * full-log window would have put them.
     */
   def merge(batch: DataFrame, batchId: Long): Unit = {
     recover()
@@ -102,17 +117,32 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     if (touched.isEmpty) return
     val existing =
       if (hasState)
-        // only the touched partitions re-enter the fold, as seq -inf upserts;
-        // the isin filter prunes to those partition directories at the scan
+        // only the touched partitions re-enter the fold, at their stored
+        // seq; the isin filter prunes to those partition directories
         Some(spark.read.parquet(current)
           .filter(col(BucketCol).isin(touched.map(Int.box).toSeq: _*))
-          .withColumn(seqCol, lit(Long.MinValue))
-          .withColumn(opCol, lit("upsert")))
+          .withColumn(seqCol, col(SeqState))
+          .withColumn(opCol, when(col(DeletedState), "delete").otherwise("upsert"))
+          .drop(SeqState, DeletedState))
       else None
     val log = existing.map(_.unionByName(b)).getOrElse(b)
     // __bucket is functionally dependent on the keys, so it survives the
     // per-key compaction unchanged
-    val next = Upsert.compactLog(log, keys, seqCol, opCol)
+    val groupCols = (keys :+ BucketCol).map(col)
+    val maxSeq = log.groupBy(groupCols: _*).agg(max(col(seqCol)).as(SeqState))
+    val compacted = Upsert.compactLog(log, keys, seqCol, opCol)
+      .join(maxSeq.drop(BucketCol), keys)
+      .withColumn(DeletedState, lit(false))
+    // keys present in the log but absent from the compacted output ended in
+    // a delete — persist them as tombstones (all data columns null)
+    val dataCols = log.columns.filterNot(c =>
+      keys.contains(c) || c == BucketCol || c == seqCol || c == opCol)
+    val tombstones = maxSeq
+      .join(compacted.select(keys.map(col): _*), keys, "left_anti")
+      .select((keys :+ BucketCol).map(col) ++
+        dataCols.map(c => lit(null).cast(log.schema(c).dataType).as(c)) :+
+        col(SeqState) :+ lit(true).as(DeletedState): _*)
+    val next = compacted.unionByName(tombstones)
     next.write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
     // swap ONLY the touched bucket directories; every other bucket's files
     // are left untouched on disk. Order is install-first/delete-last: the

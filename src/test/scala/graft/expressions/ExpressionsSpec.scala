@@ -25,6 +25,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(r - (3.0 + 1600000000.0 / 480000.0)) < 1e-9)
   }
 
+  test("two graft_score calls in one codegen scope coexist (freshName locals)") {
+    // a fixed-name local in doGenCode would generate a duplicate-variable
+    // Janino error and silently fall back to interpreted execution
+    val r = Seq((10.0, 100L, 20.0, 200L)).toDF("a", "ea", "b", "eb")
+      .select(
+        ScoreExpression.score(col("a"), col("ea"), lit(480000L)).as("s1"),
+        ScoreExpression.score(col("b"), col("eb"), lit(480000L)).as("s2"))
+      .first()
+    assert(math.abs(r.getDouble(0) - (1.0 + 100.0 / 480000.0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - (math.log10(20.0) + 200.0 / 480000.0)) < 1e-9)
+  }
+
+  test("SQL-registered graft_score coerces int inputs; graft_cosine rejects bad arrays at analysis") {
+    ScoreExpression.register(spark)
+    CosineSimExpression.register(spark)
+    // INT literals must coerce via inputTypes instead of ClassCastException
+    val s = spark.sql("SELECT graft_score(1000, 1600000000, 480000) AS s").first().getDouble(0)
+    assert(math.abs(s - (3.0 + 1600000000.0 / 480000.0)) < 1e-9)
+    // a string array must fail at ANALYSIS, not per-row mid-job
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array('a','b'), array('c','d'))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_cosine") ||
+      err.getMessage.toLowerCase.contains("data type"))
+  }
+
   test("ScoreExpression null propagation + interpreted eval") {
     val r = Seq((Some(10.0), 100L), (None, 200L)).toDF("rs", "ep")
       .select(ScoreExpression.score(col("rs"), col("ep"), lit(480000L)).as("s"))

@@ -185,6 +185,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getLong(3) > 0)
   }
 
+  test("langIdHeuristic: null text is null, not a language") {
+    val df = Seq((1L, Some("the cat and the dog")), (2L, None))
+      .toDF("doc_id", "text")
+    val r = df.select(TextAnalysis.langIdHeuristic(col("text"))).orderBy(lit(1))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(r.contains("en") && r.contains(null))
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))

@@ -33,6 +33,16 @@ class NearDupSinkSpec extends SparkSpec {
     assert(kept1 == Set(5L))
   }
 
+  test("zero-token docs pass the gate (they duplicate nothing)") {
+    val dir = Files.createTempDirectory("graft-neardup-empty").toString
+    val sink = new NearDupSink(spark, dir, threshold = 0.9)
+    val kept = sink.process(
+      Seq((1L, textA), (2L, ""), (3L, "  \t ")).toDF("id", "text"),
+      "id", "text", batchId = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("a replayed batch reproduces its kept set (crash between append and commit)") {
     val dir = Files.createTempDirectory("graft-neardup-replay").toString
     val sink = new NearDupSink(spark, dir, threshold = 0.9)

@@ -16,6 +16,28 @@ class StreamingSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("latestWinsStream: a late cross-batch upsert cannot resurrect a deleted key") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = latestWinsStream(mem.toDS())
+      .writeStream.format("memory").queryName("lw_tomb")
+      .outputMode("update").start()
+    mem.addData(KeyedEvent("k", 1, "upsert", "v1"), KeyedEvent("k", 5, "delete", null))
+    q.processAllAvailable()
+    // LATE out-of-order upsert in a later micro-batch, older than the delete:
+    // the tombstone's seq must fence it (same events in ONE batch leave k dead)
+    mem.addData(KeyedEvent("k", 3, "upsert", "zombie"))
+    q.processAllAvailable()
+    // a genuinely newer upsert revives the key
+    mem.addData(KeyedEvent("k", 7, "upsert", "reborn"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lw_tomb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    assert(!rows.exists(_._3 == "zombie"), s"resurrected: $rows")
+    assert(rows.contains(("k", 7L, "reborn")))
+  }
+
   test("latestWinsStream end state == batch latestWins") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[KeyedEvent]

@@ -43,6 +43,29 @@ class UpsertSinkSpec extends SparkSpec {
     assert(replayed == state)
   }
 
+  test("late cross-batch events: older upserts neither regress state nor resurrect deletes") {
+    val dir = Files.createTempDirectory("graft-sink-late").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op")
+    sink.merge(Seq(
+      ("a", 2L, "upsert", "new"), ("b", 5L, "delete", null))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    // batch 2 delivers LATE events: a@seq1 (older than a's seq 2) and
+    // b@seq3 (older than b's delete at seq 5)
+    sink.merge(Seq(
+      ("a", 1L, "upsert", "old"), ("b", 3L, "upsert", "zombie"))
+      .toDF("key", "seq", "op", "payload"), batchId = 1L)
+    val state = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    // full-log compaction of the same four events gives exactly this
+    assert(state == List(("a", "new")))
+    // a late upsert NEWER than the delete revives the key (delete resets)
+    sink.merge(Seq(("b", 7L, "upsert", "reborn"))
+      .toDF("key", "seq", "op", "payload"), batchId = 2L)
+    val revived = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(revived == List(("a", "new"), ("b", "reborn")))
+  }
+
   test("bounded rewrite: a merge leaves untouched key buckets byte-identical") {
     val dir = Files.createTempDirectory("graft-sink-bounded").toString
     val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op", numBuckets = 8)
