@@ -279,13 +279,17 @@ object Similarity {
     import spark.implicits._
 
     def normalize(raw: Seq[Double]): Array[Double] = {
+      // a wrong `dim` must fail loudly, not silently truncate the encode
+      // while the exact re-rank uses the full vector (recall would degrade
+      // with no error surfacing anywhere)
+      require(raw.length == dim,
+        s"vector length ${raw.length} != configured dim $dim")
       val out = new Array[Double](dim)
-      val n = math.min(raw.length, dim)
       var s = 0.0; var i = 0
-      while (i < n) { s += raw(i) * raw(i); i += 1 }
+      while (i < dim) { s += raw(i) * raw(i); i += 1 }
       val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
       i = 0
-      while (i < n) { out(i) = raw(i) * inv; i += 1 }
+      while (i < dim) { out(i) = raw(i) * inv; i += 1 }
       out
     }
     // scaled-integer squared L2 over subspace j — integer from here on, so
@@ -333,6 +337,11 @@ object Similarity {
         val v = normalize(raw)
         (qid, Array.tabulate(numSubspaces, numCodes)((j, c) => subDist(v, j, cb(c))))
       }
+    // a query id absent from the corpus would otherwise just return no rows
+    // for that query — misconfiguration must fail, not thin the result
+    require(qTabs.length == queryIds.distinct.length,
+      s"only ${qTabs.length} of ${queryIds.distinct.length} query ids found in corpus: " +
+        s"missing ${queryIds.distinct.filterNot(qTabs.map(_._1).toSet).mkString(",")}")
     val nSub = numSubspaces
     val nShort = shortlist
     // one scan over the code table; bounded (adc, id) max-heap per query per

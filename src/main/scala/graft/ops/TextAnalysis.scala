@@ -245,8 +245,16 @@ object TextAnalysis {
       .select(explode(array_distinct(wordNgramsOf(col("__toks"), n))).as("ng"))
       .withColumn("h",
         xxhash64((0 until n).map(i => element_at(parts, i + 1)): _*))
+    // survivor pass aggregates per 8-byte hash with map-side partials BEFORE
+    // the exchange: a dominant boilerplate gram contributes at most one
+    // (h, ng, df) row per partition to the shuffle, so a skewed corpus can't
+    // re-skew the string shuffle the hash counting avoided. min(ng) is the
+    // same value for every survivor of a hash (modulo the 2^-64 collision,
+    // which the hash-keyed df count already accepted and the string-keyed
+    // oracle would surface).
     surf.join(broadcast(cand), Seq("h"))
-      .select(col("ng"), col("df")).distinct()
+      .groupBy(col("h"), col("df")).agg(min(col("ng")).as("ng"))
+      .select(col("ng"), col("df"))
       .orderBy(col("df").desc, col("ng").asc)
       .limit(k)
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicReference
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -219,11 +219,16 @@ object StreamOps {
       persistDir.map(d => new Path(d, "alignment_progress"))
 
     private def loadPersisted(): Long = cfgPath.map { p =>
-      val fs = p.getFileSystem(hadoopConf)
       // no checksum verification on this read: ChecksumFileSystem renames
       // the data file and its .crc sidecar non-atomically, so a concurrent
       // publish can briefly mismatch them. The value self-validates (it
       // must parse as a long), and the DATA file rename is atomic.
+      // setVerifyChecksum mutates the FileSystem instance, and FileSystem.get
+      // returns a JVM-cached instance shared with every other reader in the
+      // process — so this read gets a PRIVATE instance, leaving checksum
+      // verification on for state parquet and everything else.
+      val fs = FileSystem.newInstance(p.toUri, hadoopConf)
+      try {
       fs.setVerifyChecksum(false)
       if (!fs.exists(p)) Long.MinValue
       else {
@@ -240,6 +245,7 @@ object StreamOps {
         } catch { case _: NumberFormatException => Long.MinValue }
         finally in.close()
       }
+      } finally fs.close()
     }.getOrElse(Long.MinValue)
 
     def advance(toEpochMs: Long): Unit = {

@@ -32,6 +32,12 @@ class UpsertSink(spark: SparkSession, stateDir: String,
   private val staging = s"$stateDir/staging"
   private val BucketCol = "__bucket"
 
+  // the state parquet owns these names; a user column sharing one would
+  // silently corrupt the fold (e.g. withColumn(seqCol, col(SeqState)) is a
+  // no-op overwrite when seqCol == "__seq")
+  require(!(keys :+ seqCol :+ opCol).exists(UpsertSink.Reserved.contains),
+    s"key/seq/op columns must not use reserved names ${UpsertSink.Reserved.mkString(", ")}")
+
   /** All directory surgery goes through the Hadoop FileSystem API, so the
     * sink works unchanged on HDFS and on the local FS (tests). Directory
     * rename is atomic on HDFS and POSIX; on object stores (S3) rename is
@@ -111,6 +117,9 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     * full-log window would have put them.
     */
   def merge(batch: DataFrame, batchId: Long): Unit = {
+    val clash = batch.columns.filter(UpsertSink.Reserved.contains)
+    require(clash.isEmpty,
+      s"batch carries reserved state-bookkeeping column(s) ${clash.mkString(", ")}")
     recover()
     val b = withBucket(batch)
     val touched = b.select(BucketCol).distinct().collect().map(_.getInt(0)).sorted
@@ -170,4 +179,9 @@ class UpsertSink(spark: SparkSession, stateDir: String,
       merge(batch.toDF(), id)
       ()
     }
+}
+
+object UpsertSink {
+  /** State-bookkeeping column names the sink owns (see the constructor guard). */
+  val Reserved: Set[String] = Set("__seq", "__deleted", "__bucket")
 }
