@@ -388,15 +388,33 @@ object Dedup {
     * the step that turns a pair list into "keep one per duplicate group".
     *
     * Each iteration is one join + one groupBy keyed on doc id — linear
-    * shuffles, no driver state. Every round eagerly `localCheckpoint`s its
-    * labels: iterative self-referencing lineage otherwise grows the logical
+    * shuffles, no driver state. Every round eagerly truncates its labels'
+    * lineage: iterative self-referencing lineage otherwise grows the logical
     * plan exponentially (the plan STRING alone can OOM the driver by ~10
-    * iterations); truncation keeps the per-round plan O(1). Superseded
-    * rounds' blocks are reclaimed by Spark's ContextCleaner as their frames
-    * go unreachable; a cluster deployment would use reliable `checkpoint`
-    * to a shared dir instead.
+    * iterations); truncation keeps the per-round plan O(1).
+    *
+    * `checkpointDir` picks the truncation mechanism: None (default) uses
+    * eager `localCheckpoint` — blocks live only on executors, fine for
+    * local/tests, but an executor loss mid-iteration kills the job; a
+    * cluster deployment passes a shared directory (HDFS/object store) and
+    * gets RELIABLE `checkpoint` — each round's labels survive executor loss
+    * and the loop resumes from the last materialized round. Superseded
+    * rounds' local blocks are reclaimed by Spark's ContextCleaner as their
+    * frames go unreachable; reliable-checkpoint files are cleaned by
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` or dir TTL.
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    // lineage truncation for one round's labels (see scaladoc)
+    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir creates a per-app random subdir under `dir`, so
+        // an already-configured context is reused rather than re-pointed
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -404,10 +422,9 @@ object Dedup {
       // seed with the FIRST neighbor-min fold fused into initialization:
       // label(v) = min(v, min neighbor) — edges are symmetric so every node
       // appears as src, and one round's work rides the init materialization
-      var labels = edges.groupBy(col("src").as("id"))
+      var labels = truncate(edges.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("__mn"))
-        .select(col("id"), least(col("id"), col("__mn")).as("label"))
-        .localCheckpoint(true)
+        .select(col("id"), least(col("id"), col("__mn")).as("label")))
       var changed = true
       var i = 0
       while (changed && i < maxIters) {
@@ -425,7 +442,7 @@ object Dedup {
         // whole round (neighbor-min + jump + change flag) materialize as ONE
         // job instead of two, with the O(E) propagate join executed once.
         val lbl = labels.select(col("id").as("__lid"), col("label").as("__llabel"))
-        val next = labels.select(col("id"), col("label").as("__prev"))
+        val next = truncate(labels.select(col("id"), col("label").as("__prev"))
           .join(prop, Seq("id"), "left")
           .select(col("id"),
             least(col("__prev"), coalesce(col("nlabel"), col("__prev"))).as("label"),
@@ -434,8 +451,7 @@ object Dedup {
           .select(col("id"),
             least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"),
             (least(col("label"), coalesce(col("__llabel"), col("label")))
-              < col("__prev")).as("__changed"))
-          .localCheckpoint(true)
+              < col("__prev")).as("__changed")))
         changed = next.filter(col("__changed")).limit(1).count() > 0
         labels = next.select(col("id"), col("label"))
         i += 1

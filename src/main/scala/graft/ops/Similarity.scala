@@ -517,31 +517,88 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, threshold: Double,
-                    roundDp: Int = 4): DataFrame = {
+                    roundDp: Int = 4,
+                    checkpointDir: Option[String] = None): DataFrame = {
     val init = classCentroids(df, vecCol, labelCol, roundDp)
       .orderBy(col("label")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    // the assignment frame feeds both sides of the pair self-join AND the
-    // final keep verdict — materialize the argmax scan once, not three
-    // times. A single-label corpus is one big cluster (all pairs compared
+    // A single-label corpus is one big cluster (all pairs compared
     // within it) — kmeansAssign's >= 2-centroid argmax is skipped.
     val assigned = (init.length match {
       case 1 => base.withColumn("cluster", lit(init.head._1))
       case _ => kmeansAssign(base, "vec", init, iters = 0, roundDp)
     }).select(col("id"), col("cluster"), col("vec"))
-      .localCheckpoint(true)
-    // the cluster equi-join shuffles 2N fixed-width vector rows (not pairs:
-    // pair fan-out happens post-join inside each cluster's partition, and
-    // the cosine cut is applied before anything else materializes); a hot
-    // cluster is a skewed JOIN partition, which AQE can split
+    semanticKeep(assigned, threshold, checkpointDir)
+  }
+
+  /** SemDeDup for UNLABELED corpora — the form a real curation run uses, and
+    * the one whose k scales with the corpus (the quadratic-pair-volume knob
+    * the paper itself turns: cluster count must GROW with N so cluster size
+    * stays bounded). k = max(2, ceil(N / targetClusterSize)), so at 100×
+    * the data there are 100× the clusters and within-cluster pair volume
+    * stays Σ cluster_size² ≈ N · targetClusterSize — linear in the corpus,
+    * not quadratic.
+    *
+    * Seeding is the deterministic strided-codebook trick from pqTopK: the k
+    * smallest ids on an arithmetic stride (id % seedStride == 0), vectors
+    * rounded to roundDp — no RNG, no engine-private hash, so an external
+    * oracle reproduces the seed set exactly; `iters` Lloyd rounds of
+    * kmeansAssign (rounded centroid updates) refine it, every step
+    * engine-replayable (see kmeansAssign). The labeled `semanticDedup`
+    * above remains the oracle-friendly variant for corpora that carry
+    * class prototypes.
+    */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        targetClusterSize: Int, threshold: Double,
+                        seedStride: Long = 11, iters: Int = 1,
+                        roundDp: Int = 4,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    require(targetClusterSize >= 2, s"targetClusterSize must be >= 2, got $targetClusterSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val n = base.count()
+    val k = math.max(2L, math.ceil(n.toDouble / targetClusterSize).toLong).toInt
+    val seeds: Array[(Int, Seq[Double])] = base
+      .filter(pmod(col("id"), lit(seedStride)) === 0)
+      .orderBy(col("id")).limit(k)
+      .select(col("id"), transform(col("vec"), x => round(x, roundDp)).as("vec"))
+      .as[(Long, Seq[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    require(seeds.length == k,
+      s"stride $seedStride yields only ${seeds.length} of $k seeds " +
+        s"(corpus ids too sparse on the stride); lower seedStride")
+    val assigned = kmeansAssign(base, "vec", seeds, iters, roundDp)
+      .select(col("id"), col("cluster"), col("vec"))
+    semanticKeep(assigned, threshold, checkpointDir)
+  }
+
+  /** Shared SemDeDup tail: within-cluster pair cut at the rounded-cosine
+    * threshold → connected components → keep-smallest-id verdict.
+    *
+    * 100 TB shape: the assignment frame feeds both sides of the pair
+    * self-join AND the final keep verdict — materialize the argmax scan
+    * once, not three times. The cluster equi-join shuffles 2N fixed-width
+    * vector rows (not pairs: pair fan-out happens post-join inside each
+    * cluster's partition, and the cosine cut is applied before anything
+    * else materializes); a hot cluster is a skewed JOIN partition, which
+    * AQE can split. Cosines are rounded to 6dp so the threshold cut is
+    * engine-portable. `checkpointDir` makes the CC loop's lineage
+    * truncation reliable-checkpoint based (cluster deployments) instead of
+    * executor-pinned localCheckpoint.
+    */
+  private def semanticKeep(assignedIn: DataFrame, threshold: Double,
+                           checkpointDir: Option[String]): DataFrame = {
+    val assigned = assignedIn.localCheckpoint(true)
     val pairs = assigned.select(col("id").as("id_a"), col("cluster"), col("vec").as("va"))
       .join(assigned.select(col("id").as("id_b"), col("cluster"), col("vec").as("vb")),
         Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
       .select("id_a", "id_b")
-    val comps = Dedup.nearDupClusters(pairs)   // (doc_id, cluster_id)
+    val comps = Dedup.nearDupClusters(pairs, checkpointDir = checkpointDir)
     assigned.select(col("id"), col("cluster"))
       .join(comps.select(col("doc_id").as("id"), col("cluster_id")), Seq("id"), "left")
       .select(col("id"), col("cluster"),

@@ -369,6 +369,75 @@ object CurationQueries {
           CAST(comp.comp_id IS NULL OR comp.comp_id = a.vec_id AS INT) AS keep
         FROM a LEFT JOIN comp USING (vec_id) ORDER BY a.vec_id""")),
 
+    // ---- SemDeDup, unlabeled auto-k form (the 100 TB shape): k =
+    // max(2, ceil(N/16)) strided deterministic seeds (vec_id % 11, rounded
+    // 4dp), ONE Lloyd refinement, then the same within-cluster pair cut /
+    // transitive closure / keep-smallest-id as x47. k >> label count (32 at
+    // sf0.01 vs 5 labels), so this gates the scale path where cluster count
+    // grows with the corpus. Oracle replays the ENTIRE chain: seed codebook
+    // -> argmax assignment -> rounded centroid update -> reassignment ->
+    // rounded-cosine pair cut -> recursive transitive closure. ----
+    "x50_semantic_auto" -> Q(
+      (s, dir) => Similarity.semanticDedupAuto(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        targetClusterSize = 16, threshold = 0.36)
+        .select(col("id").as("vec_id"), col("cluster"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE
+        v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        kk AS (SELECT greatest(2, cast(ceil(count(*) / 16.0) AS BIGINT)) AS k FROM v),
+        sd AS (SELECT vec_id, list_transform(vec, x -> round(x, 4)) AS svec,
+            row_number() OVER (ORDER BY vec_id) AS srn
+          FROM v WHERE vec_id % 11 = 0),
+        cent0 AS (SELECT cast(srn - 1 AS INT) AS cl, svec AS centroid FROM sd
+          WHERE srn <= (SELECT k FROM kk)),
+        s0 AS (SELECT v.vec_id, v.vec, cent0.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent0.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent0.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent0),
+        a0 AS (SELECT vec_id, vec, cl AS cluster FROM (
+            SELECT vec_id, vec, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s0) WHERE rn = 1),
+        d1 AS (SELECT cluster, i AS dim, vec[i] AS val
+          FROM a0, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c1 AS (SELECT cluster AS cl, dim, round(avg(val), 4) AS cv
+          FROM d1 GROUP BY 1, 2),
+        cent1 AS (SELECT cl, list(cv ORDER BY dim) AS centroid FROM c1 GROUP BY 1),
+        s1 AS (SELECT v.vec_id, cent1.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent1.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent1.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent1),
+        a1 AS (SELECT vec_id, cl AS cluster FROM (
+            SELECT vec_id, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s1) WHERE rn = 1),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM a1 x JOIN a1 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          JOIN v va ON va.vec_id = x.vec_id JOIN v vb ON vb.vec_id = y.vec_id
+          WHERE round(
+            list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * vb.vec[i]))
+            / (sqrt(list_sum(list_transform(va.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(vb.vec, x -> x * x)))), 6) >= 0.36),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS vec_id, least(src, min(dst)) AS comp_id
+                 FROM reach GROUP BY src)
+        SELECT a1.vec_id, a1.cluster,
+          CAST(comp.comp_id IS NULL OR comp.comp_id = a1.vec_id AS INT) AS keep
+        FROM a1 LEFT JOIN comp USING (vec_id) ORDER BY a1.vec_id""")),
+
     // ---- within-document duplicated-span removal (Lee et al. exact
     // substring dedup at 5-token-window granularity): first global
     // occurrence survives, documents reassembled from surviving spans ----

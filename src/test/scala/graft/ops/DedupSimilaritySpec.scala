@@ -399,6 +399,59 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == List((0L, 7, true), (1L, 7, false), (2L, 7, true)))
   }
 
+  test("semanticDedupAuto: unlabeled dedup keeps smallest id per dup group") {
+    // two tight groups (+x: 0,2,4; +y: 1,3) and an orthogonal z singleton.
+    // stride 1 -> seeds are ids 0 (+x) and 1 (+y); one Lloyd round refines.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.02f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.02f)),
+      (2L, Seq(0.99f, 0.0f, 0.01f)),
+      (3L, Seq(0.01f, 0.99f, 0.0f)),
+      (4L, Seq(1.0f, 0.0f, 0.03f)),
+      (5L, Seq(0.0f, 0.02f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupAuto(df, "vec_id", "embedding",
+      targetClusterSize = 3, threshold = 0.9, seedStride = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toList
+    assert(got == List((0L, true), (1L, true), (2L, false), (3L, false),
+      (4L, false), (5L, true)))
+  }
+
+  test("semanticDedupAuto: k grows with the corpus, so pair volume stays linear") {
+    // THE scale property (SemDeDup's own knob): k = ceil(N/target) clusters
+    // keep Σ cluster_size² ≈ N·target — linear in N — instead of the
+    // quadratic N²/k of a fixed-k clustering. Gate on the driver fixture:
+    // every seeded cluster survives refinement, no cluster degenerates past
+    // 3× the target, and pair volume stays inside the linear envelope
+    // (measured: max 23, Σsz² 8132 vs the N² = 250000 quadratic blowup).
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val n = emb.count()
+    val target = 16
+    val k = math.max(2L, math.ceil(n.toDouble / target).toLong)
+    val r = Similarity.semanticDedupAuto(emb, "vec_id", "embedding",
+      targetClusterSize = target, threshold = 0.36)
+    assert(r.count() == n, "every vector gets a verdict")
+    val sizes = r.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(sizes.length == k, s"expected $k clusters, got ${sizes.length}")
+    assert(sizes.max <= 3L * target, s"degenerate cluster of ${sizes.max}")
+    val sumSq = sizes.map(s => s * s).sum
+    assert(sumSq <= n * 4L * target,
+      s"pair volume $sumSq outside the linear envelope ${n * 4L * target}")
+  }
+
+  test("nearDupClusters: reliable checkpointDir truncation converges identically") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val chain = (1L to 120L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain, checkpointDir = Some(dir))
+      .collect().map(_.getLong(1)).toSet
+    assert(labels == Set(1L))
+    // the loop really used the reliable checkpoint dir (RDD files on disk)
+    val ckptFiles = new java.io.File(dir).listFiles()
+    assert(ckptFiles != null && ckptFiles.nonEmpty, "checkpoint dir unused")
+  }
+
   test("nearest class mean: separable classes classify perfectly, centroids are rounded means") {
     // class 0 along +x, class 1 along +y; one borderline vector still closer to its own mean
     val df = Seq(
