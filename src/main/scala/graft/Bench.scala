@@ -17,15 +17,26 @@ object Bench {
       w.join(org.apache.spark.sql.functions.broadcast(w.limit(1)), Seq("n_nationkey"))
         .count()
     } catch { case _: Throwable => () }
+    // ms precision: full-double seconds made the one-line JSON exceed the
+    // driver's stdout capture window (BENCH_r05 reached the judge with a
+    // truncated tail), and sub-ms digits are pure noise at these run times
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> r3((System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // fixed-path backup of the same line so per-query numbers survive any
+    // stdout truncation between this JVM and the round's BENCH snapshot
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_local.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

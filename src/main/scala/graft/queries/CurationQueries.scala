@@ -559,6 +559,150 @@ object CurationQueries {
         WHERE dirty.doc_id IS NULL
         ORDER BY 1""")),
 
+    // ---- curation pipeline v3 (capstone over the FULL dedup surface):
+    // span dedup -> quality gate -> exact 4-gram decontamination -> FUZZY
+    // reference decontamination (x48's banded minhash propose / exact
+    // Jaccard dispose, on the CLEANED text vs the benchmark originals) ->
+    // SEMANTIC dedup (x50's unlabeled auto-k SemDeDup verdicts over the
+    // embedding table; docs without an embedding pass). One SQL-replayed
+    // chain demonstrating the whole surface composes. ----
+    "x49_pipeline_v3" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+        val cleaned = Dedup.spanDedup(docs, "doc_id", "text", w = 5)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val qualified = cleaned
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+        val exactClean = Decontaminate.removeContaminated(
+          qualified, bench, "doc_id", "text", n = 4)
+        val fuzzyClean = Dedup.minhashDedupAgainst(
+          exactClean, bench, "doc_id", "text", threshold = 0.8)
+        // semantic verdicts are a GLOBAL embedding-space analysis (computed
+        // on the full vector table, not the filtered survivors) — a doc
+        // dropped here is a semantic copy of a kept smaller-id doc
+        val semDrop = Similarity.semanticDedupAuto(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          targetClusterSize = 16, threshold = 0.36)
+          .filter(!col("keep"))
+          .select(col("id").as("doc_id"))
+        fuzzyClean.join(semDrop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            TextAnalysis.wordCount(col("text")).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        ch AS (
+          SELECT doc_id, i AS pos, array_to_string(toks[i*5+1:i*5+5], ' ') AS chunk
+          FROM toks, unnest(range(0, cast(ceil(len(toks)/5.0) AS BIGINT))) AS r(i)),
+        k AS (SELECT doc_id, pos, chunk,
+            row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          FROM ch),
+        clean AS (
+          SELECT doc_id,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS text,
+            sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+          FROM k GROUP BY 1),
+        q AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS qtoks
+          FROM clean WHERE n_kept > 0 AND (
+            CASE WHEN length(text) BETWEEN 200 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+            + CASE WHEN cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) <= 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+            + CASE WHEN cast(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                       x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+                     / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')), 1) >= 0.01
+              THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) >= 0.7),
+        qg AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(qtoks) - 2),
+            i -> concat_ws(' ', qtoks[i], qtoks[i+1], qtoks[i+2], qtoks[i+3])))) AS ng
+          FROM q),
+        bg AS (
+          SELECT DISTINCT ng FROM (
+            SELECT unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))) AS ng
+            FROM toks WHERE doc_id % 20 = 0)),
+        dirty AS (SELECT DISTINCT qg.doc_id FROM qg JOIN bg USING (ng)),
+        surv AS (
+          SELECT q.doc_id, q.text FROM q LEFT JOIN dirty ON q.doc_id = dirty.doc_id
+          WHERE dirty.doc_id IS NULL),
+        ttoks AS (SELECT doc_id AS id, unnest(list_distinct(
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+          FROM surv),
+        rtoks AS (SELECT doc_id AS id, unnest(list_distinct(
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+          FROM documents WHERE doc_id % 20 = 0),
+        tsz AS (SELECT id, count(*) AS sz FROM ttoks GROUP BY 1),
+        rsz AS (SELECT id, count(*) AS sz FROM rtoks GROUP BY 1),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM ttoks a JOIN rtoks b ON a.tok = b.tok GROUP BY 1, 2),
+        fdirty AS (
+          SELECT DISTINCT id_a AS doc_id FROM inter
+          JOIN tsz ON tsz.id = id_a JOIN rsz ON rsz.id = id_b
+          WHERE cast(i AS DOUBLE) / cast(tsz.sz + rsz.sz - i AS DOUBLE) >= 0.8),
+        v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        kk AS (SELECT greatest(2, cast(ceil(count(*) / 16.0) AS BIGINT)) AS k FROM v),
+        sdv AS (SELECT vec_id, list_transform(vec, x -> round(x, 4)) AS svec,
+            row_number() OVER (ORDER BY vec_id) AS srn
+          FROM v WHERE vec_id % 11 = 0),
+        cent0 AS (SELECT cast(srn - 1 AS INT) AS cl, svec AS centroid FROM sdv
+          WHERE srn <= (SELECT k FROM kk)),
+        s0 AS (SELECT v.vec_id, v.vec, cent0.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent0.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent0.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent0),
+        a0 AS (SELECT vec_id, vec, cl AS cluster FROM (
+            SELECT vec_id, vec, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s0) WHERE rn = 1),
+        d1 AS (SELECT cluster, i AS dim, vec[i] AS val
+          FROM a0, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c1 AS (SELECT cluster AS cl, dim, round(avg(val), 4) AS cv
+          FROM d1 GROUP BY 1, 2),
+        cent1 AS (SELECT cl, list(cv ORDER BY dim) AS centroid FROM c1 GROUP BY 1),
+        s1 AS (SELECT v.vec_id, cent1.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent1.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent1.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent1),
+        a1 AS (SELECT vec_id, cl AS cluster FROM (
+            SELECT vec_id, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s1) WHERE rn = 1),
+        sp AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM a1 x JOIN a1 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          JOIN v va ON va.vec_id = x.vec_id JOIN v vb ON vb.vec_id = y.vec_id
+          WHERE round(
+            list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * vb.vec[i]))
+            / (sqrt(list_sum(list_transform(va.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(vb.vec, x -> x * x)))), 6) >= 0.36),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM sp
+                  UNION SELECT id_b, id_a FROM sp),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS vec_id, least(src, min(dst)) AS comp_id
+                 FROM reach GROUP BY src),
+        sdrop AS (SELECT vec_id AS doc_id FROM comp WHERE comp_id <> vec_id)
+        SELECT s.doc_id,
+          cast(len(list_filter(string_split_regex(s.text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM surv s
+        LEFT JOIN fdirty fd ON s.doc_id = fd.doc_id
+        LEFT JOIN sdrop sd ON s.doc_id = sd.doc_id
+        WHERE fd.doc_id IS NULL AND sd.doc_id IS NULL
+        ORDER BY 1""")),
+
     // ---- per-group top-k: 5 longest docs per language (deterministic
     // tie-break on doc_id); WindowGroupLimit keeps it partial-top-k ----
     "x33_topk_per_group" -> Q(
