@@ -5,65 +5,75 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** The foreachBatch merge sink maintains a current-state parquet table with
+/** The foreachBatch merge sink maintains a current-state table with
   * latest-wins semantics across micro-batches, and re-merging a batch is a
-  * no-op (idempotence under replay).
+  * no-op (idempotence under replay). The fold semantics must hold under
+  * EVERY storage backend; the layout-specific properties (bounded in-place
+  * rewrite, swap crash recovery, snapshot isolation, vacuum) are tested
+  * per store.
   */
 class UpsertSinkSpec extends SparkSpec {
   import spark.implicits._
   import StreamOps.KeyedEvent
 
-  test("streamed upserts fold into the state table; replay is idempotent") {
-    implicit val sq = spark.sqlContext
-    val dir = Files.createTempDirectory("graft-sink").toString
-    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op")
-    val mem = MemoryStream[KeyedEvent]
-    val q = sink.attach(mem.toDS()).outputMode("append").start()
+  private val backends = Seq[(String, UpsertSink.Backend)](
+    "bucket-swap" -> UpsertSink.BucketSwap,
+    "snapshot" -> UpsertSink.Snapshot)
 
-    mem.addData(KeyedEvent("a", 1, "upsert", "v1"),
-                KeyedEvent("b", 2, "upsert", "w1"))
-    q.processAllAvailable()
-    mem.addData(KeyedEvent("a", 3, "upsert", "v2"),
-                KeyedEvent("b", 4, "delete", null),
-                KeyedEvent("c", 5, "upsert", "x1"))
-    q.processAllAvailable()
-    q.stop()
+  for ((bname, backend) <- backends) {
 
-    val state = sink.state().orderBy("key").collect()
-      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
-    assert(state == List(("a", "v2"), ("c", "x1")))
+    test(s"[$bname] streamed upserts fold into the state table; replay is idempotent") {
+      implicit val sq = spark.sqlContext
+      val dir = Files.createTempDirectory(s"graft-sink-$bname").toString
+      val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op", backend = backend)
+      val mem = MemoryStream[KeyedEvent]
+      val q = sink.attach(mem.toDS()).outputMode("append").start()
 
-    // replay the second batch manually — merging the same rows again must
-    // leave the state unchanged
-    sink.merge(Seq(
-      ("a", 3L, "upsert", "v2"), ("b", 4L, "delete", null), ("c", 5L, "upsert", "x1"))
-      .toDF("key", "seq", "op", "payload"), batchId = 99L)
-    val replayed = sink.state().orderBy("key").collect()
-      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
-    assert(replayed == state)
-  }
+      mem.addData(KeyedEvent("a", 1, "upsert", "v1"),
+                  KeyedEvent("b", 2, "upsert", "w1"))
+      q.processAllAvailable()
+      mem.addData(KeyedEvent("a", 3, "upsert", "v2"),
+                  KeyedEvent("b", 4, "delete", null),
+                  KeyedEvent("c", 5, "upsert", "x1"))
+      q.processAllAvailable()
+      q.stop()
 
-  test("late cross-batch events: older upserts neither regress state nor resurrect deletes") {
-    val dir = Files.createTempDirectory("graft-sink-late").toString
-    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op")
-    sink.merge(Seq(
-      ("a", 2L, "upsert", "new"), ("b", 5L, "delete", null))
-      .toDF("key", "seq", "op", "payload"), batchId = 0L)
-    // batch 2 delivers LATE events: a@seq1 (older than a's seq 2) and
-    // b@seq3 (older than b's delete at seq 5)
-    sink.merge(Seq(
-      ("a", 1L, "upsert", "old"), ("b", 3L, "upsert", "zombie"))
-      .toDF("key", "seq", "op", "payload"), batchId = 1L)
-    val state = sink.state().orderBy("key").collect()
-      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
-    // full-log compaction of the same four events gives exactly this
-    assert(state == List(("a", "new")))
-    // a late upsert NEWER than the delete revives the key (delete resets)
-    sink.merge(Seq(("b", 7L, "upsert", "reborn"))
-      .toDF("key", "seq", "op", "payload"), batchId = 2L)
-    val revived = sink.state().orderBy("key").collect()
-      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
-    assert(revived == List(("a", "new"), ("b", "reborn")))
+      val state = sink.state().orderBy("key").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+      assert(state == List(("a", "v2"), ("c", "x1")))
+
+      // replay the second batch manually — merging the same rows again must
+      // leave the state unchanged
+      sink.merge(Seq(
+        ("a", 3L, "upsert", "v2"), ("b", 4L, "delete", null), ("c", 5L, "upsert", "x1"))
+        .toDF("key", "seq", "op", "payload"), batchId = 99L)
+      val replayed = sink.state().orderBy("key").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+      assert(replayed == state)
+    }
+
+    test(s"[$bname] late cross-batch events: older upserts neither regress state nor resurrect deletes") {
+      val dir = Files.createTempDirectory(s"graft-sink-late-$bname").toString
+      val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op", backend = backend)
+      sink.merge(Seq(
+        ("a", 2L, "upsert", "new"), ("b", 5L, "delete", null))
+        .toDF("key", "seq", "op", "payload"), batchId = 0L)
+      // batch 2 delivers LATE events: a@seq1 (older than a's seq 2) and
+      // b@seq3 (older than b's delete at seq 5)
+      sink.merge(Seq(
+        ("a", 1L, "upsert", "old"), ("b", 3L, "upsert", "zombie"))
+        .toDF("key", "seq", "op", "payload"), batchId = 1L)
+      val state = sink.state().orderBy("key").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+      // full-log compaction of the same four events gives exactly this
+      assert(state == List(("a", "new")))
+      // a late upsert NEWER than the delete revives the key (delete resets)
+      sink.merge(Seq(("b", 7L, "upsert", "reborn"))
+        .toDF("key", "seq", "op", "payload"), batchId = 2L)
+      val revived = sink.state().orderBy("key").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+      assert(revived == List(("a", "new"), ("b", "reborn")))
+    }
   }
 
   test("bounded rewrite: a merge leaves untouched key buckets byte-identical") {
@@ -135,5 +145,67 @@ class UpsertSinkSpec extends SparkSpec {
       .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toMap
     assert(healed == before)
     assert(!stale.exists())
+  }
+
+  test("snapshot store: a concurrent reader keeps its pinned version across a merge") {
+    val dir = Files.createTempDirectory("graft-sink-iso").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 4, backend = UpsertSink.Snapshot)
+    sink.merge(Seq(("a", 1L, "upsert", "v1"), ("b", 2L, "upsert", "w1"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    // the reader resolves the manifest pointer NOW — its file list is pinned
+    // to this version's immutable data dirs
+    val reader = sink.state()
+    // a writer commits a new version underneath it
+    sink.merge(Seq(("a", 3L, "upsert", "v2"), ("b", 4L, "delete", null))
+      .toDF("key", "seq", "op", "payload"), batchId = 1L)
+    // the pinned reader still sees its snapshot (old dirs are immutable and
+    // retained until vacuum) — the property the in-place swap cannot give
+    val pinned = reader.orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(pinned == List(("a", "v1"), ("b", "w1")))
+    // while a fresh reader sees the new version
+    val fresh = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(fresh == List(("a", "v2")))
+  }
+
+  test("snapshot store: crashed-attempt orphan data dir is replaced on replay") {
+    val dir = Files.createTempDirectory("graft-sink-orphan").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 1, backend = UpsertSink.Snapshot)
+    sink.merge(Seq(("a", 1L, "upsert", "v1"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    // a crashed attempt of batch 5 left its data dir installed but never
+    // published a manifest — the replay must replace it, not nest into it
+    val orphan = new java.io.File(s"$dir/data/b0-5")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "junk.parquet").toPath, "not parquet")
+    sink.merge(Seq(("a", 5L, "upsert", "v5"))
+      .toDF("key", "seq", "op", "payload"), batchId = 5L)
+    val state = sink.state().collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(state == List(("a", "v5")))
+  }
+
+  test("snapshot store: vacuum drops superseded versions, keeps the live snapshot") {
+    val dir = Files.createTempDirectory("graft-sink-vacuum").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 2, backend = UpsertSink.Snapshot)
+    for (i <- 0 to 2)
+      sink.merge(Seq(("a", i.toLong, "upsert", s"v$i"), ("b", i.toLong, "upsert", s"w$i"))
+        .toDF("key", "seq", "op", "payload"), batchId = i.toLong)
+    new SnapshotStore(spark, dir).vacuum(keepVersions = 1)
+    // only the live version's data dirs survive
+    val dataDirs = Option(new java.io.File(s"$dir/data").listFiles()).toSeq.flatten
+    assert(dataDirs.nonEmpty && dataDirs.forall(_.getName.endsWith("-2")),
+      s"stale data dirs survived vacuum: ${dataDirs.map(_.getName).toList}")
+    val manifests = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("manifest-")).map(_.getName)
+    assert(manifests == Seq("manifest-3"))
+    val state = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(state == List(("a", "v2"), ("b", "w2")))
   }
 }
