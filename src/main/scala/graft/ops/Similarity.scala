@@ -266,17 +266,16 @@ object Similarity {
     * re-rank) in SQL, so the gate is value-exact regardless of recall;
     * recall itself is a spec concern (see DedupSimilaritySpec).
     */
-  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
-             queryIds: Seq[Long], k: Int,
-             numSubspaces: Int = 8, numCodes: Int = 16,
-             codebookStride: Long = 7, shortlist: Int = 64,
-             dim: Int = 64): DataFrame = {
+  /** Frozen PQ model: the per-subspace codebook plus geometry. Built once
+    * (pqTrain), shipped to executors inside encode/search closures — a few
+    * KB, like the IVF codebook — and REUSED verbatim by the streaming face
+    * (AnnIndexSink), so stream- and batch-encoded codes are bit-identical.
+    */
+  case class PqModel(cb: Array[Array[Double]], numSubspaces: Int,
+                     numCodes: Int, dim: Int) extends Serializable {
     require(dim % numSubspaces == 0,
       s"dim $dim must be divisible by numSubspaces $numSubspaces")
-    require(numCodes >= 2 && shortlist >= k)
-    val sub = dim / numSubspaces
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    private val sub = dim / numSubspaces
 
     def normalize(raw: Seq[Double]): Array[Double] = {
       // a wrong `dim` must fail loudly, not silently truncate the encode
@@ -292,8 +291,10 @@ object Similarity {
       while (i < dim) { out(i) = raw(i) * inv; i += 1 }
       out
     }
-    // scaled-integer squared L2 over subspace j — integer from here on, so
-    // every downstream comparison/sum is bit-portable across engines
+
+    /** Scaled-integer squared L2 over subspace j — integer from here on, so
+      * every downstream comparison/sum is bit-portable across engines.
+      */
     def subDist(v: Array[Double], j: Int, c: Array[Double]): Long = {
       var s = 0.0
       var d = j * sub
@@ -302,16 +303,10 @@ object Similarity {
       math.round(s * 1e6)
     }
 
-    val base = corpus.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val cb: Array[Array[Double]] = base
-      .filter(pmod(col("id"), lit(codebookStride)) === 0)
-      .orderBy(col("id")).limit(numCodes)
-      .as[(Long, Seq[Double])].collect().map(r => normalize(r._2))
-    require(cb.length == numCodes,
-      s"corpus has only ${cb.length} codebook rows on stride $codebookStride, need $numCodes")
-
-    val encoded = base.as[(Long, Seq[Double])].mapPartitions(_.map { case (id, raw) =>
+    /** Code vector of a raw embedding (normalize, then per-subspace argmin;
+      * strict < so ties break toward the low code).
+      */
+    def encode(raw: Seq[Double]): Array[Int] = {
       val v = normalize(raw)
       val cs = new Array[Int](numSubspaces)
       var j = 0
@@ -320,33 +315,64 @@ object Similarity {
         var c = 0
         while (c < numCodes) {
           val d = subDist(v, j, cb(c))
-          if (d < bestD) { bestD = d; best = c }   // strict < : ties -> low c
+          if (d < bestD) { bestD = d; best = c }
           c += 1
         }
         cs(j) = best
         j += 1
       }
-      (id, cs.toSeq)
-    }).toDF("id", "codes")
+      cs
+    }
 
-    // per-query ADC tables, built driver-side from the (small) query page
-    val qTabs: Array[(Long, Array[Array[Long]])] = base
-      .filter(col("id").isin(queryIds: _*))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-      .map { case (qid, raw) =>
-        val v = normalize(raw)
-        (qid, Array.tabulate(numSubspaces, numCodes)((j, c) => subDist(v, j, cb(c))))
-      }
-    // a query id absent from the corpus would otherwise just return no rows
-    // for that query — misconfiguration must fail, not thin the result
-    require(qTabs.length == queryIds.distinct.length,
-      s"only ${qTabs.length} of ${queryIds.distinct.length} query ids found in corpus: " +
-        s"missing ${queryIds.distinct.filterNot(qTabs.map(_._1).toSet).mkString(",")}")
-    val nSub = numSubspaces
+    /** Per-query asymmetric-distance table: exact sub-distance to every code. */
+    def adcTable(raw: Seq[Double]): Array[Array[Long]] = {
+      val v = normalize(raw)
+      Array.tabulate(numSubspaces, numCodes)((j, c) => subDist(v, j, cb(c)))
+    }
+  }
+
+  /** Deterministic PQ codebook from a corpus: the `numCodes` smallest ids on
+    * an arithmetic stride, normalized — no RNG, engine-replayable (the
+    * oracle's replay starts here).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              numSubspaces: Int = 8, numCodes: Int = 16,
+              codebookStride: Long = 7, dim: Int = 64): PqModel = {
+    require(numCodes >= 2, s"numCodes must be >= 2, got $numCodes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probe = PqModel(Array.empty, numSubspaces, numCodes, dim)
+    val cb: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .filter(pmod(col("id"), lit(codebookStride)) === 0)
+      .orderBy(col("id")).limit(numCodes)
+      .as[(Long, Seq[Double])].collect().map(r => probe.normalize(r._2))
+    require(cb.length == numCodes,
+      s"corpus has only ${cb.length} codebook rows on stride $codebookStride, need $numCodes")
+    PqModel(cb, numSubspaces, numCodes, dim)
+  }
+
+  /** ADC shortlist + exact-cosine re-rank over an already-encoded code table.
+    * `encoded` is (id, codes); `vecs` is (vid, v) for the re-rank join;
+    * `qPage` carries the (collected, KB-size) query vectors the ADC tables
+    * are built from. One scan over CODES with a bounded per-partition
+    * (adc, id) max-heap per query — only partitions × queries × shortlist
+    * rows leave the scan; the re-rank join touches shortlist vectors/query.
+    */
+  private[graft] def pqSearch(encoded: DataFrame, vecs: DataFrame,
+                              qPage: Array[(Long, Seq[Double])], k: Int,
+                              shortlist: Int, model: PqModel): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qTabs: Array[(Long, Array[Array[Long]])] =
+      qPage.sortBy(_._1).map { case (qid, raw) => (qid, model.adcTable(raw)) }
+    val queryIds = qTabs.map(_._1).toSeq
+    val nSub = model.numSubspaces
     val nShort = shortlist
-    // one scan over the code table; bounded (adc, id) max-heap per query per
-    // partition — only partitions × queries × shortlist rows leave the scan
-    val partials = encoded.as[(Long, Seq[Int])].mapPartitions { it =>
+    val partials = encoded.select(col("id"), col("codes"))
+      .as[(Long, Seq[Int])].mapPartitions { it =>
       val ord = Ordering.Tuple2[Long, Long]
       val heaps = qTabs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord))
       it.foreach { case (id, codes) =>
@@ -374,8 +400,6 @@ object Similarity {
     val cand = partials.withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= shortlist)
       .select("query_id", "neighbor_id")
-
-    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     val scored = cand
       .join(broadcast(vecs.filter(col("vid").isin(queryIds: _*)))
         .withColumnRenamed("vid", "query_id").withColumnRenamed("v", "query_vec"),
@@ -387,6 +411,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int,
+             numSubspaces: Int = 8, numCodes: Int = 16,
+             codebookStride: Long = 7, shortlist: Int = 64,
+             dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = pqTrain(corpus, idCol, vecCol, numSubspaces, numCodes,
+      codebookStride, dim)
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val encoded = base.as[(Long, Seq[Double])].mapPartitions(
+      _.map { case (id, raw) => (id, model.encode(raw).toSeq) })
+      .toDF("id", "codes")
+    // per-query ADC tables, built driver-side from the (small) query page
+    val qPage: Array[(Long, Seq[Double])] = base
+      .filter(col("id").isin(queryIds: _*))
+      .as[(Long, Seq[Double])].collect()
+    // a query id absent from the corpus would otherwise just return no rows
+    // for that query — misconfiguration must fail, not thin the result
+    require(qPage.length == queryIds.distinct.length,
+      s"only ${qPage.length} of ${queryIds.distinct.length} query ids found in corpus: " +
+        s"missing ${queryIds.distinct.filterNot(qPage.map(_._1).toSet).mkString(",")}")
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    pqSearch(encoded, vecs, qPage, k, shortlist, model)
   }
 
   /** splitmix64 — public-domain 64-bit mix (Steele et al., JDK SplittableRandom). */

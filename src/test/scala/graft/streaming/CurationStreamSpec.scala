@@ -1,12 +1,15 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.ops.{Decontaminate, Dedup}
+import graft.ops.{Decontaminate, Dedup, Similarity}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Top-level for encoder codegen. */
 case class Doc(doc_id: Long, text: String)
+
+/** Top-level for encoder codegen. */
+case class EmbRow(vec_id: Long, embedding: Seq[Float])
 
 /** The curation gates are per-document given a static reference, so applying
   * them inside foreachBatch must reproduce the batch run over the same docs
@@ -82,5 +85,36 @@ class CurationStreamSpec extends SparkSpec {
     docs.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
     q.stop()
     assert(collected.toSet == batch)
+  }
+
+  test("streamed PQ-ANN index (frozen codebook) == batch pqTopK, any micro-batching") {
+    val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+    val queryIds = Seq(0L, 50L)
+    def page(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toList
+    val batch = page(Similarity.pqTopK(
+      corpus, "vec_id", "embedding", queryIds, k = 5))
+
+    // the model is trained once on the same reference corpus and frozen —
+    // the streamed index must encode every later batch with it verbatim
+    val model = Similarity.pqTrain(corpus, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val sink = new AnnIndexSink(spark, dir, model)
+    val rows = corpus.select("vec_id", "embedding")
+      .as[EmbRow].collect().toSeq
+    val input = MemoryStream[EmbRow](spark)
+    val q = sink.attach(input.toDS(), "vec_id", "embedding")
+      .outputMode("append").start()
+    rows.grouped(40).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = page(sink.topK(queryIds, k = 5))
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+
+    // replay: re-processing an already-indexed chunk must not change results
+    sink.process(rows.take(40).toDF(), "vec_id", "embedding", batchId = 999L)
+    assert(page(sink.topK(queryIds, k = 5)) == batch)
   }
 }
