@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   *
   * logs JSON: {"errors": [...]?, "events": [{"contract","event","data":{..}}]?}
   *
-  * seq comes from `Schemas.sidechainSeq(ts, blockNumber, txIdx, evIdx)` —
+  * seq comes from `Schemas.sidechainSeq(ts, blockSlot, txIdx, evIdx)` —
   * the timestamp-major cross-stream order that compares correctly against
-  * L1 seqs (see the encoder scaladoc in Schemas).
+  * L1 seqs (see the encoder scaladoc in Schemas; the same-second block
+  * slot is computed exactly from block headers by `withBlockSlots`).
   */
 object BlockParsers {
 
@@ -31,11 +32,34 @@ object BlockParsers {
 
   private def pj(field: String): Column = get_json_object(col("payload"), s"$$.$field")
 
+  /** Exact same-second block slots for `Schemas.sidechainSeq`: blocks
+    * sharing a timestamp rank in blockNumber order (0 = first/only block of
+    * its second). Computed on BLOCK HEADERS only — the window shuffles
+    * (blockNumber, ts) pairs, never transaction payloads — and only the
+    * anomalous rows (slot > 0, i.e. chain hiccups; empty at the 3 s
+    * cadence) join back, as a broadcast. An absolute blockNum mod 4 would
+    * invert same-second blocks crossing a mod-4 boundary (7, 8 → 3, 0).
+    */
+  private def withBlockSlots(blocks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__slot_ts")).orderBy(col("__slot_bn"))
+    val anomalous = blocks
+      .select(col("blockNumber").as("__slot_bn"),
+        to_timestamp(col("timestamp")).as("__slot_ts"))
+      .withColumn("block_slot", row_number().over(w) - 1)
+      .filter(col("block_slot") > 0)
+      .drop("__slot_ts")
+    blocks.join(broadcast(anomalous),
+        col("blockNumber") === col("__slot_bn"), "left")
+      .withColumn("block_slot", coalesce(col("block_slot"), lit(0)))
+      .drop("__slot_bn")
+  }
+
   private def txs(blocks: DataFrame): DataFrame =
-    blocks.select(col("blockNumber"),
+    withBlockSlots(blocks).select(col("blockNumber"), col("block_slot"),
         to_timestamp(col("timestamp")).as("ts"),
         posexplode(col("transactions")).as(Seq("tx_idx", "tx")))
-      .select(col("blockNumber"), col("ts"), col("tx_idx"),
+      .select(col("blockNumber"), col("block_slot"), col("ts"), col("tx_idx"),
         col("tx.contract").as("contract"), col("tx.action").as("action"),
         col("tx.sender").as("sender"), col("tx.transactionId").as("txid"),
         col("tx.payload").as("payload"),
@@ -56,7 +80,7 @@ object BlockParsers {
       .select(col("*"), posexplode(col("logs.events")).as(Seq("ev_idx", "ev")))
       .filter(col("ev.contract") === "comments")
       .select(
-        Schemas.sidechainSeq(col("ts"), col("blockNumber"),
+        Schemas.sidechainSeq(col("ts"), col("block_slot"),
           col("tx_idx"), col("ev_idx")).as("seq"),
         col("ts"), col("txid"), col("sender"), col("action"),
         col("ev.event").as("event"),
@@ -74,7 +98,7 @@ object BlockParsers {
     val fromMutes = t
       .filter(col("action").isin("setMute", "setPostMute"))
       .select(
-        Schemas.sidechainSeq(col("ts"), col("blockNumber"),
+        Schemas.sidechainSeq(col("ts"), col("block_slot"),
           col("tx_idx"), lit(0L)).as("seq"),
         col("ts"), col("txid"), col("sender"), col("action"),
         lit(null).cast("string").as("event"),
@@ -113,7 +137,7 @@ object BlockParsers {
     txs(blocks)
       .filter(col("contract") === "tokens" && col("action") === "transfer")
       .select(
-        Schemas.sidechainSeq(col("ts"), col("blockNumber"),
+        Schemas.sidechainSeq(col("ts"), col("block_slot"),
           col("tx_idx"), lit(0L)).as("seq"),
         col("ts"), col("txid"), col("sender"),
         pj("symbol").as("symbol"), pj("quantity").as("quantity"),

@@ -26,29 +26,48 @@ object Schemas {
     * make every sidechain seq exceed every L1 seq at real block heights.
     *
     * Long layout (high → low): unix seconds ×2²⁴ | lane ×2²³ (0 sidechain,
-    * 1 L1) | block#%4 ×2²¹ | tx/op idx ×2¹⁰ | event idx. Capacity: 4
-    * same-second blocks per lane, 2048 txs (or L1 ops) per block, 1024
-    * events per tx — each ≥3 orders of magnitude above the chains' actual
-    * rates (one block per ~3 s). Max epoch ~5×10¹¹ s before long overflow.
+    * 1 L1) | same-second block slot ×2²¹ | tx/op idx ×2¹⁰ | event idx.
+    * Capacity: 4 same-second blocks per lane, 2048 txs (or L1 ops) per
+    * block, 1024 events per tx — each ≥3 orders of magnitude above the
+    * chains' actual rates (one block per ~3 s). Max epoch ~5×10¹¹ s before
+    * long overflow.
+    *
+    * `blockSlot` is the block's rank AMONG BLOCKS SHARING ITS TIMESTAMP
+    * (0 for the first / only block of a second), NOT blockNum mod 4 — an
+    * absolute mod inverts order when same-second block numbers cross a
+    * mod-4 boundary (blocks 7, 8 → slots 3, 0). `BlockParsers.txs`
+    * computes exact slots from block headers; callers encoding a single
+    * known-isolated block pass 0. Every index is bounds-checked and fails
+    * loudly on overflow instead of silently corrupting higher fields.
     */
+  private def bounded(c: org.apache.spark.sql.Column, limit: Long,
+                      name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(c < 0 || c >= limit,
+      raise_error(concat(lit(s"$name out of range [0, $limit): "), c.cast("string"))))
+      .otherwise(c.cast("long"))
+  }
+
   private def packedSeq(ts: org.apache.spark.sql.Column, lane: Int,
-                        blockNum: org.apache.spark.sql.Column,
+                        blockSlot: org.apache.spark.sql.Column,
                         majorIdx: org.apache.spark.sql.Column,
                         minorIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     unix_timestamp(ts) * (1L << 24) + lit(lane.toLong * (1L << 23)) +
-      pmod(blockNum, lit(4L)) * (1L << 21) + majorIdx * (1L << 10) + minorIdx
+      bounded(blockSlot, 4L, "blockSlot") * (1L << 21) +
+      bounded(majorIdx, 2048L, "tx/op idx") * (1L << 10) +
+      bounded(minorIdx, 1024L, "event idx")
   }
 
-  def sidechainSeq(ts: org.apache.spark.sql.Column, blockNum: org.apache.spark.sql.Column,
+  def sidechainSeq(ts: org.apache.spark.sql.Column, blockSlot: org.apache.spark.sql.Column,
                    txIdx: org.apache.spark.sql.Column,
                    evIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    packedSeq(ts, 0, blockNum, txIdx, evIdx)
+    packedSeq(ts, 0, blockSlot, txIdx, evIdx)
 
-  def l1Seq(ts: org.apache.spark.sql.Column, blockNum: org.apache.spark.sql.Column,
+  def l1Seq(ts: org.apache.spark.sql.Column, blockSlot: org.apache.spark.sql.Column,
             opIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    packedSeq(ts, 1, blockNum, opIdx, lit(0L))
+    packedSeq(ts, 1, blockSlot, opIdx, lit(0L))
   }
 
   /** Canonical authorperm key: "@author/permlink" (utils.construct_authorperm)

@@ -60,10 +60,10 @@ class BlockParsersSpec extends SparkSpec {
     val probe = Seq(("2024-01-01T00:00:00", "2024-01-01T00:00:03"))
       .toDF("t0", "t1")
       .select(
-        Schemas.sidechainSeq(to_timestamp(col("t0")), lit(100L), lit(5L), lit(2L)).as("sc_t0"),
-        Schemas.l1Seq(to_timestamp(col("t0")), lit(83000000L), lit(0L)).as("l1_t0"),
-        Schemas.sidechainSeq(to_timestamp(col("t1")), lit(101L), lit(0L), lit(0L)).as("sc_t1"),
-        Schemas.l1Seq(to_timestamp(col("t1")), lit(83000001L), lit(7L)).as("l1_t1"))
+        Schemas.sidechainSeq(to_timestamp(col("t0")), lit(0L), lit(5L), lit(2L)).as("sc_t0"),
+        Schemas.l1Seq(to_timestamp(col("t0")), lit(0L), lit(0L)).as("l1_t0"),
+        Schemas.sidechainSeq(to_timestamp(col("t1")), lit(0L), lit(0L), lit(0L)).as("sc_t1"),
+        Schemas.l1Seq(to_timestamp(col("t1")), lit(0L), lit(7L)).as("l1_t1"))
       .collect().head
     val (scT0, l1T0, scT1, l1T1) =
       (probe.getLong(0), probe.getLong(1), probe.getLong(2), probe.getLong(3))
@@ -72,6 +72,34 @@ class BlockParsersSpec extends SparkSpec {
     // an L1 delete in the same second as a sidechain create kills it
     // (the gate guarantees the create was processed first)
     assert(Seq(scT0, l1T0, scT1, l1T1) == Seq(scT0, l1T0, scT1, l1T1).sorted)
+  }
+
+  test("same-second blocks crossing a mod-4 boundary keep blockNumber order") {
+    // blocks 7 and 8 share a timestamp: 7 % 4 = 3 > 8 % 4 = 0, so an
+    // absolute-mod slot would invert their seqs. The header-ranked slot
+    // (7 -> 0, 8 -> 1) must keep the chain order.
+    val hiccup = Seq(
+      RawBlock(7, "2024-01-01T00:00:09", Seq(
+        RawTx("comments", "comment", "alice", "tx-h1",
+          """{"author":"alice","permlink":"h1"}""",
+          """{"events":[{"contract":"comments","event":"newComment","data":{"symbol":"PAL"}}]}"""))),
+      RawBlock(8, "2024-01-01T00:00:09", Seq(
+        RawTx("comments", "comment", "alice", "tx-h2",
+          """{"author":"alice","permlink":"h2"}""",
+          """{"events":[{"contract":"comments","event":"newComment","data":{"symbol":"PAL"}}]}"""))))
+      .toDF()
+    val seqs = BlockParsers.sidechainEvents(hiccup)
+      .orderBy("seq").select("txid").as[String].collect().toSeq
+    assert(seqs == Seq("tx-h1", "tx-h2"),
+      "block 7's tx must sort before block 8's despite the mod-4 wrap")
+  }
+
+  test("index overflow fails loudly instead of corrupting higher seq fields") {
+    val bad = Seq(("2024-01-01T00:00:00")).toDF("t")
+      .select(Schemas.sidechainSeq(to_timestamp(col("t")), lit(0L), lit(2048L), lit(0L)))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("out of range") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of range")))
   }
 
   test("setMute resolved from rewardPoolId via token config") {
