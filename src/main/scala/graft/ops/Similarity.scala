@@ -518,27 +518,58 @@ object Similarity {
                    roundDp: Int = 4): DataFrame = {
     require(init.length >= 2, s"need >= 2 initial centroids, got ${init.length}")
     val v = transform(col(vecCol), x => x.cast("double"))
-    def assignCol(cents: Array[(Int, Seq[Double])]): Column = {
-      val scored = cents.map { case (cl, c) =>
-        struct(cosine(v, array(c.map(lit): _*)).as("cos"),
-          lit(-cl).as("neg_cl"), lit(cl).as("cl"))
+    def assignCol(cents: Array[(Int, Seq[Double])]): Column =
+      if (cents.length <= 16) {
+        // few centroids (label-seeded prototypes): unrolled argmax stays
+        // inside whole-stage codegen as one fused expression
+        val scored = cents.map { case (cl, c) =>
+          struct(cosine(v, array(c.map(lit): _*)).as("cos"),
+            lit(-cl).as("neg_cl"), lit(cl).as("cl"))
+        }
+        greatest(scored.toIndexedSeq: _*).getField("cl")
+      } else {
+        // auto-k path: k grows with the corpus (k = N / targetClusterSize),
+        // and an UNROLLED argmax is a ~k·dims-node expression whose Janino
+        // compile time dominates the query at k in the hundreds and cannot
+        // compile at all at cluster-scale k. Instead the codebook lives in
+        // one constant-folded array-of-arrays literal and the argmax is a
+        // runtime fold over cluster indices — codegen size is constant in
+        // k. Iteration is in ascending-cluster order with a strictly-greater
+        // replace, so ties keep the smallest cluster id — exactly the
+        // (cos, -cl) ordering of the unrolled greatest() (NaN cosines rank
+        // highest in both forms under Spark's NaN-largest comparison).
+        val cvecs = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
+        val cids = array(cents.map { case (cl, _) => lit(cl.toDouble) }: _*)
+        // accumulator is [best_cos, best_cl] (cl exact as a double — cluster
+        // ids are small ints); a struct accumulator trips HOF type coercion
+        val best = aggregate(
+          sequence(lit(0), lit(cents.length - 1)),
+          array(lit(-2.0), lit(cents.head._1.toDouble)),
+          (acc, i) => {
+            val cos = cosine(v, element_at(cvecs, i + 1))
+            when(cos > element_at(acc, 1),
+              array(cos, element_at(cids, i + 1)))
+              .otherwise(acc)
+          })
+        element_at(best, 2).cast("int")
       }
-      greatest(scored.toIndexedSeq: _*).getField("cl")
-    }
+    val dims = init.head._2.length
     var cents = init.sortBy(_._1)
     var it = 0
     while (it < iters) {
+      // per-dim avg aggregates on the UNEXPLODED frame: the assignment
+      // expression runs once per row inside the partial aggregate (an
+      // explode-then-group formulation re-evaluates it per emitted dim —
+      // a dims× amplification), and no row blowup ever shuffles; the
+      // update returns clusters × dims cells like before
+      val dimAvgs = (0 until dims).map(i =>
+        round(avg(element_at(v, i + 1)), roundDp).as(s"c$i"))
       cents = df
-        .select(assignCol(cents).as("cluster"), posexplode(v))
-        .toDF("cluster", "dim", "x")
-        .groupBy(col("cluster"), col("dim"))
-        .agg(round(avg(col("x")), roundDp).as("c"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c")).as("centroid"))
+        .groupBy(assignCol(cents).as("cluster"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
         .orderBy(col("cluster"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .map(r => (r.getInt(0), (0 until dims).map(i => r.getDouble(i + 1))))
       it += 1
     }
     df.withColumn("cluster", assignCol(cents))
