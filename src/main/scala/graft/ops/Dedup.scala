@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators — the LLM-training-pipeline
@@ -674,5 +675,62 @@ object Dedup {
       .join(broadcast(refSpans), Seq("__ch"), "left")
       .select(col("doc_id"), col("pos"), col("__hit").isNull.as("__keep"))
     reassembleFromSource(flags, corpus, idCol, textCol, w)
+  }
+
+  /** Content-defined chunk dedup (gear-style CDC at token granularity): a
+    * chunk boundary falls AFTER every token whose portable char-fold hash
+    * is ≡ 0 mod `avgChunk`, so boundaries are a function of CONTENT, not
+    * position — an insertion early in a document shifts every fixed
+    * window (spanDedup) but CDC chunks re-synchronize at the next
+    * boundary, the property dedup/backup systems buy with content-defined
+    * chunking (expected chunk length = avgChunk tokens). Chunks dedup
+    * corpus-wide by first occurrence (min (doc_id, chunk_id)); returns
+    * per-doc (doc_id, n_chunks, n_uniq_chunks, n_dup_tokens) — zero-token
+    * docs come back as (0, 0, 0) rows.
+    *
+    * The boundary hash is an explicit char fold h → (h·31 + codepoint)
+    * mod 1e9+7 — no engine-private hash in the boundary decision, so an
+    * external SQL oracle recomputes chunking row-for-row. Shape: one
+    * tokenize+explode scan, per-doc window for chunk ids, chunk GROUPing
+    * on xxhash64 of the reassembled chunk (8-byte keys on the corpus-wide
+    * shuffle; a collision could only merge two chunks' winners,
+    * P ≈ chunks²/2^64, and the string-keyed oracle would surface it).
+    */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                    avgChunk: Int): DataFrame = {
+    require(avgChunk >= 2, s"avgChunk must be >= 2 tokens, got $avgChunk")
+    val p = 1000000007L
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+      .withColumn("__h", aggregate(
+        transform(array_remove(split(col("tok"), ""), ""),
+          c => ascii(c).cast("long")),
+        lit(0L), (h, c) => pmod(h * 31L + c, lit(p))))
+      .withColumn("__boundary", pmod(col("__h"), lit(avgChunk.toLong)) === 0L)
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = toks.withColumn("chunk_id",
+      coalesce(sum(when(col("__boundary"), 1L).otherwise(0L)).over(wPrev), lit(0L)))
+    val chunks = chunked.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("__n_toks"),
+        xxhash64(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("__ch"))
+    val winners = chunks.groupBy(col("__ch"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__w"))
+    val perDoc = chunks.join(winners, Seq("__ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__w.doc_id") === col("doc_id") &&
+                 col("__w.chunk_id") === col("chunk_id"), 1L).otherwise(0L))
+          .as("n_uniq_chunks"),
+        sum(when(col("__w.doc_id") === col("doc_id") &&
+                 col("__w.chunk_id") === col("chunk_id"), 0L)
+          .otherwise(col("__n_toks"))).as("n_dup_tokens"))
+    perDoc.join(df.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_uniq_chunks"), lit(0L)).as("n_uniq_chunks"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
   }
 }

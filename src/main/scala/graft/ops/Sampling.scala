@@ -114,4 +114,37 @@ object Sampling {
     df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Token-budget mixture construction: split a global token budget across
+    * sources by a √supply weight (the α = 0.5 temperature curve at TOKEN
+    * granularity — big sources get a sublinear share, small sources keep
+    * most of theirs), then fill each source's cap in deterministic hash
+    * order: a doc is selected iff its source's running token total through
+    * it stays within cap_s = floor(budget · √tokens_s / Σ √tokens).
+    * Appends (n_tokens, cap) to the selected rows.
+    *
+    * 100 TB shape: caps come from a per-source aggregate (sources × 1 rows
+    * — the only all-to-one window runs on THAT tiny frame, never the
+    * corpus) broadcast back; selection is one per-source window cumsum.
+    * sqrt is IEEE-correctly-rounded and the cumsum is integer, so
+    * membership is engine-replayable row-for-row, like the other samplers.
+    */
+  def budgetMix(df: DataFrame, sourceCol: String, idCol: String,
+                tokenCountCol: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 token, got $budget")
+    val toks = df.withColumn("n_tokens", tokenCountCol)
+    val caps = toks.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__supply"))
+      .withColumn("__w", sqrt(col("__supply").cast("double")))
+      .withColumn("cap", floor(lit(budget.toDouble) * col("__w") /
+        sum(col("__w")).over(Window.partitionBy())).cast("long"))
+      .select(col(sourceCol), col("cap"))
+    val order = Window.partitionBy(col(sourceCol))
+      .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(caps), Seq(sourceCol))
+      .withColumn("__cum", sum(col("n_tokens")).over(order))
+      .filter(col("__cum") <= col("cap"))
+      .drop("__cum")
+  }
 }

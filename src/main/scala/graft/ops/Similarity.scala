@@ -440,6 +440,78 @@ object Similarity {
     pqSearch(encoded, vecs, qPage, k, shortlist, model)
   }
 
+  /** Int8 scalar-quantized ANN (symmetric per-vector quantization — the
+    * SQ8 memory-cut path vector indexes ship alongside PQ): each vector
+    * stores codes = round(v / scale) with scale = max|v| / 127, so every
+    * dimension fits a signed byte — a 4× scan cut vs float32 (8× vs
+    * double) once the codes column is what the index persists and scans.
+    *
+    * Ranking uses the PURE-INTEGER cosine of the code vectors — the
+    * per-vector scales cancel out of cosine(s·a, t·b), so the approx
+    * score is intdot(a,b) / (√intdot(a,a) · √intdot(b,b)): exact 64-bit
+    * integer sums fed through correctly-rounded sqrt/division, identical
+    * on every engine, which is what lets the oracle replay the WHOLE
+    * pipeline (quantize → int-cosine shortlist → exact re-rank)
+    * value-exactly. Same propose/dispose shape as pqTopK: per-query
+    * shortlist via bounded window top-k (WindowGroupLimit keeps ≤
+    * shortlist rows per query below the exchange), exact cosine re-rank
+    * joins the shortlist back to the full vectors — only partitions ×
+    * queries × shortlist rows ever shuffle. Zero vectors quantize to
+    * all-zero codes and rank last (approx 0). Query ids absent from the
+    * corpus fail loudly, like pqTopK.
+    */
+  def int8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+               queryIds: Seq[Long], k: Int, shortlist: Int = 64): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val enc = corpus.select(col(idCol).cast("long").as("id"), v.as("v"))
+      .withColumn("__scale",
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / lit(127.0))
+      .withColumn("codes",
+        when(col("__scale") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => round(x / col("__scale")).cast("long"))))
+      .withColumn("__n2",
+        aggregate(col("codes"), lit(0L), (s, c) => s + c * c))
+      .select("id", "codes", "__n2")
+    val q = enc.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("codes").as("__qc"),
+        col("__n2").as("__qn2"))
+    val nq = q.count()
+    require(nq == queryIds.distinct.length,
+      s"only $nq of ${queryIds.distinct.length} query ids found in corpus")
+    val scored = enc.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("__dot", aggregate(
+        zip_with(col("codes"), col("__qc"), (a, b) => a * b),
+        lit(0L), (s, x) => s + x))
+      .withColumn("__approx",
+        when(col("__n2") === 0L || col("__qn2") === 0L, lit(0.0))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__n2").cast("double")) * sqrt(col("__qn2").cast("double")))))
+    import org.apache.spark.sql.expressions.Window
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("id").asc)
+    val cand = scored.withColumn("__srk", row_number().over(ws))
+      .filter(col("__srk") <= shortlist)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val rer = cand
+      .join(broadcast(vecs.filter(col("vid").isin(queryIds: _*)))
+        .withColumnRenamed("vid", "query_id").withColumnRenamed("v", "query_vec"),
+        Seq("query_id"))
+      .join(vecs, col("neighbor_id") === col("vid"))
+      // a zero vector's exact cosine is 0/0 = NaN, which Spark ORDERS AS
+      // LARGEST — pin it to -2 (below any real cosine) so zero vectors
+      // rank last, matching SQL engines where the division is NULL
+      .withColumn("cos", nanvl(cosine(col("query_vec"), col("v")), lit(-2.0)))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** splitmix64 — public-domain 64-bit mix (Steele et al., JDK SplittableRandom). */
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L

@@ -715,6 +715,138 @@ object CurationQueries {
           SELECT lang, doc_id, n_chars,
             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
           FROM documents)
-        WHERE rank <= 5 ORDER BY lang, rank"""))
+        WHERE rank <= 5 ORDER BY lang, rank""")),
+
+    // ---- int8 scalar-quantized ANN (SQ8 — the per-dimension memory-cut
+    // path next to x46's PQ): the oracle replays quantize → pure-integer
+    // code cosine shortlist → exact re-rank, value-exactly — the scales
+    // cancel out of the code cosine, so ranking is exact integer sums
+    // through correctly-rounded sqrt on both engines ----
+    "x51_ann_int8" -> Q(
+      (s, dir) => Similarity.int8TopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        enc AS (
+          SELECT vec_id, v,
+            (SELECT max(abs(x)) FROM unnest(v) AS t(x)) / 127.0 AS scale
+          FROM v),
+        codes AS (
+          SELECT vec_id, v,
+            CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS c
+          FROM enc),
+        n2 AS (
+          SELECT vec_id, v, c, (SELECT sum(x * x) FROM unnest(c) AS t(x)) AS n2
+          FROM codes),
+        scored AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+            (SELECT sum(z.a * z.b)
+             FROM (SELECT unnest(q.c) AS a, unnest(d.c) AS b) z) AS dot,
+            q.n2 AS qn2, d.n2 AS dn2
+          FROM n2 q, n2 d
+          WHERE q.vec_id IN (0, 1, 2, 3, 4) AND d.vec_id <> q.vec_id),
+        appr AS (
+          SELECT query_id, neighbor_id,
+            CASE WHEN qn2 = 0 OR dn2 = 0 THEN 0.0
+                 ELSE dot::DOUBLE / (sqrt(qn2::DOUBLE) * sqrt(dn2::DOUBLE)) END AS approx
+          FROM scored),
+        short AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id ASC) AS srk
+          FROM appr),
+        rer AS (
+          SELECT s.query_id, s.neighbor_id, coalesce(x.c, -2.0) AS cos
+          FROM short s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings cd ON cd.vec_id = s.neighbor_id,
+          LATERAL (SELECT sum(x::DOUBLE * y::DOUBLE)
+                          / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS c
+                   FROM (SELECT unnest(q.embedding) AS x, unnest(cd.embedding) AS y)) x
+          WHERE s.srk <= 64),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM rer)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- content-defined chunk dedup (gear-style CDC at token
+    // granularity): boundaries from a portable char-fold hash, chunks
+    // dedup corpus-wide by first occurrence; the oracle recomputes the
+    // chunking and winners on chunk STRINGS, so an xxhash64 collision on
+    // the Spark side would surface as a mismatch ----
+    "x52_cdc_chunks" -> Q(
+      (s, dir) => Dedup.cdcChunkDedup(
+        Tables.documents(s, dir), "doc_id", "text", avgChunk = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks0 AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+          FROM toks0, unnest(range(1, len(tk) + 1)) AS r(i)),
+        hashed AS (
+          SELECT doc_id, pos, tok,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+              (h, c) -> (h * 31 + c) % 1000000007) AS h
+          FROM toks),
+        chunked AS (
+          SELECT doc_id, pos, tok,
+            coalesce(sum(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+          FROM hashed),
+        chunks AS (
+          SELECT doc_id, chunk_id, count(*) AS n_toks,
+            string_agg(tok, ' ' ORDER BY pos) AS chunk
+          FROM chunked GROUP BY 1, 2),
+        winners AS (
+          SELECT chunk, min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS w
+          FROM chunks GROUP BY 1),
+        perdoc AS (
+          SELECT c.doc_id,
+            count(*) AS n_chunks,
+            sum(CASE WHEN w.w.doc_id = c.doc_id AND w.w.chunk_id = c.chunk_id
+                THEN 1 ELSE 0 END) AS n_uniq_chunks,
+            sum(CASE WHEN w.w.doc_id = c.doc_id AND w.w.chunk_id = c.chunk_id
+                THEN 0 ELSE c.n_toks END) AS n_dup_tokens
+          FROM chunks c JOIN winners w ON c.chunk = w.chunk
+          GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+          CAST(coalesce(p.n_uniq_chunks, 0) AS BIGINT) AS n_uniq_chunks,
+          CAST(coalesce(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- token-budget mixture: √supply caps per source, filled in
+    // deterministic hash order — membership replayed row-for-row ----
+    "x53_budget_mix" -> Q(
+      (s, dir) => Sampling.budgetMix(
+        Tables.documents(s, dir), "source", "doc_id",
+        TextAnalysis.wordCount(col("text")), budget = 15000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cap"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, source,
+            cast(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        caps AS (
+          SELECT source, CAST(floor(15000.0 * w / sum(w) OVER ()) AS BIGINT) AS cap
+          FROM (SELECT source, sqrt(sum(n_tokens)::DOUBLE) AS w FROM toks GROUP BY 1)),
+        cum AS (
+          SELECT t.doc_id, t.source, t.n_tokens, c.cap,
+            sum(t.n_tokens) OVER (PARTITION BY t.source
+              ORDER BY ((t.doc_id * 2654435761 + 12345) % 1000000007) % 1000000, t.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM toks t JOIN caps c ON t.source = c.source)
+        SELECT doc_id, source, n_tokens, cap FROM cum
+        WHERE cum <= cap ORDER BY doc_id"""))
   )
 }

@@ -85,6 +85,69 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     assert(got == Set(("en", 1, 2L), ("en", 2, 3L), ("fr", 1, 5L)))
   }
+
+  test("budgetMix: sqrt-supply caps cut the big source sublinearly") {
+    // big: 4 x 100 = 400 tokens (w = 20); small: 4 x 25 = 100 (w = 10).
+    // budget 150 -> caps floor(150*20/30) = 100, floor(150*10/30) = 50:
+    // ONE big doc fits (100 <= 100) but TWO small docs do (50 <= 50) —
+    // the sublinear share: big holds 4x the tokens, gets only 2x the cap.
+    val df = Seq(
+      (1L, "big", 100L), (2L, "big", 100L), (3L, "big", 100L), (4L, "big", 100L),
+      (5L, "small", 25L), (6L, "small", 25L), (7L, "small", 25L), (8L, "small", 25L))
+      .toDF("doc_id", "source", "toks")
+    val got = Sampling.budgetMix(df, "source", "doc_id", col("toks"), budget = 150L)
+      .select("source", "doc_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(got == Map("big" -> 1, "small" -> 2), s"got $got")
+    // a budget covering the whole supply selects everything
+    val all = Sampling.budgetMix(df, "source", "doc_id", col("toks"), budget = 1500L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == (1L to 8L).toSet)
+  }
+
+  test("budgetMix: selection is a prefix in hash order, never exceeds cap") {
+    val df = (1L to 40L).map(i => (i, "s", 10L)).toDF("doc_id", "source", "toks")
+    val sel = Sampling.budgetMix(df, "source", "doc_id", col("toks"), budget = 170L)
+      .select("doc_id").as[Long].collect().toSet
+    // one source: cap = floor(170 * w / w) = 170 -> 17 docs of 10 tokens
+    assert(sel.size == 17)
+    // the selected set must be the FIRST 17 in hash order (a prefix)
+    val hashOrder = (1L to 40L).sortBy(id =>
+      (((id * 2654435761L + 12345L) % 1000000007L) % 1000000L, id))
+    assert(sel == hashOrder.take(17).toSet)
+  }
+
+  test("cdcChunkDedup: boundaries re-synchronize after an insertion") {
+    // doc 2 prepends one token to doc 1's text: fixed windows all shift,
+    // but every CDC chunk after the first boundary is shared — so doc 2
+    // must report dup tokens even though no w-aligned window matches.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq((1L, base), (2L, s"inserted $base")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDedup(df, "doc_id", "text", avgChunk = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (c1, u1, d1) = got(1L)
+    val (c2, u2, d2) = got(2L)
+    assert(u1 == c1 && d1 == 0L, "first occurrence keeps all its chunks")
+    assert(d2 > 0L, s"shifted copy must share chunks after resync, got $got")
+    assert(u2 < c2)
+  }
+
+  test("cdcChunkDedup: identical docs dedup fully; empty doc is (0,0,0)") {
+    val df = Seq((1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDedup(df, "doc_id", "text", avgChunk = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (c1, u1, d1) = got(1L)
+    assert(u1 == c1 && d1 == 0L)
+    val (c2, u2, d2) = got(2L)
+    assert(c2 == c1 && u2 == 0L, "every chunk of the copy is a dup")
+    assert(d2 == 8L, "all 8 tokens of the copy are duplicate tokens")
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
 }
 
 /** Keeps the boilerplate expectations readable in the spec body. */

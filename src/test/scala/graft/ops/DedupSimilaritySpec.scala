@@ -369,6 +369,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pq == brute)
   }
 
+  test("int8: full shortlist equals brute force exactly (quantize/int-cosine/re-rank plumbing)") {
+    val df = clusteredVecs(40).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L, 1L, 2L), k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val sq = Similarity.int8TopK(df, "vec_id", "embedding", Seq(0L, 1L, 2L),
+        k = 3, shortlist = 40)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(sq == brute)
+  }
+
+  test("int8: honest pruning still recovers the exact top-k on clustered data") {
+    val df = clusteredVecs(64).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L, 5L), k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val sq = Similarity.int8TopK(df, "vec_id", "embedding", Seq(0L, 5L),
+        k = 3, shortlist = 20)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(sq == brute)
+  }
+
+  test("int8: zero vectors quantize to zero codes and rank last; missing query id fails loudly") {
+    val df = (Seq((0L, Seq(1.0f, 0.2f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))): Seq[(Long, Seq[Float])]).toDF("vec_id", "embedding")
+    val got = Similarity.int8TopK(df, "vec_id", "embedding", Seq(0L), k = 2, shortlist = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(got.head == 1L, "the non-zero neighbor must outrank the zero vector")
+    val e = intercept[IllegalArgumentException](
+      Similarity.int8TopK(df, "vec_id", "embedding", Seq(0L, 99L), k = 1, shortlist = 1))
+    assert(e.getMessage.contains("query ids"))
+  }
+
   test("semanticDedup: within-cluster dup groups keep their smallest id, singletons keep") {
     // label 0 around +x: ids 0,1,2 mutually near (one dup group), id 3 far
     // side of the cluster boundary but alone; label 1 around +y: 4,5 near
