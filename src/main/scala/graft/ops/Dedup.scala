@@ -691,10 +691,11 @@ object Dedup {
     * The boundary hash is an explicit char fold h → (h·31 + codepoint)
     * mod 1e9+7 — no engine-private hash in the boundary decision, so an
     * external SQL oracle recomputes chunking row-for-row. Shape: one
-    * tokenize+explode scan, per-doc window for chunk ids, chunk GROUPing
-    * on xxhash64 of the reassembled chunk (8-byte keys on the corpus-wide
-    * shuffle; a collision could only merge two chunks' winners,
-    * P ≈ chunks²/2^64, and the string-keyed oracle would surface it).
+    * tokenize+explode scan, ONE doc-partitioned window pass (chunk-id
+    * cumsum + chunk-start share the exchange), then chunk identity as an
+    * order-sensitive positional hash SUM — fully map-side
+    * partial-aggregatable, so no token string ever crosses the
+    * (doc, chunk) or winners exchanges (see inline note).
     */
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
                     avgChunk: Int): DataFrame = {
@@ -707,18 +708,32 @@ object Dedup {
           c => ascii(c).cast("long")),
         lit(0L), (h, c) => pmod(h * 31L + c, lit(p))))
       .withColumn("__boundary", pmod(col("__h"), lit(avgChunk.toLong)) === 0L)
-    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunked = toks.withColumn("chunk_id",
-      coalesce(sum(when(col("__boundary"), 1L).otherwise(0L)).over(wPrev), lit(0L)))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // chunk identity is an ORDER-SENSITIVE hash that sums per-token
+    // xxhash64(token, position-within-chunk) — sum/count are map-side
+    // partial-aggregatable, so token strings never cross the (doc, chunk)
+    // exchange (a collect_list reassembly would shuffle every token with
+    // no combine); equal token sequences sum identically, different
+    // orders pair different positions (collisions ≈ chunks²/2^64, and
+    // the string-keyed oracle would surface one). chunk_start rides the
+    // SAME doc-partitioned window as the boundary cumsum — one exchange.
+    val chunked = toks
+      .withColumn("chunk_id",
+        coalesce(sum(when(col("__boundary"), 1L).otherwise(0L)).over(wPrev), lit(0L)))
+      .withColumn("__start_flag",
+        col("pos") === 0 || lag(col("__boundary"), 1, false).over(wOrd))
+      .withColumn("__chunk_start",
+        last(when(col("__start_flag"), col("pos")), ignoreNulls = true).over(wRun))
     val chunks = chunked.groupBy(col("doc_id"), col("chunk_id"))
       .agg(count(lit(1)).as("__n_toks"),
-        xxhash64(array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ")).as("__ch"))
-    val winners = chunks.groupBy(col("__ch"))
+        // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        sum(xxhash64(col("tok"), col("pos") - col("__chunk_start"))
+          .cast("decimal(38,0)")).as("__ch"))
+    val winners = chunks.groupBy(col("__ch"), col("__n_toks"))
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__w"))
-    val perDoc = chunks.join(winners, Seq("__ch"))
+    val perDoc = chunks.join(winners, Seq("__ch", "__n_toks"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("__w.doc_id") === col("doc_id") &&
