@@ -729,6 +729,67 @@ object Similarity {
     semanticKeep(assigned, threshold, checkpointDir)
   }
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws": beating power-law scaling via data pruning): cluster the
+    * embedding space with the same auto-k machinery as `semanticDedupAuto`,
+    * score every vector by cosine to its OWN cluster's (rounded) mean — its
+    * prototypicality — and keep `keepFrac` of each cluster. The default
+    * keeps the LEAST prototypical (hardest) examples, the paper's best
+    * metric in the abundant-data regime; `keepEasy = true` inverts the cut
+    * for the scarce-data regime. Returns (id, cluster, proto_cos, keep).
+    *
+    * Deterministic end-to-end (strided seeds, rounded Lloyd refinement,
+    * rounded prototype cosines, id tie-breaks), so an external SQL oracle
+    * replays the whole chain. 100 TB shape: assignment is the constant-
+    * codegen fold scan of kmeansAssign; centroids are ONE clusters × dims
+    * aggregate broadcast back (k rows); the rank cut is a per-cluster
+    * window whose rank bound WindowGroupLimit pushes below the exchange.
+    */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     targetClusterSize: Int, keepFrac: Double,
+                     keepEasy: Boolean = false,
+                     seedStride: Long = 11, iters: Int = 1,
+                     roundDp: Int = 4): DataFrame = {
+    require(targetClusterSize >= 2, s"targetClusterSize must be >= 2, got $targetClusterSize")
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0, 1], got $keepFrac")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val n = base.count()
+    val k = math.max(2L, math.ceil(n.toDouble / targetClusterSize).toLong).toInt
+    val seeds: Array[(Int, Seq[Double])] = base
+      .filter(pmod(col("id"), lit(seedStride)) === 0)
+      .orderBy(col("id")).limit(k)
+      .select(col("id"), transform(col("vec"), x => round(x, roundDp)).as("vec"))
+      .as[(Long, Seq[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    require(seeds.length == k,
+      s"stride $seedStride yields only ${seeds.length} of $k seeds " +
+        s"(corpus ids too sparse on the stride); lower seedStride")
+    val dims = seeds.head._2.length
+    val assigned = kmeansAssign(base, "vec", seeds, iters, roundDp)
+      .localCheckpoint(true)
+    val dimAvgs = (0 until dims).map(i =>
+      round(avg(element_at(col("vec"), i + 1)), roundDp).as(s"c$i"))
+    val cents = assigned.groupBy(col("cluster"))
+      .agg(dimAvgs.head, dimAvgs.tail: _*)
+      .select(col("cluster"),
+        array((0 until dims).map(i => col(s"c$i")): _*).as("__centroid"))
+    val scored = assigned.join(broadcast(cents), Seq("cluster"))
+      .withColumn("proto_cos", round(cosine(col("vec"), col("__centroid")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val order = if (keepEasy) Seq(col("proto_cos").desc, col("id").asc)
+                else Seq(col("proto_cos").asc, col("id").asc)
+    val w = Window.partitionBy(col("cluster")).orderBy(order: _*)
+    val wc = Window.partitionBy(col("cluster"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .select(col("id"), col("cluster"), col("proto_cos"),
+        (col("__rn") <= ceil(lit(keepFrac) * col("__n").cast("double"))).as("keep"))
+  }
+
   /** Shared SemDeDup tail: within-cluster pair cut at the rounded-cosine
     * threshold → connected components → keep-smallest-id verdict.
     *

@@ -825,6 +825,69 @@ object CurationQueries {
         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id""")),
 
+    // ---- prototypicality pruning (Sorscher et al. 2022): auto-k cluster,
+    // score by cosine to the own-cluster mean, keep the hardest keepFrac
+    // of each cluster; the oracle replays seeds → Lloyd step → assignment
+    // → rounded centroids → prototype cosines → per-cluster rank cut ----
+    "x54_prototype_prune" -> Q(
+      (s, dir) => Similarity.prototypePrune(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        targetClusterSize = 16, keepFrac = 0.5)
+        .select(col("id").as("vec_id"), col("cluster"), col("proto_cos"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("vec_id")),
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        kk AS (SELECT greatest(2, cast(ceil(count(*) / 16.0) AS BIGINT)) AS k FROM v),
+        sd AS (SELECT vec_id, list_transform(vec, x -> round(x, 4)) AS svec,
+            row_number() OVER (ORDER BY vec_id) AS srn
+          FROM v WHERE vec_id % 11 = 0),
+        cent0 AS (SELECT cast(srn - 1 AS INT) AS cl, svec AS centroid FROM sd
+          WHERE srn <= (SELECT k FROM kk)),
+        s0 AS (SELECT v.vec_id, v.vec, cent0.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent0.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent0.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent0),
+        a0 AS (SELECT vec_id, vec, cl AS cluster FROM (
+            SELECT vec_id, vec, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s0) WHERE rn = 1),
+        d1 AS (SELECT cluster, i AS dim, vec[i] AS val
+          FROM a0, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c1 AS (SELECT cluster AS cl, dim, round(avg(val), 4) AS cv
+          FROM d1 GROUP BY 1, 2),
+        cent1 AS (SELECT cl, list(cv ORDER BY dim) AS centroid FROM c1 GROUP BY 1),
+        s1 AS (SELECT v.vec_id, v.vec, cent1.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent1.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent1.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent1),
+        a1 AS (SELECT vec_id, vec, cl AS cluster FROM (
+            SELECT vec_id, vec, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s1) WHERE rn = 1),
+        d2 AS (SELECT cluster, i AS dim, vec[i] AS val
+          FROM a1, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c2 AS (SELECT cluster, dim, round(avg(val), 4) AS cv
+          FROM d2 GROUP BY 1, 2),
+        cent2 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM c2 GROUP BY 1),
+        pc AS (SELECT a1.vec_id, a1.cluster,
+            round(list_sum(list_transform(range(1, len(a1.vec) + 1),
+              i -> a1.vec[i] * cent2.centroid[i]))
+            / (sqrt(list_sum(list_transform(a1.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent2.centroid, x -> x * x)))), 6) AS proto_cos
+          FROM a1 JOIN cent2 USING (cluster)),
+        r AS (SELECT vec_id, cluster, proto_cos,
+            row_number() OVER (PARTITION BY cluster ORDER BY proto_cos ASC, vec_id ASC) AS rn,
+            count(*) OVER (PARTITION BY cluster) AS n
+          FROM pc)
+        SELECT vec_id, cluster, proto_cos,
+          CAST(rn <= ceil(0.5 * n::DOUBLE) AS INT) AS keep
+        FROM r ORDER BY vec_id""")),
+
     // ---- token-budget mixture: √supply caps per source, filled in
     // deterministic hash order — membership replayed row-for-row ----
     "x53_budget_mix" -> Q(

@@ -404,6 +404,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("query ids"))
   }
 
+  test("prototypePrune: keeps the hardest keepFrac per cluster; keepFrac=1 keeps all") {
+    val df = clusteredVecs(48).toDF("vec_id", "embedding")
+    val res = Similarity.prototypePrune(df, "vec_id", "embedding",
+        targetClusterSize = 12, keepFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(res.length == 48)
+    res.groupBy(_._2).foreach { case (cl, rows) =>
+      val kept = rows.filter(_._4)
+      val dropped = rows.filterNot(_._4)
+      assert(kept.length == math.ceil(rows.length * 0.5).toInt,
+        s"cluster $cl keeps ceil(n/2): ${kept.length} of ${rows.length}")
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).max <= dropped.map(_._3).min + 1e-9,
+          s"cluster $cl must keep the LEAST prototypical (lowest proto_cos)")
+    }
+    val keptEasy = Similarity.prototypePrune(df, "vec_id", "embedding",
+        targetClusterSize = 12, keepFrac = 0.5, keepEasy = true)
+      .filter(col("keep")).collect().map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    val hardMax = res.filter(_._4).groupBy(_._2).view.mapValues(_.map(_._3).max)
+    // easy mode keeps the top of each cluster: its kept minimum must be >=
+    // the hard mode's kept maximum in every cluster with spread
+    keptEasy.groupBy(_._1).foreach { case (cl, rows) =>
+      assert(rows.map(_._2).min >= hardMax(cl) - 1e-9, s"cluster $cl easy/hard inverted")
+    }
+    val all = Similarity.prototypePrune(df, "vec_id", "embedding",
+      targetClusterSize = 12, keepFrac = 1.0)
+    assert(all.filter(!col("keep")).count() == 0)
+  }
+
   test("semanticDedup: within-cluster dup groups keep their smallest id, singletons keep") {
     // label 0 around +x: ids 0,1,2 mutually near (one dup group), id 3 far
     // side of the cluster boundary but alone; label 1 around +y: 4,5 near
