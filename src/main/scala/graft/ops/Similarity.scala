@@ -460,12 +460,14 @@ object Similarity {
     * all-zero codes and rank last (approx 0). Query ids absent from the
     * corpus fail loudly, like pqTopK.
     */
-  def int8TopK(corpus: DataFrame, idCol: String, vecCol: String,
-               queryIds: Seq[Long], k: Int, shortlist: Int = 64): DataFrame = {
-    require(k >= 1 && shortlist >= k,
-      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+  /** Per-vector SQ8 encode → (id, codes, __n2): codes = round(v / scale)
+    * with scale = max|v| / 127, __n2 the integer self-dot the code cosine
+    * divides by. Stateless per row (no trained model), which is what makes
+    * the streaming face trivial — see `streaming.Int8IndexSink`.
+    */
+  def int8Encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    val enc = corpus.select(col(idCol).cast("long").as("id"), v.as("v"))
+    corpus.select(col(idCol).cast("long").as("id"), v.as("v"))
       .withColumn("__scale",
         aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / lit(127.0))
       .withColumn("codes",
@@ -475,6 +477,17 @@ object Similarity {
       .withColumn("__n2",
         aggregate(col("codes"), lit(0L), (s, c) => s + c * c))
       .select("id", "codes", "__n2")
+  }
+
+  /** SQ8 search over a pre-encoded table: integer code-cosine shortlist,
+    * exact re-rank against `vecs` (vid, v). Shared by the batch `int8TopK`
+    * and the streaming `Int8IndexSink.topK`, so both return identical
+    * results by construction.
+    */
+  def int8Search(enc: DataFrame, vecs: DataFrame,
+                 queryIds: Seq[Long], k: Int, shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
     val q = enc.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("codes").as("__qc"),
         col("__n2").as("__qn2"))
@@ -495,7 +508,6 @@ object Similarity {
     val cand = scored.withColumn("__srk", row_number().over(ws))
       .filter(col("__srk") <= shortlist)
       .select(col("query_id"), col("id").as("neighbor_id"))
-    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     val rer = cand
       .join(broadcast(vecs.filter(col("vid").isin(queryIds: _*)))
         .withColumnRenamed("vid", "query_id").withColumnRenamed("v", "query_vec"),
@@ -511,6 +523,12 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
+
+  def int8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+               queryIds: Seq[Long], k: Int, shortlist: Int = 64): DataFrame =
+    int8Search(int8Encode(corpus, idCol, vecCol),
+      corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v")),
+      queryIds, k, shortlist)
 
   /** splitmix64 — public-domain 64-bit mix (Steele et al., JDK SplittableRandom). */
   private def splitmix64(x0: Long): Long = {

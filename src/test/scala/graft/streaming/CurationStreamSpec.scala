@@ -117,4 +117,34 @@ class CurationStreamSpec extends SparkSpec {
     sink.process(rows.take(40).toDF(), "vec_id", "embedding", batchId = 999L)
     assert(page(sink.topK(queryIds, k = 5)) == batch)
   }
+
+  test("streamed SQ8 int8 index == batch int8TopK, any micro-batching") {
+    val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+    val queryIds = Seq(0L, 50L)
+    def page(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toList
+    val batch = page(Similarity.int8TopK(
+      corpus, "vec_id", "embedding", queryIds, k = 5))
+
+    // no model to freeze: the per-vector scale makes every batch encode
+    // independently, so the index accumulates by pure appends
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    val sink = new Int8IndexSink(spark, dir)
+    val rows = corpus.select("vec_id", "embedding")
+      .as[EmbRow].collect().toSeq
+    val input = MemoryStream[EmbRow](spark)
+    val q = sink.attach(input.toDS(), "vec_id", "embedding")
+      .outputMode("append").start()
+    rows.grouped(40).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = page(sink.topK(queryIds, k = 5))
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+
+    // replay idempotence, same as the PQ sink
+    sink.process(rows.take(40).toDF(), "vec_id", "embedding", batchId = 999L)
+    assert(page(sink.topK(queryIds, k = 5)) == batch)
+  }
 }
