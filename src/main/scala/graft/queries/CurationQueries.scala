@@ -888,6 +888,89 @@ object CurationQueries {
           CAST(rn <= ceil(0.5 * n::DOUBLE) AS INT) AS keep
         FROM r ORDER BY vec_id""")),
 
+    // ---- curation pipeline v4 (prune-then-mix): embedding-space
+    // prototypicality pruning decides which docs survive (docs without an
+    // embedding pass through, like x49), then the token-budget mixture is
+    // built over the SURVIVORS — the pretraining-prep flow the round-6
+    // operators compose into; the oracle replays the entire chain ----
+    "x55_prune_mix" -> Q(
+      (s, dir) => {
+        val drop = Similarity.prototypePrune(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          targetClusterSize = 16, keepFrac = 0.5)
+          .filter(!col("keep")).select(col("id").as("doc_id"))
+        val survivors = Tables.documents(s, dir).join(drop, Seq("doc_id"), "left_anti")
+        Sampling.budgetMix(survivors, "source", "doc_id",
+          TextAnalysis.wordCount(col("text")), budget = 8000L)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("cap"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        kk AS (SELECT greatest(2, cast(ceil(count(*) / 16.0) AS BIGINT)) AS k FROM v),
+        sd AS (SELECT vec_id, list_transform(vec, x -> round(x, 4)) AS svec,
+            row_number() OVER (ORDER BY vec_id) AS srn
+          FROM v WHERE vec_id % 11 = 0),
+        cent0 AS (SELECT cast(srn - 1 AS INT) AS cl, svec AS centroid FROM sd
+          WHERE srn <= (SELECT k FROM kk)),
+        s0 AS (SELECT v.vec_id, v.vec, cent0.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent0.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent0.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent0),
+        a0 AS (SELECT vec_id, vec, cl AS cluster FROM (
+            SELECT vec_id, vec, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s0) WHERE rn = 1),
+        d1 AS (SELECT cluster, i AS dim, vec[i] AS val
+          FROM a0, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c1 AS (SELECT cluster AS cl, dim, round(avg(val), 4) AS cv
+          FROM d1 GROUP BY 1, 2),
+        cent1 AS (SELECT cl, list(cv ORDER BY dim) AS centroid FROM c1 GROUP BY 1),
+        s1 AS (SELECT v.vec_id, v.vec, cent1.cl,
+            list_sum(list_transform(range(1, len(v.vec) + 1),
+              i -> v.vec[i] * cent1.centroid[i]))
+            / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent1.centroid, x -> x * x)))) AS cos
+          FROM v CROSS JOIN cent1),
+        a1 AS (SELECT vec_id, vec, cl AS cluster FROM (
+            SELECT vec_id, vec, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+            FROM s1) WHERE rn = 1),
+        d2 AS (SELECT cluster, i AS dim, vec[i] AS val
+          FROM a1, unnest(range(1, len(vec) + 1)) AS r(i)),
+        c2 AS (SELECT cluster, dim, round(avg(val), 4) AS cv
+          FROM d2 GROUP BY 1, 2),
+        cent2 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM c2 GROUP BY 1),
+        pc AS (SELECT a1.vec_id, a1.cluster,
+            round(list_sum(list_transform(range(1, len(a1.vec) + 1),
+              i -> a1.vec[i] * cent2.centroid[i]))
+            / (sqrt(list_sum(list_transform(a1.vec, x -> x * x)))
+             * sqrt(list_sum(list_transform(cent2.centroid, x -> x * x)))), 6) AS proto_cos
+          FROM a1 JOIN cent2 USING (cluster)),
+        pr AS (SELECT vec_id, cluster, proto_cos,
+            row_number() OVER (PARTITION BY cluster ORDER BY proto_cos ASC, vec_id ASC) AS rn,
+            count(*) OVER (PARTITION BY cluster) AS n
+          FROM pc),
+        sdrop AS (SELECT vec_id AS doc_id FROM pr
+          WHERE NOT (rn <= ceil(0.5 * n::DOUBLE))),
+        surv AS (SELECT d.doc_id, d.source,
+            cast(len(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents d LEFT JOIN sdrop ON d.doc_id = sdrop.doc_id
+          WHERE sdrop.doc_id IS NULL),
+        caps AS (
+          SELECT source, CAST(floor(8000.0 * w / sum(w) OVER ()) AS BIGINT) AS cap
+          FROM (SELECT source, sqrt(sum(n_tokens)::DOUBLE) AS w FROM surv GROUP BY 1)),
+        cum AS (
+          SELECT t.doc_id, t.source, t.n_tokens, c.cap,
+            sum(t.n_tokens) OVER (PARTITION BY t.source
+              ORDER BY ((t.doc_id * 2654435761 + 12345) % 1000000007) % 1000000, t.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM surv t JOIN caps c ON t.source = c.source)
+        SELECT doc_id, source, n_tokens, cap FROM cum
+        WHERE cum <= cap ORDER BY doc_id""")),
+
     // ---- token-budget mixture: √supply caps per source, filled in
     // deterministic hash order — membership replayed row-for-row ----
     "x53_budget_mix" -> Q(
