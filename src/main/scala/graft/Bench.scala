@@ -32,10 +32,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // fixed-path backup of the same line so per-query numbers survive any
-    // stdout truncation between this JVM and the round's BENCH snapshot
+    // working-dir backup of the same line (overridable via
+    // SPARK_GRAFT_BENCH_OUT) so per-query numbers survive any stdout
+    // truncation between this JVM and the round's BENCH snapshot
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_local.json"), line + "\n")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
+      line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

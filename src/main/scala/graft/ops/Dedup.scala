@@ -404,18 +404,36 @@ object Dedup {
     * frames go unreachable; reliable-checkpoint files are cleaned by
     * `spark.cleaner.referenceTracking.cleanCheckpoints` or dir TTL.
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30,
-                      checkpointDir: Option[String] = None): DataFrame = {
-    // lineage truncation for one round's labels (see scaladoc)
-    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+  /** Eager lineage truncation: reliable `checkpoint` under `checkpointDir`
+    * (survives executor loss — the cluster deployment) or executor-pinned
+    * `localCheckpoint` when None. The caller's explicit dir WINS: if the
+    * context's configured checkpoint dir is not already under the requested
+    * one, it is re-pointed — silently checkpointing into whatever dir some
+    * earlier code configured (possibly a local path) would defeat the
+    * executor-loss guarantee the caller asked for. setCheckpointDir creates
+    * a per-app random subdir under `dir`, hence the prefix test.
+    */
+  private[ops] def truncateLineage(df: DataFrame,
+                                   checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir creates a per-app random subdir under `dir`, so
-        // an already-configured context is reused rather than re-pointed
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // compare scheme-normalized paths: getCheckpointDir returns a
+        // scheme-qualified URI (file:/...) even for a bare-path request
+        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val under = sc.getCheckpointDir.exists { d =>
+          val have = new org.apache.hadoop.fs.Path(d).toUri.getPath
+          have == want || have.startsWith(want.stripSuffix("/") + "/")
+        }
+        if (!under) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(true)
     }
+
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    // lineage truncation for one round's labels (see scaladoc)
+    def truncate(df: DataFrame): DataFrame = truncateLineage(df, checkpointDir)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()

@@ -432,10 +432,17 @@ object Similarity {
       .filter(col("id").isin(queryIds: _*))
       .as[(Long, Seq[Double])].collect()
     // a query id absent from the corpus would otherwise just return no rows
-    // for that query — misconfiguration must fail, not thin the result
-    require(qPage.length == queryIds.distinct.length,
-      s"only ${qPage.length} of ${queryIds.distinct.length} query ids found in corpus: " +
-        s"missing ${queryIds.distinct.filterNot(qPage.map(_._1).toSet).mkString(",")}")
+    // for that query, and a DUPLICATED corpus id would silently emit two ADC
+    // tables for one query — misconfiguration must fail, not thin or fan out
+    // the result (a row-count compare can false-pass when one id is
+    // duplicated and another missing)
+    val qIdsFound = qPage.map(_._1)
+    val qMissing = queryIds.distinct.filterNot(qIdsFound.toSet)
+    require(qMissing.isEmpty,
+      s"query ids missing from corpus: ${qMissing.mkString(",")}")
+    require(qIdsFound.distinct.length == qIdsFound.length,
+      "duplicate corpus rows for query ids: " +
+        qIdsFound.diff(qIdsFound.distinct).distinct.mkString(","))
     val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     pqSearch(encoded, vecs, qPage, k, shortlist, model)
   }
@@ -465,9 +472,10 @@ object Similarity {
     * divides by. Stateless per row (no trained model), which is what makes
     * the streaming face trivial — see `streaming.Int8IndexSink`.
     */
-  def int8Encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def int8Encode(corpus: DataFrame, idCol: String, vecCol: String,
+                 keepVec: Boolean = false): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    corpus.select(col(idCol).cast("long").as("id"), v.as("v"))
+    val enc = corpus.select(col(idCol).cast("long").as("id"), v.as("v"))
       .withColumn("__scale",
         aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / lit(127.0))
       .withColumn("codes",
@@ -476,7 +484,11 @@ object Similarity {
             x => round(x / col("__scale")).cast("long"))))
       .withColumn("__n2",
         aggregate(col("codes"), lit(0L), (s, c) => s + c * c))
-      .select("id", "codes", "__n2")
+    // keepVec carries the source vector through in the SAME scan — the
+    // streaming index sink persists (id, vec, codes, __n2) and would
+    // otherwise need a per-micro-batch self-join just to reattach it
+    if (keepVec) enc.select(col("id"), col("v").as("vec"), col("codes"), col("__n2"))
+    else enc.select("id", "codes", "__n2")
   }
 
   /** SQ8 search over a pre-encoded table: integer code-cosine shortlist,
@@ -488,12 +500,24 @@ object Similarity {
                  queryIds: Seq[Long], k: Int, shortlist: Int): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
-    val q = enc.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("codes").as("__qc"),
-        col("__n2").as("__qn2"))
-    val nq = q.count()
-    require(nq == queryIds.distinct.length,
-      s"only $nq of ${queryIds.distinct.length} query ids found in corpus")
+    val spark = enc.sparkSession
+    import spark.implicits._
+    // collect the (KB-bounded: queries × dim × 8 B) query page ONCE — it
+    // feeds both the loud missing/duplicate-id validation and the broadcast
+    // side of the shortlist join, instead of one full filter scan for a
+    // count() and a second recomputed scan inside the join
+    val qPage = enc.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("codes"), col("__n2"))
+      .as[(Long, Seq[Long], Long)].collect()
+    val qIdsFound = qPage.map(_._1)
+    val qMissing = queryIds.distinct.filterNot(qIdsFound.toSet)
+    require(qMissing.isEmpty,
+      s"query ids missing from corpus: ${qMissing.mkString(",")}")
+    require(qIdsFound.distinct.length == qIdsFound.length,
+      "duplicate corpus rows for query ids: " +
+        qIdsFound.diff(qIdsFound.distinct).distinct.mkString(","))
+    val q = spark.createDataset(qPage.toSeq)
+      .toDF("query_id", "__qc", "__qn2")
     val scored = enc.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("__dot", aggregate(
         zip_with(col("codes"), col("__qc"), (a, b) => a * b),
@@ -721,16 +745,20 @@ object Similarity {
     * above remains the oracle-friendly variant for corpora that carry
     * class prototypes.
     */
-  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
-                        targetClusterSize: Int, threshold: Double,
-                        seedStride: Long = 11, iters: Int = 1,
-                        roundDp: Int = 4,
-                        checkpointDir: Option[String] = None): DataFrame = {
+  /** Deterministic auto-k seed derivation shared by `semanticDedupAuto` and
+    * `prototypePrune`: k = max(2, ceil(N / targetClusterSize)) — cluster
+    * count GROWS with the corpus so cluster size stays bounded — seeded by
+    * the k smallest ids on an arithmetic stride (id % seedStride == 0),
+    * vectors rounded to roundDp: no RNG, no engine-private hash, so an
+    * external oracle reproduces the seed set exactly. `base` must carry
+    * (id: long, vec: array<double>).
+    */
+  private def autoKSeeds(base: DataFrame, targetClusterSize: Int,
+                         seedStride: Long,
+                         roundDp: Int): Array[(Int, Seq[Double])] = {
     require(targetClusterSize >= 2, s"targetClusterSize must be >= 2, got $targetClusterSize")
-    val spark = df.sparkSession
+    val spark = base.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
     val n = base.count()
     val k = math.max(2L, math.ceil(n.toDouble / targetClusterSize).toLong).toInt
     val seeds: Array[(Int, Seq[Double])] = base
@@ -742,6 +770,17 @@ object Similarity {
     require(seeds.length == k,
       s"stride $seedStride yields only ${seeds.length} of $k seeds " +
         s"(corpus ids too sparse on the stride); lower seedStride")
+    seeds
+  }
+
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        targetClusterSize: Int, threshold: Double,
+                        seedStride: Long = 11, iters: Int = 1,
+                        roundDp: Int = 4,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val seeds = autoKSeeds(base, targetClusterSize, seedStride, roundDp)
     val assigned = kmeansAssign(base, "vec", seeds, iters, roundDp)
       .select(col("id"), col("cluster"), col("vec"))
     semanticKeep(assigned, threshold, checkpointDir)
@@ -760,34 +799,28 @@ object Similarity {
     * rounded prototype cosines, id tie-breaks), so an external SQL oracle
     * replays the whole chain. 100 TB shape: assignment is the constant-
     * codegen fold scan of kmeansAssign; centroids are ONE clusters × dims
-    * aggregate broadcast back (k rows); the rank cut is a per-cluster
-    * window whose rank bound WindowGroupLimit pushes below the exchange.
+    * aggregate broadcast back (k rows); the rank cut is one per-cluster
+    * window pass — its bound is data-dependent (ceil(keepFrac · cluster
+    * size), computed by the count-over-cluster window in the same exchange),
+    * so no WindowGroupLimit partial top-k applies: every row shuffles once
+    * on cluster id, which is the floor for an exact per-cluster fraction.
+    * `checkpointDir` makes the assignment snapshot (which feeds both the
+    * centroid aggregate and the scoring join) reliable-checkpoint based for
+    * cluster deployments, like semanticKeep's CC loop.
     */
   def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
                      targetClusterSize: Int, keepFrac: Double,
                      keepEasy: Boolean = false,
                      seedStride: Long = 11, iters: Int = 1,
-                     roundDp: Int = 4): DataFrame = {
-    require(targetClusterSize >= 2, s"targetClusterSize must be >= 2, got $targetClusterSize")
+                     roundDp: Int = 4,
+                     checkpointDir: Option[String] = None): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0, 1], got $keepFrac")
-    val spark = df.sparkSession
-    import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val n = base.count()
-    val k = math.max(2L, math.ceil(n.toDouble / targetClusterSize).toLong).toInt
-    val seeds: Array[(Int, Seq[Double])] = base
-      .filter(pmod(col("id"), lit(seedStride)) === 0)
-      .orderBy(col("id")).limit(k)
-      .select(col("id"), transform(col("vec"), x => round(x, roundDp)).as("vec"))
-      .as[(Long, Seq[Double])].collect()
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }
-    require(seeds.length == k,
-      s"stride $seedStride yields only ${seeds.length} of $k seeds " +
-        s"(corpus ids too sparse on the stride); lower seedStride")
+    val seeds = autoKSeeds(base, targetClusterSize, seedStride, roundDp)
     val dims = seeds.head._2.length
-    val assigned = kmeansAssign(base, "vec", seeds, iters, roundDp)
-      .localCheckpoint(true)
+    val assigned = Dedup.truncateLineage(
+      kmeansAssign(base, "vec", seeds, iters, roundDp), checkpointDir)
     val dimAvgs = (0 until dims).map(i =>
       round(avg(element_at(col("vec"), i + 1)), roundDp).as(s"c$i"))
     val cents = assigned.groupBy(col("cluster"))
@@ -818,13 +851,15 @@ object Similarity {
     * cluster's partition, and the cosine cut is applied before anything
     * else materializes); a hot cluster is a skewed JOIN partition, which
     * AQE can split. Cosines are rounded to 6dp so the threshold cut is
-    * engine-portable. `checkpointDir` makes the CC loop's lineage
-    * truncation reliable-checkpoint based (cluster deployments) instead of
-    * executor-pinned localCheckpoint.
+    * engine-portable. `checkpointDir` makes BOTH the assignment snapshot
+    * here and the CC loop's lineage truncation reliable-checkpoint based
+    * (cluster deployments) instead of executor-pinned localCheckpoint —
+    * the snapshot feeds both sides of the pair join and the final verdict
+    * across many jobs, so it needs the same executor-loss survivability.
     */
   private def semanticKeep(assignedIn: DataFrame, threshold: Double,
                            checkpointDir: Option[String]): DataFrame = {
-    val assigned = assignedIn.localCheckpoint(true)
+    val assigned = Dedup.truncateLineage(assignedIn, checkpointDir)
     val pairs = assigned.select(col("id").as("id_a"), col("cluster"), col("vec").as("va"))
       .join(assigned.select(col("id").as("id_b"), col("cluster"), col("vec").as("vb")),
         Seq("cluster"))

@@ -33,16 +33,16 @@ class Int8IndexSink(spark: SparkSession, stateDir: String)
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  /** Encode one micro-batch and append it. */
+  /** Encode one micro-batch and append it — one scan, no join: the encoder
+    * carries the source vector through (`keepVec`), so a duplicated id in a
+    * replayed batch appends byte-identical rows instead of fanning out
+    * through a self-join.
+    */
   def process(batch: DataFrame, idCol: String, vecCol: String,
-              batchId: Long): Unit = {
-    val vecs = batch.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-    Similarity.int8Encode(batch, idCol, vecCol)
-      .join(vecs, Seq("id"))
+              batchId: Long): Unit =
+    Similarity.int8Encode(batch, idCol, vecCol, keepVec = true)
       .withColumn("__batch", lit(batchId))
       .write.mode("append").parquet(codesDir)
-  }
 
   /** Everything indexed so far, replay-duplicates collapsed. */
   def index(): DataFrame = {

@@ -180,8 +180,8 @@ class SnapshotStore(spark: SparkSession, stateDir: String)
 
   /** Nothing to heal: data dirs and the manifest become visible only through
     * the atomic `_latest` publish, so a crash mid-commit leaves the previous
-    * version intact and at worst some unreferenced dirs (reclaimed by
-    * vacuum; a replayed batch overwrites its own orphans in commit()).
+    * version intact and at worst some unreferenced attempt dirs (each
+    * attempt writes under fresh names and is reclaimed by vacuum).
     */
   def recover(): Unit = ()
 
@@ -207,14 +207,18 @@ class SnapshotStore(spark: SparkSession, stateDir: String)
     next.withColumn(PartCol, col(BucketCol))
       .write.partitionBy(PartCol).mode("overwrite").parquet(stagingDir)
     var m2 = base
+    // attempt-unique suffix: a REPLAYED batch (publish succeeded but the
+    // crash landed before the streaming checkpoint recorded it) must not
+    // touch the dirs its previous attempt published — manifest v still
+    // references them, and a reader pinned to v (the snapshot isolation this
+    // store advertises) would lose its data mid-scan. New names every
+    // attempt means commit never deletes and never renames onto a live
+    // path; superseded/orphaned attempt dirs are reclaimed by vacuum().
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
     touched.foreach { k =>
       val stagePart = new Path(s"$stagingDir/$PartCol=$k")
       if (fs.exists(stagePart)) {
-        val dst = new Path(s"$stateDir/data/b$k-$batchId")
-        // an existing dst is an orphan of a crashed attempt of THIS batch
-        // (never referenced by any published manifest) — replace it, never
-        // rename onto it (Hadoop rename would nest src under dst)
-        if (fs.exists(dst)) fs.delete(dst, true)
+        val dst = new Path(s"$stateDir/data/b$k-$batchId-$attempt")
         fs.mkdirs(dst.getParent)
         if (!fs.rename(stagePart, dst))
           throw new java.io.IOException(s"rename failed: $stagePart -> $dst")

@@ -404,6 +404,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("query ids"))
   }
 
+  test("int8/pq: a duplicated corpus id among the queries fails loudly instead of fanning out") {
+    // id 0 appears twice (a replayed append) — a row-count guard would
+    // false-pass when another queried id is missing, and silently emit two
+    // result sets for the duplicate
+    val dup = (clusteredVecs(24) :+ (0L, clusteredVecs(1).head._2))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.int8TopK(dup, "vec_id", "embedding", Seq(0L, 5L), k = 2, shortlist = 4))
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.pqTopK(dup, "vec_id", "embedding", Seq(0L, 5L), k = 2,
+        numSubspaces = 4, numCodes = 8, codebookStride = 3, shortlist = 8, dim = 8))
+    assert(e2.getMessage.contains("duplicate"))
+    // and one duplicated + one missing id must still fail, not cancel out
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.int8TopK(dup, "vec_id", "embedding", Seq(0L, 99L), k = 2, shortlist = 4))
+    assert(e3.getMessage.contains("query ids") || e3.getMessage.contains("duplicate"))
+  }
+
   test("prototypePrune: keeps the hardest keepFrac per cluster; keepFrac=1 keeps all") {
     val df = clusteredVecs(48).toDF("vec_id", "embedding")
     val res = Similarity.prototypePrune(df, "vec_id", "embedding",

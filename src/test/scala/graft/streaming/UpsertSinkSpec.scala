@@ -170,15 +170,17 @@ class UpsertSinkSpec extends SparkSpec {
     assert(fresh == List(("a", "v2")))
   }
 
-  test("snapshot store: crashed-attempt orphan data dir is replaced on replay") {
+  test("snapshot store: crashed-attempt orphan data dir is ignored on replay and reclaimed by vacuum") {
     val dir = Files.createTempDirectory("graft-sink-orphan").toString
     val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
       numBuckets = 1, backend = UpsertSink.Snapshot)
     sink.merge(Seq(("a", 1L, "upsert", "v1"))
       .toDF("key", "seq", "op", "payload"), batchId = 0L)
-    // a crashed attempt of batch 5 left its data dir installed but never
-    // published a manifest — the replay must replace it, not nest into it
-    val orphan = new java.io.File(s"$dir/data/b0-5")
+    // a crashed attempt of batch 5 left its (attempt-suffixed) data dir
+    // installed but never published a manifest — the replay writes under a
+    // FRESH attempt name (never renames onto or deletes an existing path),
+    // so the junk is simply unreferenced until vacuum reclaims it
+    val orphan = new java.io.File(s"$dir/data/b0-5-deadbeef")
     orphan.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(orphan, "junk.parquet").toPath, "not parquet")
@@ -187,6 +189,36 @@ class UpsertSinkSpec extends SparkSpec {
     val state = sink.state().collect()
       .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
     assert(state == List(("a", "v5")))
+    new SnapshotStore(spark, dir).vacuum(keepVersions = 1)
+    assert(!orphan.exists(), "unreferenced crashed-attempt dir survived vacuum")
+    val after = sink.state().collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(after == state)
+  }
+
+  test("snapshot store: replaying an already-published batch never unlinks the published snapshot") {
+    val dir = Files.createTempDirectory("graft-sink-replay-iso").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 1, backend = UpsertSink.Snapshot)
+    sink.merge(Seq(("a", 1L, "upsert", "v1"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    val b1 = Seq(("a", 2L, "upsert", "v2"), ("b", 3L, "upsert", "w1"))
+      .toDF("key", "seq", "op", "payload")
+    sink.merge(b1, batchId = 1L)
+    // a reader pins the published version's file list now; the process then
+    // dies BEFORE the streaming checkpoint records batch 1, so the batch
+    // replays with the same id — its previous attempt's dirs are referenced
+    // by the live manifest and must not be deleted out from under the reader
+    val pinned = sink.state()
+    sink.merge(b1, batchId = 1L)
+    val seen = pinned.orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(seen == List(("a", "v2"), ("b", "w1")),
+      "replay destroyed the snapshot a pinned reader was scanning")
+    // and the replay itself is an idempotent no-op on fresh state
+    val fresh = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(fresh == seen)
   }
 
   test("snapshot store: vacuum drops superseded versions, keeps the live snapshot") {
@@ -197,9 +229,9 @@ class UpsertSinkSpec extends SparkSpec {
       sink.merge(Seq(("a", i.toLong, "upsert", s"v$i"), ("b", i.toLong, "upsert", s"w$i"))
         .toDF("key", "seq", "op", "payload"), batchId = i.toLong)
     new SnapshotStore(spark, dir).vacuum(keepVersions = 1)
-    // only the live version's data dirs survive
+    // only the live version's data dirs survive (b<k>-<batch>-<attempt>)
     val dataDirs = Option(new java.io.File(s"$dir/data").listFiles()).toSeq.flatten
-    assert(dataDirs.nonEmpty && dataDirs.forall(_.getName.endsWith("-2")),
+    assert(dataDirs.nonEmpty && dataDirs.forall(_.getName.matches("b\\d+-2-[0-9a-f]{8}")),
       s"stale data dirs survived vacuum: ${dataDirs.map(_.getName).toList}")
     val manifests = Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("manifest-")).map(_.getName)
