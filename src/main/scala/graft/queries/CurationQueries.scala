@@ -511,8 +511,12 @@ object CurationQueries {
         val cleaned = Dedup.spanDedup(docs, "doc_id", "text", w = 5)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text").as("text"))
+        // snapshot the span-dedup chain: removeContaminated scans its train
+        // side twice (n-gram probe + anti-join), re-running the window
+        // shuffle without this
         val qualified = cleaned
           .filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+          .localCheckpoint(true)
         val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
         Decontaminate.removeContaminated(qualified, bench, "doc_id", "text", n = 4)
           .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("n_tokens"))
@@ -573,10 +577,17 @@ object CurationQueries {
         val cleaned = Dedup.spanDedup(docs, "doc_id", "text", w = 5)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text").as("text"))
+        // materialize the span-dedup chain ONCE: removeContaminated scans
+        // its train side twice (n-gram probe + anti-join) and
+        // minhashDedupAgainst scans its corpus three times (signatures,
+        // exact-Jaccard rescore, anti-join) — without these snapshots the
+        // spanDedup window shuffle re-executes ~5x
         val qualified = cleaned
           .filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+          .localCheckpoint(true)
         val exactClean = Decontaminate.removeContaminated(
           qualified, bench, "doc_id", "text", n = 4)
+          .localCheckpoint(true)
         val fuzzyClean = Dedup.minhashDedupAgainst(
           exactClean, bench, "doc_id", "text", threshold = 0.8)
         // semantic verdicts are a GLOBAL embedding-space analysis (computed
