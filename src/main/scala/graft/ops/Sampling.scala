@@ -147,4 +147,60 @@ object Sampling {
       .filter(col("__cum") <= col("cap"))
       .drop("__cum")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data selection for
+    * language models via importance resampling"): score every raw document
+    * by how much more likely its hashed-unigram features are under a TARGET
+    * corpus than under the raw corpus — log w(doc) = Σ_tokens
+    * [ln p̂_target(b(tok)) − ln p̂_raw(b(tok))] with add-one-smoothed bucket
+    * distributions. Returns (idCol, n_tokens, logw_e4, keep): the per-token
+    * log-ratios are rounded to 4dp and scaled to integers (×10⁴), so the
+    * per-document score is an EXACT long sum — order-independent, no FP
+    * accumulation drift — and an external SQL oracle replays it (ln-at-4dp
+    * is the same portability envelope the unigram-logprob report uses).
+    * `keep` marks docs more target-like than raw (logw > 0) — the
+    * deterministic stand-in for the paper's Gumbel resampling.
+    *
+    * The bucket hash is portable integer arithmetic over the first/last
+    * character codes and length (the fingerprint trick) — collisions are
+    * part of DSIR's design (hashed features), and identical on any engine.
+    *
+    * 100 TB shape: two buckets-row aggregates (collected like a codebook —
+    * KB-bounded) build the log-ratio table; scoring is then ONE raw-corpus
+    * scan with the table constant-folded into a fold expression — no join,
+    * no shuffle, no row amplification.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("__id"),
+        transform(TextAnalysis.tokens(lower(col(textCol))),
+          t => (ascii(t).cast("long") * 7919L +
+                ascii(substring(t, -1, 1)).cast("long") * 31L +
+                length(t).cast("long")) % buckets).as("__bs"))
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val arr = Array.fill(buckets)(0L)
+      bucketed(df).select(explode(col("__bs")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect()
+        .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(raw)
+    val tSum = ct.sum.toDouble + buckets
+    val rSum = cr.sum.toDouble + buckets
+    val lrE4: Array[Long] = Array.tabulate(buckets) { b =>
+      math.round((math.log((ct(b) + 1.0) / tSum) -
+                  math.log((cr(b) + 1.0) / rSum)) * 10000.0)
+    }
+    val lrLit = array(lrE4.toIndexedSeq.map(lit): _*)
+    bucketed(raw).select(col("__id").as(idCol),
+        size(col("__bs")).cast("long").as("n_tokens"),
+        aggregate(col("__bs"), lit(0L),
+          (s, b) => s + element_at(lrLit, b.cast("int") + 1)).as("logw_e4"))
+      .withColumn("keep", col("logw_e4") > 0L)
+  }
 }

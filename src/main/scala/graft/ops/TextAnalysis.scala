@@ -74,6 +74,52 @@ object TextAnalysis {
     lenOk + punctOk + stopOk
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    * language models: methods, analysis & insights from training Gopher",
+    * Appendix A quality heuristics): per-document boolean verdicts for the
+    * standard cheap filters — word-count band, mean-word-length band,
+    * symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, and the ≥2-distinct-stopwords requirement —
+    * plus their conjunction as `keep`. Pure Column expressions (one struct
+    * per row, no joins or shuffles), so the gate scan-pipelines at any
+    * scale; every rule is exact integer/ratio arithmetic an external SQL
+    * oracle replays bit-for-bit (counting via non-overlapping replace, so
+    * both engines agree on '...' runs).
+    */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val nD = greatest(n, lit(1L)).cast("double")
+    val lines = array_remove(split(text, "\n"), "")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val hashCount = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ellipsisCount =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val bulletLines = size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val gopherStop = array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val stopDistinct = size(array_intersect(array_distinct(tokens(lower(text))), gopherStop))
+    val wordCountOk = n.between(50L, 100000L)
+    val meanWordLenOk = avgWordLen(text).between(3.0, 10.0)
+    val symbolRatioOk = (hashCount + ellipsisCount).cast("double") / nD <= 0.1
+    val bulletOk = bulletLines.cast("double") / nLines <= 0.9
+    val ellipsisOk = ellipsisLines.cast("double") / nLines <= 0.3
+    val alphaOk = alphaWords.cast("double") / nD >= 0.8
+    val stopwordOk = stopDistinct >= 2
+    struct(
+      n.as("n_words"),
+      wordCountOk.as("word_count_ok"),
+      meanWordLenOk.as("mean_word_len_ok"),
+      symbolRatioOk.as("symbol_ratio_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      (wordCountOk && meanWordLenOk && symbolRatioOk && bulletOk &&
+        ellipsisOk && alphaOk && stopwordOk).as("keep"))
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword-extraction /
     * near-dup-feature weighting, shaped as two aggregations + a window
     * (linear shuffles; document frequency is a broadcastable dimension).

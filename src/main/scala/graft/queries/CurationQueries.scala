@@ -1004,6 +1004,89 @@ object CurationQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM toks t JOIN caps c ON t.source = c.source)
         SELECT doc_id, source, n_tokens, cap FROM cum
-        WHERE cum <= cap ORDER BY doc_id"""))
+        WHERE cum <= cap ORDER BY doc_id""")),
+
+    // ---- Gopher rule-based quality gate (Rae et al. 2021): the standard
+    // cheap per-doc filters as boolean verdicts, conjunction as keep ----
+    "x56_gopher_rules" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("g", TextAnalysis.gopherFlags(col("text")))
+        .select(col("doc_id"), col("g.n_words"),
+          col("g.word_count_ok"), col("g.mean_word_len_ok"),
+          col("g.symbol_ratio_ok"), col("g.bullet_ok"), col("g.ellipsis_ok"),
+          col("g.alpha_ok"), col("g.stopword_ok"), col("g.keep"))
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+            list_filter(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')),
+              t -> t IN ('the','be','to','of','and','that','have','with')) AS stops,
+            list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+          FROM documents)
+        SELECT doc_id,
+          cast(len(toks) AS BIGINT) AS n_words,
+          len(toks) BETWEEN 50 AND 100000 AS word_count_ok,
+          (length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+            / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+          (((length(text) - length(replace(text, '#', '')))
+            + cast((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT))::DOUBLE
+            / greatest(len(toks), 1)) <= 0.1 AS symbol_ratio_ok,
+          (len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE
+            / greatest(len(lines), 1)) <= 0.9 AS bullet_ok,
+          (len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+            / greatest(len(lines), 1)) <= 0.3 AS ellipsis_ok,
+          (len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+            / greatest(len(toks), 1)) >= 0.8 AS alpha_ok,
+          len(stops) >= 2 AS stopword_ok,
+          (len(toks) BETWEEN 50 AND 100000)
+            AND ((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+              / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0)
+            AND ((((length(text) - length(replace(text, '#', '')))
+              + cast((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT))::DOUBLE
+              / greatest(len(toks), 1)) <= 0.1)
+            AND ((len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE
+              / greatest(len(lines), 1)) <= 0.9)
+            AND ((len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+              / greatest(len(lines), 1)) <= 0.3)
+            AND ((len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+              / greatest(len(toks), 1)) >= 0.8)
+            AND (len(stops) >= 2) AS keep
+        FROM base ORDER BY doc_id""")),
+
+    // ---- DSIR importance weights: hashed-unigram target/raw log-ratio,
+    // integer-exact per-doc sums; keep = more target-like than raw ----
+    "x57_dsir_weights" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sampling.dsirLogWeights(
+          docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(20L)) === 0L),
+          "doc_id", "text", buckets = 256)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+          FROM documents),
+        tb AS (
+          SELECT doc_id,
+            (ascii(t) * 7919 + ascii(substr(t, -1, 1)) * 31 + length(t)) % 256 AS b
+          FROM toks),
+        ct AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 20 = 0 GROUP BY 1),
+        cr AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 20 <> 0 GROUP BY 1),
+        tots AS (SELECT (SELECT sum(c) FROM ct) AS ts, (SELECT sum(c) FROM cr) AS rs),
+        lr AS (
+          SELECT r.b,
+            cast(round((ln((coalesce(ct.c, 0) + 1) / (tots.ts + 256.0))
+                      - ln((coalesce(cr.c, 0) + 1) / (tots.rs + 256.0))) * 10000) AS BIGINT) AS lr
+          FROM (SELECT unnest(range(0, 256)) AS b) r
+          LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN tots),
+        w AS (
+          SELECT doc_id, count(*) AS n_tokens, cast(sum(lr) AS BIGINT) AS logw_e4
+          FROM tb JOIN lr USING (b) WHERE doc_id % 20 <> 0 GROUP BY 1)
+        SELECT d.doc_id, cast(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+          coalesce(w.logw_e4, 0) AS logw_e4,
+          (coalesce(w.logw_e4, 0) > 0) AS keep
+        FROM documents d LEFT JOIN w USING (doc_id)
+        WHERE d.doc_id % 20 <> 0 ORDER BY 1"""))
   )
 }

@@ -148,6 +148,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(d2 == 8L, "all 8 tokens of the copy are duplicate tokens")
     assert(got(3L) == ((0L, 0L, 0L)))
   }
+
+  test("gopherFlags: each rule fires on its designed violation; clean doc keeps") {
+    val goodText = (1 to 60).map(i => s"the quick brown fox number$i jumps over it and").mkString(" ")
+    val df = Seq(
+      (1L, goodText),                                        // passes everything
+      (2L, "too few words here the and of"),                 // fails word count
+      (3L, (1 to 60).map(_ => "### ## #").mkString(" ") + " the and of that be"), // symbol-heavy
+      (4L, (1 to 60).map(i => s"- bullet the item $i of\n").mkString + "tail"),   // bullet-heavy
+      (5L, (1 to 60).map(i => s"the item $i and of...\n").mkString)               // ellipsis-heavy
+    ).toDF("doc_id", "text")
+    val got = df.withColumn("g", TextAnalysis.gopherFlags(col("text")))
+      .select(col("doc_id"), col("g.word_count_ok"), col("g.symbol_ratio_ok"),
+        col("g.bullet_ok"), col("g.ellipsis_ok"), col("g.keep"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got(1L) == ((true, true, true, true, true)), s"clean doc must keep: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._5, "short doc fails word count")
+    assert(!got(3L)._2 && !got(3L)._5, "symbol-heavy doc fails symbol ratio")
+    assert(!got(4L)._3 && !got(4L)._5, "bullet-heavy doc fails bullet fraction")
+    assert(!got(5L)._4 && !got(5L)._5, "ellipsis-heavy doc fails ellipsis fraction")
+  }
+
+  test("dsirLogWeights: target-like docs score positive, off-target negative, empty doc zero") {
+    // target corpus speaks only 'aa bb cc'; raw has a target-like doc, an
+    // off-target doc (tokens never seen in target), and an empty doc
+    val target = (1L to 20L).map(i => (1000L + i, "aa bb cc aa bb cc")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "aa bb cc aa bb cc"),
+      (2L, "zz yy xx zz yy xx"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Sampling.dsirLogWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L)._1 == 6L && got(2L)._1 == 6L && got(3L)._1 == 0L)
+    assert(got(1L)._2 > 0L && got(1L)._3, s"target-like doc must score positive: ${got(1L)}")
+    assert(got(2L)._2 < 0L && !got(2L)._3, s"off-target doc must score negative: ${got(2L)}")
+    assert(got(3L)._2 == 0L && !got(3L)._3, "empty doc scores zero and is not kept")
+    // deterministic: identical on re-run
+    val again = Sampling.dsirLogWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(again == got)
+  }
 }
 
 /** Keeps the boilerplate expectations readable in the spec body. */
