@@ -170,19 +170,31 @@ object Sampling {
     * scan with the table constant-folded into a fold expression — no join,
     * no shuffle, no row amplification.
     */
-  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                     textCol: String, buckets: Int = 256): DataFrame = {
+  /** Per-token bucket ids for the DSIR hashed-unigram features (portable
+    * first-char/last-char/length integer hash, see dsirLogWeights).
+    */
+  private def dsirBucketed(df: DataFrame, idCol: String, textCol: String,
+                           buckets: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      transform(TextAnalysis.tokens(lower(col(textCol))),
+        t => (ascii(t).cast("long") * 7919L +
+              ascii(substring(t, -1, 1)).cast("long") * 31L +
+              length(t).cast("long")) % buckets).as("__bs"))
+
+  /** Train the frozen DSIR model: the per-bucket integer-scaled log-ratio
+    * table (×10⁴, rounded — see dsirLogWeights). Two buckets-row aggregates,
+    * each collected like a codebook (KB-bounded). The returned array is the
+    * whole model — persist/broadcast it and score any corpus (or stream
+    * micro-batch) against it with [[dsirScore]].
+    */
+  def dsirTable(raw: DataFrame, target: DataFrame, idCol: String,
+                textCol: String, buckets: Int = 256): Array[Long] = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
-    def bucketed(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("__id"),
-        transform(TextAnalysis.tokens(lower(col(textCol))),
-          t => (ascii(t).cast("long") * 7919L +
-                ascii(substring(t, -1, 1)).cast("long") * 31L +
-                length(t).cast("long")) % buckets).as("__bs"))
     def bucketCounts(df: DataFrame): Array[Long] = {
       val arr = Array.fill(buckets)(0L)
-      bucketed(df).select(explode(col("__bs")).as("b"))
+      dsirBucketed(df, idCol, textCol, buckets)
+        .select(explode(col("__bs")).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
         .collect()
         .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
@@ -192,15 +204,32 @@ object Sampling {
     val cr = bucketCounts(raw)
     val tSum = ct.sum.toDouble + buckets
     val rSum = cr.sum.toDouble + buckets
-    val lrE4: Array[Long] = Array.tabulate(buckets) { b =>
+    Array.tabulate(buckets) { b =>
       math.round((math.log((ct(b) + 1.0) / tSum) -
                   math.log((cr(b) + 1.0) / rSum)) * 10000.0)
     }
-    val lrLit = array(lrE4.toIndexedSeq.map(lit): _*)
-    bucketed(raw).select(col("__id").as(idCol),
+  }
+
+  /** Score documents against a frozen DSIR table: one scan, the table
+    * constant-folded into a per-row fold — no join, no shuffle. Per-doc
+    * scores are exact long sums, so scoring is micro-batch-invariant:
+    * applying this inside foreachBatch reproduces the batch run under any
+    * ingestion batching (the streaming face, like the frozen-codebook ANN
+    * sink).
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                table: Array[Long]): DataFrame = {
+    val lrLit = array(table.toIndexedSeq.map(lit): _*)
+    dsirBucketed(df, idCol, textCol, table.length)
+      .select(col("__id").as(idCol),
         size(col("__bs")).cast("long").as("n_tokens"),
         aggregate(col("__bs"), lit(0L),
           (s, b) => s + element_at(lrLit, b.cast("int") + 1)).as("logw_e4"))
       .withColumn("keep", col("logw_e4") > 0L)
   }
+
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 256): DataFrame =
+    dsirScore(raw, idCol, textCol,
+      dsirTable(raw, target, idCol, textCol, buckets))
 }

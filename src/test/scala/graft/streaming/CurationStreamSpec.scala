@@ -87,6 +87,29 @@ class CurationStreamSpec extends SparkSpec {
     assert(collected.toSet == batch)
   }
 
+  test("streamed DSIR scoring (frozen table) == batch run, any micro-batching") {
+    import graft.ops.Sampling
+    val raw = docs.toDF("doc_id", "text")
+    val batch = Sampling.dsirLogWeights(raw, reference, "doc_id", "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    // the model (per-bucket log-ratio table) is trained once on the same
+    // reference snapshot and frozen — streamed scoring applies it verbatim
+    val table = Sampling.dsirTable(raw, reference, "doc_id", "text", buckets = 64)
+    val input = MemoryStream[Doc](spark)
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Long, Boolean)]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Sampling.dsirScore(df, "doc_id", "text", table)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        ()
+      }
+      .start()
+    docs.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    assert(collected.toSet == batch, s"stream $collected vs batch $batch")
+  }
+
   test("streamed PQ-ANN index (frozen codebook) == batch pqTopK, any micro-batching") {
     val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .filter(col("vec_id") < 120)
