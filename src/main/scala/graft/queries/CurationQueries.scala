@@ -1087,6 +1087,85 @@ object CurationQueries {
           coalesce(w.logw_e4, 0) AS logw_e4,
           (coalesce(w.logw_e4, 0) > 0) AS keep
         FROM documents d LEFT JOIN w USING (doc_id)
-        WHERE d.doc_id % 20 <> 0 ORDER BY 1"""))
+        WHERE d.doc_id % 20 <> 0 ORDER BY 1""")),
+
+    // ---- curation pipeline v5 (this round's gates composed): Gopher
+    // content-rule gate -> frozen-table DSIR scoring of the survivors ->
+    // per-source top-k by importance weight (WindowGroupLimit-able rank).
+    // The stopword rule is omitted from the gate: the synthetic fixture
+    // text contains no English stopwords, so it is vacuously false
+    // corpus-wide (x56 still verifies it boolean-for-boolean); and the
+    // DSIR rank replaces the sign threshold so selection binds at every
+    // SF instead of depending on how target-like the fixture slice is. ----
+    "x58_pipeline_v5" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val target = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+        val raw = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L)
+        val gated = raw.withColumn("g", TextAnalysis.gopherFlags(col("text")))
+          .filter(col("g.word_count_ok") && col("g.mean_word_len_ok") &&
+            col("g.symbol_ratio_ok") && col("g.bullet_ok") &&
+            col("g.ellipsis_ok") && col("g.alpha_ok"))
+          .select(col("doc_id"), col("source"), col("text"))
+        // the table is trained on the FULL raw corpus (same model as x57)
+        // and frozen; only gate survivors are scored against it
+        val table = Sampling.dsirTable(raw, target, "doc_id", "text", buckets = 256)
+        val scored = Sampling.dsirScore(gated, "doc_id", "text", table)
+          .join(gated.select("doc_id", "source"), Seq("doc_id"))
+        Sampling.topKPerGroup(scored, "source", k = 8,
+            Seq(col("logw_e4").desc, col("doc_id").asc))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("logw_e4"), col("rank"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+          FROM documents),
+        tb AS (
+          SELECT doc_id,
+            (ascii(t) * 7919 + ascii(substr(t, -1, 1)) * 31 + length(t)) % 256 AS b
+          FROM toks),
+        ct AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 20 = 0 GROUP BY 1),
+        cr AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 20 <> 0 GROUP BY 1),
+        tots AS (SELECT (SELECT sum(c) FROM ct) AS ts, (SELECT sum(c) FROM cr) AS rs),
+        lr AS (
+          SELECT r.b,
+            cast(round((ln((coalesce(ct.c, 0) + 1) / (tots.ts + 256.0))
+                      - ln((coalesce(cr.c, 0) + 1) / (tots.rs + 256.0))) * 10000) AS BIGINT) AS lr
+          FROM (SELECT unnest(range(0, 256)) AS b) r
+          LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN tots),
+        w AS (
+          SELECT doc_id, count(*) AS n_tokens, cast(sum(lr) AS BIGINT) AS logw_e4
+          FROM tb JOIN lr USING (b) WHERE doc_id % 20 <> 0 GROUP BY 1),
+        base AS (
+          SELECT d.doc_id, d.source, d.text,
+            list_filter(string_split_regex(d.text, '\s+'), x -> x <> '') AS dtoks,
+            list_filter(string_split(d.text, chr(10)), x -> x <> '') AS lines
+          FROM documents d WHERE d.doc_id % 20 <> 0),
+        gated AS (
+          SELECT doc_id, source FROM base
+          WHERE (len(dtoks) BETWEEN 50 AND 100000)
+            AND ((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+              / greatest(len(dtoks), 1)) BETWEEN 3.0 AND 10.0)
+            AND ((((length(text) - length(replace(text, '#', '')))
+              + cast((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT))::DOUBLE
+              / greatest(len(dtoks), 1)) <= 0.1)
+            AND ((len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE
+              / greatest(len(lines), 1)) <= 0.9)
+            AND ((len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+              / greatest(len(lines), 1)) <= 0.3)
+            AND ((len(list_filter(dtoks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+              / greatest(len(dtoks), 1)) >= 0.8)),
+        scored AS (
+          SELECT g.doc_id, g.source,
+            cast(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+            coalesce(w.logw_e4, 0) AS logw_e4
+          FROM gated g LEFT JOIN w USING (doc_id)),
+        ranked AS (
+          SELECT *, cast(row_number() OVER (
+            PARTITION BY source ORDER BY logw_e4 DESC, doc_id) AS INT) AS rank
+          FROM scored)
+        SELECT doc_id, source, n_tokens, logw_e4, rank
+        FROM ranked WHERE rank <= 8 ORDER BY doc_id"""))
   )
 }
