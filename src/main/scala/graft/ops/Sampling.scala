@@ -174,12 +174,13 @@ object Sampling {
     * first-char/last-char/length integer hash, see dsirLogWeights).
     */
   private def dsirBucketed(df: DataFrame, idCol: String, textCol: String,
-                           buckets: Int): DataFrame =
-    df.select(col(idCol).as("__id"),
+                           buckets: Int, carry: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol).as("__id") +:
       transform(TextAnalysis.tokens(lower(col(textCol))),
         t => (ascii(t).cast("long") * 7919L +
               ascii(substring(t, -1, 1)).cast("long") * 31L +
-              length(t).cast("long")) % buckets).as("__bs"))
+              length(t).cast("long")) % buckets).as("__bs") +:
+      carry.map(col)): _*)
 
   /** Train the frozen DSIR model: the per-bucket integer-scaled log-ratio
     * table (×10⁴, rounded — see dsirLogWeights). Two buckets-row aggregates,
@@ -218,13 +219,14 @@ object Sampling {
     * sink).
     */
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
-                table: Array[Long]): DataFrame = {
+                table: Array[Long], carry: Seq[String] = Nil): DataFrame = {
     val lrLit = array(table.toIndexedSeq.map(lit): _*)
-    dsirBucketed(df, idCol, textCol, table.length)
-      .select(col("__id").as(idCol),
-        size(col("__bs")).cast("long").as("n_tokens"),
+    dsirBucketed(df, idCol, textCol, table.length, carry)
+      .select((col("__id").as(idCol) +:
+        size(col("__bs")).cast("long").as("n_tokens") +:
         aggregate(col("__bs"), lit(0L),
-          (s, b) => s + element_at(lrLit, b.cast("int") + 1)).as("logw_e4"))
+          (s, b) => s + element_at(lrLit, b.cast("int") + 1)).as("logw_e4") +:
+        carry.map(col)): _*)
       .withColumn("keep", col("logw_e4") > 0L)
   }
 

@@ -1110,8 +1110,11 @@ object CurationQueries {
         // the table is trained on the FULL raw corpus (same model as x57)
         // and frozen; only gate survivors are scored against it
         val table = Sampling.dsirTable(raw, target, "doc_id", "text", buckets = 256)
-        val scored = Sampling.dsirScore(gated, "doc_id", "text", table)
-          .join(gated.select("doc_id", "source"), Seq("doc_id"))
+        // carrying `source` through the score keeps selection to ONE gated
+        // scan — a rejoin here would re-run the whole regex gate on a
+        // second full documents scan
+        val scored = Sampling.dsirScore(gated, "doc_id", "text", table,
+          carry = Seq("source"))
         Sampling.topKPerGroup(scored, "source", k = 8,
             Seq(col("logw_e4").desc, col("doc_id").asc))
           .select(col("doc_id"), col("source"), col("n_tokens"),
