@@ -234,4 +234,77 @@ object Sampling {
                      textCol: String, buckets: Int = 256): DataFrame =
     dsirScore(raw, idCol, textCol,
       dsirTable(raw, target, idCol, textCol, buckets))
+
+  /** Fixed-epoch batch perceptron quality classifier over the same hashed-
+    * unigram features as DSIR (Rosenblatt 1958 perceptron; the "target vs
+    * rest" learned quality filter of Brown et al. 2020 Appendix A /
+    * fastText-style linear text classification, Joulin et al. 2016 — made
+    * engine-replayable). Features are per-bucket token COUNTS plus a
+    * constant bias feature; weights, margins, and updates stay in exact
+    * 64-bit integer arithmetic; and each epoch applies ONE full-batch
+    * update — w += Σ_misclassified y·x — so training is order-independent
+    * (no per-row SGD sequencing to replay) and any ANSI-SQL engine
+    * reproduces it bit-for-bit by unrolling the epochs.
+    *
+    * Returns the learned weight table, length `buckets`+1 — the last slot
+    * is the bias. The array IS the model: persist/broadcast it and score
+    * any corpus (or stream micro-batch) with [[perceptronScore]].
+    *
+    * 100 TB shape: one corpus scan per epoch (cache the bucketed frame for
+    * multi-epoch runs if memory allows); each epoch's update aggregates to
+    * ≤ `buckets`+1 rows — a KB-bounded driver collect, same envelope as
+    * the DSIR table and the ANN codebooks. Margins are Σ w[b]·count(b)
+    * per doc: with |w| bounded by epochs × corpus token count, the long
+    * sum stays far from overflow at any realistic bucket count.
+    */
+  def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
+                      positive: Column, buckets: Int = 256,
+                      epochs: Int = 3): Array[Long] = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    require(epochs >= 1 && epochs <= 16,
+      s"epochs must be in [1, 16], got $epochs")
+    val w = Array.fill(buckets + 1)(0L)
+    val labeled = dsirBucketed(
+      df.withColumn("__y", when(positive, 1L).otherwise(-1L)),
+      idCol, textCol, buckets, carry = Seq("__y"))
+    for (_ <- 1 to epochs) {
+      val wLit = array(w.toIndexedSeq.map(lit): _*)
+      // margin = bias + Σ_tokens w[bucket]; misclassified iff y·margin ≤ 0
+      // (zero margin counts as wrong, so the first epoch updates on every
+      // row — the standard perceptron mistake rule). The bias behaves as
+      // one more always-on feature: appended as pseudo-bucket `buckets`
+      // below so the same explode+sum computes its update.
+      val upd = labeled
+        .withColumn("__m", aggregate(col("__bs"), lit(w(buckets)),
+          (s, b) => s + element_at(wLit, b.cast("int") + 1)))
+        .filter(col("__y") * col("__m") <= 0L)
+        .select(explode(concat(col("__bs"),
+          array(lit(buckets.toLong)))).as("b"), col("__y"))
+        .groupBy(col("b")).agg(sum(col("__y")).as("dw"))
+        .collect()
+      upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    w
+  }
+
+  /** Score documents against frozen perceptron weights (length buckets+1,
+    * last = bias): one scan, the table constant-folded into a per-row
+    * fold — no join, no shuffle. Integer-exact margins make scoring
+    * micro-batch-invariant, so this is also the streaming face (apply
+    * inside foreachBatch), like [[dsirScore]].
+    */
+  def perceptronScore(df: DataFrame, idCol: String, textCol: String,
+                      weights: Array[Long], carry: Seq[String] = Nil): DataFrame = {
+    require(weights.length >= 3, "weights must be buckets+1 long (bias last)")
+    val buckets = weights.length - 1
+    val wLit = array(weights.toIndexedSeq.map(lit): _*)
+    dsirBucketed(df, idCol, textCol, buckets, carry)
+      .select((col("__id").as(idCol) +:
+        size(col("__bs")).cast("long").as("n_tokens") +:
+        aggregate(col("__bs"), lit(weights(buckets)),
+          (s, b) => s + element_at(wLit, b.cast("int") + 1)).as("margin") +:
+        carry.map(col)): _*)
+      .withColumn("keep", col("margin") > 0L)
+  }
 }

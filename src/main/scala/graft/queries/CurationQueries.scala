@@ -1169,6 +1169,72 @@ object CurationQueries {
             PARTITION BY source ORDER BY logw_e4 DESC, doc_id) AS INT) AS rank
           FROM scored)
         SELECT doc_id, source, n_tokens, logw_e4, rank
-        FROM ranked WHERE rank <= 8 ORDER BY doc_id"""))
+        FROM ranked WHERE rank <= 8 ORDER BY doc_id""")),
+
+    // ---- learned quality classifier: fixed-epoch batch perceptron over
+    // the DSIR hashed-unigram features, target (doc_id%20=0) vs rest.
+    // Training is full-batch integer updates (order-free), so the oracle
+    // replays all 3 epochs exactly as unrolled CTEs; margins are exact
+    // long sums. Scores the raw (non-target) slice. ----
+    "x59_quality_classifier" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = Sampling.perceptronTrain(docs, "doc_id", "text",
+          positive = pmod(col("doc_id"), lit(20L)) === 0L,
+          buckets = 256, epochs = 3)
+        Sampling.perceptronScore(
+            docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L),
+            "doc_id", "text", w)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+          FROM documents),
+        tb AS (
+          SELECT doc_id,
+            (ascii(t) * 7919 + ascii(substr(t, -1, 1)) * 31 + length(t)) % 256 AS b
+          FROM toks),
+        feat AS (SELECT doc_id, b, cast(count(*) AS BIGINT) AS c
+                 FROM tb GROUP BY 1, 2),
+        lab AS (SELECT doc_id,
+                  cast(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE -1 END AS BIGINT) AS y
+                FROM documents),
+        w1 AS (SELECT f.b, cast(sum(l.y * f.c) AS BIGINT) AS w
+               FROM feat f JOIN lab l USING (doc_id) GROUP BY 1),
+        b1 AS (SELECT cast(sum(y) AS BIGINT) AS bw FROM lab),
+        s2 AS (SELECT f.doc_id, cast(sum(w1.w * f.c) AS BIGINT) AS fs
+               FROM feat f JOIN w1 USING (b) GROUP BY 1),
+        m2 AS (SELECT l.doc_id, l.y, coalesce(s2.fs, 0) + b1.bw AS m
+               FROM lab l LEFT JOIN s2 USING (doc_id) CROSS JOIN b1),
+        u2 AS (SELECT f.b, cast(sum(m.y * f.c) AS BIGINT) AS dw
+               FROM m2 m JOIN feat f USING (doc_id)
+               WHERE m.y * m.m <= 0 GROUP BY 1),
+        w2 AS (SELECT w1.b, w1.w + coalesce(u2.dw, 0) AS w
+               FROM w1 LEFT JOIN u2 USING (b)),
+        b2 AS (SELECT b1.bw + coalesce(
+                 (SELECT cast(sum(y) AS BIGINT) FROM m2 WHERE y * m <= 0), 0) AS bw
+               FROM b1),
+        s3 AS (SELECT f.doc_id, cast(sum(w2.w * f.c) AS BIGINT) AS fs
+               FROM feat f JOIN w2 USING (b) GROUP BY 1),
+        m3 AS (SELECT l.doc_id, l.y, coalesce(s3.fs, 0) + b2.bw AS m
+               FROM lab l LEFT JOIN s3 USING (doc_id) CROSS JOIN b2),
+        u3 AS (SELECT f.b, cast(sum(m.y * f.c) AS BIGINT) AS dw
+               FROM m3 m JOIN feat f USING (doc_id)
+               WHERE m.y * m.m <= 0 GROUP BY 1),
+        w3 AS (SELECT w2.b, w2.w + coalesce(u3.dw, 0) AS w
+               FROM w2 LEFT JOIN u3 USING (b)),
+        b3 AS (SELECT b2.bw + coalesce(
+                 (SELECT cast(sum(y) AS BIGINT) FROM m3 WHERE y * m <= 0), 0) AS bw
+               FROM b2),
+        sfin AS (SELECT f.doc_id, cast(sum(w3.w * f.c) AS BIGINT) AS fs
+                 FROM feat f JOIN w3 USING (b) GROUP BY 1),
+        n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens
+              FROM tb GROUP BY 1)
+        SELECT d.doc_id, cast(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+          cast(coalesce(sfin.fs, 0) + b3.bw AS BIGINT) AS margin,
+          (coalesce(sfin.fs, 0) + b3.bw > 0) AS keep
+        FROM documents d CROSS JOIN b3
+        LEFT JOIN sfin USING (doc_id) LEFT JOIN n USING (doc_id)
+        WHERE d.doc_id % 20 <> 0 ORDER BY 1"""))
   )
 }

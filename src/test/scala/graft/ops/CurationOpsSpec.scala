@@ -189,6 +189,36 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(again == got)
   }
+
+  test("perceptron: separates a separable corpus; frozen weights; bias-only empty doc") {
+    // positive class speaks aa/bb/cc, negative zz/yy/xx — token buckets are
+    // disjoint at 64 buckets, so the FIRST full-batch update already
+    // separates the classes and later epochs are no-ops (batch perceptron
+    // on separable data)
+    val train = Seq(
+      (1L, "aa bb cc aa", 0L), (2L, "aa cc bb bb", 0L), (3L, "cc cc aa bb", 0L),
+      (4L, "zz yy xx zz", 1L), (5L, "zz xx yy yy", 1L), (6L, "xx xx zz yy", 1L)
+    ).toDF("doc_id", "text", "cls")
+    val w = Sampling.perceptronTrain(train, "doc_id", "text",
+      positive = col("cls") === 0L, buckets = 64, epochs = 3)
+    assert(w.length == 65, "weights are buckets+1 (bias last)")
+    val score = Sampling.perceptronScore(
+        train.select("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    (1L to 3L).foreach(i => assert(score(i)._2 > 0L && score(i)._3,
+      s"positive doc $i must score positive: ${score(i)}"))
+    (4L to 6L).foreach(i => assert(score(i)._2 < 0L && !score(i)._3,
+      s"negative doc $i must score negative: ${score(i)}"))
+    // balanced classes -> bias stays 0 -> an empty doc scores exactly 0
+    val empty = Sampling.perceptronScore(
+        Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).head
+    assert(empty == ((0L, 0L, false)), s"empty doc is bias-only: $empty")
+    // training is order-independent: shuffled input learns the same table
+    val w2 = Sampling.perceptronTrain(train.orderBy(rand(42)), "doc_id",
+      "text", positive = col("cls") === 0L, buckets = 64, epochs = 3)
+    assert(w.toSeq == w2.toSeq, "full-batch updates are order-free")
+  }
 }
 
 /** Keeps the boilerplate expectations readable in the spec body. */

@@ -110,6 +110,31 @@ class CurationStreamSpec extends SparkSpec {
     assert(collected.toSet == batch, s"stream $collected vs batch $batch")
   }
 
+  test("streamed perceptron scoring (frozen weights) == batch run, any micro-batching") {
+    import graft.ops.Sampling
+    val raw = docs.toDF("doc_id", "text")
+    // train target-vs-rest once against the reference snapshot, freeze
+    val weights = Sampling.perceptronTrain(
+      raw.withColumn("pos", col("doc_id") <= 2L).union(
+        reference.withColumn("pos", lit(true))),
+      "doc_id", "text", positive = col("pos"), buckets = 64, epochs = 3)
+    val batch = Sampling.perceptronScore(raw, "doc_id", "text", weights)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    val input = MemoryStream[Doc](spark)
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Long, Boolean)]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Sampling.perceptronScore(df, "doc_id", "text", weights)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        ()
+      }
+      .start()
+    docs.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    assert(collected.toSet == batch, s"stream $collected vs batch $batch")
+  }
+
   test("streamed PQ-ANN index (frozen codebook) == batch pqTopK, any micro-batching") {
     val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .filter(col("vec_id") < 120)
