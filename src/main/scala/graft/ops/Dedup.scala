@@ -660,6 +660,35 @@ object Dedup {
     reassembleFromSource(flags, df, idCol, textCol, w)
   }
 
+  /** Boilerplate chunk REMOVAL — the df-threshold complement of
+    * [[spanDedup]]: strip EVERY occurrence of a w-token chunk that appears
+    * in ≥ `minDf` distinct documents (headers, navigation, license
+    * banners — content repeated across documents should not survive even
+    * once, unlike accidental duplication where spanDedup keeps the first
+    * copy). This is the CCNet/RefinedWeb repeated-line removal rule
+    * (Wenzek 2020 §3.1; Penedo 2023 §G) at token-chunk granularity —
+    * TextAnalysis.boilerplateScore measures per-doc boilerplate fraction,
+    * this rewrites the text. Returns (doc_id, n_chunks, n_kept,
+    * clean_text).
+    *
+    * 100 TB shape: one hashed-chunk scan feeds both the (hash → doc-df)
+    * aggregate (8-byte keys, map-side partials absorb the hot boilerplate
+    * chunks by construction) and the keep-flag join; chunk strings never
+    * shuffle (re-slice reassembly, see reassembleFromSource).
+    */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+                       w: Int, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val chunks = hashedChunks(df, idCol, textCol, w).localCheckpoint(true)
+    val boiler = chunks.groupBy(col("__ch"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__ch"), lit(1).as("__hit"))
+    val flags = chunks.join(boiler, Seq("__ch"), "left")
+      .select(col("doc_id"), col("pos"), col("__hit").isNull.as("__keep"))
+    reassembleFromSource(flags, df, idCol, textCol, w)
+  }
+
   /** SURGICAL decontamination: strip from every corpus document the w-token
     * spans whose content appears as a contiguous token run ANYWHERE in a
     * reference corpus (benchmark dump, blocklist) — at any offset, not just

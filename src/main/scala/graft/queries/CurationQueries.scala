@@ -1235,6 +1235,35 @@ object CurationQueries {
           (coalesce(sfin.fs, 0) + b3.bw > 0) AS keep
         FROM documents d CROSS JOIN b3
         LEFT JOIN sfin USING (doc_id) LEFT JOIN n USING (doc_id)
-        WHERE d.doc_id % 20 <> 0 ORDER BY 1"""))
+        WHERE d.doc_id % 20 <> 0 ORDER BY 1""")),
+
+    // ---- boilerplate chunk removal: strip every occurrence of chunks
+    // appearing in >= 3 distinct docs (x37 keeps the first copy; this
+    // keeps none — the CCNet/RefinedWeb repeated-line rule at chunk
+    // granularity) ----
+    "x60_boilerplate_strip" -> Q(
+      (s, dir) => Dedup.boilerplateStrip(
+          Tables.documents(s, dir), "doc_id", "text", w = 5, minDf = 3L)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        ch AS (
+          SELECT doc_id, i AS pos, array_to_string(toks[i*5+1:i*5+5], ' ') AS chunk
+          FROM toks, unnest(range(0, cast(ceil(len(toks)/5.0) AS BIGINT))) AS r(i)),
+        boiler AS (
+          SELECT chunk FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        k AS (
+          SELECT c.doc_id, c.pos, c.chunk, (b.chunk IS NULL) AS keep
+          FROM ch c LEFT JOIN boiler b USING (chunk)),
+        agg AS (
+          SELECT doc_id, cast(count(*) AS BIGINT) AS n_chunks,
+            cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
+          FROM k GROUP BY 1)
+        SELECT d.doc_id, cast(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+          cast(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+          coalesce(a.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY 1"""))
   )
 }

@@ -274,6 +274,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(against == List((1L, 1L, 0L, ""), (2L, 0L, 0L, ""), (3L, 0L, 0L, "")))
   }
 
+  test("boilerplate strip: df >= minDf chunks vanish from EVERY doc, unlike span dedup") {
+    // "a b" appears in 3 distinct docs (boilerplate at minDf=3) -> removed
+    // everywhere, including the first occurrence span dedup would keep;
+    // "c d" appears in only 2 docs -> kept in both; doc3's same-doc repeat
+    // of "x y" counts df=1 -> kept twice (within-doc repetition is span
+    // dedup's job, not boilerplate's)
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b x y x y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(df, "doc_id", "text", w = 2, minDf = 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toList
+    assert(got == List(
+      (1L, 2L, 1L, "c d"),
+      (2L, 2L, 1L, "c d"),
+      (3L, 3L, 2L, "x y x y")))
+  }
+
   test("spanDedupAgainst strips reference spans surgically, keeps the remainder") {
     val corpus = Seq((1L, "a b c d"), (2L, "e f a b")).toDF("doc_id", "text")
     val ref = Seq((100L, "a b x y")).toDF("doc_id", "text")   // ref 2-chunks: "a b", "x y"
