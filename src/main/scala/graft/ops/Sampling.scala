@@ -259,16 +259,25 @@ object Sampling {
     */
   def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
                       positive: Column, buckets: Int = 256,
-                      epochs: Int = 3): Array[Long] = {
+                      epochs: Int = 3, posWeight: Long = 1L): Array[Long] = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
     require(epochs >= 1 && epochs <= 16,
       s"epochs must be in [1, 16], got $epochs")
+    require(posWeight >= 1L && posWeight <= 1000000L,
+      s"posWeight must be in [1, 1e6], got $posWeight")
     val w = Array.fill(buckets + 1)(0L)
+    // tokenize+hash once, not once per epoch: the bucketed frame is what
+    // every epoch re-reads (spills to disk if it outgrows memory).
+    // posWeight is the class-weighted perceptron: positive updates count
+    // posWeight-fold (set to ~the neg:pos ratio so a rare positive class
+    // isn't drowned by the majority's first-epoch update) — still exact
+    // integer arithmetic, still order-free.
     val labeled = dsirBucketed(
-      df.withColumn("__y", when(positive, 1L).otherwise(-1L)),
+      df.withColumn("__y", when(positive, posWeight).otherwise(-1L)),
       idCol, textCol, buckets, carry = Seq("__y"))
-    for (_ <- 1 to epochs) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 1 to epochs) {
       val wLit = array(w.toIndexedSeq.map(lit): _*)
       // margin = bias + Σ_tokens w[bucket]; misclassified iff y·margin ≤ 0
       // (zero margin counts as wrong, so the first epoch updates on every
@@ -284,7 +293,7 @@ object Sampling {
         .groupBy(col("b")).agg(sum(col("__y")).as("dw"))
         .collect()
       upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
-    }
+    } finally labeled.unpersist(false)
     w
   }
 

@@ -1264,6 +1264,91 @@ object CurationQueries {
         SELECT d.doc_id, cast(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
           cast(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
           coalesce(a.clean_text, '') AS clean_text
-        FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY 1"""))
+        FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY 1""")),
+
+    // ---- held-out classifier evaluation: train the class-weighted
+    // perceptron (posWeight = the 19:1 neg:pos ratio) on the hash-split
+    // TRAIN partition only, then report per-class margin statistics on
+    // the disjoint TEST partition — the filter's generalization, not its
+    // training fit. Margin stats (exact long sums), not a keep-confusion:
+    // the synthetic target slice is drawn from the same generator as raw,
+    // so a sign cut is degenerate at some SFs — the eval's job is to
+    // REPORT that (near-equal per-class margins), robustly at every SF.
+    // Composes splitLabel (x22) with x59's train/score faces; the oracle
+    // replays the same three epochs restricted to train docs by the same
+    // affine-mod-prime split. ----
+    "x61_classifier_eval" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val split = Sampling.splitLabel(col("doc_id"))
+        val w = Sampling.perceptronTrain(
+          docs.filter(split === "train"), "doc_id", "text",
+          positive = pmod(col("doc_id"), lit(20L)) === 0L,
+          buckets = 256, epochs = 3, posWeight = 19L)
+        Sampling.perceptronScore(
+            docs.filter(split === "test"), "doc_id", "text", w)
+          .withColumn("is_target", pmod(col("doc_id"), lit(20L)) === 0L)
+          .groupBy(col("is_target"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("margin")).as("sum_margin"),
+            min(col("margin")).as("min_margin"),
+            max(col("margin")).as("max_margin"))
+          .orderBy(col("is_target"))
+      },
+      Some("""WITH sp AS (
+          SELECT doc_id, ((doc_id * 2654435761 + 12345) % 1000000007) % 100 AS sb
+          FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+          FROM documents),
+        tb AS (
+          SELECT doc_id,
+            (ascii(t) * 7919 + ascii(substr(t, -1, 1)) * 31 + length(t)) % 256 AS b
+          FROM toks),
+        feat AS (SELECT doc_id, b, cast(count(*) AS BIGINT) AS c
+                 FROM tb GROUP BY 1, 2),
+        lab AS (SELECT d.doc_id,
+                  cast(CASE WHEN d.doc_id % 20 = 0 THEN 19 ELSE -1 END AS BIGINT) AS y
+                FROM documents d JOIN sp USING (doc_id) WHERE sp.sb < 80),
+        w1 AS (SELECT f.b, cast(sum(l.y * f.c) AS BIGINT) AS w
+               FROM feat f JOIN lab l USING (doc_id) GROUP BY 1),
+        b1 AS (SELECT cast(sum(y) AS BIGINT) AS bw FROM lab),
+        s2 AS (SELECT f.doc_id, cast(sum(w1.w * f.c) AS BIGINT) AS fs
+               FROM feat f JOIN w1 USING (b) GROUP BY 1),
+        m2 AS (SELECT l.doc_id, l.y, coalesce(s2.fs, 0) + b1.bw AS m
+               FROM lab l LEFT JOIN s2 USING (doc_id) CROSS JOIN b1),
+        u2 AS (SELECT f.b, cast(sum(m.y * f.c) AS BIGINT) AS dw
+               FROM m2 m JOIN feat f USING (doc_id)
+               WHERE m.y * m.m <= 0 GROUP BY 1),
+        w2 AS (SELECT w1.b, w1.w + coalesce(u2.dw, 0) AS w
+               FROM w1 LEFT JOIN u2 USING (b)),
+        b2 AS (SELECT b1.bw + coalesce(
+                 (SELECT cast(sum(y) AS BIGINT) FROM m2 WHERE y * m <= 0), 0) AS bw
+               FROM b1),
+        s3 AS (SELECT f.doc_id, cast(sum(w2.w * f.c) AS BIGINT) AS fs
+               FROM feat f JOIN w2 USING (b) GROUP BY 1),
+        m3 AS (SELECT l.doc_id, l.y, coalesce(s3.fs, 0) + b2.bw AS m
+               FROM lab l LEFT JOIN s3 USING (doc_id) CROSS JOIN b2),
+        u3 AS (SELECT f.b, cast(sum(m.y * f.c) AS BIGINT) AS dw
+               FROM m3 m JOIN feat f USING (doc_id)
+               WHERE m.y * m.m <= 0 GROUP BY 1),
+        w3 AS (SELECT w2.b, w2.w + coalesce(u3.dw, 0) AS w
+               FROM w2 LEFT JOIN u3 USING (b)),
+        b3 AS (SELECT b2.bw + coalesce(
+                 (SELECT cast(sum(y) AS BIGINT) FROM m3 WHERE y * m <= 0), 0) AS bw
+               FROM b2),
+        sfin AS (SELECT f.doc_id, cast(sum(w3.w * f.c) AS BIGINT) AS fs
+                 FROM feat f JOIN w3 USING (b) GROUP BY 1),
+        scored AS (
+          SELECT d.doc_id, (d.doc_id % 20 = 0) AS is_target,
+            cast(coalesce(sfin.fs, 0) + b3.bw AS BIGINT) AS margin
+          FROM documents d JOIN sp USING (doc_id) CROSS JOIN b3
+          LEFT JOIN sfin USING (doc_id)
+          WHERE sp.sb >= 90)
+        SELECT is_target, cast(count(*) AS BIGINT) AS n,
+          cast(sum(margin) AS BIGINT) AS sum_margin,
+          cast(min(margin) AS BIGINT) AS min_margin,
+          cast(max(margin) AS BIGINT) AS max_margin
+        FROM scored GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -219,6 +219,26 @@ class CurationOpsSpec extends SparkSpec {
       "text", positive = col("cls") === 0L, buckets = 64, epochs = 3)
     assert(w.toSeq == w2.toSeq, "full-batch updates are order-free")
   }
+
+  test("perceptron posWeight: class weighting rescues a drowned rare positive") {
+    // 1 positive vs 4 negatives, one epoch: the unweighted first-epoch
+    // update sets bias = 1 - 4 = -3, drowning the positive's two +1
+    // feature weights (margin 1+1-3 < 0); posWeight=4 balances the same
+    // update (bias 4-4 = 0, features +4 each -> margin +8)
+    val train = Seq(
+      (1L, "aa bb", 1L), (2L, "cc dd", 0L), (3L, "ee ff", 0L),
+      (4L, "gg hh", 0L), (5L, "ii jj", 0L)).toDF("doc_id", "text", "cls")
+    def margin1(posWeight: Long): Long = {
+      val w = Sampling.perceptronTrain(train, "doc_id", "text",
+        positive = col("cls") === 1L, buckets = 64, epochs = 1,
+        posWeight = posWeight)
+      Sampling.perceptronScore(train.filter(col("cls") === 1L)
+          .select("doc_id", "text"), "doc_id", "text", w)
+        .collect().map(r => r.getLong(2)).head
+    }
+    assert(margin1(1L) < 0L, "unweighted: rare positive is drowned")
+    assert(margin1(4L) > 0L, "weighted: same epoch separates it")
+  }
 }
 
 /** Keeps the boilerplate expectations readable in the spec body. */
