@@ -219,15 +219,26 @@ object Sampling {
     * sink).
     */
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
-                table: Array[Long], carry: Seq[String] = Nil): DataFrame = {
-    val lrLit = array(table.toIndexedSeq.map(lit): _*)
-    dsirBucketed(df, idCol, textCol, table.length, carry)
+                table: Array[Long], carry: Seq[String] = Nil): DataFrame =
+    foldScore(df, idCol, textCol, table.toIndexedSeq, table.length,
+      init = 0L, outCol = "logw_e4", carry)
+
+  /** Shared frozen-table scoring scan (DSIR log-weights and perceptron
+    * margins are the same plan): bucketize, fold the constant-folded
+    * integer table over the token buckets from `init`, keep = score > 0.
+    * One scan, no join, no shuffle; micro-batch-invariant.
+    */
+  private def foldScore(df: DataFrame, idCol: String, textCol: String,
+                        table: IndexedSeq[Long], buckets: Int, init: Long,
+                        outCol: String, carry: Seq[String]): DataFrame = {
+    val tLit = array(table.map(lit): _*)
+    dsirBucketed(df, idCol, textCol, buckets, carry)
       .select((col("__id").as(idCol) +:
         size(col("__bs")).cast("long").as("n_tokens") +:
-        aggregate(col("__bs"), lit(0L),
-          (s, b) => s + element_at(lrLit, b.cast("int") + 1)).as("logw_e4") +:
+        aggregate(col("__bs"), lit(init),
+          (s, b) => s + element_at(tLit, b.cast("int") + 1)).as(outCol) +:
         carry.map(col)): _*)
-      .withColumn("keep", col("logw_e4") > 0L)
+      .withColumn("keep", col(outCol) > 0L)
   }
 
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
@@ -250,12 +261,17 @@ object Sampling {
     * is the bias. The array IS the model: persist/broadcast it and score
     * any corpus (or stream micro-batch) with [[perceptronScore]].
     *
-    * 100 TB shape: one corpus scan per epoch (cache the bucketed frame for
-    * multi-epoch runs if memory allows); each epoch's update aggregates to
-    * ≤ `buckets`+1 rows — a KB-bounded driver collect, same envelope as
-    * the DSIR table and the ANN codebooks. Margins are Σ w[b]·count(b)
-    * per doc: with |w| bounded by epochs × corpus token count, the long
-    * sum stays far from overflow at any realistic bucket count.
+    * 100 TB shape: one corpus scan per epoch (the bucketed frame is
+    * persisted so tokenization runs once), with an early exit as soon as
+    * an epoch produces zero updates — weights unchanged means identical
+    * margins means every later epoch is a guaranteed no-op; each epoch's
+    * update aggregates to ≤ `buckets`+1 rows — a KB-bounded driver
+    * collect, same envelope as the DSIR table and the ANN codebooks.
+    * Margins are Σ w[b]·count(b) per doc: |w[b]| is bounded by
+    * epochs × posWeight × corpus token count, so with the posWeight cap
+    * of 10⁴ the long sum stays orders of magnitude under overflow even
+    * at 10¹³ corpus tokens (≈16·10⁴·10¹³/buckets ≪ 2⁶³ per weight,
+    * times ≤10⁴ tokens per doc margin).
     */
   def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
                       positive: Column, buckets: Int = 256,
@@ -264,8 +280,8 @@ object Sampling {
       s"buckets must be in [2, 65536], got $buckets")
     require(epochs >= 1 && epochs <= 16,
       s"epochs must be in [1, 16], got $epochs")
-    require(posWeight >= 1L && posWeight <= 1000000L,
-      s"posWeight must be in [1, 1e6], got $posWeight")
+    require(posWeight >= 1L && posWeight <= 10000L,
+      s"posWeight must be in [1, 1e4] (margin-overflow envelope), got $posWeight")
     val w = Array.fill(buckets + 1)(0L)
     // tokenize+hash once, not once per epoch: the bucketed frame is what
     // every epoch re-reads (spills to disk if it outgrows memory).
@@ -277,22 +293,29 @@ object Sampling {
       df.withColumn("__y", when(positive, posWeight).otherwise(-1L)),
       idCol, textCol, buckets, carry = Seq("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try for (_ <- 1 to epochs) {
-      val wLit = array(w.toIndexedSeq.map(lit): _*)
-      // margin = bias + Σ_tokens w[bucket]; misclassified iff y·margin ≤ 0
-      // (zero margin counts as wrong, so the first epoch updates on every
-      // row — the standard perceptron mistake rule). The bias behaves as
-      // one more always-on feature: appended as pseudo-bucket `buckets`
-      // below so the same explode+sum computes its update.
-      val upd = labeled
-        .withColumn("__m", aggregate(col("__bs"), lit(w(buckets)),
-          (s, b) => s + element_at(wLit, b.cast("int") + 1)))
-        .filter(col("__y") * col("__m") <= 0L)
-        .select(explode(concat(col("__bs"),
-          array(lit(buckets.toLong)))).as("b"), col("__y"))
-        .groupBy(col("b")).agg(sum(col("__y")).as("dw"))
-        .collect()
-      upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    try {
+      var epoch = 0
+      var converged = false
+      while (epoch < epochs && !converged) {
+        val wLit = array(w.toIndexedSeq.map(lit): _*)
+        // margin = bias + Σ_tokens w[bucket]; misclassified iff y·margin ≤ 0
+        // (zero margin counts as wrong, so the first epoch updates on every
+        // row — the standard perceptron mistake rule). The bias behaves as
+        // one more always-on feature: appended as pseudo-bucket `buckets`
+        // below so the same explode+sum computes its update.
+        val upd = labeled
+          .withColumn("__m", aggregate(col("__bs"), lit(w(buckets)),
+            (s, b) => s + element_at(wLit, b.cast("int") + 1)))
+          .filter(col("__y") * col("__m") <= 0L)
+          .select(explode(concat(col("__bs"),
+            array(lit(buckets.toLong)))).as("b"), col("__y"))
+          .groupBy(col("b")).agg(sum(col("__y")).as("dw"))
+          .collect()
+        upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+        // zero updates -> every remaining epoch is a no-op (separated)
+        converged = upd.isEmpty
+        epoch += 1
+      }
     } finally labeled.unpersist(false)
     w
   }
@@ -307,13 +330,7 @@ object Sampling {
                       weights: Array[Long], carry: Seq[String] = Nil): DataFrame = {
     require(weights.length >= 3, "weights must be buckets+1 long (bias last)")
     val buckets = weights.length - 1
-    val wLit = array(weights.toIndexedSeq.map(lit): _*)
-    dsirBucketed(df, idCol, textCol, buckets, carry)
-      .select((col("__id").as(idCol) +:
-        size(col("__bs")).cast("long").as("n_tokens") +:
-        aggregate(col("__bs"), lit(weights(buckets)),
-          (s, b) => s + element_at(wLit, b.cast("int") + 1)).as("margin") +:
-        carry.map(col)): _*)
-      .withColumn("keep", col("margin") > 0L)
+    foldScore(df, idCol, textCol, weights.toIndexedSeq, buckets,
+      init = weights(buckets), outCol = "margin", carry)
   }
 }

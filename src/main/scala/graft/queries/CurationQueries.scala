@@ -1349,6 +1349,109 @@ object CurationQueries {
           cast(sum(margin) AS BIGINT) AS sum_margin,
           cast(min(margin) AS BIGINT) AS min_margin,
           cast(max(margin) AS BIGINT) AS max_margin
-        FROM scored GROUP BY 1 ORDER BY 1"""))
+        FROM scored GROUP BY 1 ORDER BY 1""")),
+
+    // ---- curation pipeline v6: the x58 shape with the LEARNED scorer —
+    // Gopher content-rule gate -> frozen class-weighted perceptron margins
+    // over the survivors -> per-source top-k by margin. Rank, not sign:
+    // the margin ORDERING is what selection consumes, so the pipeline
+    // binds at every SF regardless of where the 0 threshold lands. The
+    // model trains on the full corpus (target vs rest, 19:1 weighting);
+    // scoring carries `source` through the fold — ONE gated scan, like
+    // x58. ----
+    "x62_pipeline_v6" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val raw = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L)
+        val gated = raw.withColumn("g", TextAnalysis.gopherFlags(col("text")))
+          .filter(col("g.word_count_ok") && col("g.mean_word_len_ok") &&
+            col("g.symbol_ratio_ok") && col("g.bullet_ok") &&
+            col("g.ellipsis_ok") && col("g.alpha_ok"))
+          .select(col("doc_id"), col("source"), col("text"))
+        val w = Sampling.perceptronTrain(docs, "doc_id", "text",
+          positive = pmod(col("doc_id"), lit(20L)) === 0L,
+          buckets = 256, epochs = 3, posWeight = 19L)
+        val scored = Sampling.perceptronScore(gated, "doc_id", "text", w,
+          carry = Seq("source"))
+        Sampling.topKPerGroup(scored, "source", k = 8,
+            Seq(col("margin").desc, col("doc_id").asc))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("margin"), col("rank"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+          FROM documents),
+        tb AS (
+          SELECT doc_id,
+            (ascii(t) * 7919 + ascii(substr(t, -1, 1)) * 31 + length(t)) % 256 AS b
+          FROM toks),
+        feat AS (SELECT doc_id, b, cast(count(*) AS BIGINT) AS c
+                 FROM tb GROUP BY 1, 2),
+        lab AS (SELECT doc_id,
+                  cast(CASE WHEN doc_id % 20 = 0 THEN 19 ELSE -1 END AS BIGINT) AS y
+                FROM documents),
+        w1 AS (SELECT f.b, cast(sum(l.y * f.c) AS BIGINT) AS w
+               FROM feat f JOIN lab l USING (doc_id) GROUP BY 1),
+        b1 AS (SELECT cast(sum(y) AS BIGINT) AS bw FROM lab),
+        s2 AS (SELECT f.doc_id, cast(sum(w1.w * f.c) AS BIGINT) AS fs
+               FROM feat f JOIN w1 USING (b) GROUP BY 1),
+        m2 AS (SELECT l.doc_id, l.y, coalesce(s2.fs, 0) + b1.bw AS m
+               FROM lab l LEFT JOIN s2 USING (doc_id) CROSS JOIN b1),
+        u2 AS (SELECT f.b, cast(sum(m.y * f.c) AS BIGINT) AS dw
+               FROM m2 m JOIN feat f USING (doc_id)
+               WHERE m.y * m.m <= 0 GROUP BY 1),
+        w2 AS (SELECT w1.b, w1.w + coalesce(u2.dw, 0) AS w
+               FROM w1 LEFT JOIN u2 USING (b)),
+        b2 AS (SELECT b1.bw + coalesce(
+                 (SELECT cast(sum(y) AS BIGINT) FROM m2 WHERE y * m <= 0), 0) AS bw
+               FROM b1),
+        s3 AS (SELECT f.doc_id, cast(sum(w2.w * f.c) AS BIGINT) AS fs
+               FROM feat f JOIN w2 USING (b) GROUP BY 1),
+        m3 AS (SELECT l.doc_id, l.y, coalesce(s3.fs, 0) + b2.bw AS m
+               FROM lab l LEFT JOIN s3 USING (doc_id) CROSS JOIN b2),
+        u3 AS (SELECT f.b, cast(sum(m.y * f.c) AS BIGINT) AS dw
+               FROM m3 m JOIN feat f USING (doc_id)
+               WHERE m.y * m.m <= 0 GROUP BY 1),
+        w3 AS (SELECT w2.b, w2.w + coalesce(u3.dw, 0) AS w
+               FROM w2 LEFT JOIN u3 USING (b)),
+        b3 AS (SELECT b2.bw + coalesce(
+                 (SELECT cast(sum(y) AS BIGINT) FROM m3 WHERE y * m <= 0), 0) AS bw
+               FROM b2),
+        sfin AS (SELECT f.doc_id, cast(sum(w3.w * f.c) AS BIGINT) AS fs
+                 FROM feat f JOIN w3 USING (b) GROUP BY 1),
+        n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens
+              FROM tb GROUP BY 1),
+        base AS (
+          SELECT d.doc_id, d.source, d.text,
+            list_filter(string_split_regex(d.text, '\s+'), x -> x <> '') AS dtoks,
+            list_filter(string_split(d.text, chr(10)), x -> x <> '') AS lines
+          FROM documents d WHERE d.doc_id % 20 <> 0),
+        gated AS (
+          SELECT doc_id, source FROM base
+          WHERE (len(dtoks) BETWEEN 50 AND 100000)
+            AND ((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+              / greatest(len(dtoks), 1)) BETWEEN 3.0 AND 10.0)
+            AND ((((length(text) - length(replace(text, '#', '')))
+              + cast((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT))::DOUBLE
+              / greatest(len(dtoks), 1)) <= 0.1)
+            AND ((len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE
+              / greatest(len(lines), 1)) <= 0.9)
+            AND ((len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+              / greatest(len(lines), 1)) <= 0.3)
+            AND ((len(list_filter(dtoks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+              / greatest(len(dtoks), 1)) >= 0.8)),
+        scored AS (
+          SELECT g.doc_id, g.source,
+            cast(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+            cast(coalesce(sfin.fs, 0) + b3.bw AS BIGINT) AS margin
+          FROM gated g CROSS JOIN b3
+          LEFT JOIN sfin USING (doc_id) LEFT JOIN n USING (doc_id)),
+        ranked AS (
+          SELECT *, cast(row_number() OVER (
+            PARTITION BY source ORDER BY margin DESC, doc_id) AS INT) AS rank
+          FROM scored)
+        SELECT doc_id, source, n_tokens, margin, rank
+        FROM ranked WHERE rank <= 8 ORDER BY doc_id"""))
   )
 }

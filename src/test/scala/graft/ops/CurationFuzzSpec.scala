@@ -154,4 +154,74 @@ class CurationFuzzSpec extends SparkSpec {
       assert(got == expected, s"docs=$docs")
     }
   }
+
+  test("fuzz: boilerplateStrip matches a local doc-frequency reference") {
+    val rng = new Random(91)
+    for (_ <- 1 to 8) {
+      val docs = corpus(rng, 5 + rng.nextInt(10))
+      val w = 1 + rng.nextInt(3)
+      val minDf = 2 + rng.nextInt(2)
+      val chunks = docs.flatMap { case (id, t) =>
+        t.split(" ").grouped(w).zipWithIndex.map { case (c, p) => (id, p, c.mkString(" ")) }
+      }
+      // reference: a chunk is boilerplate iff it occurs in >= minDf DISTINCT docs
+      val boiler = chunks.groupBy(_._3).collect {
+        case (c, occ) if occ.map(_._1).distinct.size >= minDf => c
+      }.toSet
+      val expected = docs.map { case (id, _) =>
+        val mine = chunks.filter(_._1 == id).sortBy(_._2)
+        val kept = mine.filterNot(c => boiler(c._3))
+        (id, mine.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" "))
+      }
+      val got = Dedup.boilerplateStrip(docs.toDF("doc_id", "text"),
+          "doc_id", "text", w, minDf.toLong)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got == expected, s"w=$w minDf=$minDf docs=$docs")
+    }
+  }
+
+  test("fuzz: perceptron train+score matches a local full-batch reference") {
+    val rng = new Random(58)
+    for (_ <- 1 to 8) {
+      val docs = corpus(rng, 6 + rng.nextInt(10))
+      val buckets = 16 + rng.nextInt(49)
+      val epochs = 1 + rng.nextInt(3)
+      val posWeight = 1L + rng.nextInt(5)
+      def bucket(t: String): Int =
+        ((t.head.toInt * 7919 + t.last.toInt * 31 + t.length) % buckets).toInt
+      val feats = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(bucket)
+      }.toMap
+      val y = docs.map { case (id, _) =>
+        id -> (if (id % 2 == 0) posWeight else -1L) }.toMap
+      // reference: full-batch updates, bias as pseudo-bucket `buckets`
+      val wRef = Array.fill(buckets + 1)(0L)
+      for (_ <- 1 to epochs) {
+        val margins = docs.map { case (id, _) =>
+          id -> (wRef(buckets) + feats(id).map(b => wRef(b)).sum) }.toMap
+        val miscl = docs.filter { case (id, _) => y(id) * margins(id) <= 0L }
+        val upd = Array.fill(buckets + 1)(0L)
+        miscl.foreach { case (id, _) =>
+          (feats(id) :+ buckets).foreach(b => upd(b) += y(id)) }
+        (0 to buckets).foreach(b => wRef(b) += upd(b))
+      }
+      val w = Sampling.perceptronTrain(docs.toDF("doc_id", "text"),
+        "doc_id", "text", positive = org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(2L)) === 0L,
+        buckets = buckets, epochs = epochs, posWeight = posWeight)
+      assert(w.toSeq == wRef.toSeq,
+        s"buckets=$buckets epochs=$epochs posWeight=$posWeight docs=$docs")
+      val expected = docs.sortBy(_._1).map { case (id, _) =>
+        val m = wRef(buckets) + feats(id).map(b => wRef(b)).sum
+        (id, feats(id).length.toLong, m, m > 0L)
+      }
+      val got = Sampling.perceptronScore(docs.toDF("doc_id", "text"),
+          "doc_id", "text", w)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(got == expected, s"buckets=$buckets docs=$docs")
+    }
+  }
 }
