@@ -19,9 +19,17 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a weaker rows-only check.
+    *
+    * The flatten strips `--` line comments FIRST: collapsing newlines would
+    * otherwise let a comment swallow the rest of the query (DuckDB then
+    * fails with "syntax error at end of input"). Consequence: `--` must
+    * not appear inside oracle string literals — use chr(45) twice if one
+    * is ever genuinely needed.
     */
   def oracleSql: Map[String, String] =
     Registry.all.collect { case (name, q) if q.oracle.isDefined =>
-      name -> q.oracle.get.linesIterator.map(_.trim).mkString(" ")
+      name -> q.oracle.get.linesIterator
+        .map(_.replaceAll("--.*$", "").trim)
+        .filter(_.nonEmpty).mkString(" ")
     }
 }
