@@ -224,22 +224,23 @@ object Sampling {
       init = 0L, outCol = "logw_e4", carry)
 
   /** Shared frozen-table scoring scan (DSIR log-weights and perceptron
-    * margins are the same plan): bucketize, fold the constant-folded
-    * integer table over the token buckets from `init`, keep = score > 0.
-    * One scan, no join, no shuffle; micro-batch-invariant.
+    * margins are the same plan): fold the integer table over the hashed
+    * tokens from `init`, keep = score > 0. One scan, no join, no shuffle;
+    * micro-batch-invariant. The tokenize+hash+fold runs as ONE native
+    * codegen'd expression (graft.expressions.TokenBucketFold) — the
+    * Column-tree HOF form never whole-stage-codegens and materializes the
+    * bucket array per row; the native form stays in the generated loop.
     */
   private def foldScore(df: DataFrame, idCol: String, textCol: String,
                         table: IndexedSeq[Long], buckets: Int, init: Long,
-                        outCol: String, carry: Seq[String]): DataFrame = {
-    val tLit = array(table.map(lit): _*)
-    dsirBucketed(df, idCol, textCol, buckets, carry)
-      .select((col("__id").as(idCol) +:
-        size(col("__bs")).cast("long").as("n_tokens") +:
-        aggregate(col("__bs"), lit(init),
-          (s, b) => s + element_at(tLit, b.cast("int") + 1)).as(outCol) +:
+                        outCol: String, carry: Seq[String]): DataFrame =
+    df.select((col(idCol) +:
+        graft.expressions.TokenBucketFold.fold(
+          col(textCol), table.toArray, buckets, init).as("__f") +:
         carry.map(col)): _*)
+      .select((col(idCol) +: col("__f.n_tokens").as("n_tokens") +:
+        col("__f.score").as(outCol) +: carry.map(col)): _*)
       .withColumn("keep", col(outCol) > 0L)
-  }
 
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
                      textCol: String, buckets: Int = 256): DataFrame =

@@ -93,4 +93,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.curator == BigDecimal("1.5"))
     assert(got.beneficiaries == BigDecimal("0.5"))
   }
+
+  test("TokenBucketFold == the HOF Column formula, incl. unicode/empty/multi-space") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "Beta", "cc", "ΔΕΛΤΑ", "héllo", "中文字",
+      "x", "MiXeD", "123", "a-b")
+    val docs = (0L until 40L).map { i =>
+      val toks = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      val sep = if (rng.nextBoolean()) " " else "  \t "
+      (i, toks.mkString(sep) + (if (rng.nextBoolean()) " " else ""))
+    } ++ Seq((100L, ""), (101L, "   \t  "), (102L, "solo"))
+    val df = docs.toDF("doc_id", "text")
+    val buckets = 64
+    val table = Array.tabulate(buckets + 1)(b => (b * 37 - 700).toLong)
+    val init = table(buckets)
+    // reference: the exact Column-tree form foldScore used before
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val tLit = array(table.toIndexedSeq.map(lit): _*)
+    val hof = df.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(
+        transform(toks, t => (ascii(t).cast("long") * 7919L +
+          ascii(substring(t, -1, 1)).cast("long") * 31L +
+          length(t).cast("long")) % buckets),
+        lit(init), (s, b) => s + element_at(tLit, b.cast("int") + 1)).as("score"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val native = df.select(col("doc_id"),
+        TokenBucketFold.fold(col("text"), table, buckets, init).as("f"))
+      .select(col("doc_id"), col("f.n_tokens"), col("f.score"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(native == hof, s"native $native\nvs hof $hof")
+  }
 }
