@@ -647,10 +647,14 @@ object Dedup {
   }
 
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-                w: Int): DataFrame = {
+                w: Int, checkpointDir: Option[String] = None): DataFrame = {
     // the chunk frame feeds the winners aggregate AND the flag join-back —
     // materialize the tokenize+explode+hash scan once, not twice
-    val chunks = hashedChunks(df, idCol, textCol, w).localCheckpoint(true)
+    // (checkpointDir = reliable HDFS checkpoint for cluster deployments,
+    // same knob as nearDupClusters; default localCheckpoint is
+    // executor-pinned)
+    val chunks = truncateLineage(
+      hashedChunks(df, idCol, textCol, w), checkpointDir)
     val winners = chunks.groupBy(col("__ch"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__w"))
     val flags = chunks.join(winners, Seq("__ch"))
@@ -677,9 +681,11 @@ object Dedup {
     * shuffle (re-slice reassembly, see reassembleFromSource).
     */
   def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
-                       w: Int, minDf: Long): DataFrame = {
+                       w: Int, minDf: Long,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val chunks = hashedChunks(df, idCol, textCol, w).localCheckpoint(true)
+    val chunks = truncateLineage(
+      hashedChunks(df, idCol, textCol, w), checkpointDir)
     val boiler = chunks.groupBy(col("__ch"))
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDf)

@@ -556,6 +556,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ckptFiles != null && ckptFiles.nonEmpty, "checkpoint dir unused")
   }
 
+  test("spanDedup / boilerplateStrip: reliable checkpointDir matches localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("chunk-ckpt").toString
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b x y"))
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    assert(rows(Dedup.spanDedup(df, "doc_id", "text", 2, Some(dir))) ==
+      rows(Dedup.spanDedup(df, "doc_id", "text", 2)))
+    assert(rows(Dedup.boilerplateStrip(df, "doc_id", "text", 2, 3L, Some(dir))) ==
+      rows(Dedup.boilerplateStrip(df, "doc_id", "text", 2, 3L)))
+  }
+
   test("nearest class mean: separable classes classify perfectly, centroids are rounded means") {
     // class 0 along +x, class 1 along +y; one borderline vector still closer to its own mean
     val df = Seq(
