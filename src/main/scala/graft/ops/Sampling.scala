@@ -247,6 +247,76 @@ object Sampling {
     dsirScore(raw, idCol, textCol,
       dsirTable(raw, target, idCol, textCol, buckets))
 
+  /** Train a frozen hashed-BIGRAM language model on `target` — the
+    * CCNet-style perplexity filter (Wenzek et al. 2019: score a raw corpus
+    * under an LM trained on a trusted reference; keep what the model finds
+    * unsurprising). Tokens hash to `buckets` ids with the same portable
+    * first/last/length hash as DSIR; the model is the Laplace-smoothed
+    * conditional log-prob of every (prev, cur) bucket pair,
+    *
+    *   lp(h1, h2) = round( (ln(c(h1,h2) + 1) − ln(c(h1) + buckets)) · 10⁴ )
+    *
+    * where c(h1) = Σ_h2 c(h1,h2) — integer-scaled exactly like the DSIR
+    * table so per-doc totals are EXACT long sums any engine replays.
+    * Returns the `buckets²`-entry table (the whole model, ≤ 512 KB at the
+    * 256 default — broadcast/persist it and score any corpus or stream
+    * micro-batch with [[bigramLmScore]]).
+    *
+    * 100 TB shape: ONE target scan — hashed tokens pair up inside an array
+    * transform (no token strings on the wire), the pair counts aggregate
+    * map-side onto ≤ buckets² integer keys, and the context marginals are
+    * summed driver-side from that same collected page (no second scan).
+    */
+  def bigramLmTable(target: DataFrame, idCol: String, textCol: String,
+                    buckets: Int = 256): Array[Long] = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024] (table is buckets^2 longs), got $buckets")
+    val c = Array.fill(buckets * buckets)(0L)
+    dsirBucketed(target, idCol, textCol, buckets)
+      // sequence(2, n) DESCENDS for n < 2 — guard short docs to null, which
+      // explode then drops (0- and 1-token docs contribute no bigrams)
+      .select(explode(when(size(col("__bs")) >= 2, transform(
+        sequence(lit(2), size(col("__bs"))),
+        i => element_at(col("__bs"), i - 1) * buckets +
+             element_at(col("__bs"), i)))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach(r => c(r.getLong(0).toInt) = r.getLong(1))
+    val ctx = Array.fill(buckets)(0L)
+    var k = 0
+    while (k < c.length) { ctx(k / buckets) += c(k); k += 1 }
+    Array.tabulate(buckets * buckets) { k =>
+      math.round((math.log(c(k) + 1.0) -
+                  math.log(ctx(k / buckets) + buckets.toDouble)) * 10000.0)
+    }
+  }
+
+  /** Score documents against a frozen bigram LM: one scan, the table
+    * constant-folded into a native rolling fold (graft.expressions
+    * .BigramBucketFold — the pair state lives in a loop variable, so
+    * nothing materializes per row). `lp_e4` is the exact integer total
+    * log-prob ×10⁴ over adjacent token pairs; `keep` marks docs whose
+    * MEAN bigram log-prob clears `-minAvgE4/10⁴` (an integer cross-multiply,
+    * so the perplexity cut replays exactly — no division). Docs with < 2
+    * tokens have no evidence and keep vacuously. Exact long sums make
+    * scoring micro-batch-invariant: the streaming face is this same call
+    * inside foreachBatch, like dsirScore.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    table: Array[Long], minAvgE4: Long = 55000L,
+                    carry: Seq[String] = Nil): DataFrame = {
+    val buckets = math.round(math.sqrt(table.length.toDouble)).toInt
+    require(buckets >= 2 && buckets * buckets == table.length,
+      s"table length must be a square >= 4, got ${table.length}")
+    df.select((col(idCol) +:
+        graft.expressions.BigramBucketFold.fold(
+          col(textCol), table, buckets).as("__f") +:
+        carry.map(col)): _*)
+      .select((col(idCol) +: col("__f.n_bigrams").as("n_bigrams") +:
+        col("__f.score").as("lp_e4") +: carry.map(col)): _*)
+      .withColumn("keep", col("lp_e4") >= lit(-minAvgE4) * col("n_bigrams"))
+  }
+
   /** Fixed-epoch batch perceptron quality classifier over the same hashed-
     * unigram features as DSIR (Rosenblatt 1958 perceptron; the "target vs
     * rest" learned quality filter of Brown et al. 2020 Appendix A /

@@ -1452,6 +1452,53 @@ object CurationQueries {
             PARTITION BY source ORDER BY margin DESC, doc_id) AS INT) AS rank
           FROM scored)
         SELECT doc_id, source, n_tokens, margin, rank
-        FROM ranked WHERE rank <= 8 ORDER BY doc_id"""))
+        FROM ranked WHERE rank <= 8 ORDER BY doc_id""")),
+
+    // ---- CCNet-style bigram-LM perplexity filter (Wenzek et al. 2019):
+    // train a hashed-bigram LM on the trusted slice (doc_id % 20 == 0),
+    // score the raw slice under it; keep = mean bigram log-prob clears the
+    // cut (integer cross-multiply — the perplexity threshold replays with
+    // no division). The whole model is the buckets^2 smoothed table; both
+    // engines rebuild it from the counts and agree cell-for-cell ----
+    "x63_lm_perplexity" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val table = Sampling.bigramLmTable(
+          docs.filter(pmod(col("doc_id"), lit(20L)) === 0L),
+          "doc_id", "text", buckets = 256)
+        // -4.8 mean bigram log-prob (ppl ~ e^4.8): binds on the fixture —
+        // the synthetic corpus spans roughly [-5.2, -4.3] per bigram
+        Sampling.bigramLmScore(
+          docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L),
+          "doc_id", "text", table, minAvgE4 = 48000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+          FROM documents),
+        hs AS (
+          SELECT doc_id, list_transform(l,
+            t -> (ascii(t) * 7919 + ascii(substr(t, -1, 1)) * 31 + length(t)) % 256) AS h
+          FROM toks),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(2, len(h) + 1),
+            i -> h[i-1] * 256 + h[i])) AS k
+          FROM hs WHERE len(h) >= 2),
+        cb AS (SELECT k, cast(count(*) AS BIGINT) AS c
+               FROM bg WHERE doc_id % 20 = 0 GROUP BY 1),
+        cc AS (SELECT k // 256 AS h1, cast(sum(c) AS BIGINT) AS c1
+               FROM cb GROUP BY 1),
+        sc AS (
+          SELECT bg.doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+            cast(sum(cast(round((ln(coalesce(cb.c, 0) + 1.0)
+                  - ln(coalesce(cc.c1, 0) + 256.0)) * 10000) AS BIGINT)) AS BIGINT) AS lp_e4
+          FROM bg LEFT JOIN cb USING (k)
+          LEFT JOIN cc ON cc.h1 = bg.k // 256
+          WHERE bg.doc_id % 20 <> 0 GROUP BY 1)
+        SELECT d.doc_id, cast(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          coalesce(sc.lp_e4, 0) AS lp_e4,
+          (coalesce(sc.lp_e4, 0) >= -48000 * coalesce(sc.n_bigrams, 0)) AS keep
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        WHERE d.doc_id % 20 <> 0 ORDER BY 1"""))
   )
 }

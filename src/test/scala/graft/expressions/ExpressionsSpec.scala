@@ -125,4 +125,41 @@ class ExpressionsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(native == hof, s"native $native\nvs hof $hof")
   }
+
+  test("BigramBucketFold == the HOF pair formula, incl. unicode/empty/solo") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("alpha", "Beta", "cc", "ΔΕΛΤΑ", "héllo", "中文字",
+      "x", "MiXeD", "123", "a-b")
+    val docs = (0L until 40L).map { i =>
+      val toks = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      val sep = if (rng.nextBoolean()) " " else "  \t "
+      (i, toks.mkString(sep) + (if (rng.nextBoolean()) " " else ""))
+    } ++ Seq((100L, ""), (101L, "   \t  "), (102L, "solo"), (103L, "a  b"))
+    val df = docs.toDF("doc_id", "text")
+    val buckets = 64
+    val table = Array.tabulate(buckets * buckets)(k => (k * 13 - 9000).toLong)
+    // reference: hash tokens with the Column tree, pair adjacent buckets,
+    // fold the pair table — the exact formula the native expression fuses
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val hs = transform(toks, t => (ascii(t).cast("long") * 7919L +
+      ascii(substring(t, -1, 1)).cast("long") * 31L +
+      length(t).cast("long")) % buckets)
+    val tLit = array(table.toIndexedSeq.map(lit): _*)
+    val hof = df.select(col("doc_id"), hs.as("h"))
+      .select(col("doc_id"),
+        greatest(size(col("h")).cast("long") - 1L, lit(0L)).as("n_bigrams"),
+        coalesce(aggregate(
+          when(size(col("h")) >= 2, sequence(lit(2), size(col("h"))))
+            .otherwise(array().cast("array<int>")),
+          lit(0L), (s, i) => s + element_at(tLit,
+            (element_at(col("h"), i - 1) * buckets +
+             element_at(col("h"), i)).cast("int") + 1)), lit(0L)).as("score"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val native = df.select(col("doc_id"),
+        BigramBucketFold.fold(col("text"), table, buckets).as("f"))
+      .select(col("doc_id"), col("f.n_bigrams"), col("f.score"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(native == hof, s"native $native\nvs hof $hof")
+  }
 }

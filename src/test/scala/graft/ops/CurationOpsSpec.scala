@@ -190,6 +190,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("bigram LM: hand-checked table cells; in-domain keeps, off-domain drops; short docs vacuous") {
+    // h(aa)=80, h(bb)=94, h(cc)=108, h(dd)=122 at 256 buckets (first*7919 +
+    // last*31 + len, mod 256). Target has bigram (aa,bb) x4 and (bb,aa) x3,
+    // so ctx(80)=4, ctx(94)=3 and Laplace gives
+    //   lp(aa,bb) = round((ln 5 - ln 260)*1e4) = -39512
+    //   lp(bb,aa) = round((ln 4 - ln 259)*1e4) = -41705
+    //   unseen cell (ctx 0): round((ln 1 - ln 256)*1e4) = -55452
+    val target = Seq((1000L, "aa bb aa bb aa bb aa bb")).toDF("doc_id", "text")
+    val table = Sampling.bigramLmTable(target, "doc_id", "text", buckets = 256)
+    assert(table.length == 256 * 256)
+    assert(table(80 * 256 + 94) == -39512L, s"lp(aa,bb) = ${table(80 * 256 + 94)}")
+    assert(table(94 * 256 + 80) == -41705L, s"lp(bb,aa) = ${table(94 * 256 + 80)}")
+    assert(table(0) == -55452L, s"unseen cell = ${table(0)}")
+    val raw = Seq(
+      (1L, "aa bb aa"),   // seen pairs: -39512 + -41705 = -81217, avg -40608.5
+      (2L, "cc dd cc"),   // unseen pairs: 2 x -55452 = -110904, avg -55452
+      (3L, ""), (4L, "solo")).toDF("doc_id", "text")
+    val got = Sampling.bigramLmScore(raw, "doc_id", "text", table, minAvgE4 = 45000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((2L, -81217L, true)), s"in-domain: ${got(1L)}")
+    assert(got(2L) == ((2L, -110904L, false)), s"off-domain: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, true)) && got(4L) == ((0L, 0L, true)),
+      "docs with < 2 tokens carry no evidence and keep vacuously")
+    // deterministic: the frozen table is the model — identical on re-run
+    val t2 = Sampling.bigramLmTable(target, "doc_id", "text", buckets = 256)
+    assert(java.util.Arrays.equals(table, t2))
+  }
+
   test("perceptron: separates a separable corpus; frozen weights; bias-only empty doc") {
     // positive class speaks aa/bb/cc, negative zz/yy/xx — token buckets are
     // disjoint at 64 buckets, so the FIRST full-batch update already

@@ -110,6 +110,30 @@ class CurationStreamSpec extends SparkSpec {
     assert(collected.toSet == batch, s"stream $collected vs batch $batch")
   }
 
+  test("streamed bigram-LM scoring (frozen table) == batch run, any micro-batching") {
+    import graft.ops.Sampling
+    val raw = docs.toDF("doc_id", "text")
+    // the model (buckets^2 conditional log-prob table) is trained once on
+    // the reference snapshot and frozen — per-doc scores are exact long
+    // sums of a stateless fold, so any micro-batching reproduces the batch
+    val table = Sampling.bigramLmTable(reference, "doc_id", "text", buckets = 64)
+    val batch = Sampling.bigramLmScore(raw, "doc_id", "text", table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    val input = MemoryStream[Doc](spark)
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Long, Boolean)]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Sampling.bigramLmScore(df, "doc_id", "text", table)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        ()
+      }
+      .start()
+    docs.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    assert(collected.toSet == batch, s"stream $collected vs batch $batch")
+  }
+
   test("streamed perceptron scoring (frozen weights) == batch run, any micro-batching") {
     import graft.ops.Sampling
     val raw = docs.toDF("doc_id", "text")
