@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,16 +22,28 @@ object Bench {
     // driver's stdout capture window (BENCH_r05 reached the judge with a
     // truncated tail), and sub-ms digits are pure noise at these run times
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // A bench that can't fail is not a gate (round-6 lesson: 21 analysis
+    // failures were recorded as ~70 ms "successes"). Keep the queries map
+    // numeric for the driver's parser, but collect per-query errors into a
+    // separate top-level key and exit nonzero when any query errored.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+      }
       name -> r3((System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // working-dir backup of the same line (overridable via
     // SPARK_GRAFT_BENCH_OUT) so per-query numbers survive any stdout
@@ -41,5 +54,10 @@ object Bench {
       line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -27,15 +27,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long and truncate to microseconds (values carry at
-    * most µs precision, so this is lossless).
+  /** events.ts has shipped in two physical layouts: parquet TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read as long via the legacy
+    * flag and truncate to microseconds, lossless since values carry at most
+    * µs precision) and, since the 2026-08-13 regeneration, a native
+    * timestamp[us] that loads directly. Branch on the loaded dtype so both
+    * layouts work and a future fixture change fails loudly in the analysis
+    * smoke spec rather than silently dropping queries.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        // timestamp[us] with isAdjustedToUTC=false loads as TIMESTAMP_NTZ;
+        // all query programs (and the proven oracle compare) are written
+        // against TimestampType, so normalize (UTC session → same micros).
+        df.withColumn("ts", df("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -15,10 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = e.getClass.getSimpleName
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +39,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full registry manifest + per-query failures, so tools/oracle_check.py
+    // can detect survivorship: a correctness report that silently omits a
+    // registered query (round-6: 21 of them) must be flagged, not trusted.
+    Files.writeString(Paths.get(s"$outDir/registry_keys.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -2,13 +2,20 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
 Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+       python3 tools/oracle_check.py --reconcile <correctness.json> <registry_keys.json>
 
-Reads each <name>/ parquet dir written by graft.Verify plus oracle_sql.json,
-runs the oracle SQL in DuckDB against the sf parquet tables, and compares
-row counts, sorted-by-name schemas, and value content (rows sorted, columns
-sorted by name; floats compared to 6dp).
+Mode 1 reads each <name>/ parquet dir written by graft.Verify plus
+oracle_sql.json, runs the oracle SQL in DuckDB against the sf parquet tables,
+and compares row counts, sorted-by-name schemas, and value content (rows
+sorted, columns sorted by name; floats compared to 6dp). It also reconciles
+against registry_keys.json (written by Verify): every registered query must
+have either an output dir or an explicit verify_errors.json entry —
+survivorship (round-6: 21 queries silently absent) is a failure.
+
+Mode 2 diffs a driver CORRECTNESS_r{N}.json against the registry manifest and
+fails on any unexplained absence.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -45,7 +52,46 @@ def lint_oracle_types(con, name, sql):
     return [f"{col}:{typ}" for col, typ, *_ in desc
             if any(typ.upper().startswith(p) for p in BANNED_TYPE_PREFIXES)]
 
+def load_json(path):
+    with open(path) as f:
+        return json.load(f)
+
+def reconcile(correctness_path, keys_path):
+    """Diff a correctness report's query set against the registry manifest."""
+    reported = set(load_json(correctness_path))
+    registry = set(load_json(keys_path))
+    missing = sorted(registry - reported)
+    extra = sorted(reported - registry)
+    for name in missing:
+        print(f"MISSING {name}: registered but absent from {correctness_path}")
+    for name in extra:
+        print(f"EXTRA {name}: reported but not in registry manifest")
+    print(f"== reconcile: {len(registry)} registered / {len(reported)} reported"
+          f" / {len(missing)} missing / {len(extra)} extra ==")
+    return len(missing)
+
+def check_coverage(out_dir):
+    """Every registered query must have an output dir or an explicit error."""
+    keys_path = os.path.join(out_dir, "registry_keys.json")
+    if not os.path.exists(keys_path):
+        print(f"WARN no {keys_path}; cannot reconcile against registry")
+        return 0
+    registry = load_json(keys_path)
+    err_path = os.path.join(out_dir, "verify_errors.json")
+    errors = load_json(err_path) if os.path.exists(err_path) else {}
+    n_bad = 0
+    for name in sorted(registry):
+        if name in errors:
+            print(f"FAIL {name}: verify error {errors[name]}")
+            n_bad += 1
+        elif not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"MISSING {name}: registered but no output dir and no error")
+            n_bad += 1
+    return n_bad
+
 def main():
+    if sys.argv[1] == "--reconcile":
+        sys.exit(1 if reconcile(sys.argv[2], sys.argv[3]) else 0)
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -91,9 +137,12 @@ def main():
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
+    # survivorship guard: every registered query accounted for
+    n_missing = check_coverage(out_dir)
     # queries without oracle: rows-only
-    print(f"== {n_pass} pass / {n_fail} fail / {lint_fail} type-lint ==")
-    sys.exit(1 if (n_fail or lint_fail) else 0)
+    print(f"== {n_pass} pass / {n_fail} fail / {lint_fail} type-lint"
+          f" / {n_missing} missing-or-errored ==")
+    sys.exit(1 if (n_fail or lint_fail or n_missing) else 0)
 
 if __name__ == "__main__":
     main()
