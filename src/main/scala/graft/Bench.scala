@@ -27,7 +27,12 @@ object Bench {
     // numeric for the driver's parser, but collect per-query errors into a
     // separate top-level key and exit nonzero when any query errored.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: map-hash iteration scrambles which queries
+    // absorb JVM/codegen warm-up whenever the registry changes size, which
+    // poisons round-over-round per-query comparisons; sorted order is
+    // stable as queries are added (and runs the cheap relational queries
+    // before the heavy x-pipelines, so the big numbers are warm-JVM)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -41,7 +46,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
+    val total = if (results.nonEmpty) r3(results.map(_._2).sum) else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
