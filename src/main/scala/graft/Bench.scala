@@ -1,6 +1,56 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Benchmark main (driver contract): runs every registered query on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query wall AND
+  * process-CPU seconds, a streaming-throughput section, and a comparison
+  * against the committed idle baseline (`BENCH_BASELINE.json`).
+  *
+  * Why CPU time: on a shared machine, wall time conflates our work with
+  * everyone else's. In local mode every task runs inside this JVM, so the
+  * per-query process-CPU delta is (approximately) the work this query
+  * actually did; under external contention wall inflates while CPU stays
+  * ~flat, making a contended run self-diagnosing (wall >> cpu != regression).
+  * The regression gate is therefore on CPU: any query whose recorded
+  * baseline CPU is >= `GateFloorSec` that now burns more than `GateRatio`x
+  * its baseline CPU is reported in `regressions` and fails the run
+  * (exit 2; query errors exit 1).
+  *
+  * Baseline lifecycle: `SPARK_GRAFT_BENCH_WRITE_BASELINE=<path>` dumps the
+  * current run's wall/cpu maps in baseline format — run idle, inspect,
+  * commit. A missing baseline file disables the gate (baseline: null).
+  */
 object Bench {
+
+  /** Regression gate: fail when cpu > GateRatio x baseline cpu, but only for
+    * queries with baseline cpu >= GateFloorSec (sub-half-second CPU numbers
+    * are scheduling noise, not signal).
+    */
+  final val GateRatio = 2.0
+  final val GateFloorSec = 0.5
+
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val ns = os.getProcessCpuTime
+        if (ns < 0) Double.NaN else ns / 1e9
+      case _ => Double.NaN
+    }
+
+  // ms precision: full-double seconds made the one-line JSON exceed the
+  // driver's stdout capture window (BENCH_r05 reached the judge with a
+  // truncated tail), and sub-ms digits are pure noise at these run times
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  private def jsonMap(m: collection.Map[String, Double]): String =
+    m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+
+  /** Row type for the streamed-ANN throughput probe (needs a stable encoder,
+    * so it lives at object level, not inside main).
+    */
+  case class BenchEmb(vec_id: Long, embedding: Seq[Double])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,38 +81,201 @@ object Bench {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id")).orderBy(col("ts"))))
         .count()
-    } catch { case _: Throwable => () }
-    // ms precision: full-double seconds made the one-line JSON exceed the
-    // driver's stdout capture window (BENCH_r05 reached the judge with a
-    // truncated tail), and sub-ms digits are pure noise at these run times
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    } catch {
+      // a silently-broken warm-up re-poisons the first timed queries with
+      // JVM init cost; make the breakage visible (round-7 advice)
+      case e: Throwable =>
+        System.err.println(s"[bench] warm-up FAILED (first timed queries " +
+          s"will absorb JVM init): ${e.getClass.getName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+    }
     // A bench that can't fail is not a gate (round-6 lesson: 21 analysis
-    // failures were recorded as ~70 ms "successes"). Keep the queries map
-    // numeric for the driver's parser, but collect per-query errors into a
-    // separate top-level key and exit nonzero when any query errored.
+    // failures were recorded as ~70 ms "successes"). Errored queries carry a
+    // -1 sentinel in the numeric maps (a positive elapsed-until-failure read
+    // as a plausible fast success by consumers that ignore `errors`) and are
+    // enumerated in `errors`; any error exits nonzero.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val wall = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpu = scala.collection.mutable.LinkedHashMap[String, Double]()
     // deterministic name order: map-hash iteration scrambles which queries
     // absorb JVM/codegen warm-up whenever the registry changes size, which
     // poisons round-over-round per-query comparisons; sorted order is
     // stable as queries are added (and runs the cheap relational queries
     // before the heavy x-pipelines, so the big numbers are warm-JVM)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val c0 = processCpuSec()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = e.getClass.getSimpleName
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: " +
-            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
-      }
-      name -> r3((System.nanoTime() - t0) / 1e9)
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            errors(name) = e.getClass.getSimpleName
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: " +
+              String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+            false
+        }
+      val w = (System.nanoTime() - t0) / 1e9
+      val c = processCpuSec() - c0
+      wall(name) = if (ok) r3(w) else -1.0
+      cpu(name) = if (ok && !c.isNaN) r3(c) else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val okWall = wall.filter(_._2 >= 0)
+    val okCpu = cpu.filter(_._2 >= 0)
+    val total = r3(okWall.values.sum)
+    val totalCpu = r3(okCpu.values.sum)
+
+    // ---- streaming throughput (rows/s per sink; stateful streams + one
+    // append-only ANN index sink), so streaming regressions are visible
+    // round-over-round, not just spec-green ----
+    val streaming = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def benchStream(name: String)(run: => (Long, Double)): Unit =
+      try {
+        val (rows, secs) = run
+        streaming(name) = if (secs > 0) math.rint(rows / secs) else -1.0
+      } catch {
+        case e: Throwable =>
+          errors(s"stream_$name") = e.getClass.getSimpleName
+          System.err.println(s"[bench] stream_$name FAILED: " +
+            s"${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+          streaming(name) = -1.0
+      }
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+
+    benchStream("latest_wins") {
+      import spark.implicits._
+      val n = 40000; val keys = 4000; val batches = 8
+      val events = (0 until n).map { i =>
+        StreamOps.KeyedEvent(s"k${i % keys}", i.toLong,
+          if (i % 11 == 0) "delete" else "upsert", s"payload-$i")
+      }
+      val mem = MemoryStream[StreamOps.KeyedEvent](spark)
+      val q = StreamOps.latestWinsStream(mem.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", tmp("bench-lw-ckpt"))
+        .foreachBatch { (b: Dataset[StreamOps.KeyedState], _: Long) =>
+          b.count(); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      events.grouped(n / batches).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (n.toLong, secs)
+    }
+
+    benchStream("dedup") {
+      import spark.implicits._
+      val n = 40000; val distinct = 20000; val batches = 8
+      val docs = (0 until n).map { i =>
+        StreamOps.IngestDoc(i.toLong, s"fp${i % distinct}",
+          new java.sql.Timestamp(1700000000000L + i))
+      }
+      val mem = MemoryStream[StreamOps.IngestDoc](spark)
+      val q = StreamOps.dedupStream(mem.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("bench-dd-ckpt"))
+        .foreachBatch { (b: Dataset[StreamOps.IngestDoc], _: Long) =>
+          b.count(); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      docs.grouped(n / batches).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (n.toLong, secs)
+    }
+
+    benchStream("int8_index") {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val n = 4000; val batches = 8
+      val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .limit(n).as[BenchEmb].collect().toSeq
+      val sink = new graft.streaming.Int8IndexSink(spark, tmp("bench-sq8"))
+      val mem = MemoryStream[BenchEmb](spark)
+      val q = sink.attach(mem.toDS(), "vec_id", "embedding")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("bench-sq8-ckpt"))
+        .start()
+      val t0 = System.nanoTime()
+      rows.grouped(math.max(1, rows.size / batches)).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      // untimed sanity probe: the streamed index must actually answer
+      require(sink.topK(rows.take(2).map(_.vec_id), k = 5).count() > 0)
+      (rows.size.toLong, secs)
+    }
+
+    // ---- baseline comparison: recorded idle numbers, committed in-repo ----
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
+    var baselineJson = "null"
+    val regressions = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val baseFile = new java.io.File(baselinePath)
+    if (baseFile.isFile) {
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(baseFile)
+        def sect(key: String): Map[String, Double] = {
+          val m = scala.collection.mutable.LinkedHashMap[String, Double]()
+          val o = node.get(key)
+          if (o != null)
+            o.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asDouble)
+          m.toMap
+        }
+        val bWall = sect("wall"); val bCpu = sect("cpu")
+        val commonW = okWall.keys.filter(bWall.contains).toSeq
+        val commonC = okCpu.keys.filter(k => bCpu.getOrElse(k, 0.0) > 0).toSeq
+        def ratio(cur: collection.Map[String, Double],
+                  base: Map[String, Double], ks: Seq[String]): Double = {
+          val b = ks.map(base).sum
+          if (b > 0) r3(ks.map(cur).sum / b) else -1.0
+        }
+        val wr = ratio(okWall, bWall, commonW)
+        val cr = ratio(okCpu, bCpu, commonC)
+        commonC.foreach { k =>
+          val b = bCpu(k)
+          if (b >= GateFloorSec && okCpu(k) > GateRatio * b)
+            regressions(k) = r3(okCpu(k) / b)
+        }
+        baselineJson = s"""{"path":"$baselinePath","wall_ratio":$wr,""" +
+          s""""cpu_ratio":$cr,"compared":${commonC.size}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] baseline read FAILED: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // regenerate the committed baseline from an idle run:
+    //   SPARK_GRAFT_BENCH_WRITE_BASELINE=BENCH_BASELINE.json sbt "runMain graft.Bench"
+    sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").foreach { p =>
+      val out =
+        s"""{"sf":"$sfDir","cpus":"$cpus","total_wall":$total,""" +
+          s""""total_cpu":$totalCpu,"wall":${jsonMap(okWall)},""" +
+          s""""cpu":${jsonMap(okCpu)},"streaming":${jsonMap(streaming)}}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out + "\n")
+      System.err.println(s"[bench] wrote baseline to $p")
+    }
+
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) r3(results.map(_._2).sum) else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":${jsonMap(wall)},"cpu":${jsonMap(cpu)},""" +
+        s""""total_cpu":$totalCpu,"streaming":${jsonMap(streaming)},""" +
+        s""""baseline":$baselineJson,"regressions":${jsonMap(regressions)},""" +
+        s""""errors":$errJson,"sf":"$sfDir","cpus":"$cpus"}"""
     println(line)
     // working-dir backup of the same line (overridable via
     // SPARK_GRAFT_BENCH_OUT) so per-query numbers survive any stdout
@@ -77,6 +290,13 @@ object Bench {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
       sys.exit(1)
+    }
+    if (regressions.nonEmpty) {
+      System.err.println(s"[bench] ${regressions.size} CPU regressions " +
+        s">${GateRatio}x baseline: " + regressions.map {
+          case (k, r) => s"$k(${r}x)"
+        }.mkString(", "))
+      sys.exit(2)
     }
   }
 }

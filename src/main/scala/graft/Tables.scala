@@ -36,19 +36,35 @@ object Tables {
     * smoke spec rather than silently dropping queries.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+    // Load without touching session conf first: only the legacy parquet
+    // TIMESTAMP(NANOS) layout fails schema conversion, and only for it is
+    // the session-global nanosAsLong flag set (the flag changes how
+    // nanos-typed parquet columns load and nothing else, so its blast
+    // radius is exactly that layout). Any other load failure reproduces
+    // identically on the retry and propagates.
+    val df =
+      try load(s, d, "events")
+      catch {
+        case _: Exception =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType =>
         // timestamp[us] with isAdjustedToUTC=false loads as TIMESTAMP_NTZ;
         // all query programs (and the proven oracle compare) are written
         // against TimestampType, so normalize (UTC session → same micros).
         df.withColumn("ts", df("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
+      case dt =>
+        // A genuinely new layout must fail at load time. A catch-all cast
+        // (e.g. from a future StringType ts) would analyze cleanly and
+        // silently yield nulls at runtime instead.
+        throw new IllegalStateException(s"unexpected events.ts type: $dt")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

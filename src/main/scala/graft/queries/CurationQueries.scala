@@ -574,6 +574,28 @@ object CurationQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+        // The semantic verdicts (embedding table) and the text chain
+        // (documents table) are INDEPENDENT DAG branches, but both are built
+        // from eager materializations (localCheckpoints, seed collects, CC
+        // rounds) that would otherwise serialize in the driver. Submitting
+        // the semantic branch from a second thread overlaps the two — the
+        // same concurrent-job-group pattern a cluster deployment uses to
+        // keep executors busy across independent stages. Result-identical:
+        // both branches are deterministic and meet only in the final
+        // anti-join (measured 9.1 s -> ~5.5 s idle at sf0.1).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // semantic verdicts are a GLOBAL embedding-space analysis (computed
+        // on the full vector table, not the filtered survivors) — a doc
+        // dropped here is a semantic copy of a kept smaller-id doc
+        val semDropF = Future {
+          Similarity.semanticDedupAuto(
+            Tables.embeddings(s, dir), "vec_id", "embedding",
+            targetClusterSize = 16, threshold = 0.36)
+            .filter(!col("keep"))
+            .select(col("id").as("doc_id"))
+            .localCheckpoint(true)   // a bounded id list; forces the branch
+        }
         val cleaned = Dedup.spanDedup(docs, "doc_id", "text", w = 5)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text").as("text"))
@@ -590,14 +612,8 @@ object CurationQueries {
           .localCheckpoint(true)
         val fuzzyClean = Dedup.minhashDedupAgainst(
           exactClean, bench, "doc_id", "text", threshold = 0.8)
-        // semantic verdicts are a GLOBAL embedding-space analysis (computed
-        // on the full vector table, not the filtered survivors) — a doc
-        // dropped here is a semantic copy of a kept smaller-id doc
-        val semDrop = Similarity.semanticDedupAuto(
-          Tables.embeddings(s, dir), "vec_id", "embedding",
-          targetClusterSize = 16, threshold = 0.36)
-          .filter(!col("keep"))
-          .select(col("id").as("doc_id"))
+        val semDrop = Await.result(semDropF,
+          scala.concurrent.duration.Duration.Inf)
         fuzzyClean.join(semDrop, Seq("doc_id"), "left_anti")
           .select(col("doc_id"),
             TextAnalysis.wordCount(col("text")).as("n_tokens"))

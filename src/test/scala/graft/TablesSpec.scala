@@ -56,6 +56,17 @@ class TablesSpec extends SparkSpec {
     assert(got == micros, s"expected $micros, got $got")
   }
 
+  test("unknown ts layout fails loudly at load instead of null-casting") {
+    import spark.implicits._
+    val e = intercept[IllegalStateException] {
+      writeAndLoad { path =>
+        Seq((1L, "2026-08-13T00:00:00Z")).toDF("event_id", "ts")
+          .write.mode("overwrite").parquet(s"$path/events.parquet")
+      }
+    }
+    assert(e.getMessage.contains("unexpected events.ts type"))
+  }
+
   test("TIMESTAMP_NTZ layout normalizes to TimestampType with equal micros") {
     import spark.implicits._
     val df = writeAndLoad { path =>

@@ -68,7 +68,9 @@ def reconcile(correctness_path, keys_path):
         print(f"EXTRA {name}: reported but not in registry manifest")
     print(f"== reconcile: {len(registry)} registered / {len(reported)} reported"
           f" / {len(missing)} missing / {len(extra)} extra ==")
-    return len(missing)
+    # extras fail too: a stale/mislabeled report with phantom queries is as
+    # untrustworthy as one with absences
+    return len(missing) + len(extra)
 
 def check_coverage(out_dir):
     """Every registered query must have an output dir or an explicit error."""
@@ -90,6 +92,9 @@ def check_coverage(out_dir):
     return n_bad
 
 def main():
+    if len(sys.argv) < 3 or (sys.argv[1] == "--reconcile" and len(sys.argv) < 4):
+        print(__doc__)
+        sys.exit(2)
     if sys.argv[1] == "--reconcile":
         sys.exit(1 if reconcile(sys.argv[2], sys.argv[3]) else 0)
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
