@@ -689,6 +689,179 @@ object Similarity {
     df.withColumn("cluster", assignCol(cents))
   }
 
+  /** Two-level (coarse-then-fine) assignment — the scale path for auto-k
+    * clustering, where the flat argmax of `kmeansAssign` is O(N·k·dims)
+    * with k = N/targetClusterSize and therefore asymptotically quadratic
+    * in the corpus (round-8 scale rehearsal measured the auto-k family at
+    * growth exponent 1.1–1.26 vs 1.0 ideal; the gap is this term).
+    *
+    * The k centroids are grouped DRIVER-side into ~sqrt(k) coarse cells by
+    * a deterministic mini-Lloyd over the codebook itself (the codebook is
+    * already a few-KB driver array — this is scalar work on it, not a
+    * Spark job). Per row, assignment is then two bounded folds: pick the
+    * best coarse cell (~sqrt(k) cosines), then argmax over that cell's
+    * children — O(sqrt(k)·dims + maxCell·dims) per row instead of
+    * O(k·dims). Codegen size stays constant in k (the cell/children
+    * codebooks are constant-folded nested array literals).
+    *
+    * APPROXIMATE by construction: a row whose true nearest centroid lives
+    * outside its nearest coarse cell is assigned to the best centroid
+    * within the cell — the standard IVF/hierarchical-k-means tradeoff
+    * (raising `probes` recovers agreement by searching the top-`probes`
+    * cells). Tie-breaks mirror kmeansAssign exactly (ascending id,
+    * strictly-greater replace). The frozen oracle queries keep the flat
+    * exact argmax; this op is the documented swap for corpora past ~10^6
+    * vectors, spec-gated on agreement rate against the flat assignment.
+    */
+  def kmeansAssignTwoLevel(df: DataFrame, vecCol: String,
+                           init: Array[(Int, Seq[Double])], iters: Int,
+                           roundDp: Int = 4, probes: Int = 2): DataFrame = {
+    require(init.length >= 2, s"need >= 2 centroids, got ${init.length}")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val dims = init.head._2.length
+    val v = transform(col(vecCol), x => x.cast("double"))
+
+    // deterministic scalar cosine for the driver-side codebook clustering
+    def scos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+    }
+
+    /** Group `cents` (ascending id) into non-empty coarse cells:
+      * strided seeds, 3 fixed Lloyd rounds, all on the driver. */
+    def coarsen(cents: Array[(Int, Seq[Double])])
+        : Array[(Seq[Double], Array[(Int, Seq[Double])])] = {
+      val k = cents.length
+      val c = math.max(2, math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt))
+      var coarse: Array[Seq[Double]] =
+        Array.tabulate(c)(j => cents((j.toLong * k / c).toInt)._2)
+      var groups: Array[Array[Int]] = Array.empty
+      (0 until 3).foreach { _ =>
+        val assign = Array.tabulate(k) { i =>
+          var best = -3.0; var bj = 0; var j = 0
+          while (j < coarse.length) {
+            val s = scos(cents(i)._2, coarse(j))
+            if (s > best) { best = s; bj = j }
+            j += 1
+          }
+          bj
+        }
+        groups = coarse.indices.map(j =>
+          cents.indices.filter(assign(_) == j).toArray).toArray
+        // drop emptied cells; recompute means (unrounded — the coarse
+        // router is internal, only final assignments must be portable)
+        val kept = groups.zipWithIndex.filter(_._1.nonEmpty)
+        coarse = kept.map { case (g, _) =>
+          val m = new Array[Double](dims)
+          g.foreach { i =>
+            val cv = cents(i)._2; var d = 0
+            while (d < dims) { m(d) += cv(d); d += 1 }
+          }
+          m.map(_ / g.length).toSeq
+        }
+        groups = kept.map(_._1)
+      }
+      coarse.zip(groups.map(_.map(cents)))
+    }
+
+    /** Append a `cluster` column under `cents`. The coarse-probe result is
+      * materialized as its own projected column before the fine fold reads
+      * it: HOF lambdas evaluate interpreted, so a sub-expression referenced
+      * per child element would RE-RUN per element — with the coarse fold
+      * inlined, every child comparison re-ran the whole coarse search and
+      * the two-level form was slower than flat at any k (measured 6.6 ms/row
+      * at k=32). As a column it is computed once per row; CollapseProject
+      * leaves it un-inlined because the (non-cheap) expression has multiple
+      * references.
+      */
+    def withAssignment(frame: DataFrame,
+                       cents: Array[(Int, Seq[Double])]): DataFrame = {
+      val cells = coarsen(cents)
+      val p = math.min(probes, cells.length)
+      val coarseVecs = array(cells.map { case (cv, _) =>
+        array(cv.map(lit): _*) }: _*)
+      val childVecs = array(cells.map { case (_, g) =>
+        array(g.map { case (_, cv) => array(cv.map(lit): _*) }: _*) }: _*)
+      val childIds = array(cells.map { case (_, g) =>
+        array(g.map { case (cl, _) => lit(cl.toDouble) }: _*) }: _*)
+      // The per-row coarse cosines are materialized as their own array
+      // column FIRST: HOF folds evaluate interpreted, and the best-p insert
+      // below references each candidate cosine ~6 times — recomputing the
+      // cosine at every reference cost more than it saved (measured: the
+      // two-level scan was only 1.35x flat at k=1250 with inline cosines).
+      // The folds then read array slots; every cosine runs once per row.
+      val coarseCos = transform(
+        sequence(lit(0), lit(cells.length - 1)),
+        i => cosine(v, element_at(coarseVecs, i + 1)))
+      // top-`probes` coarse cells as p SUCCESSIVE argmax columns: probe s is
+      // the best cell excluding probes 0..s-1 (column reads — each probe is
+      // computed once per row). Two rejected formulations, both measured:
+      // an insert-into-best-p accumulator fold (rebuilt-accumulator
+      // when-chains grow exponentially in p — OOMed the analyzer at the
+      // exhaustive spec case) and array_sort with a comparator lambda
+      // (interpreted comparator calls made the scan 4x slower than the
+      // fold it replaced). Successive argmax is linear-size, p·c element
+      // reads per row, and ties keep the earlier cell (strictly-greater).
+      val withProbes = (0 until p).foldLeft(
+        frame.withColumn("__coarse_cos", coarseCos)) { (f, s) =>
+        val exclude = (0 until s).map(t => col(s"__probe_$t"))
+        f.withColumn(s"__probe_$s", element_at(
+          aggregate(sequence(lit(0), lit(cells.length - 1)),
+            array(lit(-3.0), lit(0.0)),
+            (acc, i) => {
+              val cs = element_at(col("__coarse_cos"), i + 1)
+              val fresh = exclude.map(e => i.cast("double") =!= e)
+                .fold(lit(true))(_ && _)
+              when(fresh && cs > element_at(acc, 1),
+                array(cs, i.cast("double"))).otherwise(acc)
+            }), 2))
+      }
+      // per-probe child cosines, also materialized (same single-evaluation
+      // rationale: the argmax fold references each candidate 3 times)
+      val withChild = (0 until p).foldLeft(withProbes) { (f, s) =>
+        val cellIdx = col(s"__probe_$s").cast("int")
+        f.withColumn(s"__child_cos_$s",
+            transform(element_at(childVecs, cellIdx + 1), cv => cosine(v, cv)))
+          .withColumn(s"__child_ids_$s", element_at(childIds, cellIdx + 1))
+      }
+      // fold 2: exact argmax over the union of the probed cells' children;
+      // ties (equal cosine) keep the smallest cluster id across cells,
+      // matching the flat fold's ascending-order strictly-greater semantics
+      val best = (0 until p).foldLeft(
+        array(lit(-2.0), element_at(element_at(childIds, 1), 1))) { (acc0, s) =>
+        aggregate(
+          sequence(lit(0), size(col(s"__child_cos_$s")) - 1), acc0,
+          (acc, i) => {
+            val cs = element_at(col(s"__child_cos_$s"), i + 1)
+            val id = element_at(col(s"__child_ids_$s"), i + 1)
+            when(cs > element_at(acc, 1) ||
+                (cs === element_at(acc, 1) && id < element_at(acc, 2)),
+              array(cs, id)).otherwise(acc)
+          })
+      }
+      withChild.withColumn("cluster", element_at(best, 2).cast("int"))
+        .drop(Seq("__coarse_cos") ++
+          (0 until p).flatMap(s =>
+            Seq(s"__probe_$s", s"__child_cos_$s", s"__child_ids_$s")): _*)
+    }
+
+    var cents = init.sortBy(_._1)
+    var it = 0
+    while (it < iters) {
+      val dimAvgs = (0 until dims).map(i =>
+        round(avg(element_at(v, i + 1)), roundDp).as(s"c$i"))
+      cents = withAssignment(df, cents)
+        .groupBy(col("cluster"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .orderBy(col("cluster"))
+        .collect()
+        .map(r => (r.getInt(0), (0 until dims).map(i => r.getDouble(i + 1))))
+      it += 1
+    }
+    withAssignment(df, cents)
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication", 2023): cluster the embedding space,
     * then WITHIN each cluster treat every pair with cosine >= threshold as
@@ -782,6 +955,26 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val seeds = autoKSeeds(base, targetClusterSize, seedStride, roundDp)
     val assigned = kmeansAssign(base, "vec", seeds, iters, roundDp)
+      .select(col("id"), col("cluster"), col("vec"))
+    semanticKeep(assigned, threshold, checkpointDir)
+  }
+
+  /** `semanticDedupAuto` with the two-level assignment — identical seeding,
+    * Lloyd-update, and SemDeDup tail; only the per-row argmax is the
+    * O(sqrt(k)) coarse-then-fine search instead of the O(k) flat scan. The
+    * swap for corpora where k = N/targetClusterSize makes the flat argmax
+    * the dominant term (see kmeansAssignTwoLevel; spec gates agreement
+    * with the exact variant on the shared fixtures).
+    */
+  def semanticDedupAutoTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                                targetClusterSize: Int, threshold: Double,
+                                seedStride: Long = 11, iters: Int = 1,
+                                roundDp: Int = 4, probes: Int = 2,
+                                checkpointDir: Option[String] = None): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val seeds = autoKSeeds(base, targetClusterSize, seedStride, roundDp)
+    val assigned = kmeansAssignTwoLevel(base, "vec", seeds, iters, roundDp, probes)
       .select(col("id"), col("cluster"), col("vec"))
     semanticKeep(assigned, threshold, checkpointDir)
   }
