@@ -645,27 +645,15 @@ object Similarity {
         // auto-k path: k grows with the corpus (k = N / targetClusterSize),
         // and an UNROLLED argmax is a ~k·dims-node expression whose Janino
         // compile time dominates the query at k in the hundreds and cannot
-        // compile at all at cluster-scale k. Instead the codebook lives in
-        // one constant-folded array-of-arrays literal and the argmax is a
-        // runtime fold over cluster indices — codegen size is constant in
-        // k. Iteration is in ascending-cluster order with a strictly-greater
-        // replace, so ties keep the smallest cluster id — exactly the
-        // (cos, -cl) ordering of the unrolled greatest() (NaN cosines rank
-        // highest in both forms under Spark's NaN-largest comparison).
-        val cvecs = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
-        val cids = array(cents.map { case (cl, _) => lit(cl.toDouble) }: _*)
-        // accumulator is [best_cos, best_cl] (cl exact as a double — cluster
-        // ids are small ints); a struct accumulator trips HOF type coercion
-        val best = aggregate(
-          sequence(lit(0), lit(cents.length - 1)),
-          array(lit(-2.0), lit(cents.head._1.toDouble)),
-          (acc, i) => {
-            val cos = cosine(v, element_at(cvecs, i + 1))
-            when(cos > element_at(acc, 1),
-              array(cos, element_at(cids, i + 1)))
-              .otherwise(acc)
-          })
-        element_at(best, 2).cast("int")
+        // compile at all at cluster-scale k. The codebook rides as ONE
+        // driver-array reference object inside a native codegen'd
+        // expression (round 8 — replaced an interpreted HOF fold over a
+        // k × dims array LITERAL: ~1 µs per 64-dim cosine and seconds of
+        // analysis time at k = 1250). Bit-identical to that fold:
+        // ascending-id iteration, strictly-greater replace (ties keep the
+        // smallest cluster id), CosineSimExpression loop math, NaN never
+        // replaces. See CentroidArgmaxExpression.
+        graft.expressions.CentroidArgmaxExpression.argmax(v, cents)
       }
     val dims = init.head._2.length
     var cents = init.sortBy(_._1)

@@ -162,4 +162,54 @@ class ExpressionsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(native == hof, s"native $native\nvs hof $hof")
   }
+
+  test("CentroidArgmaxExpression == the HOF fold it replaced, bit-for-bit") {
+    import graft.ops.Similarity
+    // the pre-round-8 formulation, kept here as the semantic reference:
+    // fold over a codebook literal, accumulator [best_cos, best_cl],
+    // strictly-greater replace in ascending-id order
+    def foldArgmax(v: org.apache.spark.sql.Column,
+                   cents: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+      val cvecs = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
+      val cids = array(cents.map { case (cl, _) => lit(cl.toDouble) }: _*)
+      val best = aggregate(
+        sequence(lit(0), lit(cents.length - 1)),
+        array(lit(-2.0), lit(cents.head._1.toDouble)),
+        (acc, i) => {
+          val cos = Similarity.cosine(v, element_at(cvecs, i + 1))
+          when(cos > element_at(acc, 1),
+            array(cos, element_at(cids, i + 1)))
+            .otherwise(acc)
+        })
+      element_at(best, 2).cast("int")
+    }
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val cents: Array[(Int, Seq[Double])] = emb
+      .filter(pmod(col("vec_id"), lit(11)) === 0).orderBy(col("vec_id"))
+      .limit(40)
+      .select(transform(col("vec"), x => round(x, 4)).as("vec"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    val diff = emb.select(
+        graft.expressions.CentroidArgmaxExpression.argmax(col("vec"), cents).as("a"),
+        foldArgmax(col("vec"), cents).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, s"native argmax diverged from the fold on $diff rows")
+  }
+
+  test("CentroidArgmaxExpression ties keep smallest id; zero vector keeps first id") {
+    // duplicate centroids: both have identical cosine to every input, so
+    // the strictly-greater replace must keep the first (smallest id); a
+    // zero input vector yields NaN cosines which never replace the init
+    val cents: Array[(Int, Seq[Double])] =
+      Array((3, Seq(1.0, 0.0)), (7, Seq(1.0, 0.0)), (9, Seq(0.0, 1.0)))
+    val df = Seq((1L, Seq(2.0, 0.0)), (2L, Seq(0.0, 5.0)), (3L, Seq(0.0, 0.0)))
+      .toDF("id", "vec")
+    val got = df.select(col("id"),
+        graft.expressions.CentroidArgmaxExpression.argmax(col("vec"), cents).as("cl"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(got == List((1L, 3), (2L, 9), (3L, 3)), s"got $got")
+  }
 }
