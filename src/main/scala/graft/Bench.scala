@@ -62,6 +62,16 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Thread count is a MEASURED choice, not a guess: on an idle 32-core
+    // box at sf0.1 the full suite ran 89.7 s wall / 266 s CPU at local[4],
+    // 94.9 / 295 at local[8], 105.1 / 350 at local[32] (2026-08-14 sweep,
+    // PLANS.md "thread-count sweep"). The suite is planning/task-dispatch
+    // bound at this scale — most queries touch < 1 MB of parquet, and the
+    // iterative operators (CC rounds, Lloyd steps) pay per-task setup cost
+    // PER PARTITION PER ROUND, so CPU burn grows ~linearly with partition
+    // count (x18 connected components: 5.5 CPU-s at 4 partitions, 25.9 at
+    // 32) while wall time gains nothing. At real scale the same engine
+    // wants every core: override with SPARK_GRAFT_CPUS.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

