@@ -64,9 +64,12 @@ object ScaleRehearsal {
   }
 
   def main(args: Array[String]): Unit = {
+    // overridable so the thread-scaling rehearsal (PLANS.md) can measure
+    // the same queries at local[4] vs local[32] on the 10x slice
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -82,8 +85,13 @@ object ScaleRehearsal {
         "x50_semantic_auto", "x55_prune_mix", "x54_prototype_prune",
         "x47_semantic_dedup", "x27_dedup_canonical", "x42_pipeline_v2",
         "x18_neardup_clusters", "x24_skew_salted_join")
+    // SPARK_GRAFT_SCALE_DIRS=sf1x restricts timing to the 10x slice (used
+    // by the thread-scaling sweep, where the small SFs are not of interest)
+    val dirFilter = sys.env.get("SPARK_GRAFT_SCALE_DIRS")
+      .map(_.split(",").toSet)
     val dirs = Seq("sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1", "sf1x" -> sf1)
+      .filter { case (l, _) => dirFilter.forall(_.contains(l)) }
     // warm codegen/readers so sf0.01 rep1 isn't charged for JVM init
     SparkEntry.queries("x42_pipeline_v2")(spark, "/root/testdata/sf0.01").count()
     queries.foreach { name =>
@@ -97,8 +105,10 @@ object ScaleRehearsal {
         println(f"SCALE $name $label ${best}%.2f")
         label -> best
       }.toMap
-      val exp = math.log(times("sf1x") / times("sf0.1")) / math.log(10)
-      println(f"SCALE $name EXPONENT ${exp}%.2f")
+      if (times.contains("sf1x") && times.contains("sf0.1")) {
+        val exp = math.log(times("sf1x") / times("sf0.1")) / math.log(10)
+        println(f"SCALE $name EXPONENT ${exp}%.2f")
+      }
     }
     spark.stop()
   }
