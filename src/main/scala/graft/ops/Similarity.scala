@@ -767,12 +767,19 @@ object Similarity {
                        cents: Array[(Int, Seq[Double])]): DataFrame = {
       val cells = coarsen(cents)
       val p = math.min(probes, cells.length)
-      val coarseVecs = array(cells.map { case (cv, _) =>
-        array(cv.map(lit): _*) }: _*)
-      val childVecs = array(cells.map { case (_, g) =>
-        array(g.map { case (_, cv) => array(cv.map(lit): _*) }: _*) }: _*)
-      val childIds = array(cells.map { case (_, g) =>
-        array(g.map { case (cl, _) => lit(cl.toDouble) }: _*) }: _*)
+      // Each codebook is ONE typedLit literal holding the whole nested
+      // ArrayData, not an array(array(lit(...))) constructor tree: at
+      // k = N/16 on a 100x corpus the child codebook is ~800k scalars, and
+      // the constructor-tree form (a) blows codegen's method-size limit,
+      // falling back to interpreted eval, which then (b) re-materializes
+      // the full nested array PER ROW — measured OOM of an 8 GiB heap at
+      // k = 12.5k. A single literal is built once on the driver and read
+      // in place by every element_at/transform below (the same
+      // reference-object treatment that made the flat argmax codegen
+      // expression scale).
+      val coarseVecs = typedLit(cells.toSeq.map(_._1))
+      val childVecs = typedLit(cells.toSeq.map(_._2.toSeq.map(_._2)))
+      val childIds = typedLit(cells.toSeq.map(_._2.toSeq.map(_._1.toDouble)))
       // The per-row coarse cosines are materialized as their own array
       // column FIRST: HOF folds evaluate interpreted, and the best-p insert
       // below references each candidate cosine ~6 times — recomputing the

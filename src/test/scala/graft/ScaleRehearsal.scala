@@ -29,11 +29,10 @@ object ScaleRehearsal {
   private val Off = 1000000L
 
   private def buildSlice(spark: SparkSession, srcDir: String,
-                         outDir: String): Unit = {
+                         outDir: String, replicas: Int,
+                         withRelational: Boolean = true): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
     val dims = embs.select(size(col("embedding"))).first().getInt(0)
 
     def replicaDocs(k: Int): DataFrame = {
@@ -44,23 +43,44 @@ object ScaleRehearsal {
           filter(split(lower(col("text")), "\\s+"), t => t =!= ""),
           t => concat(t, lit(s"_r$k"))), " "))
     }
+    // each replica applies a DISTINCT orthogonal transform (axis rotation
+    // composed with sign flips on the first k/dims coordinates), so norms
+    // and within-replica geometry are preserved while no two replicas share
+    // a transform even past `dims` replicas — replicas k and k+dims would
+    // otherwise be exact cross-replica copies, inflating semantic-dup
+    // density at 100x by construction. dims * (dims+1) distinct transforms
+    // cover any replica count used here (64 dims -> 4160).
     def replicaEmbs(k: Int): DataFrame = {
       val base = embs.withColumn("vec_id", col("vec_id") + lit(k * Off))
       if (k == 0) base
-      else base.withColumn("embedding",
-        transform(sequence(lit(0), lit(dims - 1)),
-          i => element_at(col("embedding"), pmod(i + lit(k), lit(dims)) + 1)))
+      else {
+        val rot = k % dims
+        val flips = k / dims
+        base.withColumn("embedding",
+          transform(sequence(lit(0), lit(dims - 1)),
+            i => {
+              val v = element_at(col("embedding"),
+                pmod(i + lit(rot), lit(dims)) + 1)
+              when(i < lit(flips), -v).otherwise(v)
+            }))
+      }
     }
-    (0 until 10).map(replicaDocs).reduce(_ unionByName _)
+    (0 until replicas).map(replicaDocs).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    (0 until 10).map(replicaEmbs).reduce(_ unionByName _)
+    (0 until replicas).map(replicaEmbs).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    (0 until 10).map(k => li.withColumn("l_orderkey", col("l_orderkey") + lit(k * Off)))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    (0 until 10).map(k => ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * Off)))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    if (withRelational) {
+      val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+      (0 until replicas).map(k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * Off)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      (0 until replicas).map(k =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * Off)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,9 +95,25 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf1 = "/tmp/graft_sf1"
-    if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
+    val sf100 = "/tmp/graft_sf100"
+    // SPARK_GRAFT_SCALE_DIRS=sf1x (or sf1x,sf100x) restricts timing to the
+    // big slices (thread-scaling / second-decade sweeps, where the small
+    // SFs are not of interest); sf100x is only built when requested
+    val dirFilter = sys.env.get("SPARK_GRAFT_SCALE_DIRS")
+      .map(_.split(",").toSet)
+    def wanted(label: String): Boolean = dirFilter.forall(_.contains(label))
+    if (!new java.io.File(s"$sf1/documents.parquet").exists() && wanted("sf1x")) {
       println("BUILDING 10x slice at " + sf1)
-      buildSlice(spark, "/root/testdata/sf0.1", sf1)
+      buildSlice(spark, "/root/testdata/sf0.1", sf1, replicas = 10)
+    }
+    if (!new java.io.File(s"$sf100/documents.parquet").exists() &&
+        wanted("sf100x") && dirFilter.nonEmpty) {
+      // curation tables only: the second-decade sweep targets the text /
+      // embedding operators, and a 60M-row lineitem write would dominate
+      // the build for queries that never read it
+      println("BUILDING 100x slice at " + sf100)
+      buildSlice(spark, "/root/testdata/sf0.1", sf100, replicas = 100,
+        withRelational = false)
     }
     val queries =
       if (args.nonEmpty) args.toSeq
@@ -85,19 +121,27 @@ object ScaleRehearsal {
         "x50_semantic_auto", "x55_prune_mix", "x54_prototype_prune",
         "x47_semantic_dedup", "x27_dedup_canonical", "x42_pipeline_v2",
         "x18_neardup_clusters", "x24_skew_salted_join")
-    // SPARK_GRAFT_SCALE_DIRS=sf1x restricts timing to the 10x slice (used
-    // by the thread-scaling sweep, where the small SFs are not of interest)
-    val dirFilter = sys.env.get("SPARK_GRAFT_SCALE_DIRS")
-      .map(_.split(",").toSet)
     val dirs = Seq("sf0.01" -> "/root/testdata/sf0.01",
-      "sf0.1" -> "/root/testdata/sf0.1", "sf1x" -> sf1)
-      .filter { case (l, _) => dirFilter.forall(_.contains(l)) }
-    // warm codegen/readers so sf0.01 rep1 isn't charged for JVM init
+      "sf0.1" -> "/root/testdata/sf0.1", "sf1x" -> sf1, "sf100x" -> sf100)
+      .filter { case (l, _) => wanted(l) && (l != "sf100x" || dirFilter.nonEmpty) }
+    // non-registry probes: the flat-vs-two-level auto-k comparison at the
+    // measured crossover (the two produce the same keep verdicts on probed
+    // cells — TwoLevelAssignSpec — but differ asymptotically: O(N*k) flat
+    // vs O(N*sqrt(k)) two-level, and k = N/16 grows with the corpus)
+    val special: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+      "x50_twolevel" -> ((s, dir) => graft.ops.Similarity.semanticDedupAutoTwoLevel(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        targetClusterSize = 16, threshold = 0.36)),
+    )
+    // warm codegen/readers so the first timed rep isn't charged for JVM init
     SparkEntry.queries("x42_pipeline_v2")(spark, "/root/testdata/sf0.01").count()
     queries.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = special.getOrElse(name, SparkEntry.queries(name))
+      // one rep on the 100x slice (a second rep of a minutes-long query
+      // buys noise reduction nobody needs), min-of-two below it
       val times = dirs.map { case (label, dir) =>
-        val best = (1 to 2).map { _ =>
+        val reps = if (label == "sf100x") 1 else 2
+        val best = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
@@ -108,6 +152,10 @@ object ScaleRehearsal {
       if (times.contains("sf1x") && times.contains("sf0.1")) {
         val exp = math.log(times("sf1x") / times("sf0.1")) / math.log(10)
         println(f"SCALE $name EXPONENT ${exp}%.2f")
+      }
+      if (times.contains("sf100x") && times.contains("sf1x")) {
+        val exp = math.log(times("sf100x") / times("sf1x")) / math.log(10)
+        println(f"SCALE $name EXPONENT-DECADE2 ${exp}%.2f")
       }
     }
     spark.stop()
