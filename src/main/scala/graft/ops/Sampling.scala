@@ -368,7 +368,13 @@ object Sampling {
       var epoch = 0
       var converged = false
       while (epoch < epochs && !converged) {
-        val wLit = array(w.toIndexedSeq.map(lit): _*)
+        // ONE typedLit literal, not an array(lit...) constructor tree: the
+        // margin fold below is an interpreted HOF, and an interpreted
+        // CreateArray re-materializes all buckets+1 elements per evaluation
+        // (same failure shape as the two-level codebook OOM, PLANS.md
+        // round-8 second-decade addendum — harmless at 256 buckets, a wall
+        // at large ones)
+        val wLit = typedLit(w.toIndexedSeq)
         // margin = bias + Σ_tokens w[bucket]; misclassified iff y·margin ≤ 0
         // (zero margin counts as wrong, so the first epoch updates on every
         // row — the standard perceptron mistake rule). The bias behaves as
