@@ -709,8 +709,12 @@ object Similarity {
     val dims = init.head._2.length
     val v = transform(col(vecCol), x => x.cast("double"))
 
-    // deterministic scalar cosine for the driver-side codebook clustering
-    def scos(a: Seq[Double], b: Seq[Double]): Double = {
+    // deterministic scalar cosine for the driver-side codebook clustering.
+    // PRIMITIVE arrays only: this runs k·c times per Lloyd round on the
+    // driver, and the original Seq[Double] form paid a boxed megamorphic
+    // apply per element — measured 42 s of pure plan-BUILD time at
+    // k = 12.5k (c = 112, 3 rounds ≈ 4.2M cosines) vs ~2 s on double[]
+    def scos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < dims) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
@@ -722,14 +726,15 @@ object Similarity {
         : Array[(Seq[Double], Array[(Int, Seq[Double])])] = {
       val k = cents.length
       val c = math.max(2, math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt))
-      var coarse: Array[Seq[Double]] =
-        Array.tabulate(c)(j => cents((j.toLong * k / c).toInt)._2)
+      val centArr: Array[Array[Double]] = cents.map(_._2.toArray)
+      var coarse: Array[Array[Double]] =
+        Array.tabulate(c)(j => centArr((j.toLong * k / c).toInt))
       var groups: Array[Array[Int]] = Array.empty
       (0 until 3).foreach { _ =>
         val assign = Array.tabulate(k) { i =>
           var best = -3.0; var bj = 0; var j = 0
           while (j < coarse.length) {
-            val s = scos(cents(i)._2, coarse(j))
+            val s = scos(centArr(i), coarse(j))
             if (s > best) { best = s; bj = j }
             j += 1
           }
@@ -743,102 +748,36 @@ object Similarity {
         coarse = kept.map { case (g, _) =>
           val m = new Array[Double](dims)
           g.foreach { i =>
-            val cv = cents(i)._2; var d = 0
+            val cv = centArr(i); var d = 0
             while (d < dims) { m(d) += cv(d); d += 1 }
           }
-          m.map(_ / g.length).toSeq
+          var d = 0
+          while (d < dims) { m(d) /= g.length; d += 1 }
+          m
         }
         groups = kept.map(_._1)
       }
-      coarse.zip(groups.map(_.map(cents)))
+      coarse.map(_.toSeq).zip(groups.map(_.map(cents)))
     }
 
-    /** Append a `cluster` column under `cents`. The coarse-probe result is
-      * materialized as its own projected column before the fine fold reads
-      * it: HOF lambdas evaluate interpreted, so a sub-expression referenced
-      * per child element would RE-RUN per element — with the coarse fold
-      * inlined, every child comparison re-ran the whole coarse search and
-      * the two-level form was slower than flat at any k (measured 6.6 ms/row
-      * at k=32). As a column it is computed once per row; CollapseProject
-      * leaves it un-inlined because the (non-cheap) expression has multiple
-      * references.
+    /** Append a `cluster` column under `cents`. The whole router — coarse
+      * cosines, p successive probes, fine argmax over the probed cells'
+      * children — is ONE native codegen'd expression with the codebooks as
+      * flattened double[] reference objects
+      * (graft.expressions.TwoLevelArgmaxExpression). The Column-HOF form it
+      * replaces survives in git history and in that file's scaladoc: its
+      * interpreted folds cost 87.9 s on the 200k-vector 100x probe vs
+      * 36.0 s for FLAT argmax — the constant factor swallowed the O(√k)
+      * asymptotic — and before the typedLit codebook fix it OOMed outright.
+      * Result-identical (TwoLevelAssignSpec: exhaustive probes ≡ flat
+      * row-for-row; partial probes deterministic with pinned agreement).
       */
     def withAssignment(frame: DataFrame,
                        cents: Array[(Int, Seq[Double])]): DataFrame = {
       val cells = coarsen(cents)
       val p = math.min(probes, cells.length)
-      // Each codebook is ONE typedLit literal holding the whole nested
-      // ArrayData, not an array(array(lit(...))) constructor tree: at
-      // k = N/16 on a 100x corpus the child codebook is ~800k scalars, and
-      // the constructor-tree form (a) blows codegen's method-size limit,
-      // falling back to interpreted eval, which then (b) re-materializes
-      // the full nested array PER ROW — measured OOM of an 8 GiB heap at
-      // k = 12.5k. A single literal is built once on the driver and read
-      // in place by every element_at/transform below (the same
-      // reference-object treatment that made the flat argmax codegen
-      // expression scale).
-      val coarseVecs = typedLit(cells.toSeq.map(_._1))
-      val childVecs = typedLit(cells.toSeq.map(_._2.toSeq.map(_._2)))
-      val childIds = typedLit(cells.toSeq.map(_._2.toSeq.map(_._1.toDouble)))
-      // The per-row coarse cosines are materialized as their own array
-      // column FIRST: HOF folds evaluate interpreted, and the best-p insert
-      // below references each candidate cosine ~6 times — recomputing the
-      // cosine at every reference cost more than it saved (measured: the
-      // two-level scan was only 1.35x flat at k=1250 with inline cosines).
-      // The folds then read array slots; every cosine runs once per row.
-      val coarseCos = transform(
-        sequence(lit(0), lit(cells.length - 1)),
-        i => cosine(v, element_at(coarseVecs, i + 1)))
-      // top-`probes` coarse cells as p SUCCESSIVE argmax columns: probe s is
-      // the best cell excluding probes 0..s-1 (column reads — each probe is
-      // computed once per row). Two rejected formulations, both measured:
-      // an insert-into-best-p accumulator fold (rebuilt-accumulator
-      // when-chains grow exponentially in p — OOMed the analyzer at the
-      // exhaustive spec case) and array_sort with a comparator lambda
-      // (interpreted comparator calls made the scan 4x slower than the
-      // fold it replaced). Successive argmax is linear-size, p·c element
-      // reads per row, and ties keep the earlier cell (strictly-greater).
-      val withProbes = (0 until p).foldLeft(
-        frame.withColumn("__coarse_cos", coarseCos)) { (f, s) =>
-        val exclude = (0 until s).map(t => col(s"__probe_$t"))
-        f.withColumn(s"__probe_$s", element_at(
-          aggregate(sequence(lit(0), lit(cells.length - 1)),
-            array(lit(-3.0), lit(0.0)),
-            (acc, i) => {
-              val cs = element_at(col("__coarse_cos"), i + 1)
-              val fresh = exclude.map(e => i.cast("double") =!= e)
-                .fold(lit(true))(_ && _)
-              when(fresh && cs > element_at(acc, 1),
-                array(cs, i.cast("double"))).otherwise(acc)
-            }), 2))
-      }
-      // per-probe child cosines, also materialized (same single-evaluation
-      // rationale: the argmax fold references each candidate 3 times)
-      val withChild = (0 until p).foldLeft(withProbes) { (f, s) =>
-        val cellIdx = col(s"__probe_$s").cast("int")
-        f.withColumn(s"__child_cos_$s",
-            transform(element_at(childVecs, cellIdx + 1), cv => cosine(v, cv)))
-          .withColumn(s"__child_ids_$s", element_at(childIds, cellIdx + 1))
-      }
-      // fold 2: exact argmax over the union of the probed cells' children;
-      // ties (equal cosine) keep the smallest cluster id across cells,
-      // matching the flat fold's ascending-order strictly-greater semantics
-      val best = (0 until p).foldLeft(
-        array(lit(-2.0), element_at(element_at(childIds, 1), 1))) { (acc0, s) =>
-        aggregate(
-          sequence(lit(0), size(col(s"__child_cos_$s")) - 1), acc0,
-          (acc, i) => {
-            val cs = element_at(col(s"__child_cos_$s"), i + 1)
-            val id = element_at(col(s"__child_ids_$s"), i + 1)
-            when(cs > element_at(acc, 1) ||
-                (cs === element_at(acc, 1) && id < element_at(acc, 2)),
-              array(cs, id)).otherwise(acc)
-          })
-      }
-      withChild.withColumn("cluster", element_at(best, 2).cast("int"))
-        .drop(Seq("__coarse_cos") ++
-          (0 until p).flatMap(s =>
-            Seq(s"__probe_$s", s"__child_cos_$s", s"__child_ids_$s")): _*)
+      frame.withColumn("cluster",
+        graft.expressions.TwoLevelArgmaxExpression.argmax(v, cells, p))
     }
 
     var cents = init.sortBy(_._1)
@@ -921,7 +860,7 @@ object Similarity {
     * external oracle reproduces the seed set exactly. `base` must carry
     * (id: long, vec: array<double>).
     */
-  private def autoKSeeds(base: DataFrame, targetClusterSize: Int,
+  private[graft] def autoKSeeds(base: DataFrame, targetClusterSize: Int,
                          seedStride: Long,
                          roundDp: Int): Array[(Int, Seq[Double])] = {
     require(targetClusterSize >= 2, s"targetClusterSize must be >= 2, got $targetClusterSize")

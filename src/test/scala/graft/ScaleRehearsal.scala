@@ -128,10 +128,31 @@ object ScaleRehearsal {
     // measured crossover (the two produce the same keep verdicts on probed
     // cells — TwoLevelAssignSpec — but differ asymptotically: O(N*k) flat
     // vs O(N*sqrt(k)) two-level, and k = N/16 grows with the corpus)
+    def embBase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      Tables.embeddings(s, dir).select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    def embSeeds(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.ops.Similarity.autoKSeeds(embBase(s, dir), 16, 11, 4)
     val special: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
       "x50_twolevel" -> ((s, dir) => graft.ops.Similarity.semanticDedupAutoTwoLevel(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         targetClusterSize = 16, threshold = 0.36)),
+      // assignment-scan-only probes, to attribute auto-k cost between the
+      // argmax scan and the SemDeDup pair/CC tail; sum(cluster) forces the
+      // assignment column past count()'s column pruning
+      "assign_flat" -> ((s, dir) => graft.ops.Similarity.kmeansAssign(
+        embBase(s, dir), "vec", embSeeds(s, dir), iters = 0)
+        .agg(sum(col("cluster")))),
+      "assign_twolevel" -> ((s, dir) => graft.ops.Similarity.kmeansAssignTwoLevel(
+        embBase(s, dir), "vec", embSeeds(s, dir), iters = 0)
+        .agg(sum(col("cluster")))),
+      // plan-build only: constructing the two-level assignment runs the
+      // driver-side codebook coarsening; no action on the built frame
+      "assign_twolevel_build" -> ((s, dir) => {
+        graft.ops.Similarity.kmeansAssignTwoLevel(
+          embBase(s, dir), "vec", embSeeds(s, dir), iters = 0)
+        s.range(1).toDF("ok")
+      }),
     )
     // warm codegen/readers so the first timed rep isn't charged for JVM init
     SparkEntry.queries("x42_pipeline_v2")(spark, "/root/testdata/sf0.01").count()
