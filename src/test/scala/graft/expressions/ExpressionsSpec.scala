@@ -212,4 +212,56 @@ class ExpressionsSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toList
     assert(got == List((1L, 3), (2L, 9), (3L, 3)), s"got $got")
   }
+
+  test("TwoLevelArgmaxExpression ties keep smallest id; zero vector keeps cell-0 init") {
+    // cell 0 routes x-axis vectors and holds duplicate children (equal
+    // cosine to everything on the axis): the fine argmax's equal-cosine
+    // smaller-id rule must keep 3. A zero input yields NaN cosines at both
+    // levels: the probe falls back to cell 0 and the fine init — the first
+    // child id of cell 0 — survives, mirroring the Column-fold init
+    // element_at(element_at(childIds, 1), 1).
+    val cells: Array[(Seq[Double], Array[(Int, Seq[Double])])] = Array(
+      (Seq(1.0, 0.0), Array((3, Seq(1.0, 0.0)), (7, Seq(1.0, 0.0)))),
+      (Seq(0.0, 1.0), Array((9, Seq(0.0, 1.0)))))
+    val df = Seq((1L, Seq(2.0, 0.0)), (2L, Seq(0.0, 5.0)), (3L, Seq(0.0, 0.0)))
+      .toDF("id", "vec")
+    for (p <- Seq(1, 2)) {
+      val got = df.select(col("id"),
+          graft.expressions.TwoLevelArgmaxExpression.argmax(col("vec"), cells, p).as("cl"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toList
+      // probes=1 routes (0,5) to cell 1 only if the coarse argmax picks it —
+      // it does (cos 1 vs 0); zero vector keeps 3 at any probe count
+      assert(got == List((1L, 3), (2L, 9), (3L, 3)), s"probes=$p got $got")
+    }
+  }
+
+  test("TwoLevelArgmaxExpression interpreted eval == codegen path") {
+    // the expression has two implementations (nullSafeEval and doGenCode);
+    // Spark normally only ever runs the generated one, so force the
+    // interpreted factory and require identical assignments on real data
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val cents: Array[(Int, Seq[Double])] = emb
+      .filter(pmod(col("vec_id"), lit(11)) === 0).orderBy(col("vec_id"))
+      .limit(40)
+      .select(transform(col("vec"), x => round(x, 4)).as("vec"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    def assigns(): Map[Long, Int] =
+      Similarity.kmeansAssignTwoLevel(
+          emb.withColumnRenamed("vec_id", "id"), "vec", cents, iters = 0)
+        .select(col("id").cast("long"), col("cluster"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gen = assigns()
+    val mode = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(mode, "FALLBACK")
+    spark.conf.set(mode, "NO_CODEGEN")
+    val interp = try assigns() finally spark.conf.set(mode, prev)
+    assert(gen == interp, {
+      val diffs = gen.keys.filter(k => gen(k) != interp(k)).take(5)
+      s"interpreted two-level diverged from codegen on ids $diffs"
+    })
+  }
 }
