@@ -153,6 +153,22 @@ object ScaleRehearsal {
           embBase(s, dir), "vec", embSeeds(s, dir), iters = 0)
         s.range(1).toDF("ok")
       }),
+      // cluster-size distribution under the flat auto-k assignment: the
+      // SemDeDup tail's pair volume is sum(size^2), so imbalance here is
+      // what the x50-family wall time actually scales with
+      "cluster_sizes" -> ((s, dir) => {
+        val sizes = graft.ops.Similarity.kmeansAssign(
+            embBase(s, dir), "vec", embSeeds(s, dir), iters = 0)
+          .groupBy(col("cluster")).count()
+        val st = sizes.agg(count(lit(1)).as("k"), max(col("count")).as("mx"),
+            avg(col("count")).as("mean"),
+            sum(col("count") * col("count")).as("sumsq")).first()
+        println(s"SIZES k=${st.getLong(0)} max=${st.getLong(1)} " +
+          f"mean=${st.getDouble(2)}%.1f sumsq=${st.getLong(3)}")
+        println("SIZES top10 " + sizes.orderBy(col("count").desc).limit(10)
+          .collect().map(r => r.getLong(1)).mkString(","))
+        sizes
+      }),
     )
     // warm codegen/readers so the first timed rep isn't charged for JVM init
     SparkEntry.queries("x42_pipeline_v2")(spark, "/root/testdata/sf0.01").count()
