@@ -1,0 +1,193 @@
+package graft.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The mini-lakehouse catalog: directory-per-namespace, directory-per-table,
+  * each table a [[TableLog]]-versioned set of immutable parquet dirs (see
+  * [[GraftTable]] for the transaction and MERGE semantics). Register with
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.lake.root", "/warehouse/lake")
+  * spark.sql("CREATE TABLE lake.db.t (k BIGINT, v STRING)")
+  * spark.sql("MERGE INTO lake.db.t t USING updates s ON t.k = s.k " +
+  *   "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+  * spark.sql("SELECT * FROM lake.db.t VERSION AS OF 1")   // time travel
+  * }}}
+  *
+  * This is the engine's durable-state face (reference: the per-block
+  * transactional upsert, stream_blocks.py:108-115) expressed as a Spark
+  * catalog, so MERGE/UPDATE/DELETE run as plain SQL instead of through a
+  * bespoke sink API.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def conf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def fs = new Path(root).getFileSystem(conf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  /** No path metacharacters in identifiers — each part is one dir name. */
+  private def checkPart(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+      part != "." && part != "..", s"illegal identifier part: '$part'")
+    part
+  }
+
+  private def tableDir(ident: Identifier): String =
+    ((ident.namespace :+ ident.name).map(checkPart)).mkString(s"$root/", "/", "")
+
+  private def log(ident: Identifier) = new TableLog(tableDir(ident), conf)
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  // ---- tables --------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((namespace.map(checkPart)).mkString(s"$root/", "/", ""))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "table.json")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = log(ident).exists
+
+  override def loadTable(ident: Identifier): Table = {
+    val l = log(ident)
+    if (!l.exists) throw new NoSuchTableException(catalogName +: ident.namespace.toSeq :+ ident.name)
+    new GraftTable(fullName(ident), l)
+  }
+
+  /** `VERSION AS OF v` — pin the table at manifest version `v`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val l = log(ident)
+    if (!l.exists) throw new NoSuchTableException(catalogName +: ident.namespace.toSeq :+ ident.name)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"version must be a manifest number, got '$version'")
+    }
+    new GraftTable(fullName(ident), l, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` — the newest version committed at or before `t`
+    * (micros since epoch), resolved from manifest file mtimes.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val l = log(ident)
+    if (!l.exists) throw new NoSuchTableException(catalogName +: ident.namespace.toSeq :+ ident.name)
+    val v = l.versionAtTimestamp(timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of ${fullName(ident)} as of timestamp $timestampMicros"))
+    new GraftTable(fullName(ident), l, pinnedVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-lake tables do not take PARTITIONED BY: the manifest's immutable " +
+        "data dirs are the replacement unit (bucket/partition keys stay data columns)")
+    val l = log(ident)
+    if (l.exists) throw new TableAlreadyExistsException(catalogName +: ident.namespace.toSeq :+ ident.name)
+    val props = properties.asScala.toMap -- Seq(TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION)
+    l.create(schema, props)
+    new GraftTable(fullName(ident), l)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-lake tables are schema-frozen at CREATE (no ALTER TABLE)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val l = log(ident)
+    l.exists && l.drop()
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!log(oldIdent).exists)
+      throw new NoSuchTableException(catalogName +: oldIdent.namespace.toSeq :+ oldIdent.name)
+    if (log(newIdent).exists)
+      throw new TableAlreadyExistsException(catalogName +: newIdent.namespace.toSeq :+ newIdent.name)
+    if (!fs.rename(new Path(tableDir(oldIdent)), new Path(tableDir(newIdent))))
+      throw new java.io.IOException(s"rename failed: $oldIdent -> $newIdent")
+  }
+
+  // ---- namespaces (one directory level each) -------------------------------
+
+  private def nsDir(namespace: Array[String]): Path =
+    new Path((namespace.map(checkPart)).mkString(s"$root/", "/", ""))
+
+  private def isTableDir(p: Path): Boolean = fs.exists(new Path(p, "table.json"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) return Array.empty
+    fs.listStatus(r).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (fs.exists(nsDir(namespace)) && !isTableDir(nsDir(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException((catalogName +: namespace.toSeq).toArray)
+    fs.mkdirs(nsDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft-lake namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(dir, true)
+  }
+}

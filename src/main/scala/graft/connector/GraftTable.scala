@@ -1,0 +1,244 @@
+package graft.connector
+
+import java.util
+import java.util.ConcurrentModificationException
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** One table of the [[GraftCatalog]] mini-lakehouse: snapshot-versioned
+  * immutable parquet data dirs behind a [[TableLog]] manifest, with real SQL
+  * `MERGE INTO` / `UPDATE` / `DELETE` via the DataSource V2 row-level
+  * operation API ([[SupportsRowLevelOperations]], group-based copy-on-write).
+  *
+  * Reads and writes delegate to Spark's own parquet DSv2 implementation
+  * ([[ParquetTable]]) pointed at the snapshot's data dirs — so scans get
+  * vectorized reading, filter pushdown, and column pruning unchanged, and
+  * writes produce parquet from the executors through the standard
+  * `FileCommitProtocol`; this catalog adds only the transaction layer.
+  *
+  * Snapshot isolation: a loaded table pins the latest manifest version at
+  * first read; every path a manifest references is immutable, so concurrent
+  * commits never disturb a running scan. Row-level operations pin the
+  * snapshot they read and CAS-commit against it — a concurrent APPEND
+  * survives a rewrite (its dirs are not replaced), while two concurrent
+  * rewrites conflict and the loser throws, matching lakehouse MERGE
+  * semantics (write serialization via optimistic concurrency).
+  */
+class GraftTable(tableName: String, log: TableLog,
+                 pinnedVersion: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = log.schema
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): util.Map[String, String] = log.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** The version this Table handle reads — resolved eagerly when the
+    * catalog loads the table (query analysis time), so every scan the query
+    * plans (including self-joins) sees one consistent snapshot even if a
+    * commit lands between analysis and execution.
+    */
+  private val snapshotDirs: Seq[String] =
+    pinnedVersion.map(log.dirsAt).getOrElse(log.currentDirs())
+
+  private def delegate(paths: Seq[String]): ParquetTable =
+    ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
+      paths, Some(log.schema), classOf[ParquetFileFormat])
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate(snapshotDirs).newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty, s"cannot write to $tableName pinned at VERSION AS OF ${pinnedVersion.get}")
+    new GraftWriteBuilder(log, info, delegate)
+  }
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty, s"cannot modify $tableName pinned at VERSION AS OF ${pinnedVersion.get}")
+    // rewrite the snapshot this handle resolved at analysis time — the same
+    // one any self-referencing scan of the command reads
+    () => new GraftRowLevelOperation(log, info.command, delegate, snapshotDirs)
+  }
+}
+
+/** Plain-write builder: `INSERT INTO` appends a new data dir; `INSERT
+  * OVERWRITE` / `TRUNCATE` ([[SupportsTruncate]]) replaces the dir list.
+  */
+private[connector] class GraftWriteBuilder(log: TableLog, info: LogicalWriteInfo,
+                                           delegate: Seq[String] => ParquetTable)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = {
+    val staging = log.newDataDir()
+    val inner = delegate(Seq(staging)).newWriteBuilder(info).build()
+    new GraftWrite(inner, log, staging, if (replace) Replace else Append)
+  }
+}
+
+private[connector] sealed trait CommitMode
+private[connector] case object Append extends CommitMode
+private[connector] case object Replace extends CommitMode
+/** Replace exactly the dirs the row-level scan pinned (copy-on-write). */
+private[connector] final case class ReplacePinned(pinned: Seq[String]) extends CommitMode
+
+/** Group-based copy-on-write row-level operation behind `MERGE INTO` /
+  * `UPDATE` / `DELETE`. The scan pins the current snapshot's dirs; Spark
+  * rewrites the read groups (this catalog's group = the whole snapshot — it
+  * exposes no runtime group filtering, the documented v1 trade-off) and the
+  * write CAS-replaces exactly the pinned dirs, so concurrent appends
+  * survive and concurrent rewrites conflict loudly.
+  */
+private[connector] class GraftRowLevelOperation(log: TableLog,
+                                                cmd: RowLevelOperation.Command,
+                                                delegate: Seq[String] => ParquetTable,
+                                                pinned: Seq[String])
+    extends RowLevelOperation {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** The rewrite pushes the command's condition into this scan as a GROUP
+    * filter — the contract being that the connector replaces only the groups
+    * it read. This catalog's replacement unit is the whole pinned snapshot,
+    * so the scan must return EVERY row of it: a delegated ParquetScan that
+    * honored the pushed filter would prune files (row-group stats) and the
+    * commit would then drop their rows from the table. The builder therefore
+    * exposes no pushdown surface at all — a full-snapshot copy-on-write
+    * read, the documented v1 trade-off (group-granular replacement via
+    * per-dir runtime filtering is the scale path).
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = delegate(pinned).newScanBuilder(options)
+    new ScanBuilder { override def build() = inner.build() }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        val staging = log.newDataDir()
+        val inner = delegate(Seq(staging)).newWriteBuilder(info).build()
+        new GraftWrite(inner, log, staging, ReplacePinned(pinned),
+          projectTo = Some(info.schema()))
+      }
+    }
+}
+
+/** Wraps the delegated parquet [[Write]]: executors write parquet into the
+  * never-yet-visible `staging` dir through the inner write's committer, and
+  * the wrapper's `commit` publishes the new manifest — the inner commit
+  * finalizes files, the [[TableLog]] CAS makes them visible.
+  *
+  * `projectTo` (row-level writes only): Spark's group-based rewrites emit
+  * `__row_operation :: dataColumns` and apply the narrowing projection in
+  * `ReplaceDataExec` ONLY for connectors declaring metadata attributes —
+  * a connector without them receives the raw rows, so the wrapper projects
+  * the trailing data columns onto the declared write schema itself (see
+  * [[ProjectingDataWriterFactory]]).
+  */
+private[connector] class GraftWrite(inner: Write, log: TableLog, staging: String,
+                                    mode: CommitMode,
+                                    projectTo: Option[StructType] = None) extends Write {
+  override def description(): String = s"graft-lake $mode -> $staging"
+  override def toBatch: BatchWrite =
+    new GraftBatchWrite(inner.toBatch, log, staging, mode, projectTo)
+}
+
+private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
+                                         staging: String, mode: CommitMode,
+                                         projectTo: Option[StructType] = None)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val factory = inner.createBatchWriterFactory(info)
+    projectTo.map(new ProjectingDataWriterFactory(factory, _)).getOrElse(factory)
+  }
+
+  override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    inner.commit(messages)   // finalize staged parquet files
+    var done = false
+    while (!done) {
+      val expected = log.latestVersion
+      val current = expected.map(log.dirsAt).getOrElse(Nil)
+      val next = mode match {
+        case Append => current :+ staging
+        case Replace => Seq(staging)
+        case ReplacePinned(pinned) =>
+          // a dir we read that is no longer listed was replaced by a
+          // concurrent rewrite — our copy-on-write output is based on stale
+          // rows and must not win
+          val missing = pinned.filterNot(current.contains)
+          if (missing.nonEmpty)
+            throw new ConcurrentModificationException(
+              s"concurrent rewrite of ${log.tableDir}: pinned dirs replaced: ${missing.mkString(", ")}")
+          current.filterNot(pinned.contains) :+ staging
+      }
+      done = log.tryCommit(expected, next)
+      // CAS miss: someone committed expected+1 first — re-read and retry
+      // (Append/Replace always converge; ReplacePinned re-checks conflicts)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    inner.abort(messages)
+    // the staging dir was never referenced by any manifest; best-effort
+    // cleanup, vacuum() reclaims anything left behind
+    try {
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    } catch { case _: java.io.IOException => }
+  }
+}
+
+/** Executor-side adapter for the group-based row-level write path: the
+  * incoming rows are `__row_operation :: dataColumns` (verified against the
+  * Spark 4.1 `RewriteUpdateTable` / `RewriteDeleteFromTable` /
+  * `RewriteMergeIntoTable` union plans), so each row is viewed through a
+  * reusable [[ProjectingInternalRow]] that drops the leading operation
+  * column before it reaches the parquet writer. Rows already matching the
+  * write schema pass through untouched; any other arity fails loudly rather
+  * than silently mis-mapping columns.
+  */
+private[connector] class ProjectingDataWriterFactory(inner: DataWriterFactory,
+                                                     writeSchema: StructType)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val innerWriter = inner.createWriter(partitionId, taskId)
+    val n = writeSchema.length
+    val view = org.apache.spark.sql.catalyst.ProjectingInternalRow(writeSchema, (1 to n).toList)
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == n) innerWriter.write(row)
+        else if (row.numFields == n + 1) { view.project(row); innerWriter.write(view) }
+        else throw new IllegalStateException(
+          s"row-level write row has ${row.numFields} fields, expected $n or ${n + 1}")
+      override def commit(): WriterCommitMessage = innerWriter.commit()
+      override def abort(): Unit = innerWriter.abort()
+      override def close(): Unit = innerWriter.close()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        innerWriter.currentMetricsValues()
+    }
+  }
+}

@@ -1,0 +1,187 @@
+package graft.connector
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.collection.immutable.ListMap
+
+/** Versioned manifest log for one [[GraftTable]] — the transaction layer of
+  * the mini-lakehouse catalog. The table's state is a list of immutable data
+  * directories (each a finished parquet write); version `v` is the file
+  * `manifest-v` listing them, and creating `manifest-(v+1)` IS the commit.
+  *
+  * Commit protocol (the same shape Delta's `_delta_log` uses, minus the jar):
+  *   1. stage the full manifest content into a uniquely-named temp file,
+  *   2. rename it to `manifest-(v+1)` — fail-if-exists, so two committers
+  *      racing for the same version CAS on the rename and the loser retries
+  *      (appends) or aborts (rewrites, see [[GraftBatchWrite]]).
+  * A torn write is impossible at the commit point because the rename is the
+  * only mutation of a visible name; a crash anywhere earlier leaves one
+  * orphan temp/staging dir for [[vacuum]]. Readers resolve "latest" by
+  * listing `manifest-*` and taking the max version — no mutable pointer file
+  * exists, so there is nothing to heal on recovery.
+  *
+  * On HDFS/POSIX the non-overwriting rename is atomic; on an object store
+  * whose rename is copy+delete the CAS narrows to best-effort and a
+  * multi-writer deployment needs an external lock per table — the identical
+  * caveat Delta documents for S3 without a LogStore. Single-writer-per-table
+  * is the hard guarantee; reads are snapshot-isolated regardless because
+  * every name a manifest references is immutable.
+  *
+  * Reference durability contract this backs: the engine's per-block
+  * transactional upsert (stream_blocks.py:108-115).
+  */
+class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
+
+  private def fs: FileSystem = new Path(tableDir).getFileSystem(conf)
+
+  private val schemaPath = new Path(tableDir, "table.json")
+  private def manifestPath(v: Long) = new Path(tableDir, s"manifest-$v")
+
+  // ---- small-file IO -------------------------------------------------------
+
+  private def slurp(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream(256)
+      val bytes = new Array[Byte](4096)
+      var n = in.read(bytes)
+      while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeAtomic(dst: Path, content: String): Boolean = {
+    val tmp = new Path(tableDir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // the CAS: Hadoop rename does not overwrite an existing file — if the
+    // destination version was claimed first, rename returns false and the
+    // temp file is discarded
+    if (fs.exists(dst)) { fs.delete(tmp, false); false }
+    else if (fs.rename(tmp, dst)) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  // ---- table metadata ------------------------------------------------------
+
+  def exists: Boolean = fs.exists(schemaPath)
+
+  def create(schema: StructType, properties: Map[String, String]): Unit = {
+    fs.mkdirs(new Path(tableDir))
+    if (!writeAtomic(schemaPath, TableLog.encodeMeta(schema, properties)))
+      throw new IllegalStateException(s"table already exists: $tableDir")
+  }
+
+  def schema: StructType = TableLog.decodeMeta(slurp(schemaPath))._1
+  def properties: Map[String, String] = TableLog.decodeMeta(slurp(schemaPath))._2
+
+  def drop(): Boolean = fs.delete(new Path(tableDir), true)
+
+  // ---- versions ------------------------------------------------------------
+
+  /** Highest committed version, or None for a freshly-created empty table. */
+  def latestVersion: Option[Long] = {
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Data directories of version `v` (absolute paths), in manifest order. */
+  def dirsAt(v: Long): Seq[String] = {
+    val mp = manifestPath(v)
+    if (!fs.exists(mp))
+      throw new IllegalArgumentException(s"no version $v of table $tableDir")
+    slurp(mp).linesIterator.filter(_.nonEmpty)
+      .map(rel => new Path(tableDir, rel).toString).toSeq
+  }
+
+  /** Data directories of the latest version (empty for an empty table). */
+  def currentDirs(): Seq[String] = latestVersion.map(dirsAt).getOrElse(Nil)
+
+  /** Newest version whose manifest was committed at or before `tsMillis`
+    * (manifest file mtime — the commit instant, since the rename that
+    * creates it is the commit).
+    */
+  def versionAtTimestamp(tsMillis: Long): Option[Long] = {
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("manifest-"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("manifest-").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Allocate a fresh, never-visible data directory name for a write. */
+  def newDataDir(): String =
+    new Path(tableDir, s"data/d-${java.util.UUID.randomUUID().toString.take(12)}").toString
+
+  private def rel(abs: String): String = {
+    val prefix = new Path(tableDir).toString + "/"
+    val s = new Path(abs).toString
+    if (s.startsWith(prefix)) s.stripPrefix(prefix) else s
+  }
+
+  /** Attempt to commit `dirs` as the content of version `expected + 1`
+    * (expected = the version the writer based its work on, None = empty
+    * table). Returns false when that version was claimed by someone else —
+    * the caller re-reads and retries or aborts.
+    */
+  def tryCommit(expected: Option[Long], dirs: Seq[String]): Boolean = {
+    val next = expected.getOrElse(0L) + 1
+    if (latestVersion.exists(_ >= next)) return false
+    writeAtomic(manifestPath(next), dirs.map(rel).mkString("", "\n", "\n"))
+  }
+
+  /** Drop all but the newest `keepVersions` manifests and delete every data
+    * dir no surviving manifest references (crashed-write orphans included).
+    * Run outside the reader SLA window — same contract as Delta VACUUM.
+    */
+  def vacuum(keepVersions: Int = 2): Unit = {
+    val v = latestVersion.getOrElse(return)
+    val root = new Path(tableDir)
+    val manifests = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("manifest-"))
+      .map(p => p.getName.stripPrefix("manifest-").toLong -> p)
+    val (kept, dropped) = manifests.partition(_._1 > v - keepVersions)
+    val live: Set[String] =
+      kept.flatMap { case (mv, _) => dirsAt(mv).map(p => new Path(p).getName) }.toSet
+    dropped.foreach { case (_, p) => fs.delete(p, false) }
+    val dataRoot = new Path(tableDir, "data")
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).toSeq.map(_.getPath)
+        .filterNot(p => live.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+  }
+}
+
+object TableLog {
+  /** `table.json` layout: first line the schema JSON, then one
+    * `key<TAB>value` property per line. Kept line-oriented (not nested JSON)
+    * so it can be read without a JSON parser dependency.
+    */
+  private[connector] def encodeMeta(schema: StructType,
+                                    properties: Map[String, String]): String = {
+    require(properties.forall { case (k, v) =>
+      !k.contains("\t") && !k.contains("\n") && !v.contains("\n") },
+      "table properties must not contain tabs or newlines")
+    (schema.json +: properties.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" })
+      .mkString("", "\n", "\n")
+  }
+
+  private[connector] def decodeMeta(s: String): (StructType, Map[String, String]) = {
+    val lines = s.linesIterator.toSeq
+    val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+    val props = lines.tail.filter(_.nonEmpty).map { line =>
+      val Array(k, v) = line.split("\t", 2)
+      k -> v
+    }
+    (schema, ListMap(props: _*))
+  }
+}
