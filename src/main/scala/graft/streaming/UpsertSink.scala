@@ -17,9 +17,11 @@ import graft.core.Upsert
   * place; [[SnapshotStore]] writes immutable bucket dirs behind a versioned
   * manifest + atomic pointer, giving concurrent readers snapshot isolation —
   * the lakehouse-MERGE shape (the reference's durability contract is a
-  * transactional per-block upsert, stream_blocks.py:108-115). A Delta or
-  * Iceberg MERGE target would slot in as a third store behind the same
-  * trait.
+  * transactional per-block upsert, stream_blocks.py:108-115); and
+  * [[CatalogMergeStore]] persists through an actual SQL `MERGE INTO` against
+  * a [[graft.connector.GraftCatalog]] table (DSv2 row-level operations) —
+  * the table-format MERGE backend, with a Delta/Iceberg target droppable in
+  * behind the same trait.
   *
   * Combined with checkpointing (exactly-once micro-batches) the fold is
   * idempotent: replaying a batch re-merges the same rows onto state that
@@ -43,6 +45,7 @@ class UpsertSink(spark: SparkSession, stateDir: String,
   private val store: UpsertStateStore = backend match {
     case UpsertSink.BucketSwap => new BucketSwapStore(spark, stateDir)
     case UpsertSink.Snapshot => new SnapshotStore(spark, stateDir)
+    case UpsertSink.CatalogMerge => new CatalogMergeStore(spark, stateDir, keys)
   }
 
   /** Stable key bucket: Murmur3 over the key columns, identical for a key on
@@ -139,4 +142,9 @@ object UpsertSink {
     * snapshot isolation for concurrent readers, object-store-safe publish.
     */
   case object Snapshot extends Backend
+  /** State lives in a [[graft.connector.GraftCatalog]] table and each batch
+    * installs through a real SQL `MERGE INTO` (DSv2 row-level op) — full
+    * lakehouse transaction semantics, O(state) rewrite per batch.
+    */
+  case object CatalogMerge extends Backend
 }

@@ -18,7 +18,8 @@ class UpsertSinkSpec extends SparkSpec {
 
   private val backends = Seq[(String, UpsertSink.Backend)](
     "bucket-swap" -> UpsertSink.BucketSwap,
-    "snapshot" -> UpsertSink.Snapshot)
+    "snapshot" -> UpsertSink.Snapshot,
+    "catalog-merge" -> UpsertSink.CatalogMerge)
 
   for ((bname, backend) <- backends) {
 
@@ -219,6 +220,55 @@ class UpsertSinkSpec extends SparkSpec {
     val fresh = sink.state().orderBy("key").collect()
       .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
     assert(fresh == seen)
+  }
+
+  test("catalog-merge store: state is a queryable SQL table with version history") {
+    val dir = Files.createTempDirectory("graft-sink-cat").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 2, backend = UpsertSink.CatalogMerge)
+    sink.merge(Seq(("a", 1L, "upsert", "v1"), ("b", 2L, "upsert", "w1"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    sink.merge(Seq(("b", 3L, "delete", null))
+      .toDF("key", "seq", "op", "payload"), batchId = 1L)
+    // the state table is plain SQL — any session sharing the conf can query
+    // it, including the bookkeeping columns and time travel
+    val cat = "graft_state_" + java.lang.Integer.toHexString(dir.hashCode)
+    val live = spark.sql(s"SELECT key, payload FROM $cat.state WHERE NOT __deleted ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(live == List(("a", "v1")))
+    // version 1 (the CREATE TABLE leaves no manifest; first merge = v1)
+    val v1 = spark.sql(s"SELECT key FROM $cat.state VERSION AS OF 1 WHERE NOT __deleted ORDER BY key")
+      .collect().map(_.getString(0)).toList
+    assert(v1 == List("a", "b"))
+    // the delete survives as a fencing tombstone with its seq
+    val tomb = spark.sql(s"SELECT __seq FROM $cat.state WHERE key = 'b' AND __deleted")
+      .collect().map(_.getLong(0)).toList
+    assert(tomb == List(3L))
+  }
+
+  test("catalog-merge store: a concurrent reader keeps its pinned snapshot across a merge; vacuum reclaims") {
+    val dir = Files.createTempDirectory("graft-sink-cat-iso").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 2, backend = UpsertSink.CatalogMerge)
+    sink.merge(Seq(("a", 1L, "upsert", "v1"), ("b", 2L, "upsert", "w1"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    val reader = sink.state()   // analysis pins the current manifest version
+    sink.merge(Seq(("a", 3L, "upsert", "v2"), ("b", 4L, "delete", null))
+      .toDF("key", "seq", "op", "payload"), batchId = 1L)
+    val pinned = reader.orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(pinned == List(("a", "v1"), ("b", "w1")))
+    val fresh = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(fresh == List(("a", "v2")))
+    // vacuum drops the superseded snapshot, keeps the live one
+    new CatalogMergeStore(spark, dir, Seq("key")).vacuum(keepVersions = 1)
+    val after = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(after == fresh)
+    val manifests = Option(new java.io.File(s"$dir/state").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("manifest-")).map(_.getName)
+    assert(manifests == Seq("manifest-2"))
   }
 
   test("snapshot store: vacuum drops superseded versions, keeps the live snapshot") {
