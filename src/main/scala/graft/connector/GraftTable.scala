@@ -8,8 +8,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -56,8 +57,10 @@ class GraftTable(tableName: String, log: TableLog,
     * plans (including self-joins) sees one consistent snapshot even if a
     * commit lands between analysis and execution.
     */
-  private val snapshotDirs: Seq[String] =
-    pinnedVersion.map(log.dirsAt).getOrElse(log.currentDirs())
+  private val snapshotEntries: Seq[DirEntry] =
+    pinnedVersion.map(log.entriesAt).getOrElse(log.currentEntries())
+
+  private def snapshotDirs: Seq[String] = snapshotEntries.map(_.dir)
 
   private def delegate(paths: Seq[String]): ParquetTable =
     ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
@@ -75,7 +78,7 @@ class GraftTable(tableName: String, log: TableLog,
     require(pinnedVersion.isEmpty, s"cannot modify $tableName pinned at VERSION AS OF ${pinnedVersion.get}")
     // rewrite the snapshot this handle resolved at analysis time — the same
     // one any self-referencing scan of the command reads
-    () => new GraftRowLevelOperation(log, info.command, delegate, snapshotDirs)
+    () => new GraftRowLevelOperation(log, info.command, delegate, snapshotEntries)
   }
 }
 
@@ -99,45 +102,88 @@ private[connector] class GraftWriteBuilder(log: TableLog, info: LogicalWriteInfo
 private[connector] sealed trait CommitMode
 private[connector] case object Append extends CommitMode
 private[connector] case object Replace extends CommitMode
-/** Replace exactly the dirs the row-level scan pinned (copy-on-write). */
-private[connector] final case class ReplacePinned(pinned: Seq[String]) extends CommitMode
+/** Replace exactly the dirs the row-level scan READ (copy-on-write). The
+  * set is resolved through a thunk at commit time because group pruning
+  * fixes it only when the rewrite's scan is built during optimization.
+  */
+private[connector] final case class ReplacePinned(pinned: () => Seq[String]) extends CommitMode
 
 /** Group-based copy-on-write row-level operation behind `MERGE INTO` /
-  * `UPDATE` / `DELETE`. The scan pins the current snapshot's dirs; Spark
-  * rewrites the read groups (this catalog's group = the whole snapshot — it
-  * exposes no runtime group filtering, the documented v1 trade-off) and the
-  * write CAS-replaces exactly the pinned dirs, so concurrent appends
-  * survive and concurrent rewrites conflict loudly.
+  * `UPDATE` / `DELETE`, with dir-granular group pruning.
+  *
+  * The rewrite pushes the command's condition into this scan as a GROUP
+  * filter (`GroupBasedRowLevelOperationScanPlanning` → `PushDownUtils`) —
+  * the contract being that the connector may use it to choose which GROUPS
+  * to rewrite, but must return every row of each group it keeps. Two
+  * consequences shape this class:
+  *
+  *  - The replacement unit is one manifest data dir: pushed filters are
+  *    tested against each pinned dir's committed [[DirStats]], dirs that
+  *    provably contain no matching row are neither read nor replaced, and
+  *    the commit CAS-swaps exactly the dirs the scan read. An UPDATE whose
+  *    condition touches one dir of a thousand rewrites one dir.
+  *
+  *  - NO filter may reach the delegated parquet scan or be claimed as
+  *    handled: a ParquetScan honoring the pushed filter would prune row
+  *    groups (dropping their unmatched rows from the copy-on-write output),
+  *    and claiming filters handled would let Spark elide its own row-level
+  *    condition. `pushFilters` therefore returns everything as residual and
+  *    `pushedFilters` stays empty — stats pruning is invisible to the
+  *    planner and strictly conservative, so correctness never depends on it.
+  *
+  * The commit must replace exactly the dir set the EXECUTED scan read, so
+  * the builder refuses a second build with a different pruning outcome
+  * (one rewrite plans one group scan in Spark 4.1; anything else is an
+  * unknown plan shape where a silent mismatch could lose or duplicate rows).
   */
 private[connector] class GraftRowLevelOperation(log: TableLog,
                                                 cmd: RowLevelOperation.Command,
                                                 delegate: Seq[String] => ParquetTable,
-                                                pinned: Seq[String])
+                                                pinned: Seq[DirEntry])
     extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
 
-  /** The rewrite pushes the command's condition into this scan as a GROUP
-    * filter — the contract being that the connector replaces only the groups
-    * it read. This catalog's replacement unit is the whole pinned snapshot,
-    * so the scan must return EVERY row of it: a delegated ParquetScan that
-    * honored the pushed filter would prune files (row-group stats) and the
-    * commit would then drop their rows from the table. The builder therefore
-    * exposes no pushdown surface at all — a full-snapshot copy-on-write
-    * read, the documented v1 trade-off (group-granular replacement via
-    * per-dir runtime filtering is the scale path).
+  /** Dirs the rewrite's scan reads = dirs the commit replaces. Until the
+    * scan is built (or if pruning never ran) this is the full snapshot,
+    * which is always safe: an unpruned rewrite reads and rewrites
+    * everything, the v1 behavior.
     */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = delegate(pinned).newScanBuilder(options)
-    new ScanBuilder { override def build() = inner.build() }
-  }
+  @volatile private var readDirsV: Option[Seq[String]] = None
+  private def readDirs(): Seq[String] = readDirsV.getOrElse(pinned.map(_.dir))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters {
+      private var groupFilters: Array[sources.Filter] = Array.empty
+
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        groupFilters = filters
+        filters   // all residual: we prune groups, we do not filter rows
+      }
+
+      override def pushedFilters(): Array[sources.Filter] = Array.empty
+
+      override def build(): Scan = {
+        val kept = pinned.filter(e =>
+          DirStats.mayMatch(e.stats, groupFilters.toSeq)).map(_.dir)
+        readDirsV match {
+          case Some(prev) if prev != kept =>
+            throw new IllegalStateException(
+              s"row-level rewrite of ${log.tableDir} built two scans with " +
+                s"different group pruning (${prev.size} vs ${kept.size} dirs); " +
+                "refusing — the commit could not know which set the executed plan read")
+          case _ => readDirsV = Some(kept)
+        }
+        delegate(kept).newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
         val staging = log.newDataDir()
         val inner = delegate(Seq(staging)).newWriteBuilder(info).build()
-        new GraftWrite(inner, log, staging, ReplacePinned(pinned),
+        new GraftWrite(inner, log, staging, ReplacePinned(() => readDirs()),
           projectTo = Some(info.schema()))
       }
     }
@@ -177,24 +223,33 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     inner.commit(messages)   // finalize staged parquet files
+    // one footer pass over the freshly-finalized staging dir records its
+    // column stats in the manifest (Delta's add-file stats, computed without
+    // re-reading data); a failed read just commits the dir statless
+    val stagingEntry = DirEntry(staging, DirStats.collect(staging, log.hadoopConf))
     var done = false
     while (!done) {
       val expected = log.latestVersion
-      val current = expected.map(log.dirsAt).getOrElse(Nil)
+      val current = expected.map(log.entriesAt).getOrElse(Nil)
       val next = mode match {
-        case Append => current :+ staging
-        case Replace => Seq(staging)
-        case ReplacePinned(pinned) =>
+        case Append => current :+ stagingEntry
+        case Replace => Seq(stagingEntry)
+        case ReplacePinned(pinnedFn) =>
           // a dir we read that is no longer listed was replaced by a
           // concurrent rewrite — our copy-on-write output is based on stale
           // rows and must not win
-          val missing = pinned.filterNot(current.contains)
+          val pinned = pinnedFn()
+          val missing = pinned.filterNot(p => current.exists(_.dir == p))
           if (missing.nonEmpty)
             throw new ConcurrentModificationException(
               s"concurrent rewrite of ${log.tableDir}: pinned dirs replaced: ${missing.mkString(", ")}")
-          current.filterNot(pinned.contains) :+ staging
+          val kept = current.filterNot(e => pinned.contains(e.dir))
+          // a provably-empty rewrite output adds no dir: a DELETE that
+          // empties its groups removes them outright, and a fully-pruned
+          // no-op rewrite leaves the manifest's dir list unchanged
+          if (stagingEntry.stats.exists(_.rows == 0)) kept else kept :+ stagingEntry
       }
-      done = log.tryCommit(expected, next)
+      done = log.tryCommitEntries(expected, next)
       // CAS miss: someone committed expected+1 first — re-read and retry
       // (Append/Replace always converge; ReplacePinned re-checks conflicts)
     }

@@ -32,6 +32,12 @@ import scala.collection.immutable.ListMap
   * Reference durability contract this backs: the engine's per-block
   * transactional upsert (stream_blocks.py:108-115).
   */
+/** One manifest entry: an immutable data dir and the column stats recorded
+  * when it was committed (None = pre-stats manifest line or unreadable
+  * footers; such a dir is simply never pruned).
+  */
+final case class DirEntry(dir: String, stats: Option[DirStats])
+
 class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
   private def fs: FileSystem = new Path(tableDir).getFileSystem(conf)
@@ -92,17 +98,33 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Data directories of version `v` (absolute paths), in manifest order. */
-  def dirsAt(v: Long): Seq[String] = {
+  /** Data directories + their committed column stats at version `v`, in
+    * manifest order. Manifest line format: `relDir` alone (no stats — the
+    * pre-stats layout, or a dir whose footers could not be read) or
+    * `relDir<TAB>statsJson`. Unparseable stats degrade to None (the dir is
+    * simply never pruned), so old manifests read unchanged.
+    */
+  def entriesAt(v: Long): Seq[DirEntry] = {
     val mp = manifestPath(v)
     if (!fs.exists(mp))
       throw new IllegalArgumentException(s"no version $v of table $tableDir")
-    slurp(mp).linesIterator.filter(_.nonEmpty)
-      .map(rel => new Path(tableDir, rel).toString).toSeq
+    slurp(mp).linesIterator.filter(_.nonEmpty).map { line =>
+      val (rel, stats) = line.split("\t", 2) match {
+        case Array(r, json) => (r, DirStats.decode(json))
+        case Array(r) => (r, None)
+      }
+      DirEntry(new Path(tableDir, rel).toString, stats)
+    }.toSeq
   }
+
+  /** Data directories of version `v` (absolute paths), in manifest order. */
+  def dirsAt(v: Long): Seq[String] = entriesAt(v).map(_.dir)
 
   /** Data directories of the latest version (empty for an empty table). */
   def currentDirs(): Seq[String] = latestVersion.map(dirsAt).getOrElse(Nil)
+
+  /** Entries of the latest version (empty for an empty table). */
+  def currentEntries(): Seq[DirEntry] = latestVersion.map(entriesAt).getOrElse(Nil)
 
   /** Newest version whose manifest was committed at or before `tsMillis`
     * (manifest file mtime — the commit instant, since the rename that
@@ -133,11 +155,23 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     * table). Returns false when that version was claimed by someone else —
     * the caller re-reads and retries or aborts.
     */
-  def tryCommit(expected: Option[Long], dirs: Seq[String]): Boolean = {
+  def tryCommit(expected: Option[Long], dirs: Seq[String]): Boolean =
+    tryCommitEntries(expected, dirs.map(DirEntry(_, None)))
+
+  /** As [[tryCommit]], preserving each entry's column stats in the manifest. */
+  def tryCommitEntries(expected: Option[Long], entries: Seq[DirEntry]): Boolean = {
     val next = expected.getOrElse(0L) + 1
     if (latestVersion.exists(_ >= next)) return false
-    writeAtomic(manifestPath(next), dirs.map(rel).mkString("", "\n", "\n"))
+    val body = entries.map { e =>
+      e.stats match {
+        case Some(s) => s"${rel(e.dir)}\t${DirStats.encode(s)}"
+        case None => rel(e.dir)
+      }
+    }.mkString("", "\n", "\n")
+    writeAtomic(manifestPath(next), body)
   }
+
+  private[connector] def hadoopConf: Configuration = conf
 
   /** Drop all but the newest `keepVersions` manifests and delete every data
     * dir no surviving manifest references (crashed-write orphans included).

@@ -15,12 +15,16 @@ import graft.connector.{GraftCatalog, TableLog}
   * until vacuum, and the state table is queryable/time-travelable as
   * `<catalog>.state` by any Spark SQL session sharing the conf.
   *
-  * Trade-off vs the bucket stores: MERGE rewrites the whole snapshot per
-  * commit (the catalog's copy-on-write group is the full table), so a batch
-  * costs O(state), not O(touched buckets) — the right backend when
-  * transactional SQL semantics and concurrent readers matter more than
-  * bounded rewrite; [[BucketSwapStore]]/[[SnapshotStore]] remain the
-  * O(touched) paths. Reference durability contract: the per-block
+  * Rewrite granularity: the catalog's copy-on-write group is one manifest
+  * data dir, pruned by committed per-dir column stats against target-only
+  * conjuncts of the MERGE condition. The commit below therefore adds the
+  * implied conjunct `t.__bucket IN (touched)` to the ON clause (implied
+  * because the bucket is a pure function of the key and every source row
+  * comes from a touched bucket, so matched pairs are unaffected) — each
+  * batch then rewrites only the dirs whose bucket range intersects the
+  * touched set, approaching the bucket stores' O(touched) as dirs cluster
+  * by bucket over time. [[BucketSwapStore]]/[[SnapshotStore]] remain the
+  * strictly-bounded paths. Reference durability contract: the per-block
   * transactional upsert, stream_blocks.py:108-115.
   */
 class CatalogMergeStore(spark: SparkSession, stateDir: String,
@@ -55,9 +59,9 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
     ensureCatalog()
     val t = spark.table(tableRef)
     Some(touched match {
-      // row-level pruning only: the catalog's replacement unit is the whole
-      // snapshot, so bucket dirs don't exist to prune — the bounded-read
-      // specialty stays with the bucket stores
+      // the bucket filter reaches the parquet scan (row-group stats skip
+      // untouched data); dedicated bucket dirs stay the bucket stores'
+      // specialty, so this read is pruned, not strictly bounded
       case Some(ks) => t.filter(col(BucketCol).isin(ks.map(Int.box): _*))
       case None => t
     })
@@ -75,7 +79,12 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
     val src = s"graft_merge_src_${java.lang.Long.toHexString(System.nanoTime())}"
     next.createOrReplaceTempView(src)
     try {
-      val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+      // the implied target-only conjunct is the group filter that lets the
+      // catalog prune copy-on-write dirs by their committed __bucket stats
+      val bucketGate =
+        if (touched.nonEmpty) s" AND t.`$BucketCol` IN (${touched.mkString(", ")})"
+        else ""
+      val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ") + bucketGate
       // the sink's fold already produced the full surviving row set of the
       // touched buckets (tombstones included), so latest-wins installation
       // is exactly upsert-by-key; replaying a batch re-merges identical

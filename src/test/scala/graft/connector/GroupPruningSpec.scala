@@ -1,0 +1,206 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources._
+
+/** Dir-granular copy-on-write for the mini-lakehouse: committed per-dir
+  * column stats ([[DirStats]]), group pruning of MERGE/UPDATE/DELETE
+  * rewrites, and the two contracts whose silent violation loses data (the
+  * rewritten dir keeps its unmatched rows; stats are never row filters).
+  */
+class GroupPruningSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-prune").toString
+
+  private lazy val init: Unit = {
+    spark.conf.set("spark.sql.catalog.plake", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.plake.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS plake.db")
+  }
+
+  private def sql(q: String) = { init; spark.sql(q) }
+  private def rows(q: String): Seq[Row] = sql(q).collect().toSeq
+
+  private def log(t: String) =
+    new TableLog(s"$root/db/$t", spark.sparkContext.hadoopConfiguration)
+
+  /** Three disjoint-key-range data dirs: [1,10], [11,20], [21,30]. */
+  private def threeDirTable(t: String): TableLog = {
+    sql(s"CREATE TABLE plake.db.$t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO plake.db.$t SELECT id, concat('a', id) FROM range(1, 11)")
+    sql(s"INSERT INTO plake.db.$t SELECT id, concat('b', id) FROM range(11, 21)")
+    sql(s"INSERT INTO plake.db.$t SELECT id, concat('c', id) FROM range(21, 31)")
+    val l = log(t)
+    assert(l.currentEntries().size === 3)
+    l
+  }
+
+  test("commits record per-dir column stats in the manifest") {
+    sql("CREATE TABLE plake.db.st (k BIGINT, v STRING)")
+    sql("INSERT INTO plake.db.st VALUES (5, 'mm'), (9, 'zz'), (2, NULL)")
+    val entries = log("st").currentEntries()
+    assert(entries.size === 1)
+    val stats = entries.head.stats.getOrElse(fail("no stats recorded"))
+    assert(stats.rows === 3)
+    assert(stats.cols("k") === ColStats("long", 2L, 9L, 0L))
+    assert(stats.cols("v") === ColStats("string", "mm", "zz", 1L))
+  }
+
+  test("UPDATE rewrites only the dir that can match; every other row survives untouched") {
+    val l = threeDirTable("u3")
+    val before = l.currentEntries().map(_.dir)
+    sql("UPDATE plake.db.u3 SET v = 'HIT' WHERE k = 25")
+    val after = l.currentEntries().map(_.dir)
+    // dirs [1,10] and [11,20] are carried over byte-identical, [21,30] replaced
+    assert(after.count(before.contains) === 2)
+    assert(after.size === 3)
+    // full content check: the unmatched rows of the REWRITTEN dir survive too
+    assert(rows("SELECT count(*) FROM plake.db.u3") === Seq(Row(30L)))
+    assert(rows("SELECT v FROM plake.db.u3 WHERE k = 25") === Seq(Row("HIT")))
+    assert(rows("SELECT count(*) FROM plake.db.u3 WHERE v LIKE 'c%'") === Seq(Row(9L)))
+    // carried dirs keep their stats through the rewrite commit
+    val carried = l.currentEntries().filter(e => before.contains(e.dir))
+    assert(carried.forall(_.stats.isDefined))
+  }
+
+  test("DELETE that empties its whole group removes the dir; pruned dirs untouched") {
+    val l = threeDirTable("d3")
+    val before = l.currentEntries().map(_.dir)
+    sql("DELETE FROM plake.db.d3 WHERE k <= 10")
+    val after = l.currentEntries().map(_.dir)
+    assert(after.size === 2, "emptied dir should vanish, not become an empty dir")
+    assert(after.forall(before.contains))
+    assert(rows("SELECT min(k), count(*) FROM plake.db.d3") === Seq(Row(11L, 20L)))
+  }
+
+  test("a no-match condition rewrites nothing at all") {
+    val l = threeDirTable("n3")
+    val before = l.currentEntries().map(_.dir)
+    sql("UPDATE plake.db.n3 SET v = 'X' WHERE k = 999")
+    assert(l.currentEntries().map(_.dir) === before)
+    assert(rows("SELECT count(*) FROM plake.db.n3 WHERE v = 'X'") === Seq(Row(0L)))
+  }
+
+  test("string-range stats prune string-equality rewrites") {
+    val l = threeDirTable("s3")   // v prefixes a/b/c per dir
+    val before = l.currentEntries().map(_.dir)
+    sql("UPDATE plake.db.s3 SET k = -1 WHERE v = 'b15'")
+    val after = l.currentEntries().map(_.dir)
+    assert(after.count(before.contains) === 2)
+    assert(rows("SELECT count(*) FROM plake.db.s3 WHERE k = -1") === Seq(Row(1L)))
+    assert(rows("SELECT count(*) FROM plake.db.s3") === Seq(Row(30L)))
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE still reaches rows in dirs the source never touches") {
+    threeDirTable("m3")
+    import spark.implicits._
+    Seq((25L, "up")).toDF("k", "v").createOrReplaceTempView("m3_src")
+    sql("""MERGE INTO plake.db.m3 t USING m3_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET v = 'bysrc'
+          |""".stripMargin)
+    assert(rows("SELECT v FROM plake.db.m3 WHERE k = 25") === Seq(Row("up")))
+    assert(rows("SELECT v FROM plake.db.m3 WHERE k = 1") === Seq(Row("bysrc")))
+    assert(rows("SELECT count(*) FROM plake.db.m3") === Seq(Row(30L)))
+  }
+
+  test("a target-only conjunct in the MERGE ON condition prunes target groups") {
+    val l = threeDirTable("mc3")
+    val before = l.currentEntries().map(_.dir)
+    import spark.implicits._
+    Seq((25L, "hit")).toDF("k", "v").createOrReplaceTempView("mc3_src")
+    sql("""MERGE INTO plake.db.mc3 t USING mc3_src s ON t.k = s.k AND t.k > 20
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |""".stripMargin)
+    val after = l.currentEntries().map(_.dir)
+    assert(rows("SELECT v FROM plake.db.mc3 WHERE k = 25") === Seq(Row("hit")))
+    assert(rows("SELECT count(*) FROM plake.db.mc3") === Seq(Row(30L)))
+    assert(after.count(before.contains) === 2,
+      s"expected dirs [1,10] and [11,20] carried over; before=$before after=$after")
+  }
+
+  test("MERGE insert-only with pruned target groups keeps every pre-existing row") {
+    val l = threeDirTable("mi3")
+    import spark.implicits._
+    Seq((41L, "new1"), (42L, "new2")).toDF("k", "v").createOrReplaceTempView("mi3_src")
+    sql("""MERGE INTO plake.db.mi3 t USING mi3_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+    assert(rows("SELECT count(*) FROM plake.db.mi3") === Seq(Row(32L)))
+    assert(rows("SELECT v FROM plake.db.mi3 WHERE k > 40 ORDER BY k") ===
+      Seq(Row("new1"), Row("new2")))
+  }
+
+  test("pre-stats manifests (no stats column) fall back to full-snapshot rewrite") {
+    sql("CREATE TABLE plake.db.bc (k BIGINT, v STRING)")
+    sql("INSERT INTO plake.db.bc VALUES (1, 'a')")
+    sql("INSERT INTO plake.db.bc VALUES (20, 'b')")
+    val l = log("bc")
+    // strip the stats column, as a manifest written before this feature
+    val stripped = l.currentDirs()
+    assert(l.tryCommit(l.latestVersion, stripped))
+    assert(l.currentEntries().forall(_.stats.isEmpty))
+    val before = l.currentDirs()
+    sql("UPDATE plake.db.bc SET v = 'B' WHERE k = 20")
+    val after = l.currentDirs()
+    assert(after.intersect(before).isEmpty, "statless dirs cannot be pruned")
+    assert(rows("SELECT v FROM plake.db.bc ORDER BY k") === Seq(Row("a"), Row("B")))
+  }
+
+  test("time travel still reads the pre-rewrite snapshot after a pruned rewrite") {
+    val l = threeDirTable("tt3")
+    val v = l.latestVersion.get
+    sql("UPDATE plake.db.tt3 SET v = 'HIT' WHERE k = 25")
+    assert(rows(s"SELECT v FROM plake.db.tt3 VERSION AS OF $v WHERE k = 25") ===
+      Seq(Row("c25")))
+  }
+
+  // ---- DirStats unit behavior ---------------------------------------------
+
+  private val s = DirStats(10, Map(
+    "k" -> ColStats("long", 5L, 20L, 0L),
+    "v" -> ColStats("string", "bb", "dd", 2L),
+    "x" -> ColStats("double", 1.5, 2.5, 0L),
+    "dead" -> ColStats("null", null, null, 10L)))
+
+  private def m(f: Filter): Boolean = DirStats.mayMatch(Some(s), Seq(f))
+
+  test("mayMatch: range logic per filter shape") {
+    assert(m(EqualTo("k", 5L)) && m(EqualTo("k", 20L)) && !m(EqualTo("k", 4L)) && !m(EqualTo("k", 21L)))
+    assert(m(EqualTo("k", 7)) && !m(EqualTo("k", 3)))          // Int vs long stats
+    assert(m(EqualTo("k", 7.5)) && m(EqualTo("k", 7.0)) && !m(EqualTo("k", 3.0)))  // fractional never prunes
+    assert(m(GreaterThan("k", 19L)) && !m(GreaterThan("k", 20L)))
+    assert(m(GreaterThanOrEqual("k", 20L)) && !m(GreaterThanOrEqual("k", 21L)))
+    assert(m(LessThan("k", 6L)) && !m(LessThan("k", 5L)))
+    assert(m(LessThanOrEqual("k", 5L)) && !m(LessThanOrEqual("k", 4L)))
+    assert(m(In("k", Array(1L, 21L, 9L))) && !m(In("k", Array(1L, 21L))))
+    assert(!m(In("k", Array[Any](null))) && !m(In("k", Array.empty[Any])))
+    assert(m(IsNull("v")) && !m(IsNull("k")))
+    assert(m(IsNotNull("k")) && !m(IsNotNull("dead")))
+    assert(m(EqualNullSafe("v", null)) && !m(EqualNullSafe("k", null)))
+    assert(!m(EqualTo("dead", 1L)), "all-null column matches no equality")
+    assert(m(And(EqualTo("k", 7L), EqualTo("v", "cc"))))
+    assert(!m(And(EqualTo("k", 7L), EqualTo("v", "zz"))))
+    assert(m(Or(EqualTo("k", 99L), EqualTo("v", "cc"))))
+    assert(!m(Or(EqualTo("k", 99L), EqualTo("v", "zz"))))
+    assert(m(EqualTo("x", 2.0)) && !m(EqualTo("x", 3.0)))
+    assert(m(EqualTo("unknown_col", 1L)), "unknown column never prunes")
+    assert(m(Not(EqualTo("k", 7L))), "Not is conservative")
+    assert(m(StringStartsWith("v", "c")) && !m(StringStartsWith("v", "e")) &&
+      !m(StringStartsWith("v", "a")) && m(StringStartsWith("v", "bb")))
+    assert(!DirStats.mayMatch(Some(s), Seq(EqualTo("k", 4L), EqualTo("v", "cc"))),
+      "any single impossible conjunct prunes")
+    assert(DirStats.mayMatch(None, Seq(EqualTo("k", 4L))), "no stats never prunes")
+  }
+
+  test("DirStats JSON codec round-trips, tolerates garbage") {
+    val json = DirStats.encode(s)
+    assert(!json.contains("\n") && !json.contains("\t"))
+    assert(DirStats.decode(json) === Some(s))
+    assert(DirStats.decode("{not json") === None)
+  }
+}
