@@ -271,7 +271,7 @@ object DirStats {
       }
     }
 
-  private def cmpIn(tag: String, a: Any, b: Any): Int = tag match {
+  private[connector] def cmpIn(tag: String, a: Any, b: Any): Int = tag match {
     case "boolean" => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case "string" => Integer.signum(a.asInstanceOf[String].compareTo(b.asInstanceOf[String]))
     case "double" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])

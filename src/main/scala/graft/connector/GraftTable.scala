@@ -147,10 +147,27 @@ private[connector] class GraftRowLevelOperation(log: TableLog,
   /** Dirs the rewrite's scan reads = dirs the commit replaces. Until the
     * scan is built (or if pruning never ran) this is the full snapshot,
     * which is always safe: an unpruned rewrite reads and rewrites
-    * everything, the v1 behavior.
+    * everything. Every refinement — static at scan build, runtime via
+    * [[GraftCowScan]]'s group filtering — reports through [[onKept]]; a
+    * second scan instance disagreeing with the recorded set fails loudly
+    * (one rewrite plans one group scan in Spark 4.1; anything else is an
+    * unknown plan shape where a silent mismatch could lose or duplicate
+    * rows).
     */
   @volatile private var readDirsV: Option[Seq[String]] = None
+  @volatile private var scanOwner: GraftCowScan = _
   private def readDirs(): Seq[String] = readDirsV.getOrElse(pinned.map(_.dir))
+
+  private def onKept(scan: GraftCowScan, dirs: Seq[String]): Unit = synchronized {
+    if (scanOwner == null || (scanOwner eq scan)) {
+      scanOwner = scan; readDirsV = Some(dirs)
+    } else if (readDirsV.contains(dirs)) {
+      scanOwner = scan   // identical rebuild: adopt the new instance
+    } else throw new IllegalStateException(
+      s"row-level rewrite of ${log.tableDir} built two scans with different " +
+        s"group pruning (${readDirsV.map(_.size)} vs ${dirs.size} dirs); " +
+        "refusing — the commit could not know which set the executed plan read")
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters {
@@ -164,17 +181,8 @@ private[connector] class GraftRowLevelOperation(log: TableLog,
       override def pushedFilters(): Array[sources.Filter] = Array.empty
 
       override def build(): Scan = {
-        val kept = pinned.filter(e =>
-          DirStats.mayMatch(e.stats, groupFilters.toSeq)).map(_.dir)
-        readDirsV match {
-          case Some(prev) if prev != kept =>
-            throw new IllegalStateException(
-              s"row-level rewrite of ${log.tableDir} built two scans with " +
-                s"different group pruning (${prev.size} vs ${kept.size} dirs); " +
-                "refusing — the commit could not know which set the executed plan read")
-          case _ => readDirsV = Some(kept)
-        }
-        delegate(kept).newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+        val kept = pinned.filter(e => DirStats.mayMatch(e.stats, groupFilters.toSeq))
+        new GraftCowScan(log.schema, delegate, kept, onKept)
       }
     }
 

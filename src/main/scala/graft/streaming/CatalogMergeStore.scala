@@ -56,8 +56,20 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
 
   def read(touched: Option[Seq[Int]]): Option[DataFrame] = {
     if (!hasState) return None
-    ensureCatalog()
-    val t = spark.table(tableRef)
+    // read the pinned snapshot's parquet dirs directly rather than through
+    // the catalog table: every dir a manifest lists is immutable, so this
+    // is the same snapshot-isolated row set — but the MERGE source plan then
+    // does NOT contain the merge target itself. A self-referencing source
+    // trips a Spark 4.1 lazy-analysis bug once the scan advertises runtime
+    // group-filter attributes: analysis re-lazifies the duplicated relation
+    // to V2TableReference and the copy inside ReplaceData's
+    // groupFilterCondition is never re-resolved ("No plan for
+    // TableReference" at physical planning; pinned by SelfRefMergeSpec).
+    val dirs = log.currentDirs()
+    val t =
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], log.schema)
+      else spark.read.schema(log.schema).parquet(dirs: _*)
     Some(touched match {
       // the bucket filter reaches the parquet scan (row-group stats skip
       // untouched data); dedicated bucket dirs stay the bucket stores'

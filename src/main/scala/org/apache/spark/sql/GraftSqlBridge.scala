@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** V2 connector predicates -> V1 source filters (unconvertible predicates
+    * are dropped — the conservative direction for stats-based pruning).
+    * Needed by the lakehouse scan's runtime group filtering; the converter
+    * is `private[sql]` like the Column bridges above.
+    */
+  def toV1Filters(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
 }

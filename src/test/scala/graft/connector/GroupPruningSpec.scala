@@ -135,6 +135,69 @@ class GroupPruningSpec extends SparkSpec {
       Seq(Row("new1"), Row("new2")))
   }
 
+  test("runtime group filtering: a key-equality MERGE rewrites only the dirs its source keys hit") {
+    val l = threeDirTable("rt3")
+    val before = l.currentEntries().map(_.dir)
+    import spark.implicits._
+    Seq((25L, "hit"), (27L, "hit2")).toDF("k", "v").createOrReplaceTempView("rt3_src")
+    // no target-only conjunct: static group filters see nothing here — only
+    // the matching-rows subquery (distinct matched k values) can prune
+    sql("""MERGE INTO plake.db.rt3 t USING rt3_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |""".stripMargin)
+    val after = l.currentEntries().map(_.dir)
+    assert(rows("SELECT v FROM plake.db.rt3 WHERE k IN (25, 27) ORDER BY k") ===
+      Seq(Row("hit"), Row("hit2")))
+    assert(rows("SELECT count(*) FROM plake.db.rt3") === Seq(Row(30L)))
+    assert(after.count(before.contains) === 2,
+      s"runtime filter should carry dirs [1,10] and [11,20]; before=$before after=$after")
+  }
+
+  test("runtime group filtering: MERGE whose source misses every dir replaces nothing but still inserts") {
+    val l = threeDirTable("rm3")
+    val before = l.currentEntries().map(_.dir)
+    import spark.implicits._
+    Seq((999L, "new")).toDF("k", "v").createOrReplaceTempView("rm3_src")
+    sql("""MERGE INTO plake.db.rm3 t USING rm3_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+    val after = l.currentEntries().map(_.dir)
+    assert(before.forall(after.contains),
+      "all three fully-pruned dirs must survive untouched")
+    assert(rows("SELECT count(*), max(k) FROM plake.db.rm3") === Seq(Row(31L, 999L)))
+  }
+
+  test("runtime group filtering: DELETE with an IN-subquery condition prunes dirs") {
+    val l = threeDirTable("rs3")
+    val before = l.currentEntries().map(_.dir)
+    import spark.implicits._
+    Seq(3L, 7L).toDF("kk").createOrReplaceTempView("rs3_keys")
+    sql("DELETE FROM plake.db.rs3 WHERE k IN (SELECT kk FROM rs3_keys)")
+    val after = l.currentEntries().map(_.dir)
+    assert(rows("SELECT count(*) FROM plake.db.rs3") === Seq(Row(28L)))
+    assert(rows("SELECT count(*) FROM plake.db.rs3 WHERE k IN (3, 7)") === Seq(Row(0L)))
+    assert(after.count(before.contains) === 2,
+      s"subquery values should prune dirs [11,20] and [21,30]; before=$before after=$after")
+  }
+
+  test("chooseFilterAttribute picks the most range-disjoint covered column") {
+    def e(kMin: Long, kMax: Long, vMin: String, vMax: String) =
+      DirEntry(s"d$kMin", Some(DirStats(10, Map(
+        "k" -> ColStats("long", kMin, kMax, 0L),
+        "v" -> ColStats("string", vMin, vMax, 0L)))))
+    // k ranges disjoint, v ranges all overlapping -> k wins
+    val entries = Seq(e(1, 10, "a", "z"), e(11, 20, "b", "y"), e(21, 30, "a", "x"))
+    assert(GraftCowScan.chooseFilterAttribute(
+      sql("SELECT CAST(1 AS BIGINT) k, 'x' v").schema, entries) === Some("k"))
+    // no stats at all -> no runtime filtering (no wasted subquery)
+    val statless = Seq(DirEntry("d1", None), DirEntry("d2", None))
+    assert(GraftCowScan.chooseFilterAttribute(
+      sql("SELECT CAST(1 AS BIGINT) k, 'x' v").schema, statless) === None)
+    assert(GraftCowScan.chooseFilterAttribute(
+      sql("SELECT CAST(1 AS BIGINT) k, 'x' v").schema, Nil) === None)
+  }
+
   test("pre-stats manifests (no stats column) fall back to full-snapshot rewrite") {
     sql("CREATE TABLE plake.db.bc (k BIGINT, v STRING)")
     sql("INSERT INTO plake.db.bc VALUES (1, 'a')")
