@@ -113,4 +113,13 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
     * outside the reader SLA window).
     */
   def vacuum(keepVersions: Int = 2): Unit = log.vacuum(keepVersions)
+
+  /** Fold the per-batch MERGE dirs (one per commit) into consolidated dirs,
+    * clustered by bucket + key so both pruning layers (per-dir stats for
+    * the MERGE bucket gate, parquet row-group stats inside the dir) stay
+    * tight. Stream maintenance, paired with [[vacuum]].
+    */
+  def compact(smallBytes: Long = 128L << 20): Boolean =
+    graft.connector.Compaction.compact(spark, log, smallBytes,
+      clusterBy = BucketCol +: keys)
 }

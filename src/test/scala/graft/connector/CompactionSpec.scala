@@ -1,0 +1,118 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Small-dir compaction (the OPTIMIZE contract): pure layout maintenance —
+  * identical rows, fewer dirs, fresh stats, snapshot history intact.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-compact").toString
+
+  private lazy val init: Unit = {
+    spark.conf.set("spark.sql.catalog.clake", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.clake.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS clake.db")
+  }
+
+  private def sql(q: String) = { init; spark.sql(q) }
+  private def log(t: String) =
+    new TableLog(s"$root/db/$t", spark.sparkContext.hadoopConfiguration)
+
+  test("compact folds small dirs into one, preserving rows, stats, and history") {
+    sql("CREATE TABLE clake.db.c1 (k BIGINT, v STRING)")
+    (0 until 6).foreach { i =>
+      sql(s"INSERT INTO clake.db.c1 SELECT id, concat('v', id) FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val l = log("c1")
+    assert(l.currentEntries().size === 6)
+    val preVersion = l.latestVersion.get
+
+    assert(Compaction.compact(spark, l))
+    val entries = l.currentEntries()
+    assert(entries.size === 1)
+    val stats = entries.head.stats.getOrElse(fail("compacted dir lost stats"))
+    assert(stats.rows === 60)
+    assert(stats.cols("k") === ColStats("long", 0L, 59L, 0L))
+    // identical row set through the catalog
+    assert(sql("SELECT count(*), min(k), max(k) FROM clake.db.c1").collect().toSeq ===
+      Seq(Row(60L, 0L, 59L)))
+    // pre-compaction snapshot still readable until vacuum
+    assert(sql(s"SELECT count(*) FROM clake.db.c1 VERSION AS OF $preVersion")
+      .collect() === Array(Row(60L)))
+    l.vacuum(keepVersions = 1)
+    intercept[Exception](
+      sql(s"SELECT count(*) FROM clake.db.c1 VERSION AS OF $preVersion").collect())
+  }
+
+  test("nothing to compact returns false and commits nothing") {
+    sql("CREATE TABLE clake.db.c2 (k BIGINT)")
+    sql("INSERT INTO clake.db.c2 VALUES (1)")
+    val l = log("c2")
+    val v = l.latestVersion
+    assert(!Compaction.compact(spark, l))
+    assert(l.latestVersion === v)
+    assert(!Compaction.compact(spark, log("c2")), "single dir stays untouched")
+  }
+
+  test("dirs above the small threshold are left alone") {
+    sql("CREATE TABLE clake.db.c3 (k BIGINT)")
+    sql("INSERT INTO clake.db.c3 SELECT id FROM range(0, 1000)")    // 'big'
+    sql("INSERT INTO clake.db.c3 VALUES (1000)")
+    sql("INSERT INTO clake.db.c3 VALUES (1001)")
+    val l = log("c3")
+    val bigDir = l.currentEntries().head.dir
+    // threshold below the big dir's size, above the 1-row dirs'
+    val bigBytes = {
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(bigDir)).getLength
+    }
+    assert(Compaction.compact(spark, l, smallBytes = bigBytes))
+    val after = l.currentEntries().map(_.dir)
+    assert(after.size === 2 && after.contains(bigDir))
+    assert(sql("SELECT count(*) FROM clake.db.c3").collect() === Array(Row(1002L)))
+  }
+
+  test("clusterBy keeps the merged dir sorted for row-group pruning") {
+    sql("CREATE TABLE clake.db.c4 (k BIGINT, v STRING)")
+    sql("INSERT INTO clake.db.c4 SELECT id, 'a' FROM range(50, 100)")
+    sql("INSERT INTO clake.db.c4 SELECT id, 'b' FROM range(0, 50)")
+    val l = log("c4")
+    assert(Compaction.compact(spark, l, clusterBy = Seq("k")))
+    assert(sql("SELECT count(*), min(k), max(k) FROM clake.db.c4").collect().toSeq ===
+      Seq(Row(100L, 0L, 99L)))
+    // rows inside the single output file arrive k-ascending
+    val dirs = l.currentDirs()
+    assert(dirs.size === 1)
+    val ks = spark.read.parquet(dirs.head).select("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks === ks.sorted)
+  }
+
+  test("an UPDATE after compaction prunes against the compacted dir's fresh stats") {
+    sql("CREATE TABLE clake.db.c5 (k BIGINT, v STRING)")
+    sql("INSERT INTO clake.db.c5 SELECT id, 'lo' FROM range(0, 50)")
+    sql("INSERT INTO clake.db.c5 SELECT id, 'lo' FROM range(50, 100)")
+    sql("INSERT INTO clake.db.c5 SELECT id, 'hi' FROM range(100000, 102000)")
+    val l = log("c5")
+    // merge only the two low-range dirs; the high-range dir stays its own
+    // replacement unit
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hiDir = l.currentEntries().last.dir
+    val hiBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(hiDir)).getLength
+    assert(Compaction.compact(spark, l, smallBytes = hiBytes))
+    assert(l.currentEntries().size === 2)
+    val before = l.currentEntries().map(_.dir)
+    sql("UPDATE clake.db.c5 SET v = 'HIT' WHERE k = 100050")
+    val after = l.currentEntries().map(_.dir)
+    assert(after.count(before.contains) === 1,
+      "the compacted low-range dir must be pruned out of the rewrite")
+    assert(sql("SELECT count(*) FROM clake.db.c5 WHERE v = 'HIT'").collect() ===
+      Array(Row(1L)))
+  }
+}

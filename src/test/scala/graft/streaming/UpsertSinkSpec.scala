@@ -271,6 +271,40 @@ class UpsertSinkSpec extends SparkSpec {
     assert(manifests == Seq("manifest-2"))
   }
 
+  test("catalog-merge store: compact folds per-batch dirs; state and late-event fencing intact") {
+    val dir = Files.createTempDirectory("graft-sink-cat-compact").toString
+    // 16 buckets so per-batch keys land in (mostly) disjoint buckets: the
+    // MERGE's __bucket group gate then prunes the other batches' dirs out
+    // of each rewrite and per-batch dirs ACCUMULATE bucket-clustered —
+    // the layout compact() exists to maintain
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 16, backend = UpsertSink.CatalogMerge)
+    (0 until 5).foreach { i =>
+      sink.merge(Seq((s"k$i", 10L + i, "upsert", s"v$i"))
+        .toDF("key", "seq", "op", "payload"), batchId = i.toLong)
+    }
+    val store = new CatalogMergeStore(spark, dir, Seq("key"))
+    val log = new graft.connector.TableLog(s"$dir/state",
+      spark.sparkContext.hadoopConfiguration)
+    val dirsBefore = log.currentDirs().size
+    assert(dirsBefore >= 2, s"bucket-pruned merges should accumulate dirs, got $dirsBefore")
+    assert(store.compact())
+    assert(log.currentDirs().size < dirsBefore)
+    val live = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(live == List("k0" -> "v0", "k1" -> "v1",
+      "k2" -> "v2", "k3" -> "v3", "k4" -> "v4"))
+    // late-event fencing still works against the compacted layout: an older
+    // seq for 'k0' must not regress state
+    sink.merge(Seq(("k0", 20L, "upsert", "h0")).toDF("key", "seq", "op", "payload"),
+      batchId = 5L)
+    sink.merge(Seq(("k0", 19L, "upsert", "stale"), ("k9", 99L, "upsert", "v9"))
+      .toDF("key", "seq", "op", "payload"), batchId = 6L)
+    val after = sink.state().filter(col("key").isin("k0", "k9")).orderBy("key")
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(after == List("k0" -> "h0", "k9" -> "v9"))
+  }
+
   test("snapshot store: vacuum drops superseded versions, keeps the live snapshot") {
     val dir = Files.createTempDirectory("graft-sink-vacuum").toString
     val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
