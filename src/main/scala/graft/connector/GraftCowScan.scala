@@ -59,7 +59,12 @@ private[connector] class GraftCowScan(schema: StructType,
   // ---- runtime group filtering --------------------------------------------
 
   override def filterAttributes(): Array[NamedReference] =
-    GraftCowScan.chooseFilterAttribute(schema, initialKept)
+    // static pruning already reduced the rewrite to <=1 dir: the
+    // matching-rows subquery (a filtered scan of the whole table) costs
+    // about as much as rewriting that one dir could save, so don't
+    // advertise — Spark then skips the subquery entirely
+    if (initialKept.size <= 1) Array.empty
+    else GraftCowScan.chooseFilterAttribute(schema, initialKept)
       .map(Expressions.column).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {

@@ -38,7 +38,10 @@ class SelfRefMergeSpec extends SparkSpec {
 
   private def mergeInBatch(table: String, selfRefViaCatalog: Boolean): Either[Throwable, Unit] = {
     sql(s"CREATE TABLE srlake.$table (k BIGINT, v STRING)")
-    sql(s"INSERT INTO srlake.$table VALUES (1, 'a'), (2, 'b')")
+    // two dirs: a single-dir snapshot would skip runtime group filtering
+    // entirely (the <=1-kept optimization) and never plan the condition
+    sql(s"INSERT INTO srlake.$table VALUES (1, 'a')")
+    sql(s"INSERT INTO srlake.$table VALUES (2, 'b')")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val log = new TableLog(s"$root/$table", spark.sparkContext.hadoopConfiguration)
