@@ -66,8 +66,19 @@ class GraftTable(tableName: String, log: TableLog,
     ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
       paths, Some(log.schema), classOf[ParquetFileFormat])
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate(snapshotDirs).newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // same delegated parquet table, but reads plan through a file index
+    // that prunes whole dirs by manifest stats ([[GraftFileIndex]]) before
+    // the parquet scan's own row-group pruning sees the survivors
+    val entries = snapshotEntries
+    val readTable = new ParquetTable(tableName, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), entries.map(_.dir), Some(log.schema),
+      classOf[ParquetFileFormat]) {
+      override lazy val fileIndex: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =
+        new GraftFileIndex(sparkSession, entries, log.schema)
+    }
+    readTable.newScanBuilder(options)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, s"cannot write to $tableName pinned at VERSION AS OF ${pinnedVersion.get}")

@@ -19,4 +19,12 @@ object GraftSqlBridge {
     */
   def toV1Filters(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Array[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+
+  /** Catalyst predicate -> V1 source filter (None = untranslatable, which
+    * for stats-based pruning means "never prune"). `protected[sql]` like
+    * the converters above; used by the lakehouse read index.
+    */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }

@@ -70,12 +70,18 @@ object CatalogScaleProbe {
       spark.sql(s"UPDATE probe.warm$dirs SET v = 'w' WHERE k = 1")
       src()
       merge(s"warm$dirs")
+      spark.sql(s"SELECT v FROM probe.warm$dirs WHERE k = 1").collect()
+
+      def pointRead(t: String): Long = timeMs(
+        spark.sql(s"SELECT v FROM probe.$t WHERE k = $lastKey").collect())
 
       build(s"up$dirs", dirs)
+      val readPruned = pointRead(s"up$dirs")
       val updPruned = timeMs(spark.sql(
         s"UPDATE probe.up$dirs SET v = 'p' WHERE k = $lastKey"))
       val u2 = build(s"uf$dirs", dirs)
       strip(u2)
+      val readFull = pointRead(s"uf$dirs")
       val updFull = timeMs(spark.sql(
         s"UPDATE probe.uf$dirs SET v = 'f' WHERE k = $lastKey"))
 
@@ -87,7 +93,7 @@ object CatalogScaleProbe {
       val mrgFull = timeMs(merge(s"mf$dirs"))
 
       val rows = dirs * RowsPerDir
-      println(f"$dirs%6d $rows%9d | $updPruned%10d $updFull%9d | $mrgPruned%10d $mrgFull%9d")
+      println(f"$dirs%6d $rows%9d | $updPruned%10d $updFull%9d | $mrgPruned%10d $mrgFull%9d | rd $readPruned%5d $readFull%5d")
     }
     spark.stop()
   }

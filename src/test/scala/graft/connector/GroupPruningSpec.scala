@@ -198,6 +198,30 @@ class GroupPruningSpec extends SparkSpec {
       sql("SELECT CAST(1 AS BIGINT) k, 'x' v").schema, Nil) === None)
   }
 
+  test("reads plan tasks only for the dirs whose stats may match (file-index pruning)") {
+    threeDirTable("rd3")
+    val q = sql("SELECT v FROM plake.db.rd3 WHERE k = 25")
+    assert(q.collect().map(_.getString(0)).toSeq === Seq("c25"))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case b: BatchScanExec => Seq(b)
+    }.flatten
+    val scanned = scans(q.queryExecution.executedPlan)
+    assert(scanned.nonEmpty)
+    val dirs = scanned.head.inputPartitions.collect {
+      case fp: FilePartition => fp.files.toSeq.map(f =>
+        new org.apache.hadoop.fs.Path(f.filePath.toString).getParent.toString)
+    }.flatten.toSet
+    assert(dirs.size === 1, s"expected files of one dir planned, got $dirs")
+    // unfiltered and unknown-column-filtered reads still see everything
+    assert(rows("SELECT count(*) FROM plake.db.rd3") === Seq(Row(30L)))
+    assert(rows("SELECT count(*) FROM plake.db.rd3 WHERE v <> 'nope'") === Seq(Row(30L)))
+  }
+
   test("pre-stats manifests (no stats column) fall back to full-snapshot rewrite") {
     sql("CREATE TABLE plake.db.bc (k BIGINT, v STRING)")
     sql("INSERT INTO plake.db.bc VALUES (1, 'a')")
