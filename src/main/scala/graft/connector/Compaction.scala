@@ -39,41 +39,60 @@ object Compaction {
     val base = log.latestVersion.getOrElse(return false)
     val entries = log.entriesAt(base)
     val fs = new Path(log.tableDir).getFileSystem(log.hadoopConf)
-    val sized = entries.map { e =>
-      val p = new Path(e.dir)
-      e -> (if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
-    }
+    // a manifest entry whose dir is absent on disk: a committed-empty dir
+    // from a pre-empty-skip manifest is just dead weight to drop, but an
+    // absent dir the stats say held ROWS is corruption — reading through it
+    // would already fail, so fail compaction loudly too, never "fix" it
+    val (present, absent) = entries.partition(e => fs.exists(new Path(e.dir)))
+    val lostRows = absent.filterNot(_.stats.exists(_.rows == 0))
+    if (lostRows.nonEmpty)
+      throw new IllegalStateException(
+        s"manifest of ${log.tableDir} references missing non-empty dirs: " +
+          lostRows.map(_.dir).mkString(", "))
+    val sized = present.map(e =>
+      e -> fs.getContentSummary(new Path(e.dir)).getLength)
     val small = sized.filter(_._2 < smallBytes).map(_._1)
-    if (small.size < 2) return false
+    if (small.size < 2 && absent.isEmpty) return false
 
-    val totalBytes = sized.filter(_._2 < smallBytes).map(_._2).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val staging = log.newDataDir()
-    val df = spark.read.schema(log.schema).parquet(small.map(_.dir): _*)
-    val laidOut = {
-      // coalesce, not repartition: merging small files is a narrow
-      // dependency, no shuffle needed
-      val c = df.coalesce(nOut)
-      if (clusterBy.nonEmpty)
-        c.sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
-      else c
-    }
-    laidOut.write.parquet(staging)
-    val stagingEntry = DirEntry(staging, DirStats.collect(staging, log.hadoopConf))
+    val stagingEntry =
+      if (small.size < 2) None   // only phantom entries to drop
+      else {
+        val totalBytes = sized.filter(_._2 < smallBytes).map(_._2).sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        val staging = log.newDataDir()
+        val df = spark.read.schema(log.schema).parquet(small.map(_.dir): _*)
+        val laidOut = {
+          // coalesce, not repartition: merging small files is a narrow
+          // dependency, no shuffle needed
+          val c = df.coalesce(nOut)
+          if (clusterBy.nonEmpty)
+            c.sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+          else c
+        }
+        laidOut.write.parquet(staging)
+        Some(DirEntry(staging, DirStats.collect(staging, log.hadoopConf)))
+      }
 
-    val smallDirs = small.map(_.dir).toSet
+    val replaced = (if (small.size < 2) Nil else small.map(_.dir)).toSet ++
+      absent.map(_.dir)
     var done = false
+    var attempts = 0
     while (!done) {
+      attempts += 1
+      if (attempts > 100)
+        throw new java.io.IOException(
+          s"compaction commit to ${log.tableDir} failed after $attempts " +
+            "attempts — manifest rename keeps failing")
       val cur = log.latestVersion
       val curEntries = cur.map(log.entriesAt).getOrElse(Nil)
       // a compacted dir replaced by a concurrent rewrite means our merged
       // copy holds stale rows — identical conflict rule to GraftBatchWrite
-      val missing = smallDirs.filterNot(d => curEntries.exists(_.dir == d))
+      val missing = replaced.filterNot(d => curEntries.exists(_.dir == d))
       if (missing.nonEmpty)
         throw new ConcurrentModificationException(
           s"concurrent rewrite during compaction of ${log.tableDir}: " +
             s"dirs replaced: ${missing.mkString(", ")}")
-      val next = curEntries.filterNot(e => smallDirs.contains(e.dir)) :+ stagingEntry
+      val next = curEntries.filterNot(e => replaced.contains(e.dir)) ++ stagingEntry
       done = log.tryCommitEntries(cur, next)
     }
     true

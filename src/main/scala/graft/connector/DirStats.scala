@@ -191,12 +191,28 @@ object DirStats {
   /** Total order within one stored domain ("millis->micros" etc. collapse to
     * "micros" at absorb time, so only the four base domains appear here).
     */
-  private def lt(tag: String, a: Any, b: Any): Boolean = tag match {
-    case "boolean" => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
-    case "string" => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
-    case "double" => a.asInstanceOf[Double] < b.asInstanceOf[Double]
-    case _ => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+  private def lt(tag: String, a: Any, b: Any): Boolean = cmpIn(tag, a, b) < 0
+
+  /** Unsigned-byte comparison — the order parquet computes UTF8 string
+    * min/max in. Java's String.compareTo (UTF-16 code units) DISAGREES with
+    * it whenever supplementary characters (surrogate pairs, e.g. emoji) mix
+    * with chars in U+E000..U+FFFF, and a wrong order here turns conservative
+    * pruning into silent row loss — so every string comparison in this
+    * module goes through UTF-8 bytes.
+    */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return Integer.signum(d)
+      i += 1
+    }
+    Integer.signum(a.length - b.length)
   }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   // ---- may-match against pushed V1 filters --------------------------------
 
@@ -231,11 +247,13 @@ object DirStats {
     case IsNotNull(a) => s.cols.get(a).forall(c => c.nulls < s.rows)
     case StringStartsWith(a, p) => s.cols.get(a) match {
       case Some(c) if c.typ == "string" =>
-        val min = c.min.asInstanceOf[String]; val max = c.max.asInstanceOf[String]
-        // strings with prefix p form [p, incr(p)); incr = bump last char,
-        // dropping trailing max-chars; all-max prefix has no upper bound
-        max.compareTo(p) >= 0 && (incr(p) match {
-          case Some(hi) => min.compareTo(hi) < 0
+        // strings with UTF-8 byte-prefix p occupy [p, incrBytes(p)) in the
+        // byte order the stats are kept in; all-0xFF prefix has no upper bound
+        val pb = utf8(p)
+        val min = utf8(c.min.asInstanceOf[String])
+        val max = utf8(c.max.asInstanceOf[String])
+        cmpBytes(max, pb) >= 0 && (incrBytes(pb) match {
+          case Some(hi) => cmpBytes(min, hi) < 0
           case None => true
         })
       case _ => true
@@ -243,10 +261,15 @@ object DirStats {
     case _ => true   // Not, Contains, EndsWith, unknown: conservative
   }
 
-  private def incr(p: String): Option[String] = {
-    val trimmed = p.reverse.dropWhile(_ == Char.MaxValue).reverse
-    if (trimmed.isEmpty) None
-    else Some(trimmed.init + (trimmed.last + 1).toChar)
+  private def incrBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    var end = p.length
+    while (end > 0 && p(end - 1) == -1) end -= 1   // drop trailing 0xFF
+    if (end == 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, end)
+      out(end - 1) = (out(end - 1) + 1).toByte
+      Some(out)
+    }
   }
 
   /** Relation of the column's [min, max] to predicate value `v`, as the
@@ -273,7 +296,7 @@ object DirStats {
 
   private[connector] def cmpIn(tag: String, a: Any, b: Any): Int = tag match {
     case "boolean" => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
-    case "string" => Integer.signum(a.asInstanceOf[String].compareTo(b.asInstanceOf[String]))
+    case "string" => cmpBytes(utf8(a.asInstanceOf[String]), utf8(b.asInstanceOf[String]))
     case "double" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case _ => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
   }

@@ -246,13 +246,26 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
     // column stats in the manifest (Delta's add-file stats, computed without
     // re-reading data); a failed read just commits the dir statless
     val stagingEntry = DirEntry(staging, DirStats.collect(staging, log.hadoopConf))
+    // a provably-empty output commits no dir in ANY mode (a zero-task write
+    // may never even create its staging dir; appending it would put a
+    // phantom path in the manifest)
+    val stagedEmpty = stagingEntry.stats.exists(_.rows == 0)
     var done = false
+    var attempts = 0
     while (!done) {
+      // a CAS miss means someone committed first and the re-read converges;
+      // endless false from the SAME state means the filesystem is rejecting
+      // renames — surface that instead of spinning forever
+      attempts += 1
+      if (attempts > 100)
+        throw new java.io.IOException(
+          s"commit to ${log.tableDir} failed after $attempts attempts — " +
+            "manifest rename keeps failing (filesystem problem, not contention)")
       val expected = log.latestVersion
       val current = expected.map(log.entriesAt).getOrElse(Nil)
       val next = mode match {
-        case Append => current :+ stagingEntry
-        case Replace => Seq(stagingEntry)
+        case Append => if (stagedEmpty) current else current :+ stagingEntry
+        case Replace => if (stagedEmpty) Nil else Seq(stagingEntry)
         case ReplacePinned(pinnedFn) =>
           // a dir we read that is no longer listed was replaced by a
           // concurrent rewrite — our copy-on-write output is based on stale
@@ -263,10 +276,9 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
             throw new ConcurrentModificationException(
               s"concurrent rewrite of ${log.tableDir}: pinned dirs replaced: ${missing.mkString(", ")}")
           val kept = current.filterNot(e => pinned.contains(e.dir))
-          // a provably-empty rewrite output adds no dir: a DELETE that
-          // empties its groups removes them outright, and a fully-pruned
-          // no-op rewrite leaves the manifest's dir list unchanged
-          if (stagingEntry.stats.exists(_.rows == 0)) kept else kept :+ stagingEntry
+          // a DELETE that empties its groups removes them outright, and a
+          // fully-pruned no-op rewrite leaves the manifest's dir list unchanged
+          if (stagedEmpty) kept else kept :+ stagingEntry
       }
       done = log.tryCommitEntries(expected, next)
       // CAS miss: someone committed expected+1 first — re-read and retry
@@ -277,11 +289,13 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     inner.abort(messages)
     // the staging dir was never referenced by any manifest; best-effort
-    // cleanup, vacuum() reclaims anything left behind
+    // cleanup with the table's OWN hadoop conf (a default Configuration
+    // would miss filesystem credentials/settings), never masking the
+    // original failure — vacuum() reclaims anything left behind
     try {
       val p = new org.apache.hadoop.fs.Path(staging)
-      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
-    } catch { case _: java.io.IOException => }
+      p.getFileSystem(log.hadoopConf).delete(p, true)
+    } catch { case scala.util.control.NonFatal(_) => }
   }
 }
 

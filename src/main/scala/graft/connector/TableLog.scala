@@ -80,8 +80,13 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       throw new IllegalStateException(s"table already exists: $tableDir")
   }
 
-  def schema: StructType = TableLog.decodeMeta(slurp(schemaPath))._1
-  def properties: Map[String, String] = TableLog.decodeMeta(slurp(schemaPath))._2
+  // schema and properties are frozen at CREATE, so one read per TableLog
+  // instance suffices (a query plans several scans/writes, each of which
+  // would otherwise re-slurp the same small file from the filesystem)
+  @transient private lazy val metaCache: (StructType, Map[String, String]) =
+    TableLog.decodeMeta(slurp(schemaPath))
+  def schema: StructType = metaCache._1
+  def properties: Map[String, String] = metaCache._2
 
   def drop(): Boolean = fs.delete(new Path(tableDir), true)
 
@@ -173,11 +178,21 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
   private[connector] def hadoopConf: Configuration = conf
 
-  /** Drop all but the newest `keepVersions` manifests and delete every data
-    * dir no surviving manifest references (crashed-write orphans included).
+  /** Drop all but the newest `keepVersions` manifests and delete the data
+    * dirs no surviving manifest references. Two classes of dead dir differ
+    * in how safely they can be reclaimed:
+    *  - dirs referenced by a DROPPED manifest are superseded history —
+    *    deletable immediately;
+    *  - dirs referenced by NO manifest at all are either crashed-write
+    *    orphans or the staging dir of an IN-FLIGHT write that has not
+    *    CAS-committed yet — deleting a live staging dir would let its
+    *    commit publish a manifest pointing at nothing, so these (and
+    *    crashed `.tmp-` manifest staging files) are only reclaimed once
+    *    older than `orphanRetentionMs` (Delta's retention-window rule).
     * Run outside the reader SLA window — same contract as Delta VACUUM.
     */
-  def vacuum(keepVersions: Int = 2): Unit = {
+  def vacuum(keepVersions: Int = 2,
+             orphanRetentionMs: Long = 60L * 60 * 1000): Unit = {
     val v = latestVersion.getOrElse(return)
     val root = new Path(tableDir)
     val manifests = fs.listStatus(root).toSeq.map(_.getPath)
@@ -186,12 +201,22 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val (kept, dropped) = manifests.partition(_._1 > v - keepVersions)
     val live: Set[String] =
       kept.flatMap { case (mv, _) => dirsAt(mv).map(p => new Path(p).getName) }.toSet
+    val superseded: Set[String] =
+      dropped.flatMap { case (mv, _) => dirsAt(mv).map(p => new Path(p).getName) }
+        .toSet -- live
     dropped.foreach { case (_, p) => fs.delete(p, false) }
+    val now = System.currentTimeMillis()
     val dataRoot = new Path(tableDir, "data")
     if (fs.exists(dataRoot))
-      fs.listStatus(dataRoot).toSeq.map(_.getPath)
-        .filterNot(p => live.contains(p.getName))
-        .foreach(p => fs.delete(p, true))
+      fs.listStatus(dataRoot).toSeq
+        .filterNot(st => live.contains(st.getPath.getName))
+        .filter(st => superseded.contains(st.getPath.getName) ||
+          now - st.getModificationTime > orphanRetentionMs)
+        .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(root).toSeq
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+        now - st.getModificationTime > orphanRetentionMs)
+      .foreach(st => fs.delete(st.getPath, false))
   }
 }
 

@@ -32,10 +32,12 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
   import UpsertSink.BucketCol
 
   /** One catalog per state dir (the name encodes the dir so two sinks never
-    * collide); catalogs register lazily through the session conf.
+    * collide); catalogs register lazily through the session conf. SHA-256
+    * of the path, not String.hashCode: ensureCatalog overwrites the
+    * catalog's root conf, so a 32-bit collision between two state dirs in
+    * one session would silently point both sinks at one table.
     */
-  private val catName =
-    "graft_state_" + java.lang.Integer.toHexString(stateDir.hashCode)
+  private val catName = "graft_state_" + CatalogMergeStore.dirToken(stateDir)
   private val tableRef = s"$catName.state"
 
   private def ensureCatalog(ss: SparkSession = spark): Unit = {
@@ -114,6 +116,9 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
     */
   def vacuum(keepVersions: Int = 2): Unit = log.vacuum(keepVersions)
 
+  /** The SQL-visible catalog name this store registers for its state dir. */
+  def catalogName: String = catName
+
   /** Fold the per-batch MERGE dirs (one per commit) into consolidated dirs,
     * clustered by bucket + key so both pruning layers (per-dir stats for
     * the MERGE bucket gate, parquet row-group stats inside the dir) stay
@@ -122,4 +127,12 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
   def compact(smallBytes: Long = 128L << 20): Boolean =
     graft.connector.Compaction.compact(spark, log, smallBytes,
       clusterBy = BucketCol +: keys)
+}
+
+object CatalogMergeStore {
+  /** Collision-resistant identifier token for a state dir path. */
+  private[streaming] def dirToken(stateDir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(stateDir.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
 }

@@ -93,6 +93,23 @@ class CompactionSpec extends SparkSpec {
     assert(ks === ks.sorted)
   }
 
+  test("compaction drops committed-empty phantom entries, fails loudly on lost data") {
+    sql("CREATE TABLE clake.db.c6 (k BIGINT)")
+    sql("INSERT INTO clake.db.c6 VALUES (1), (2)")
+    val l = log("c6")
+    // forge a committed-empty entry whose dir was never created (the shape
+    // pre-empty-skip manifests could contain)
+    assert(l.tryCommitEntries(l.latestVersion,
+      l.currentEntries() :+ DirEntry(l.newDataDir(), Some(DirStats(0, Map.empty)))))
+    assert(Compaction.compact(spark, l), "phantom-only cleanup still commits")
+    assert(l.currentEntries().size === 1)
+    assert(sql("SELECT count(*) FROM clake.db.c6").collect() === Array(Row(2L)))
+    // an absent dir whose stats claim ROWS is corruption, not cleanup fodder
+    assert(l.tryCommitEntries(l.latestVersion,
+      l.currentEntries() :+ DirEntry(l.newDataDir(), Some(DirStats(5, Map.empty)))))
+    intercept[IllegalStateException](Compaction.compact(spark, l))
+  }
+
   test("an UPDATE after compaction prunes against the compacted dir's fresh stats") {
     sql("CREATE TABLE clake.db.c5 (k BIGINT, v STRING)")
     sql("INSERT INTO clake.db.c5 SELECT id, 'lo' FROM range(0, 50)")

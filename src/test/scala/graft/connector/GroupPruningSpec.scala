@@ -284,6 +284,58 @@ class GroupPruningSpec extends SparkSpec {
     assert(DirStats.mayMatch(None, Seq(EqualTo("k", 4L))), "no stats never prunes")
   }
 
+  test("string pruning uses parquet's UTF-8 byte order, not UTF-16 (supplementary chars)") {
+    // parquet computes string min/max in unsigned UTF-8 byte order, where
+    // U+1F600 (F0 9F 98 80) sorts ABOVE U+FF71 (EF BD B1); Java compareTo
+    // says the opposite — a UTF-16 comparison here would "prove" no match
+    // and silently drop the row from a rewrite
+    val su = DirStats(2, Map(
+      "v" -> ColStats("string", "ｱ" + "1", "😀" + "1", 0L)))
+    assert(DirStats.mayMatch(Some(su), Seq(EqualTo("v", "😀" + "1"))))
+    assert(DirStats.mayMatch(Some(su), Seq(EqualTo("v", "ｱ" + "1"))))
+    assert(DirStats.mayMatch(Some(su), Seq(StringStartsWith("v", "😀"))))
+    assert(!DirStats.mayMatch(Some(su), Seq(EqualTo("v", "A"))),
+      "plain ASCII below both bounds still prunes")
+    // end-to-end: footer stats + rewrite on a dir holding such strings
+    sql("CREATE TABLE plake.db.u8 (k BIGINT, v STRING)")
+    sql("INSERT INTO plake.db.u8 VALUES (1, 'ｱ' || '1'), (2, '😀' || '1')")
+    sql("UPDATE plake.db.u8 SET k = -2 WHERE v = '😀' || '1'")
+    assert(rows("SELECT k FROM plake.db.u8 ORDER BY k") === Seq(Row(-2L), Row(1L)))
+  }
+
+  test("an INSERT selecting zero rows leaves the manifest without phantom dirs") {
+    sql("CREATE TABLE plake.db.z0 (k BIGINT)")
+    sql("INSERT INTO plake.db.z0 VALUES (1)")
+    val l = log("z0")
+    val before = l.currentEntries().map(_.dir)
+    sql("INSERT INTO plake.db.z0 SELECT id FROM range(0, 10) WHERE id > 100")
+    assert(l.currentEntries().map(_.dir) === before)
+    // and every listed dir actually exists on disk
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(l.currentDirs().forall(d => fs.exists(new org.apache.hadoop.fs.Path(d))))
+  }
+
+  test("vacuum reclaims superseded dirs at once but age-guards never-referenced orphans") {
+    sql("CREATE TABLE plake.db.vg (k BIGINT)")
+    sql("INSERT INTO plake.db.vg VALUES (1)")
+    sql("INSERT OVERWRITE plake.db.vg VALUES (2)")
+    val l = log("vg")
+    // a fresh never-referenced dir: an in-flight write's staging
+    val inflight = l.newDataDir()
+    import spark.implicits._
+    Seq(9L).toDF("k").write.parquet(inflight)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    l.vacuum(keepVersions = 1)   // default retention: orphan must survive
+    assert(fs.exists(new org.apache.hadoop.fs.Path(inflight)),
+      "a young unreferenced dir may be an in-flight staging dir")
+    assert(rows("SELECT k FROM plake.db.vg") === Seq(Row(2L)))
+    l.vacuum(keepVersions = 1, orphanRetentionMs = -1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(inflight)),
+      "past retention the orphan is reclaimed")
+  }
+
   test("DirStats JSON codec round-trips, tolerates garbage") {
     val json = DirStats.encode(s)
     assert(!json.contains("\n") && !json.contains("\t"))

@@ -232,7 +232,7 @@ class UpsertSinkSpec extends SparkSpec {
       .toDF("key", "seq", "op", "payload"), batchId = 1L)
     // the state table is plain SQL — any session sharing the conf can query
     // it, including the bookkeeping columns and time travel
-    val cat = "graft_state_" + java.lang.Integer.toHexString(dir.hashCode)
+    val cat = new CatalogMergeStore(spark, dir, Seq("key")).catalogName
     val live = spark.sql(s"SELECT key, payload FROM $cat.state WHERE NOT __deleted ORDER BY key")
       .collect().map(r => (r.getString(0), r.getString(1))).toList
     assert(live == List(("a", "v1")))
