@@ -1,0 +1,115 @@
+package graft.connector
+
+import java.util.OptionalLong
+
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Streaming face of a catalog table — `spark.readStream.table("lake.db.t")`
+  * tails the manifest log as a changefeed: the stream's offset IS the
+  * manifest version, the first batch is the table's current snapshot
+  * (initial offset 0 = the empty table), and every later batch reads
+  * exactly the data dirs ADDED between two committed versions. Since dirs
+  * are immutable and a commit is one atomic manifest rename, each batch is
+  * a consistent, exactly-once slice of appended rows — the same mechanism
+  * Delta's streaming source uses, minus the jar.
+  *
+  * Append-only contract: a version range in which a dir DISAPPEARED (a
+  * MERGE/UPDATE/DELETE rewrite, INSERT OVERWRITE, or compaction) fails the
+  * stream loudly instead of re-emitting rewritten rows as if they were new
+  * appends — the documented trade-off Delta resolves with ignoreChanges.
+  * Vacuumed-away manifests likewise fail a stream resuming from before the
+  * retention window. Streams therefore pair with append-mostly tables
+  * (ingest logs); the state-table changefeed use case belongs to the
+  * upsert sinks' own streams.
+  */
+final case class GraftVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[connector] class GraftMicroBatchStream(log: TableLog,
+                                               delegate: Seq[String] => ParquetTable,
+                                               factoryScan: Scan)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = GraftVersionOffset(0L)
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(log.latestVersion.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    GraftVersionOffset(node.get("version").asLong())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[GraftVersionOffset].version
+    val ev = end.asInstanceOf[GraftVersionOffset].version
+    if (ev <= sv) return Array.empty
+    val startDirs: Set[String] =
+      if (sv == 0L) Set.empty else log.dirsAt(sv).toSet   // vacuumed -> loud
+    val endDirs = log.dirsAt(ev)
+    val removed = startDirs -- endDirs.toSet
+    if (removed.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"stream over ${log.tableDir} hit a non-append change between " +
+          s"versions $sv and $ev (rewrite/overwrite/compaction removed " +
+          s"${removed.size} dirs); this changefeed streams appends only")
+    val added = endDirs.filterNot(startDirs)
+    if (added.isEmpty) Array.empty
+    else delegate(added).newScanBuilder(CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+  }
+
+  /** The reader factory of the planner-built scan: it bakes in the read
+    * schema and pushed data filters but no file list, so it reads any
+    * batch's partitions.
+    */
+  override def createReaderFactory(): PartitionReaderFactory =
+    factoryScan.toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The built Scan of a catalog read: batch behavior delegates verbatim to
+  * the native [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]]
+  * (partitions, reader factory, statistics, equality for scan reuse), plus
+  * the micro-batch face above.
+  */
+private[connector] class GraftStreamableScan(private val inner: Scan,
+                                             log: TableLog,
+                                             delegate: Seq[String] => ParquetTable)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(log, delegate, inner)
+
+  // forward equality so identical scans still dedup/reuse in the planner
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftStreamableScan => inner == o.inner
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode()
+}
+

@@ -50,7 +50,7 @@ class GraftTable(tableName: String, log: TableLog,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** The version this Table handle reads — resolved eagerly when the
     * catalog loads the table (query analysis time), so every scan the query
@@ -77,7 +77,12 @@ class GraftTable(tableName: String, log: TableLog,
       override lazy val fileIndex: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =
         new GraftFileIndex(sparkSession, entries, log.schema)
     }
-    readTable.newScanBuilder(options)
+    val inner = readTable.newScanBuilder(options)
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
+    // full pushdown forwarded; the built scan gains the manifest-tailing
+    // micro-batch face ([[GraftMicroBatchStream]])
+    new org.apache.spark.sql.GraftDelegatingScanBuilder(inner,
+      scan => new GraftStreamableScan(scan, log, delegate))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

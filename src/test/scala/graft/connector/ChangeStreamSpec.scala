@@ -1,0 +1,82 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** The catalog's streaming face: `readStream.table` tails the manifest log
+  * (offset = version), emitting the current snapshot first and then exactly
+  * the appended dirs per batch; non-append changes fail loudly.
+  */
+class ChangeStreamSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-cf").toString
+
+  private lazy val init: Unit = {
+    spark.conf.set("spark.sql.catalog.flake", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.flake.root", root)
+  }
+
+  private def sql(q: String) = { init; spark.sql(q) }
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("snapshot as the first batch, appends after, no duplicates") {
+    sql("CREATE TABLE flake.cf (k BIGINT, v STRING)")
+    sql("INSERT INTO flake.cf VALUES (1, 'a')")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("flake.cf").writeStream
+      .option("checkpointLocation", tmp("cf-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    assert(got.toArray.toSeq === Seq(1L), "first batch = the current snapshot")
+    sql("INSERT INTO flake.cf VALUES (2, 'b')")
+    sql("INSERT INTO flake.cf VALUES (3, 'c')")
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray.map(_.asInstanceOf[Long]).sorted.toSeq === Seq(1L, 2L, 3L),
+      "each append emitted exactly once")
+  }
+
+  test("restart from checkpoint resumes at the last committed version") {
+    sql("CREATE TABLE flake.cr (k BIGINT)")
+    sql("INSERT INTO flake.cr VALUES (1)")
+    val ckpt = tmp("cr-ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.table("flake.cr").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(got.toArray.map(_.asInstanceOf[Long]).toSeq === Seq(1L))
+    sql("INSERT INTO flake.cr VALUES (2)")
+    run()
+    assert(got.toArray.map(_.asInstanceOf[Long]).sorted.toSeq === Seq(1L, 2L),
+      "second run emits ONLY the rows appended since the checkpointed version")
+  }
+
+  test("a rewrite between stream batches fails loudly, not as phantom appends") {
+    sql("CREATE TABLE flake.rw (k BIGINT, v STRING)")
+    sql("INSERT INTO flake.rw VALUES (1, 'a'), (2, 'b')")
+    val q = spark.readStream.table("flake.rw").writeStream
+      .option("checkpointLocation", tmp("rw-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) => b.count(); () }
+      .start()
+    q.processAllAvailable()
+    sql("UPDATE flake.rw SET v = 'X' WHERE k = 1")   // rewrites the dir
+    val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("non-append"), s"expected the append-only refusal, got: $msgs")
+    q.stop()
+  }
+}
