@@ -236,6 +236,34 @@ object Bench {
       (rows.size.toLong, secs)
     }
 
+    benchStream("catalog_changefeed") {
+      // end-to-end lakehouse append -> manifest-tailing stream drain rate
+      val root = tmp("bench-cf")
+      spark.conf.set("spark.sql.catalog.benchcf",
+        classOf[graft.connector.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.benchcf.root", root)
+      spark.sql("CREATE TABLE benchcf.t (k BIGINT, v STRING)")
+      val n = 40000L; val batches = 8
+      val got = new java.util.concurrent.atomic.AtomicLong()
+      val q = spark.readStream.table("benchcf.t").writeStream
+        .option("checkpointLocation", tmp("bench-cf-ckpt"))
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.addAndGet(b.count()); ()
+        }
+        .start()
+      val per = n / batches
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { i =>
+        spark.sql(s"INSERT INTO benchcf.t SELECT id, concat('v', id) " +
+          s"FROM range(${i * per}, ${(i + 1) * per})")
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      require(got.get() == n, s"changefeed emitted ${got.get()} of $n rows")
+      (n, secs)
+    }
+
     // ---- baseline comparison: recorded idle numbers, committed in-repo ----
     val baselinePath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
