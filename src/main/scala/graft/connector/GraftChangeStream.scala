@@ -82,7 +82,8 @@ private[connector] class GraftMicroBatchStream(log: TableLog,
   */
 private[connector] class GraftStreamableScan(private val inner: Scan,
                                              log: TableLog,
-                                             delegate: Seq[String] => ParquetTable)
+                                             delegate: Seq[String] => ParquetTable,
+                                             streamable: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.readSchema()
@@ -102,8 +103,13 @@ private[connector] class GraftStreamableScan(private val inner: Scan,
     }
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (!streamable)
+      throw new UnsupportedOperationException(
+        s"cannot stream ${log.tableDir} pinned at VERSION/TIMESTAMP AS OF: " +
+          "the changefeed tails the live manifest and would emit versions past the pin")
     new GraftMicroBatchStream(log, delegate, inner)
+  }
 
   // forward equality so identical scans still dedup/reuse in the planner
   override def equals(other: Any): Boolean = other match {

@@ -80,9 +80,12 @@ class GraftTable(tableName: String, log: TableLog,
     val inner = readTable.newScanBuilder(options)
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
     // full pushdown forwarded; the built scan gains the manifest-tailing
-    // micro-batch face ([[GraftMicroBatchStream]])
+    // micro-batch face ([[GraftMicroBatchStream]]). A time-travel-pinned
+    // handle refuses to stream: the changefeed tails the LIVE manifest, so
+    // a pinned stream would silently emit versions past its pin.
     new org.apache.spark.sql.GraftDelegatingScanBuilder(inner,
-      scan => new GraftStreamableScan(scan, log, delegate))
+      scan => new GraftStreamableScan(scan, log, delegate,
+        streamable = pinnedVersion.isEmpty))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -64,6 +64,40 @@ class ChangeStreamSpec extends SparkSpec {
       "second run emits ONLY the rows appended since the checkpointed version")
   }
 
+  test("aggregate pushdown survives the streaming-capable scan builder") {
+    sql("CREATE TABLE flake.ag (k BIGINT, v STRING)")
+    sql("INSERT INTO flake.ag SELECT id, concat('v', id) FROM range(0, 100)")
+    val q = sql("SELECT min(k), max(k), count(*) FROM flake.ag")
+    assert(q.collect().toSeq === Seq(org.apache.spark.sql.Row(0L, 99L, 100L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"expected aggregate pushdown through GraftDelegatingScanBuilder in:\n$plan")
+  }
+
+  test("a time-travel-pinned table refuses to stream") {
+    sql("CREATE TABLE flake.tt (k BIGINT)")
+    sql("INSERT INTO flake.tt VALUES (1)")
+    sql("INSERT INTO flake.tt VALUES (2)")
+    val e = intercept[Exception] {
+      spark.readStream.table("flake.tt VERSION AS OF 1")
+    }
+    // Spark may reject the syntax or our scan may refuse; either way the
+    // pinned handle must not silently stream the live manifest. Drive the
+    // scan directly to pin OUR refusal too:
+    val cat = new GraftCatalog
+    cat.initialize("flake", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root)))
+    val pinned = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "tt"), "1")
+    val scan = pinned.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val refusal = intercept[UnsupportedOperationException] {
+      scan.toMicroBatchStream("/tmp/unused")
+    }
+    assert(refusal.getMessage.contains("pinned"))
+    assert(e != null)
+  }
+
   test("a rewrite between stream batches fails loudly, not as phantom appends") {
     sql("CREATE TABLE flake.rw (k BIGINT, v STRING)")
     sql("INSERT INTO flake.rw VALUES (1, 'a'), (2, 'b')")
