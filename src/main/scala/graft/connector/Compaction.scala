@@ -51,13 +51,14 @@ object Compaction {
           lostRows.map(_.dir).mkString(", "))
     val sized = present.map(e =>
       e -> fs.getContentSummary(new Path(e.dir)).getLength)
-    val small = sized.filter(_._2 < smallBytes).map(_._1)
+    val smallSized = sized.filter(_._2 < smallBytes)
+    val small = smallSized.map(_._1)
     if (small.size < 2 && absent.isEmpty) return false
 
     val stagingEntry =
       if (small.size < 2) None   // only phantom entries to drop
       else {
-        val totalBytes = sized.filter(_._2 < smallBytes).map(_._2).sum
+        val totalBytes = smallSized.map(_._2).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
         val staging = log.newDataDir()
         val df = spark.read.schema(log.schema).parquet(small.map(_.dir): _*)

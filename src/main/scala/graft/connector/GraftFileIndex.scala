@@ -29,14 +29,16 @@ private[connector] class GraftFileIndex(spark: SparkSession,
     extends InMemoryFileIndex(spark, entries.map(e => new Path(e.dir)),
       Map.empty[String, String], Some(schema)) {
 
-  /** Stats keyed by the qualified dir path, as listed files report it. */
-  private lazy val statsByDir: Map[String, Option[DirStats]] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    entries.map { e =>
-      val p = new Path(e.dir)
-      p.getFileSystem(conf).makeQualified(p).toString -> e.stats
-    }.toMap
-  }
+  /** Stats keyed by the qualified dir path, as listed files report it.
+    * All dirs live under one table root, so one FileSystem lookup suffices.
+    */
+  private lazy val statsByDir: Map[String, Option[DirStats]] =
+    if (entries.isEmpty) Map.empty
+    else {
+      val fs = new Path(entries.head.dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      entries.map(e => fs.makeQualified(new Path(e.dir)).toString -> e.stats).toMap
+    }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

@@ -1,8 +1,5 @@
 package graft.connector
 
-import java.nio.file.Files
-
-import graft.SparkSpec
 import org.apache.spark.sql.{Dataset, Row}
 import org.apache.spark.sql.streaming.StreamingQueryException
 
@@ -10,17 +7,8 @@ import org.apache.spark.sql.streaming.StreamingQueryException
   * (offset = version), emitting the current snapshot first and then exactly
   * the appended dirs per batch; non-append changes fail loudly.
   */
-class ChangeStreamSpec extends SparkSpec {
-
-  private lazy val root = Files.createTempDirectory("graft-cf").toString
-
-  private lazy val init: Unit = {
-    spark.conf.set("spark.sql.catalog.flake", classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.flake.root", root)
-  }
-
-  private def sql(q: String) = { init; spark.sql(q) }
-  private def tmp(p: String) = Files.createTempDirectory(p).toString
+class ChangeStreamSpec extends LakeSpec {
+  protected def catalogName = "flake"
 
   test("snapshot as the first batch, appends after, no duplicates") {
     sql("CREATE TABLE flake.cf (k BIGINT, v STRING)")

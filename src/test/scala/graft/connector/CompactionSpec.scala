@@ -1,33 +1,23 @@
 package graft.connector
 
-import java.nio.file.Files
-
-import graft.SparkSpec
 import org.apache.spark.sql.Row
 
 /** Small-dir compaction (the OPTIMIZE contract): pure layout maintenance —
   * identical rows, fewer dirs, fresh stats, snapshot history intact.
   */
-class CompactionSpec extends SparkSpec {
+class CompactionSpec extends LakeSpec {
+  protected def catalogName = "clake"
 
-  private lazy val root = Files.createTempDirectory("graft-compact").toString
-
-  private lazy val init: Unit = {
-    spark.conf.set("spark.sql.catalog.clake", classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.clake.root", root)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS clake.db")
-  }
-
-  private def sql(q: String) = { init; spark.sql(q) }
-  private def log(t: String) =
-    new TableLog(s"$root/db/$t", spark.sparkContext.hadoopConfiguration)
+  private lazy val ns: Unit = { super.sql("CREATE NAMESPACE IF NOT EXISTS clake.db"); () }
+  override protected def sql(q: String): org.apache.spark.sql.DataFrame = { ns; super.sql(q) }
+  private def tlog(t: String) = log(s"db/$t")
 
   test("compact folds small dirs into one, preserving rows, stats, and history") {
     sql("CREATE TABLE clake.db.c1 (k BIGINT, v STRING)")
     (0 until 6).foreach { i =>
       sql(s"INSERT INTO clake.db.c1 SELECT id, concat('v', id) FROM range(${i * 10}, ${i * 10 + 10})")
     }
-    val l = log("c1")
+    val l = tlog("c1")
     assert(l.currentEntries().size === 6)
     val preVersion = l.latestVersion.get
 
@@ -51,11 +41,11 @@ class CompactionSpec extends SparkSpec {
   test("nothing to compact returns false and commits nothing") {
     sql("CREATE TABLE clake.db.c2 (k BIGINT)")
     sql("INSERT INTO clake.db.c2 VALUES (1)")
-    val l = log("c2")
+    val l = tlog("c2")
     val v = l.latestVersion
     assert(!Compaction.compact(spark, l))
     assert(l.latestVersion === v)
-    assert(!Compaction.compact(spark, log("c2")), "single dir stays untouched")
+    assert(!Compaction.compact(spark, tlog("c2")), "single dir stays untouched")
   }
 
   test("dirs above the small threshold are left alone") {
@@ -63,7 +53,7 @@ class CompactionSpec extends SparkSpec {
     sql("INSERT INTO clake.db.c3 SELECT id FROM range(0, 1000)")    // 'big'
     sql("INSERT INTO clake.db.c3 VALUES (1000)")
     sql("INSERT INTO clake.db.c3 VALUES (1001)")
-    val l = log("c3")
+    val l = tlog("c3")
     val bigDir = l.currentEntries().head.dir
     // threshold below the big dir's size, above the 1-row dirs'
     val bigBytes = {
@@ -81,7 +71,7 @@ class CompactionSpec extends SparkSpec {
     sql("CREATE TABLE clake.db.c4 (k BIGINT, v STRING)")
     sql("INSERT INTO clake.db.c4 SELECT id, 'a' FROM range(50, 100)")
     sql("INSERT INTO clake.db.c4 SELECT id, 'b' FROM range(0, 50)")
-    val l = log("c4")
+    val l = tlog("c4")
     assert(Compaction.compact(spark, l, clusterBy = Seq("k")))
     assert(sql("SELECT count(*), min(k), max(k) FROM clake.db.c4").collect().toSeq ===
       Seq(Row(100L, 0L, 99L)))
@@ -96,7 +86,7 @@ class CompactionSpec extends SparkSpec {
   test("compaction drops committed-empty phantom entries, fails loudly on lost data") {
     sql("CREATE TABLE clake.db.c6 (k BIGINT)")
     sql("INSERT INTO clake.db.c6 VALUES (1), (2)")
-    val l = log("c6")
+    val l = tlog("c6")
     // forge a committed-empty entry whose dir was never created (the shape
     // pre-empty-skip manifests could contain)
     assert(l.tryCommitEntries(l.latestVersion,
@@ -115,7 +105,7 @@ class CompactionSpec extends SparkSpec {
     sql("INSERT INTO clake.db.c5 SELECT id, 'lo' FROM range(0, 50)")
     sql("INSERT INTO clake.db.c5 SELECT id, 'lo' FROM range(50, 100)")
     sql("INSERT INTO clake.db.c5 SELECT id, 'hi' FROM range(100000, 102000)")
-    val l = log("c5")
+    val l = tlog("c5")
     // merge only the two low-range dirs; the high-range dir stays its own
     // replacement unit
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(

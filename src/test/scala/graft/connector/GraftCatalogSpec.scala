@@ -1,26 +1,13 @@
 package graft.connector
 
-import java.nio.file.Files
-
-import graft.SparkSpec
 import org.apache.spark.sql.Row
 
 /** The mini-lakehouse catalog end-to-end through plain SQL: DDL, INSERT,
   * UPDATE/DELETE/MERGE via the DSv2 row-level operation API, time travel,
   * snapshot isolation, and optimistic-concurrency conflicts.
   */
-class GraftCatalogSpec extends SparkSpec {
-
-  private lazy val root = Files.createTempDirectory("graft-lake").toString
-
-  private lazy val init: Unit = {
-    spark.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.lake.root", root)
-  }
-
-  private def sql(q: String) = { init; spark.sql(q) }
-
-  private def rows(q: String): Seq[Row] = sql(q).collect().toSeq
+class GraftCatalogSpec extends LakeSpec {
+  protected def catalogName = "lake"
 
   test("create, insert, select round-trip") {
     sql("CREATE NAMESPACE lake.db")
@@ -139,7 +126,6 @@ class GraftCatalogSpec extends SparkSpec {
     sql("CREATE TABLE lake.db.p (k BIGINT, v STRING) TBLPROPERTIES ('team'='graft')")
     val t = sql("SELECT * FROM lake.db.p")
     assert(t.schema.fieldNames.toSeq === Seq("k", "v"))
-    init
     val desc = rows("SHOW TBLPROPERTIES lake.db.p").map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc.get("team") === Some("graft"))
   }

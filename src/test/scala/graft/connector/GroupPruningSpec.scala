@@ -1,8 +1,5 @@
 package graft.connector
 
-import java.nio.file.Files
-
-import graft.SparkSpec
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.sources._
 
@@ -11,21 +8,12 @@ import org.apache.spark.sql.sources._
   * rewrites, and the two contracts whose silent violation loses data (the
   * rewritten dir keeps its unmatched rows; stats are never row filters).
   */
-class GroupPruningSpec extends SparkSpec {
+class GroupPruningSpec extends LakeSpec {
+  protected def catalogName = "plake"
 
-  private lazy val root = Files.createTempDirectory("graft-prune").toString
-
-  private lazy val init: Unit = {
-    spark.conf.set("spark.sql.catalog.plake", classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.plake.root", root)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS plake.db")
-  }
-
-  private def sql(q: String) = { init; spark.sql(q) }
-  private def rows(q: String): Seq[Row] = sql(q).collect().toSeq
-
-  private def log(t: String) =
-    new TableLog(s"$root/db/$t", spark.sparkContext.hadoopConfiguration)
+  private lazy val ns: Unit = { super.sql("CREATE NAMESPACE IF NOT EXISTS plake.db"); () }
+  override protected def sql(q: String): org.apache.spark.sql.DataFrame = { ns; super.sql(q) }
+  private def tlog(t: String) = log(s"db/$t")
 
   /** Three disjoint-key-range data dirs: [1,10], [11,20], [21,30]. */
   private def threeDirTable(t: String): TableLog = {
@@ -33,7 +21,7 @@ class GroupPruningSpec extends SparkSpec {
     sql(s"INSERT INTO plake.db.$t SELECT id, concat('a', id) FROM range(1, 11)")
     sql(s"INSERT INTO plake.db.$t SELECT id, concat('b', id) FROM range(11, 21)")
     sql(s"INSERT INTO plake.db.$t SELECT id, concat('c', id) FROM range(21, 31)")
-    val l = log(t)
+    val l = tlog(t)
     assert(l.currentEntries().size === 3)
     l
   }
@@ -41,7 +29,7 @@ class GroupPruningSpec extends SparkSpec {
   test("commits record per-dir column stats in the manifest") {
     sql("CREATE TABLE plake.db.st (k BIGINT, v STRING)")
     sql("INSERT INTO plake.db.st VALUES (5, 'mm'), (9, 'zz'), (2, NULL)")
-    val entries = log("st").currentEntries()
+    val entries = tlog("st").currentEntries()
     assert(entries.size === 1)
     val stats = entries.head.stats.getOrElse(fail("no stats recorded"))
     assert(stats.rows === 3)
@@ -226,7 +214,7 @@ class GroupPruningSpec extends SparkSpec {
     sql("CREATE TABLE plake.db.bc (k BIGINT, v STRING)")
     sql("INSERT INTO plake.db.bc VALUES (1, 'a')")
     sql("INSERT INTO plake.db.bc VALUES (20, 'b')")
-    val l = log("bc")
+    val l = tlog("bc")
     // strip the stats column, as a manifest written before this feature
     val stripped = l.currentDirs()
     assert(l.tryCommit(l.latestVersion, stripped))
@@ -306,7 +294,7 @@ class GroupPruningSpec extends SparkSpec {
   test("an INSERT selecting zero rows leaves the manifest without phantom dirs") {
     sql("CREATE TABLE plake.db.z0 (k BIGINT)")
     sql("INSERT INTO plake.db.z0 VALUES (1)")
-    val l = log("z0")
+    val l = tlog("z0")
     val before = l.currentEntries().map(_.dir)
     sql("INSERT INTO plake.db.z0 SELECT id FROM range(0, 10) WHERE id > 100")
     assert(l.currentEntries().map(_.dir) === before)
@@ -320,7 +308,7 @@ class GroupPruningSpec extends SparkSpec {
     sql("CREATE TABLE plake.db.vg (k BIGINT)")
     sql("INSERT INTO plake.db.vg VALUES (1)")
     sql("INSERT OVERWRITE plake.db.vg VALUES (2)")
-    val l = log("vg")
+    val l = tlog("vg")
     // a fresh never-referenced dir: an in-flight write's staging
     val inflight = l.newDataDir()
     import spark.implicits._

@@ -1,8 +1,6 @@
 package graft.connector
 
-import java.nio.file.Files
 
-import graft.SparkSpec
 import org.apache.spark.sql.{Dataset, Row}
 
 /** Self-referencing MERGE (the source plan reads the merge target) against
@@ -25,16 +23,8 @@ import org.apache.spark.sql.{Dataset, Row}
   *     silently. If a Spark upgrade fixes the re-resolution, this test
   *     fails and the parquet-direct workaround can be dropped.
   */
-class SelfRefMergeSpec extends SparkSpec {
-
-  private lazy val root = Files.createTempDirectory("graft-selfref").toString
-
-  private lazy val init: Unit = {
-    spark.conf.set("spark.sql.catalog.srlake", classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.srlake.root", root)
-  }
-
-  private def sql(q: String) = { init; spark.sql(q) }
+class SelfRefMergeSpec extends LakeSpec {
+  protected def catalogName = "srlake"
 
   private def mergeInBatch(table: String, selfRefViaCatalog: Boolean): Either[Throwable, Unit] = {
     sql(s"CREATE TABLE srlake.$table (k BIGINT, v STRING)")
@@ -44,19 +34,19 @@ class SelfRefMergeSpec extends SparkSpec {
     sql(s"INSERT INTO srlake.$table VALUES (2, 'b')")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val log = new TableLog(s"$root/$table", spark.sparkContext.hadoopConfiguration)
+    val tableLog = log(table)
     var failure: Option[Throwable] = None
     val mem = MemoryStream[(Long, String)](spark)
     val q = mem.toDS().toDF("k", "v").writeStream
       .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("selfref-ckpt").toString)
+      .option("checkpointLocation", tmp("selfref-ckpt"))
       .foreachBatch { (b: Dataset[Row], _: Long) =>
         val ss = b.sparkSession
         ss.conf.set("spark.sql.catalog.srlake", classOf[GraftCatalog].getName)
         ss.conf.set("spark.sql.catalog.srlake.root", root)
         val prior =
           if (selfRefViaCatalog) ss.table(s"srlake.$table")
-          else ss.read.schema(log.schema).parquet(log.currentDirs(): _*)
+          else ss.read.schema(tableLog.schema).parquet(tableLog.currentDirs(): _*)
         prior.union(b).groupBy("k")
           .agg(org.apache.spark.sql.functions.max("v").as("v"))
           .createOrReplaceTempView("selfref_src")
