@@ -49,16 +49,30 @@ private[connector] class GraftMicroBatchStream(log: TableLog,
     val sv = start.asInstanceOf[GraftVersionOffset].version
     val ev = end.asInstanceOf[GraftVersionOffset].version
     if (ev <= sv) return Array.empty
+    // the append-only contract must hold at EVERY commit in the range, not
+    // just between its endpoints: a dir added at sv+1 and rewritten before
+    // ev would be invisible to an endpoint diff, silently emitting the
+    // rewritten rows as appends (or dropping the deleted ones). Offset
+    // ranges routinely span several commits — latestOffset jumps to the
+    // newest version and checkpointed streams resume across many — so walk
+    // the versions pairwise; a vacuumed-away intermediate manifest fails
+    // loudly in dirsAt, which is the documented retention contract.
     val startDirs: Set[String] =
-      if (sv == 0L) Set.empty else log.dirsAt(sv).toSet   // vacuumed -> loud
-    val endDirs = log.dirsAt(ev)
-    val removed = startDirs -- endDirs.toSet
-    if (removed.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"stream over ${log.tableDir} hit a non-append change between " +
-          s"versions $sv and $ev (rewrite/overwrite/compaction removed " +
-          s"${removed.size} dirs); this changefeed streams appends only")
-    val added = endDirs.filterNot(startDirs)
+      if (sv == 0L) Set.empty else log.dirsAt(sv).toSet
+    var prev = startDirs
+    (sv + 1 to ev).foreach { v =>
+      val cur = log.dirsAt(v).toSet
+      val removed = prev -- cur
+      if (removed.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"stream over ${log.tableDir} hit a non-append change at version " +
+            s"$v (rewrite/overwrite/compaction removed ${removed.size} " +
+            "dirs); this changefeed streams appends only")
+      prev = cur
+    }
+    // no removals anywhere in the range => dirs grow monotonically and the
+    // endpoint diff is exactly the union of the per-version appends
+    val added = log.dirsAt(ev).filterNot(startDirs)
     if (added.isEmpty) Array.empty
     else delegate(added).newScanBuilder(CaseInsensitiveStringMap.empty())
       .build().toBatch.planInputPartitions()

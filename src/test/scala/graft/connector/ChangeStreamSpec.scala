@@ -86,6 +86,26 @@ class ChangeStreamSpec extends LakeSpec {
     assert(e != null)
   }
 
+  test("a dir born AND removed inside one offset range still fails loudly") {
+    sql("CREATE TABLE flake.ir (k BIGINT, v STRING)")
+    sql("INSERT INTO flake.ir VALUES (1, 'a')")
+    val q = spark.readStream.table("flake.ir").writeStream
+      .option("checkpointLocation", tmp("ir-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) => b.count(); () }
+      .start()
+    q.processAllAvailable()
+    // two commits BEFORE the next batch plans: the new dir of v+1 is
+    // removed again at v+2, so it is invisible to an endpoint-only diff —
+    // its rows would silently never reach the stream
+    sql("INSERT INTO flake.ir VALUES (100, 'tmp'), (101, 'tmp')")
+    sql("DELETE FROM flake.ir WHERE k >= 100")
+    val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("non-append"), s"expected the append-only refusal, got: $msgs")
+    q.stop()
+  }
+
   test("a rewrite between stream batches fails loudly, not as phantom appends") {
     sql("CREATE TABLE flake.rw (k BIGINT, v STRING)")
     sql("INSERT INTO flake.rw VALUES (1, 'a'), (2, 'b')")
