@@ -261,6 +261,39 @@ object DirStats {
     case _ => true   // Not, Contains, EndsWith, unknown: conservative
   }
 
+  /** Does EVERY row of the dir provably satisfy all of `filters`? The dual
+    * of [[mayMatch]], used for metadata-only operations (a DELETE that
+    * drops whole dirs from the manifest without reading them), so the
+    * conservative direction flips: anything unprovable answers "no" and
+    * the caller falls back to the copy-on-write path. A committed-empty
+    * dir satisfies anything vacuously.
+    */
+  def mustMatchAll(stats: Option[DirStats], filters: Seq[Filter]): Boolean =
+    stats.exists(s => s.rows == 0 || filters.forall(f => mustMatchOne(s, f)))
+
+  private def mustMatchOne(s: DirStats, f: Filter): Boolean = f match {
+    case And(l, r) => mustMatchOne(s, l) && mustMatchOne(s, r)
+    // all rows satisfying l OR all satisfying r is sufficient (not necessary)
+    case Or(l, r) => mustMatchOne(s, l) || mustMatchOne(s, r)
+    case AlwaysTrue() => true
+    case EqualTo(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c =>
+      !c.empty && c.minC == 0 && c.maxC == 0)
+    case GreaterThan(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c => !c.empty && c.minC > 0)
+    case GreaterThanOrEqual(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c => !c.empty && c.minC >= 0)
+    case LessThan(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c => !c.empty && c.maxC < 0)
+    case LessThanOrEqual(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c => !c.empty && c.maxC <= 0)
+    case In(a, vs) =>
+      // provable only when the column is constant and that constant is listed
+      noNulls(s, a) && vs.filter(_ != null).exists(v =>
+        cmp(s, a, v).exists(c => !c.empty && c.minC == 0 && c.maxC == 0))
+    case IsNull(a) => s.cols.get(a).exists(_.nulls == s.rows)
+    case IsNotNull(a) => noNulls(s, a)
+    case _ => false   // Not, string prefix ops, unknown shapes: unprovable
+  }
+
+  private def noNulls(s: DirStats, attr: String): Boolean =
+    s.cols.get(attr).exists(c => c.typ != "null" && c.nulls == 0)
+
   private def incrBytes(p: Array[Byte]): Option[Array[Byte]] = {
     var end = p.length
     while (end > 0 && p(end - 1) == -1) end -= 1   // drop trailing 0xFF

@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftTable(tableName: String, log: TableLog,
                  pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
 
@@ -91,6 +92,40 @@ class GraftTable(tableName: String, log: TableLog,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, s"cannot write to $tableName pinned at VERSION AS OF ${pinnedVersion.get}")
     new GraftWriteBuilder(log, info, delegate)
+  }
+
+  /** Metadata-only DELETE (Delta's optimization): when the committed stats
+    * prove every snapshot dir is either ALL-match or NONE-match for the
+    * delete condition, `OptimizeMetadataOnlyDeleteFromTable` replaces the
+    * whole copy-on-write rewrite with [[deleteWhere]] — a pure manifest
+    * commit dropping the all-match dirs, zero data read or written. Any
+    * dir the stats cannot classify exactly makes [[canDeleteWhere]] answer
+    * false and Spark falls back to the row-level rewrite, so this is
+    * strictly an optimization, never a semantics change.
+    */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    pinnedVersion.isEmpty && snapshotEntries.forall { e =>
+      DirStats.mustMatchAll(e.stats, filters.toSeq) ||
+        !DirStats.mayMatch(e.stats, filters.toSeq)
+    }
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    var done = false
+    var attempts = 0
+    while (!done) {
+      attempts += 1
+      if (attempts > 100)
+        throw new java.io.IOException(
+          s"metadata delete on ${log.tableDir} failed after $attempts attempts")
+      val expected = log.latestVersion
+      val current = expected.map(log.entriesAt).getOrElse(Nil)
+      // classify CURRENT entries each attempt: dropping a dir whose own
+      // stats prove every row matches is correct under any interleaving,
+      // and an unclassifiable dir from a concurrent commit simply survives
+      // (serializable as: this DELETE ordered before that commit)
+      val next = current.filterNot(e => DirStats.mustMatchAll(e.stats, filters.toSeq))
+      done = next == current || log.tryCommitEntries(expected, next)
+    }
   }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {

@@ -64,6 +64,56 @@ class GroupPruningSpec extends LakeSpec {
     assert(rows("SELECT min(k), count(*) FROM plake.db.d3") === Seq(Row(11L, 20L)))
   }
 
+  test("a whole-dir DELETE is metadata-only: manifest commit, zero data IO") {
+    val l = threeDirTable("md3")
+    val before = l.currentEntries().map(_.dir)
+    val d = sql("DELETE FROM plake.db.md3 WHERE k <= 10")
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("DeleteFromTable") && !plan.contains("ReplaceData"),
+      s"expected the metadata-only delete path in:\n$plan")
+    val after = l.currentEntries().map(_.dir)
+    assert(after.size === 2 && after.forall(before.contains),
+      "dropped dir, no staging dir written")
+    assert(rows("SELECT min(k), count(*) FROM plake.db.md3") === Seq(Row(11L, 20L)))
+    // unconditioned DELETE = metadata truncate to empty
+    sql("DELETE FROM plake.db.md3")
+    assert(l.currentEntries().isEmpty)
+    assert(rows("SELECT count(*) FROM plake.db.md3") === Seq(Row(0L)))
+  }
+
+  test("a partial-dir DELETE falls back to the copy-on-write rewrite") {
+    val l = threeDirTable("mp3")
+    val d = sql("DELETE FROM plake.db.mp3 WHERE k <= 15")
+    assert(d.queryExecution.executedPlan.toString.contains("ReplaceData"),
+      "a dir the stats cannot classify exactly must take the rewrite path")
+    assert(rows("SELECT min(k), count(*) FROM plake.db.mp3") === Seq(Row(16L, 15L)))
+    assert(l.currentEntries().size === 2)
+  }
+
+  test("mustMatchAll: provable-total-match logic per filter shape") {
+    def mm(f: Filter) = DirStats.mustMatchAll(Some(s), Seq(f))
+    assert(mm(LessThanOrEqual("k", 20L)) && !mm(LessThanOrEqual("k", 19L)))
+    assert(mm(GreaterThanOrEqual("k", 5L)) && !mm(GreaterThanOrEqual("k", 6L)))
+    assert(mm(LessThan("k", 21L)) && !mm(LessThan("k", 20L)))
+    assert(mm(GreaterThan("k", 4L)) && !mm(GreaterThan("k", 5L)))
+    assert(!mm(EqualTo("k", 5L)), "non-constant column can't all-equal")
+    assert(mm(IsNotNull("k")) && !mm(IsNotNull("v")), "v has nulls")
+    assert(mm(IsNull("dead")) && !mm(IsNull("v")))
+    assert(!mm(EqualTo("v", "bb")), "nullable column never provably all-matches")
+    assert(mm(And(LessThanOrEqual("k", 20L), GreaterThan("k", 0L))))
+    assert(mm(Or(LessThanOrEqual("k", 7L), GreaterThan("k", 4L))))
+    assert(!mm(Or(LessThanOrEqual("k", 7L), GreaterThan("k", 8L))),
+      "per-row mixtures are not provable from ranges alone")
+    assert(!mm(StringStartsWith("v", "b")) && !mm(Not(EqualTo("k", 99L))))
+    assert(!DirStats.mustMatchAll(None, Seq(AlwaysTrue())), "no stats proves nothing")
+    assert(DirStats.mustMatchAll(Some(DirStats(0, Map.empty)), Seq(EqualTo("k", 1L))),
+      "empty dir satisfies vacuously")
+    val const = DirStats(3, Map("c" -> ColStats("long", 7L, 7L, 0L)))
+    assert(DirStats.mustMatchAll(Some(const), Seq(EqualTo("c", 7L))))
+    assert(DirStats.mustMatchAll(Some(const), Seq(In("c", Array[Any](5L, 7L)))))
+    assert(!DirStats.mustMatchAll(Some(const), Seq(In("c", Array[Any](5L, 6L)))))
+  }
+
   test("a no-match condition rewrites nothing at all") {
     val l = threeDirTable("n3")
     val before = l.currentEntries().map(_.dir)
