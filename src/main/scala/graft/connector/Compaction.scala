@@ -4,6 +4,7 @@ import java.util.ConcurrentModificationException
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Small-file compaction for the mini-lakehouse (Delta's `OPTIMIZE`
   * contract): every append and every micro-batch MERGE adds one immutable
@@ -17,25 +18,36 @@ import org.apache.spark.sql.SparkSession
   * loudly, and readers pinned to older versions keep their snapshot until
   * `vacuum`.
   *
-  * Rows are moved verbatim — compaction is pure layout maintenance and
-  * commits a new manifest version whose row set is identical. The
-  * consolidated dir gets fresh footer-derived [[DirStats]]; its column
-  * ranges are the union of its inputs', so dir-granular pruning coarsens
-  * for the merged data (the small dirs it replaces were individually
-  * cheap to rewrite anyway). `clusterBy` mitigates: rows are sorted within
-  * partitions so parquet row-group stats inside the consolidated dir stay
-  * tight for row-group pruning, the second pruning layer.
+  * Deletion-vector maintenance (Delta's `REORG ... APPLY (PURGE)` rolled
+  * into OPTIMIZE): a dir whose vector hides at least `purgeDeletedFraction`
+  * of its rows joins the rewrite set regardless of size; every rewritten
+  * dir has its vector APPLIED (deleted rows dropped via an anti-join on
+  * the V1 `_metadata` file-path + row-index columns) and the consolidated
+  * output is vector-free, restoring the columnar fast path that
+  * merge-on-read reads trade away. A concurrent DELETE that lands a new
+  * vector on a dir mid-compaction conflicts loudly — the merged copy was
+  * built against the old vector.
+  *
+  * Rows are otherwise moved verbatim — compaction is pure layout
+  * maintenance and commits a new manifest version whose LIVE row set is
+  * identical. The consolidated dir gets fresh footer-derived [[DirStats]];
+  * its column ranges are the union of its inputs', so dir-granular pruning
+  * coarsens for the merged data. `clusterBy` mitigates: rows are sorted
+  * within partitions so parquet row-group stats inside the consolidated
+  * dir stay tight for row-group pruning, the second pruning layer.
   */
 object Compaction {
 
-  /** Compact dirs under `smallBytes` into ~`targetBytes` output partitions.
-    * Returns true when a new version was committed (at least two dirs were
-    * small enough to merge), false when there was nothing to do.
+  /** Compact dirs under `smallBytes` (plus vectored dirs at or above
+    * `purgeDeletedFraction` deleted) into ~`targetBytes` output partitions.
+    * Returns true when a new version was committed, false when there was
+    * nothing to do.
     */
   def compact(spark: SparkSession, log: TableLog,
               smallBytes: Long = 128L << 20,
               targetBytes: Long = 512L << 20,
-              clusterBy: Seq[String] = Nil): Boolean = {
+              clusterBy: Seq[String] = Nil,
+              purgeDeletedFraction: Double = 0.1): Boolean = {
     val base = log.latestVersion.getOrElse(return false)
     val entries = log.entriesAt(base)
     val fs = new Path(log.tableDir).getFileSystem(log.hadoopConf)
@@ -51,31 +63,69 @@ object Compaction {
           lostRows.map(_.dir).mkString(", "))
     val sized = present.map(e =>
       e -> fs.getContentSummary(new Path(e.dir)).getLength)
-    val smallSized = sized.filter(_._2 < smallBytes)
-    val small = smallSized.map(_._1)
-    if (small.size < 2 && absent.isEmpty) return false
+    val dvCache = scala.collection.mutable.HashMap[String, DeletionVector]()
+    def vector(e: DirEntry): DeletionVector =
+      e.dv.map(p => dvCache.getOrElseUpdate(p, DeletionVector.read(p, log.hadoopConf)))
+        .getOrElse(DeletionVector.empty)
+    def deletedFraction(e: DirEntry): Double = e.dv match {
+      case None => 0.0
+      case Some(_) =>
+        val card = vector(e).cardinality
+        // a statless vectored dir can't prove its live fraction: rewrite it
+        e.stats.map(s => if (s.rows == 0) 1.0 else card.toDouble / s.rows)
+          .getOrElse(1.0)
+    }
+    val purge = present.filter(e =>
+      e.dv.isDefined && deletedFraction(e) >= purgeDeletedFraction)
+    val small = (sized.filter(_._2 < smallBytes).map(_._1) ++ purge).distinct
+    // a lone small dir isn't worth rewriting — unless it carries a vector
+    // to purge; phantom (absent-empty) entries can be dropped regardless
+    val worthRewriting = small.size >= 2 || purge.nonEmpty
+    if (!worthRewriting && absent.isEmpty) return false
 
     val stagingEntry =
-      if (small.size < 2) None   // only phantom entries to drop
+      if (!worthRewriting) None   // only phantom entries to drop
       else {
-        val totalBytes = smallSized.map(_._2).sum
+        val totalBytes = sized.filter { case (e, _) => small.contains(e) }.map(_._2).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
         val staging = log.newDataDir()
-        val df = spark.read.schema(log.schema).parquet(small.map(_.dir): _*)
+        val df0 = spark.read.schema(log.schema).parquet(small.map(_.dir): _*)
+        val deletedPairs: Seq[(String, Long)] = small.flatMap { e =>
+          vector(e).files.toSeq.flatMap { case (name, poss) =>
+            val q = fs.makeQualified(new Path(e.dir, name)).toString
+            poss.map(q -> _)
+          }
+        }
+        val df =
+          if (deletedPairs.isEmpty) df0
+          else {
+            // V1 parquet reads serve the hidden _metadata struct; its
+            // file_path is the qualified Path string, matching the
+            // manifest's qualified dir + vector's file name
+            val session = spark
+            import session.implicits._
+            val del = deletedPairs.toDF("__dv_file", "__dv_pos")
+            df0.withColumn("__dv_file", col("_metadata.file_path"))
+              .withColumn("__dv_pos", col("_metadata.row_index"))
+              .join(broadcast(del), Seq("__dv_file", "__dv_pos"), "left_anti")
+              .drop("__dv_file", "__dv_pos")
+          }
         val laidOut = {
           // coalesce, not repartition: merging small files is a narrow
-          // dependency, no shuffle needed
+          // dependency, no shuffle needed (the anti-join broadcasts)
           val c = df.coalesce(nOut)
           if (clusterBy.nonEmpty)
-            c.sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+            c.sortWithinPartitions(clusterBy.map(col): _*)
           else c
         }
         laidOut.write.parquet(staging)
         Some(DirEntry(staging, DirStats.collect(staging, log.hadoopConf)))
       }
 
-    val replaced = (if (small.size < 2) Nil else small.map(_.dir)).toSet ++
+    val replaced = (if (worthRewriting) small.map(_.dir) else Nil).toSet ++
       absent.map(_.dir)
+    val dvAtSelection: Map[String, Option[String]] =
+      entries.map(e => e.dir -> e.dv).toMap
     var done = false
     var attempts = 0
     while (!done) {
@@ -87,12 +137,20 @@ object Compaction {
       val cur = log.latestVersion
       val curEntries = cur.map(log.entriesAt).getOrElse(Nil)
       // a compacted dir replaced by a concurrent rewrite means our merged
-      // copy holds stale rows — identical conflict rule to GraftBatchWrite
+      // copy holds stale rows — identical conflict rule to GraftBatchWrite;
+      // a changed deletion vector means a concurrent merge-on-read DELETE
+      // whose rows our merged copy would resurrect
       val missing = replaced.filterNot(d => curEntries.exists(_.dir == d))
       if (missing.nonEmpty)
         throw new ConcurrentModificationException(
           s"concurrent rewrite during compaction of ${log.tableDir}: " +
             s"dirs replaced: ${missing.mkString(", ")}")
+      val dvChanged = replaced.filter(d =>
+        curEntries.find(_.dir == d).exists(_.dv != dvAtSelection.getOrElse(d, None)))
+      if (dvChanged.nonEmpty)
+        throw new ConcurrentModificationException(
+          s"concurrent merge-on-read delete during compaction of " +
+            s"${log.tableDir}: vectors changed on: ${dvChanged.mkString(", ")}")
       val next = curEntries.filterNot(e => replaced.contains(e.dir)) ++ stagingEntry
       done = log.tryCommitEntries(cur, next)
     }

@@ -56,23 +56,42 @@ private[connector] class GraftMicroBatchStream(log: TableLog,
     // ranges routinely span several commits — latestOffset jumps to the
     // newest version and checkpointed streams resume across many — so walk
     // the versions pairwise; a vacuumed-away intermediate manifest fails
-    // loudly in dirsAt, which is the documented retention contract.
-    val startDirs: Set[String] =
-      if (sv == 0L) Set.empty else log.dirsAt(sv).toSet
-    var prev = startDirs
+    // loudly in entriesAt, which is the documented retention contract.
+    // A deletion-vector change on a surviving dir is a non-append change
+    // too (rows already emitted were deleted), and fails the same way.
+    def dvMap(v: Long): Map[String, Option[String]] =
+      log.entriesAt(v).map(e => e.dir -> e.dv).toMap
+    val startState: Map[String, Option[String]] =
+      if (sv == 0L) Map.empty else dvMap(sv)
+    var prev = startState
     (sv + 1 to ev).foreach { v =>
-      val cur = log.dirsAt(v).toSet
-      val removed = prev -- cur
+      val cur = dvMap(v)
+      val removed = prev.keySet -- cur.keySet
       if (removed.nonEmpty)
         throw new UnsupportedOperationException(
           s"stream over ${log.tableDir} hit a non-append change at version " +
             s"$v (rewrite/overwrite/compaction removed ${removed.size} " +
             "dirs); this changefeed streams appends only")
+      val dvChanged = prev.filter { case (d, dv) => cur.get(d).exists(_ != dv) }
+      if (dvChanged.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"stream over ${log.tableDir} hit a merge-on-read DELETE at " +
+            s"version $v (deletion vectors changed on ${dvChanged.size} " +
+            "dirs); this changefeed streams appends only")
       prev = cur
     }
     // no removals anywhere in the range => dirs grow monotonically and the
-    // endpoint diff is exactly the union of the per-version appends
-    val added = log.dirsAt(ev).filterNot(startDirs)
+    // endpoint diff is exactly the union of the per-version appends. An
+    // appended dir carrying a vector at the endpoint would have to have
+    // acquired it mid-range undetected — refuse defensively.
+    val endEntries = log.entriesAt(ev)
+    val addedVectored = endEntries.filter(e => !startState.contains(e.dir) && e.dv.isDefined)
+    if (addedVectored.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"stream over ${log.tableDir}: appended dirs carry deletion vectors " +
+          s"(${addedVectored.map(_.dir).mkString(", ")}); this changefeed " +
+          "streams appends only")
+    val added = endEntries.map(_.dir).filterNot(startState.keySet)
     if (added.isEmpty) Array.empty
     else delegate(added).newScanBuilder(CaseInsensitiveStringMap.empty())
       .build().toBatch.planInputPartitions()

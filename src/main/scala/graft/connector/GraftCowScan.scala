@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[connector] class GraftCowScan(schema: StructType,
                                       delegate: Seq[String] => ParquetTable,
                                       initialKept: Seq[DirEntry],
-                                      onKept: (GraftCowScan, Seq[String]) => Unit)
+                                      onKept: (GraftCowScan, Seq[String]) => Unit,
+                                      hadoopConf: org.apache.hadoop.conf.Configuration)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   @volatile private var kept: Seq[DirEntry] = initialKept
@@ -76,14 +77,23 @@ private[connector] class GraftCowScan(schema: StructType,
   }
 
   // ---- batch: delegate to a parquet scan over the CURRENT kept dirs -------
+  // A kept dir carrying a deletion vector must have its deleted rows
+  // APPLIED here — the copy-on-write output replaces the dir (vector and
+  // all), so copying a deleted row through would resurrect it. The scan
+  // pushes no filters (the group contract), so the hybrid wrapper only
+  // re-routes the deleted-from files.
 
   private var built: (Seq[String], Batch) = _
 
   private def inner: Batch = synchronized {
     val dirs = kept.map(_.dir)
-    if (built == null || built._1 != dirs)
-      built = (dirs, delegate(dirs)
-        .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch)
+    if (built == null || built._1 != dirs) {
+      val ps = delegate(dirs)
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+      val dvs = GraftDvRead.dvByDir(kept, hadoopConf)
+      built = (dirs, if (dvs.isEmpty) ps.toBatch else new GraftHybridScan(ps, dvs))
+    }
     built._2
   }
 

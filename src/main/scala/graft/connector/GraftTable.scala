@@ -39,7 +39,8 @@ class GraftTable(tableName: String, log: TableLog,
                  pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = tableName
 
@@ -48,6 +49,29 @@ class GraftTable(tableName: String, log: TableLog,
   override def partitioning(): Array[Transform] = Array.empty
 
   override def properties(): util.Map[String, String] = log.properties.asJava
+
+  /** Row-lineage metadata columns (`__graft_file`, `__graft_pos`): the
+    * file and parquet row index a row came from — selectable on any read
+    * (`SELECT __graft_file, ...`), and the row id merge-on-read DELETE
+    * keys its deletion vectors on. Hidden unless referenced, like all
+    * DSv2 metadata columns.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftDvRead.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "qualified path of the parquet file this row lives in"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftDvRead.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "parquet global row index of this row within its file"
+      })
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -72,6 +96,7 @@ class GraftTable(tableName: String, log: TableLog,
     // that prunes whole dirs by manifest stats ([[GraftFileIndex]]) before
     // the parquet scan's own row-group pruning sees the survivors
     val entries = snapshotEntries
+    val hasDvs = entries.exists(_.dv.isDefined)
     val readTable = new ParquetTable(tableName, SparkSession.active,
       CaseInsensitiveStringMap.empty(), entries.map(_.dir), Some(log.schema),
       classOf[ParquetFileFormat]) {
@@ -84,9 +109,28 @@ class GraftTable(tableName: String, log: TableLog,
     // micro-batch face ([[GraftMicroBatchStream]]). A time-travel-pinned
     // handle refuses to stream: the changefeed tails the LIVE manifest, so
     // a pinned stream would silently emit versions past its pin.
+    // Merge-on-read: a query selecting the lineage columns re-reads every
+    // file through the row-index path; a snapshot carrying deletion
+    // vectors re-reads only the deleted-from files (hybrid), and refuses
+    // aggregate pushdown (footer counts include deleted rows).
     new org.apache.spark.sql.GraftDelegatingScanBuilder(inner,
-      scan => new GraftStreamableScan(scan, log, delegate,
-        streamable = pinnedVersion.isEmpty))
+      (scan, requiredFull) => {
+        val ps = scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+        val metaRequested =
+          requiredFull.exists(_.fieldNames.exists(GraftDvRead.isMetaCol))
+        val base: Scan =
+          if (metaRequested) {
+            val dvs = GraftDvRead.dvByDir(entries, log.hadoopConf)
+            new GraftDvScan(ps, requiredFull.get, dvs)
+          } else if (hasDvs) {
+            val dvs = GraftDvRead.dvByDir(entries, log.hadoopConf)
+            new GraftHybridScan(ps, dvs)
+          } else ps
+        new GraftStreamableScan(base, log, delegate,
+          streamable = pinnedVersion.isEmpty)
+      },
+      metadataColNames = GraftDvRead.MetaColNames,
+      refuseAggregates = hasDvs)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -131,9 +175,23 @@ class GraftTable(tableName: String, log: TableLog,
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty, s"cannot modify $tableName pinned at VERSION AS OF ${pinnedVersion.get}")
     // rewrite the snapshot this handle resolved at analysis time — the same
-    // one any self-referencing scan of the command reads
-    () => new GraftRowLevelOperation(log, info.command, delegate, snapshotEntries)
+    // one any self-referencing scan of the command reads. DELETE on a
+    // merge-on-read table writes deletion vectors instead of rewriting
+    // dirs; UPDATE/MERGE (and copy-on-write tables) keep the group-based
+    // rewrite, which applies any existing vectors in its scan.
+    val mor = log.properties.get(GraftTable.DeleteModeProp).contains("merge-on-read")
+    () =>
+      if (mor && info.command == RowLevelOperation.Command.DELETE)
+        new GraftMorDeleteOperation(log, delegate, snapshotEntries)
+      else new GraftRowLevelOperation(log, info.command, delegate, snapshotEntries)
   }
+}
+
+object GraftTable {
+  /** Table property selecting how DELETE materializes: `copy-on-write`
+    * (default — group rewrite) or `merge-on-read` (deletion vectors).
+    */
+  val DeleteModeProp = "graft.delete.mode"
 }
 
 /** Plain-write builder: `INSERT INTO` appends a new data dir; `INSERT
@@ -159,8 +217,12 @@ private[connector] case object Replace extends CommitMode
 /** Replace exactly the dirs the row-level scan READ (copy-on-write). The
   * set is resolved through a thunk at commit time because group pruning
   * fixes it only when the rewrite's scan is built during optimization.
+  * `dvOf` is each pinned dir's deletion vector AT SCAN TIME — the rewrite
+  * applied that vector, so a dir whose vector changed underneath (a
+  * concurrent merge-on-read delete) must conflict, not be replaced.
   */
-private[connector] final case class ReplacePinned(pinned: () => Seq[String]) extends CommitMode
+private[connector] final case class ReplacePinned(pinned: () => Seq[String],
+                                                  dvOf: String => Option[String]) extends CommitMode
 
 /** Group-based copy-on-write row-level operation behind `MERGE INTO` /
   * `UPDATE` / `DELETE`, with dir-granular group pruning.
@@ -236,7 +298,7 @@ private[connector] class GraftRowLevelOperation(log: TableLog,
 
       override def build(): Scan = {
         val kept = pinned.filter(e => DirStats.mayMatch(e.stats, groupFilters.toSeq))
-        new GraftCowScan(log.schema, delegate, kept, onKept)
+        new GraftCowScan(log.schema, delegate, kept, onKept, log.hadoopConf)
       }
     }
 
@@ -245,7 +307,9 @@ private[connector] class GraftRowLevelOperation(log: TableLog,
       override def build(): Write = {
         val staging = log.newDataDir()
         val inner = delegate(Seq(staging)).newWriteBuilder(info).build()
-        new GraftWrite(inner, log, staging, ReplacePinned(() => readDirs()),
+        new GraftWrite(inner, log, staging,
+          ReplacePinned(() => readDirs(),
+            dir => pinned.find(_.dir == dir).flatMap(_.dv)),
           projectTo = Some(info.schema()))
       }
     }
@@ -309,15 +373,23 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
       val next = mode match {
         case Append => if (stagedEmpty) current else current :+ stagingEntry
         case Replace => if (stagedEmpty) Nil else Seq(stagingEntry)
-        case ReplacePinned(pinnedFn) =>
+        case ReplacePinned(pinnedFn, dvOf) =>
           // a dir we read that is no longer listed was replaced by a
           // concurrent rewrite — our copy-on-write output is based on stale
-          // rows and must not win
+          // rows and must not win; a dir whose deletion vector changed was
+          // concurrently merge-on-read deleted from, and replacing it would
+          // silently resurrect those rows
           val pinned = pinnedFn()
           val missing = pinned.filterNot(p => current.exists(_.dir == p))
           if (missing.nonEmpty)
             throw new ConcurrentModificationException(
               s"concurrent rewrite of ${log.tableDir}: pinned dirs replaced: ${missing.mkString(", ")}")
+          val dvChanged = pinned.filter(p =>
+            current.find(_.dir == p).exists(_.dv != dvOf(p)))
+          if (dvChanged.nonEmpty)
+            throw new ConcurrentModificationException(
+              s"concurrent merge-on-read delete on ${log.tableDir}: deletion " +
+                s"vectors changed under pinned dirs: ${dvChanged.mkString(", ")}")
           val kept = current.filterNot(e => pinned.contains(e.dir))
           // a DELETE that empties its groups removes them outright, and a
           // fully-pruned no-op rewrite leaves the manifest's dir list unchanged

@@ -32,11 +32,18 @@ import scala.collection.immutable.ListMap
   * Reference durability contract this backs: the engine's per-block
   * transactional upsert (stream_blocks.py:108-115).
   */
-/** One manifest entry: an immutable data dir and the column stats recorded
+/** One manifest entry: an immutable data dir, the column stats recorded
   * when it was committed (None = pre-stats manifest line or unreadable
-  * footers; such a dir is simply never pruned).
+  * footers; such a dir is simply never pruned), and the dir's current
+  * deletion vector, if any rows have been merge-on-read deleted (an
+  * immutable [[DeletionVector]] file under `dv/`; a later DELETE commits a
+  * NEW file holding the union and swaps the reference). Stats always
+  * describe the PHYSICAL rows of the dir — deletion only hides rows, so
+  * min/max/null bounds stay conservative for pruning and `rows` is the
+  * pre-deletion count.
   */
-final case class DirEntry(dir: String, stats: Option[DirStats])
+final case class DirEntry(dir: String, stats: Option[DirStats],
+                          dv: Option[String] = None)
 
 class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
@@ -105,20 +112,25 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
   /** Data directories + their committed column stats at version `v`, in
     * manifest order. Manifest line format: `relDir` alone (no stats — the
-    * pre-stats layout, or a dir whose footers could not be read) or
-    * `relDir<TAB>statsJson`. Unparseable stats degrade to None (the dir is
-    * simply never pruned), so old manifests read unchanged.
+    * pre-stats layout, or a dir whose footers could not be read),
+    * `relDir<TAB>statsJson`, or `relDir<TAB>statsJson<TAB>relDvFile` for a
+    * dir carrying a deletion vector (the stats field is empty when the dir
+    * is statless but vectored). Unparseable stats degrade to None (the dir
+    * is simply never pruned), so old manifests read unchanged.
     */
   def entriesAt(v: Long): Seq[DirEntry] = {
     val mp = manifestPath(v)
     if (!fs.exists(mp))
       throw new IllegalArgumentException(s"no version $v of table $tableDir")
     slurp(mp).linesIterator.filter(_.nonEmpty).map { line =>
-      val (rel, stats) = line.split("\t", 2) match {
-        case Array(r, json) => (r, DirStats.decode(json))
-        case Array(r) => (r, None)
+      val (rel, stats, dv) = line.split("\t", 3) match {
+        case Array(r, json, dvRel) =>
+          (r, if (json.isEmpty) None else DirStats.decode(json),
+            Some(new Path(tableDir, dvRel).toString))
+        case Array(r, json) => (r, DirStats.decode(json), None)
+        case Array(r) => (r, None, None)
       }
-      DirEntry(new Path(tableDir, rel).toString, stats)
+      DirEntry(new Path(tableDir, rel).toString, stats, dv)
     }.toSeq
   }
 
@@ -149,6 +161,12 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   def newDataDir(): String =
     new Path(tableDir, s"data/d-${java.util.UUID.randomUUID().toString.take(12)}").toString
 
+  /** Allocate a fresh deletion-vector file name (committed into a manifest
+    * line by a merge-on-read DELETE; immutable once written, like data dirs).
+    */
+  def newDvFile(): String =
+    new Path(tableDir, s"dv/v-${java.util.UUID.randomUUID().toString.take(12)}").toString
+
   private def rel(abs: String): String = {
     val prefix = new Path(tableDir).toString + "/"
     val s = new Path(abs).toString
@@ -163,13 +181,17 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   def tryCommit(expected: Option[Long], dirs: Seq[String]): Boolean =
     tryCommitEntries(expected, dirs.map(DirEntry(_, None)))
 
-  /** As [[tryCommit]], preserving each entry's column stats in the manifest. */
+  /** As [[tryCommit]], preserving each entry's column stats and deletion
+    * vector reference in the manifest.
+    */
   def tryCommitEntries(expected: Option[Long], entries: Seq[DirEntry]): Boolean = {
     val next = expected.getOrElse(0L) + 1
     if (latestVersion.exists(_ >= next)) return false
     val body = entries.map { e =>
-      e.stats match {
-        case Some(s) => s"${rel(e.dir)}\t${DirStats.encode(s)}"
+      val statsField = e.stats.map(DirStats.encode).getOrElse("")
+      e.dv match {
+        case Some(dvPath) => s"${rel(e.dir)}\t$statsField\t${rel(dvPath)}"
+        case None if statsField.nonEmpty => s"${rel(e.dir)}\t$statsField"
         case None => rel(e.dir)
       }
     }.mkString("", "\n", "\n")
@@ -199,20 +221,34 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       .filter(_.getName.startsWith("manifest-"))
       .map(p => p.getName.stripPrefix("manifest-").toLong -> p)
     val (kept, dropped) = manifests.partition(_._1 > v - keepVersions)
+    val keptEntries = kept.map { case (mv, _) => entriesAt(mv) }
+    val droppedEntries = dropped.map { case (mv, _) => entriesAt(mv) }
     val live: Set[String] =
-      kept.flatMap { case (mv, _) => dirsAt(mv).map(p => new Path(p).getName) }.toSet
+      keptEntries.flatten.map(e => new Path(e.dir).getName).toSet
     val superseded: Set[String] =
-      dropped.flatMap { case (mv, _) => dirsAt(mv).map(p => new Path(p).getName) }
-        .toSet -- live
+      droppedEntries.flatten.map(e => new Path(e.dir).getName).toSet -- live
+    // deletion-vector files follow the same liveness rules as data dirs:
+    // referenced by a kept manifest = live, referenced only by dropped
+    // manifests = superseded history, referenced by nothing = in-flight or
+    // crashed (retention window applies)
+    val liveDv: Set[String] =
+      keptEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName).toSet
+    val supersededDv: Set[String] =
+      droppedEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName)
+        .toSet -- liveDv
     dropped.foreach { case (_, p) => fs.delete(p, false) }
     val now = System.currentTimeMillis()
-    val dataRoot = new Path(tableDir, "data")
-    if (fs.exists(dataRoot))
-      fs.listStatus(dataRoot).toSeq
-        .filterNot(st => live.contains(st.getPath.getName))
-        .filter(st => superseded.contains(st.getPath.getName) ||
-          now - st.getModificationTime > orphanRetentionMs)
-        .foreach(st => fs.delete(st.getPath, true))
+    def reclaim(subdir: String, keep: Set[String], dead: Set[String]): Unit = {
+      val root = new Path(tableDir, subdir)
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq
+          .filterNot(st => keep.contains(st.getPath.getName))
+          .filter(st => dead.contains(st.getPath.getName) ||
+            now - st.getModificationTime > orphanRetentionMs)
+          .foreach(st => fs.delete(st.getPath, true))
+    }
+    reclaim("data", live, superseded)
+    reclaim("dv", liveDv, supersededDv)
     fs.listStatus(root).toSeq
       .filter(st => st.getPath.getName.startsWith(".tmp-") &&
         now - st.getModificationTime > orphanRetentionMs)

@@ -11,31 +11,54 @@ import org.apache.spark.sql.types.StructType
 /** Forwards the delegated [[ParquetScanBuilder]]'s full pushdown surface
   * (catalyst filters, column pruning, aggregate pushdown, variant
   * extraction) and wraps only the BUILT scan — the seam the lakehouse
-  * connector uses to attach a streaming face to the native parquet scan.
-  * Lives in the sql package because `SupportsPushDownCatalystFilters` is
-  * `private[sql]`, the same reason [[GraftSqlBridge]] exists. The one
-  * surface not forwarded is nested-schema pruning's FileScanBuilder type
-  * check (a struct-column read prunes to the top-level column instead of
-  * the nested field — a planning nicety, not a correctness concern).
+  * connector uses to attach a streaming face and merge-on-read handling to
+  * the native parquet scan. Lives in the sql package because
+  * `SupportsPushDownCatalystFilters` is `private[sql]`, the same reason
+  * [[GraftSqlBridge]] exists. The one surface not forwarded is
+  * nested-schema pruning's FileScanBuilder type check (a struct-column read
+  * prunes to the top-level column instead of the nested field — a planning
+  * nicety, not a correctness concern).
+  *
+  * Two merge-on-read hooks:
+  *  - `metadataColNames` (the connector's lineage columns) are stripped
+  *    from the pruned schema before the parquet builder sees them — the
+  *    files don't contain them; the wrap receives the FULL required schema
+  *    (metadata columns included) and serves them from the scan wrapper.
+  *  - `refuseAggregates`: a snapshot carrying deletion vectors must not
+  *    answer aggregates from parquet footers (deleted rows would count),
+  *    so the pushdown is declined and Spark aggregates scan output.
   */
-class GraftDelegatingScanBuilder(inner: ParquetScanBuilder, wrap: Scan => Scan)
+class GraftDelegatingScanBuilder(inner: ParquetScanBuilder,
+                                 wrap: (Scan, Option[StructType]) => Scan,
+                                 metadataColNames: Seq[String] = Nil,
+                                 refuseAggregates: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownVariantExtractions {
 
+  /** The last required schema Spark pruned to, INCLUDING any requested
+    * metadata columns (None = pruning never ran: full data schema).
+    */
+  private var requiredFull: Option[StructType] = None
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     inner.pushFilters(filters)
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(requiredSchema)
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requiredFull = Some(requiredSchema)
+    val stripped =
+      if (metadataColNames.isEmpty) requiredSchema
+      else StructType(requiredSchema.fields.filterNot(f => metadataColNames.contains(f.name)))
+    inner.pruneColumns(stripped)
+  }
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    inner.pushAggregation(aggregation)
+    !refuseAggregates && inner.pushAggregation(aggregation)
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    inner.supportCompletePushDown(aggregation)
+    !refuseAggregates && inner.supportCompletePushDown(aggregation)
   override def pushVariantExtractions(extractions: Array[VariantExtraction]): Array[Boolean] =
     inner.pushVariantExtractions(extractions)
 
-  override def build(): Scan = wrap(inner.build())
+  override def build(): Scan = wrap(inner.build(), requiredFull)
 }

@@ -1,0 +1,203 @@
+package graft.connector
+
+import org.apache.spark.sql.Row
+
+/** Merge-on-read DELETE (deletion vectors) end to end: SQL DELETE on a
+  * `graft.delete.mode=merge-on-read` table writes a [[DeletionVector]]
+  * instead of rewriting dirs, reads subtract it, time travel sees through
+  * it, unions accumulate, the fully-deleted dir collapses, and the
+  * copy-on-write / compaction / changefeed / vacuum surfaces all honor it.
+  */
+class MorDeleteSpec extends LakeSpec {
+  protected def catalogName = "morlake"
+
+  private def mkTable(name: String): Unit = {
+    sql(s"CREATE TABLE morlake.db.$name (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+  }
+
+  test("DELETE writes a deletion vector instead of rewriting dirs") {
+    sql("CREATE NAMESPACE IF NOT EXISTS morlake.db")
+    mkTable("t")
+    sql("INSERT INTO morlake.db.t SELECT id, concat('v', id) FROM range(0, 100)")
+    sql("INSERT INTO morlake.db.t SELECT id, concat('v', id) FROM range(100, 200)")
+    val dirsBefore = log("db/t").currentDirs()
+    assert(dirsBefore.size === 2)
+
+    sql("DELETE FROM morlake.db.t WHERE k % 10 = 3")
+
+    // same data dirs, new version, vectors attached
+    val entries = log("db/t").currentEntries()
+    assert(entries.map(_.dir).toSet === dirsBefore.toSet)
+    assert(entries.forall(_.dv.isDefined))
+    assert(rows("SELECT count(*) c FROM morlake.db.t") === Seq(Row(180L)))
+    assert(rows("SELECT count(*) c FROM morlake.db.t WHERE k % 10 = 3") === Seq(Row(0L)))
+    // filters behave on the surviving rows
+    assert(rows("SELECT v FROM morlake.db.t WHERE k = 42") === Seq(Row("v42")))
+    // time travel reads the pre-delete snapshot
+    assert(rows("SELECT count(*) c FROM morlake.db.t VERSION AS OF 2") === Seq(Row(200L)))
+  }
+
+  test("second DELETE unions with the existing vector") {
+    mkTable("u")
+    sql("INSERT INTO morlake.db.u SELECT id, concat('v', id) FROM range(0, 100)")
+    sql("DELETE FROM morlake.db.u WHERE k < 10")
+    sql("DELETE FROM morlake.db.u WHERE k >= 90")
+    assert(rows("SELECT count(*) c, min(k) mn, max(k) mx FROM morlake.db.u") ===
+      Seq(Row(80L, 10L, 89L)))
+    // one dir, one (fresh) vector holding the union
+    val entries = log("db/u").currentEntries()
+    assert(entries.size === 1 && entries.head.dv.isDefined)
+    val dv = DeletionVector.read(entries.head.dv.get,
+      spark.sparkContext.hadoopConfiguration)
+    assert(dv.cardinality === 20L)
+  }
+
+  test("a fully-deleted dir collapses out of the manifest") {
+    mkTable("f")
+    sql("INSERT INTO morlake.db.f SELECT id, 'a' FROM range(0, 50)")
+    sql("INSERT INTO morlake.db.f SELECT id, 'b' FROM range(50, 100)")
+    sql("DELETE FROM morlake.db.f WHERE k < 50")
+    val entries = log("db/f").currentEntries()
+    assert(entries.size === 1, "the all-deleted dir should be dropped")
+    assert(entries.head.dv.isEmpty, "the surviving dir was not touched")
+    assert(rows("SELECT count(*) c, min(k) mn FROM morlake.db.f") === Seq(Row(50L, 50L)))
+  }
+
+  test("lineage metadata columns are selectable and deletes key on them") {
+    mkTable("l")
+    sql("INSERT INTO morlake.db.l SELECT id, 'x' FROM range(0, 10)")
+    val lineage = rows(
+      "SELECT __graft_file f, __graft_pos p, k FROM morlake.db.l ORDER BY f, p")
+    assert(lineage.size === 10)
+    assert(lineage.forall(_.getString(0).endsWith(".parquet")))
+    // positions are per FILE: within each file they run 0..count-1
+    lineage.groupBy(_.getString(0)).values.foreach { inFile =>
+      assert(inFile.map(_.getLong(1)).sorted === (0L until inFile.size.toLong))
+    }
+    val deletedId = lineage.find(_.getLong(2) == 7L).get
+    sql("DELETE FROM morlake.db.l WHERE k = 7")
+    val after = rows("SELECT __graft_file f, __graft_pos p FROM morlake.db.l")
+    assert(after.size === 9)
+    // exactly the (file, pos) pair of k=7 disappeared; all others unchanged
+    assert(!after.exists(r => r.getString(0) == deletedId.getString(0) &&
+      r.getLong(1) == deletedId.getLong(1)))
+    val beforePairs = lineage.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after.map(r => (r.getString(0), r.getLong(1))).toSet ===
+      beforePairs - ((deletedId.getString(0), deletedId.getLong(1))))
+  }
+
+  test("copy-on-write UPDATE after a mor DELETE does not resurrect deleted rows") {
+    mkTable("cw")
+    sql("INSERT INTO morlake.db.cw SELECT id, 'old' FROM range(0, 100)")
+    sql("DELETE FROM morlake.db.cw WHERE k < 20")
+    // UPDATE stays copy-on-write even in merge-on-read delete mode; its
+    // rewrite scan must apply the vector, and the rewritten dir is clean
+    sql("UPDATE morlake.db.cw SET v = 'new' WHERE k >= 50")
+    assert(rows("SELECT count(*) c, min(k) mn FROM morlake.db.cw") === Seq(Row(80L, 20L)))
+    assert(rows("SELECT count(*) c FROM morlake.db.cw WHERE v = 'new'") === Seq(Row(50L)))
+    val entries = log("db/cw").currentEntries()
+    assert(entries.forall(_.dv.isEmpty), "rewrite output must be vector-free")
+  }
+
+  test("filters and grouping behave identically to an eager delete") {
+    mkTable("q")
+    sql("INSERT INTO morlake.db.q SELECT id, concat('g', id % 7) FROM range(0, 1000)")
+    sql("DELETE FROM morlake.db.q WHERE k % 3 = 0")
+    val expect = (0L until 1000L).filterNot(_ % 3 == 0)
+    assert(rows("SELECT count(*) c FROM morlake.db.q") === Seq(Row(expect.size.toLong)))
+    assert(rows("SELECT sum(k) s FROM morlake.db.q") === Seq(Row(expect.sum)))
+    val grouped = rows(
+      "SELECT v, count(*) c FROM morlake.db.q GROUP BY v ORDER BY v")
+    val expectGroups = expect.groupBy(k => s"g${k % 7}").view.mapValues(_.size.toLong)
+    assert(grouped.map(r => r.getString(0) -> r.getLong(1)).toMap === expectGroups.toMap)
+    // point lookup through pushed filters on a vectored file
+    assert(rows("SELECT v FROM morlake.db.q WHERE k = 500") === Seq(Row("g3")))
+    assert(rows("SELECT v FROM morlake.db.q WHERE k = 501") === Seq.empty)
+  }
+
+  test("compaction applies and purges vectors") {
+    mkTable("cp")
+    sql("INSERT INTO morlake.db.cp SELECT id, 'a' FROM range(0, 500)")
+    sql("INSERT INTO morlake.db.cp SELECT id, 'b' FROM range(500, 1000)")
+    sql("DELETE FROM morlake.db.cp WHERE k % 5 = 1")
+    val l = log("db/cp")
+    assert(l.currentEntries().forall(_.dv.isDefined))
+    assert(Compaction.compact(spark, l, clusterBy = Seq("k")))
+    val after = l.currentEntries()
+    assert(after.forall(_.dv.isEmpty), "compaction must purge vectors")
+    assert(rows("SELECT count(*) c FROM morlake.db.cp") === Seq(Row(800L)))
+    assert(rows("SELECT count(*) c FROM morlake.db.cp WHERE k % 5 = 1") === Seq(Row(0L)))
+    // and the surviving rows are exactly the live set
+    assert(rows("SELECT sum(k) s FROM morlake.db.cp") ===
+      Seq(Row((0L until 1000L).filterNot(_ % 5 == 1).sum)))
+  }
+
+  test("a lone vectored dir compacts even when large enough to keep") {
+    mkTable("cl")
+    sql("INSERT INTO morlake.db.cl SELECT id, 'x' FROM range(0, 100)")
+    sql("DELETE FROM morlake.db.cl WHERE k < 50")
+    val l = log("db/cl")
+    // smallBytes=0: nothing qualifies as small, but the vectored dir is
+    // 50% deleted >= purge fraction, so it rewrites alone
+    assert(Compaction.compact(spark, l, smallBytes = 0L))
+    assert(l.currentEntries().forall(_.dv.isEmpty))
+    assert(rows("SELECT count(*) c, min(k) mn FROM morlake.db.cl") === Seq(Row(50L, 50L)))
+  }
+
+  test("changefeed refuses a merge-on-read delete in its range") {
+    mkTable("cf")
+    sql("INSERT INTO morlake.db.cf SELECT id, 'x' FROM range(0, 10)")
+    sql("DELETE FROM morlake.db.cf WHERE k = 3")
+    val stream = new GraftMicroBatchStream(log("db/cf"), null, null)
+    val ex = intercept[UnsupportedOperationException](
+      stream.planInputPartitions(GraftVersionOffset(1L), GraftVersionOffset(2L)))
+    assert(ex.getMessage.contains("merge-on-read DELETE"))
+  }
+
+  test("vacuum keeps live vectors, reclaims superseded ones") {
+    mkTable("vc")
+    sql("INSERT INTO morlake.db.vc SELECT id, 'x' FROM range(0, 100)")
+    sql("DELETE FROM morlake.db.vc WHERE k < 10")   // dv A
+    sql("DELETE FROM morlake.db.vc WHERE k < 20")   // dv B (A superseded)
+    val l = log("db/vc")
+    val liveDv = l.currentEntries().flatMap(_.dv)
+    assert(liveDv.size === 1)
+    l.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(l.tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvFiles = fs.listStatus(new org.apache.hadoop.fs.Path(l.tableDir, "dv"))
+      .map(_.getPath.getName).toSet
+    assert(dvFiles === liveDv.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet,
+      "only the live vector survives vacuum")
+    // reads still correct after vacuum
+    assert(rows("SELECT count(*) c, min(k) mn FROM morlake.db.vc") === Seq(Row(80L, 20L)))
+  }
+
+  test("aggregate pushdown is refused on vectored snapshots") {
+    mkTable("ag")
+    sql("INSERT INTO morlake.db.ag SELECT id, 'x' FROM range(0, 100)")
+    sql("DELETE FROM morlake.db.ag WHERE k < 40")
+    // with spark.sql.parquet.aggregatePushdown on, a footer-served count
+    // would report 100; the vectored scan must refuse and count rows
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try assert(rows("SELECT count(*) c FROM morlake.db.ag") === Seq(Row(60L)))
+    finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
+  test("concurrent mor deletes on the same dir conflict; stale vector loses") {
+    mkTable("cc")
+    sql("INSERT INTO morlake.db.cc SELECT id, 'x' FROM range(0, 100)")
+    val l = log("db/cc")
+    val pinned = l.currentEntries()
+    sql("DELETE FROM morlake.db.cc WHERE k = 1")   // vector changes under the pin
+    val stale = new GraftDvBatchWrite(l, pinned)
+    val fs = new org.apache.hadoop.fs.Path(pinned.head.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(pinned.head.dir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val ex = intercept[java.util.ConcurrentModificationException](
+      stale.commit(Array(DvDeltaMessage(Map(file.toString -> Array(0L))))))
+    assert(ex.getMessage.contains("deletion vector changed"))
+  }
+}
