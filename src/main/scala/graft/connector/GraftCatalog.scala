@@ -122,9 +122,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(fullName(ident), l)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-lake tables are schema-frozen at CREATE (no ALTER TABLE)")
+  /** Schema evolution, the additive subset that is always safe on
+    * immutable parquet dirs: `ADD COLUMNS` (nullable, appended — existing
+    * dirs read the new column as NULL, the standard parquet
+    * missing-column semantics) and `SET/UNSET TBLPROPERTIES`. The new
+    * schema/properties commit as a manifest meta header through the same
+    * CAS as data commits, so an ALTER serializes with concurrent writes
+    * and time travel reads every snapshot under its own schema. Drops,
+    * renames, and type changes are refused — each would reinterpret
+    * already-written bytes.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val l = log(ident)
+    if (!l.exists) throw new NoSuchTableException(catalogName +: ident.namespace.toSeq :+ ident.name)
+    var done = false
+    var attempts = 0
+    while (!done) {
+      attempts += 1
+      if (attempts > 100)
+        throw new java.io.IOException(s"ALTER of ${fullName(ident)} failed after $attempts attempts")
+      val expected = l.latestVersion
+      val (sch0, props0) = expected.map(l.metaAt).getOrElse(l.baseMetaPublic)
+      var sch = sch0
+      var props = props0
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1,
+            s"cannot add nested column ${a.fieldNames.mkString(".")}: top-level adds only")
+          val name = a.fieldNames.head
+          require(a.isNullable,
+            s"added column $name must be nullable: rows in existing dirs read it as NULL")
+          require(a.position == null,
+            s"added column $name must append at the end (FIRST/AFTER would shift ordinals)")
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"column $name already exists in ${fullName(ident)}")
+          val field = org.apache.spark.sql.types.StructField(name, a.dataType, nullable = true)
+          sch = org.apache.spark.sql.types.StructType(
+            sch.fields :+ Option(a.comment).map(field.withComment).getOrElse(field))
+        case p: TableChange.SetProperty => props = props + (p.property -> p.value)
+        case p: TableChange.RemoveProperty => props = props - p.property
+        case other => throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported on graft-lake tables: $other " +
+            "(only ADD COLUMNS of nullable appended columns and SET/UNSET TBLPROPERTIES)")
+      }
+      val entries = expected.map(l.entriesAt).getOrElse(Nil)
+      done = l.tryCommitEntriesMeta(expected, entries, Some((sch, props)))
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val l = log(ident)

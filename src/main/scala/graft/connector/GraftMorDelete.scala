@@ -12,17 +12,20 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Merge-on-read `DELETE` for the mini-lakehouse (enabled per table with
-  * `TBLPROPERTIES ('graft.delete.mode'='merge-on-read')`): instead of the
-  * copy-on-write dir rewrite, the command's matched rows are identified by
-  * the lineage columns (`__graft_file`, `__graft_pos` — this operation's
-  * [[SupportsDelta.rowId]]), executors collect the matched positions, and
-  * the commit writes a few-KB [[DeletionVector]] file per touched dir and
-  * swaps the manifest reference — Delta's deletion vectors / Iceberg's
-  * position deletes, on Spark's public delta-based row-level API
-  * (`SupportsDelta` → `WriteDelta`). A DELETE of ten rows in a multi-GB
-  * dir reads one row group (pushed filters stay pushed on the mor scan)
-  * and writes kilobytes.
+/** Merge-on-read row-level operations for the mini-lakehouse (enabled per
+  * command with `TBLPROPERTIES ('graft.<delete|update|merge>.mode' =
+  * 'merge-on-read')`): instead of the copy-on-write dir rewrite, matched
+  * rows are identified by the lineage columns (`__graft_file`,
+  * `__graft_pos` — this operation's [[SupportsDelta.rowId]]), executors
+  * collect the matched positions (plus, for UPDATE/MERGE, the replacement
+  * rows into one staged dir), and the commit writes a few-KB
+  * [[DeletionVector]] file per touched dir, appends the staged dir, and
+  * swaps the manifest — Delta's deletion vectors / Iceberg's position
+  * deltas, on Spark's public delta-based row-level API (`SupportsDelta` →
+  * `WriteDelta`). UPDATEs are represented as delete + reinsert pairs
+  * ([[SupportsDelta.representUpdateAsDeleteAndInsert]]), so one writer
+  * shape serves all three commands; a DELETE's staged dir stays empty and
+  * is never committed.
   *
   * Snapshot + concurrency contract (same optimistic rules as the
   * copy-on-write path): the scan pins the table handle's snapshot; at
@@ -34,12 +37,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * row count is dropped from the manifest outright (the fully-deleted-dir
   * collapse; stats-less dirs can't prove it and just keep their vector).
   */
-private[connector] class GraftMorDeleteOperation(log: TableLog,
-                                                 delegate: Seq[String] => ParquetTable,
-                                                 pinned: Seq[DirEntry])
+private[connector] class GraftMorOperation(log: TableLog,
+                                           delegate: Seq[String] => ParquetTable,
+                                           pinned: Seq[DirEntry],
+                                           cmd: RowLevelOperation.Command)
     extends RowLevelOperation with SupportsDelta {
 
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(GraftDvRead.FileCol), Expressions.column(GraftDvRead.PosCol))
@@ -57,7 +63,7 @@ private[connector] class GraftMorDeleteOperation(log: TableLog,
       (scan, requiredFull) => {
         val ps = scan.asInstanceOf[ParquetScan]
         val required = requiredFull.getOrElse(throw new IllegalStateException(
-          "merge-on-read delete scan was built without column pruning; " +
+          "merge-on-read scan was built without column pruning; " +
             "cannot locate the row-id columns"))
         new GraftDvScan(ps, required, dvs)
       },
@@ -68,36 +74,63 @@ private[connector] class GraftMorDeleteOperation(log: TableLog,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
-        override def description(): String = s"graft-lake mor delete -> ${log.tableDir}"
-        override def toBatch: DeltaBatchWrite = new GraftDvBatchWrite(log, pinned)
+        // the staged dir for reinserted/inserted rows; a pure DELETE has an
+        // EMPTY write schema (no data rows flow), which the parquet write
+        // builder rejects — so the insert side only exists when rows can
+        private val staging =
+          if (info.schema().isEmpty) None else Some(log.newDataDir())
+        private val inner =
+          staging.map(s => delegate(Seq(s)).newWriteBuilder(info).build())
+        override def description(): String = s"graft-lake mor $cmd -> ${log.tableDir}"
+        override def toBatch: DeltaBatchWrite =
+          new GraftDvBatchWrite(log, pinned, inner.map(_.toBatch), staging)
       }
     }
 }
 
-/** Positions deleted by one task, keyed by qualified file path. */
-private[connector] final case class DvDeltaMessage(deletes: Map[String, Array[Long]])
+/** Per-task outcome of a merge-on-read write: deleted positions keyed by
+  * qualified file path, plus the wrapped parquet writer's own commit
+  * message for any inserted rows.
+  */
+private[connector] final case class DvDeltaMessage(deletes: Map[String, Array[Long]],
+                                                   inserts: WriterCommitMessage)
     extends WriterCommitMessage
 
-private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry])
+private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
+                                           innerInserts: Option[BatchWrite],
+                                           staging: Option[String])
     extends DeltaBatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val innerFactory = innerInserts.map(_.createBatchWriterFactory(info))
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-        new DvDeltaWriter
+        new DvDeltaWriter(innerFactory.map(_.createWriter(partitionId, taskId)))
     }
+  }
+
+  override def useCommitCoordinator(): Boolean =
+    innerInserts.forall(_.useCommitCoordinator())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dvMessages = messages.map {
+      case m: DvDeltaMessage => m
+      case other => throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+    // finalize any reinserted rows in the staged dir first — files only
+    // become visible through the manifest commit below
+    innerInserts.foreach(_.commit(dvMessages.map(_.inserts)))
+    val stagingEntry = staging.map(s =>
+      DirEntry(s, DirStats.collect(s, log.hadoopConf)))
+    val stagedRows = stagingEntry.exists(e => !e.stats.exists(_.rows == 0))
+
     // merge task outputs: per file, each task's positions are sorted
     // (split-local row order) and tasks cover disjoint splits
     val byFile = scala.collection.mutable.HashMap[String, Array[Long]]()
-    messages.foreach {
-      case DvDeltaMessage(deletes) => deletes.foreach { case (f, pos) =>
-        byFile(f) = byFile.get(f).map(DeletionVector.mergeSorted(_, pos)).getOrElse(pos)
-      }
-      case other => throw new IllegalStateException(s"unexpected commit message: $other")
-    }
-    if (byFile.isEmpty) return   // DELETE matched nothing: no new version
+    dvMessages.foreach(_.deletes.foreach { case (f, pos) =>
+      byFile(f) = byFile.get(f).map(DeletionVector.mergeSorted(_, pos)).getOrElse(pos)
+    })
+    if (byFile.isEmpty && !stagedRows) return   // matched nothing: no new version
 
     val fs = new Path(log.tableDir).getFileSystem(log.hadoopConf)
     def qualify(dir: String): String = fs.makeQualified(new Path(dir)).toString
@@ -116,7 +149,7 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry])
       }
     val replacements: Map[String, Option[DirEntry]] = newByDir.map { case (qdir, fresh) =>
       val entry = pinnedByQualified.getOrElse(qdir, throw new IllegalStateException(
-        s"mor delete scanned $qdir which is not in the pinned snapshot of ${log.tableDir}"))
+        s"mor write scanned $qdir which is not in the pinned snapshot of ${log.tableDir}"))
       val merged = entry.dv
         .map(p => DeletionVector.read(p, log.hadoopConf).union(fresh))
         .getOrElse(fresh)
@@ -137,11 +170,11 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry])
       attempts += 1
       if (attempts > 100)
         throw new java.io.IOException(
-          s"mor delete commit to ${log.tableDir} failed after $attempts attempts — " +
+          s"mor commit to ${log.tableDir} failed after $attempts attempts — " +
             "manifest rename keeps failing (filesystem problem, not contention)")
       val expected = log.latestVersion
       val current = expected.map(log.entriesAt).getOrElse(Nil)
-      val next = current.flatMap { e =>
+      val kept = current.flatMap { e =>
         replacements.get(e.dir) match {
           case Some(repl) =>
             // our union was built against the pinned vector: anyone who
@@ -160,19 +193,30 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry])
         throw new ConcurrentModificationException(
           s"concurrent rewrite of ${log.tableDir}: deleted-from dirs replaced: " +
             missing.mkString(", "))
+      val next = if (stagedRows) kept :+ stagingEntry.get else kept
       done = log.tryCommitEntries(expected, next)
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    innerInserts.foreach(_.abort(messages.collect { case m: DvDeltaMessage => m.inserts }))
+    staging.foreach { s =>
+      try {
+        val p = new Path(s)
+        p.getFileSystem(log.hadoopConf).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
 }
 
-/** Executor-side delta writer: DELETE-only (this operation never rewrites
-  * rows, so update/insert arriving here is a planner contract violation and
-  * fails loudly). Collects (file, position) pairs; positions arrive in
-  * increasing order per file within a task.
+/** Executor-side delta writer: DELETE rows contribute (file, position)
+  * pairs; INSERT/reinsert rows flow into the wrapped parquet writer for
+  * the staged dir. A true in-place UPDATE never arrives
+  * (representUpdateAsDeleteAndInsert splits it) and fails loudly.
+  * Positions arrive in increasing order per file within a task.
   */
-private[connector] class DvDeltaWriter extends DeltaWriter[InternalRow] {
+private[connector] class DvDeltaWriter(inserts: Option[DataWriter[InternalRow]])
+    extends DeltaWriter[InternalRow] {
 
   private val acc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
 
@@ -183,14 +227,19 @@ private[connector] class DvDeltaWriter extends DeltaWriter[InternalRow] {
   }
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new IllegalStateException("mor delete writer received an UPDATE row")
+    throw new IllegalStateException(
+      "mor writer received an in-place UPDATE row; updates are represented as delete+insert")
 
   override def insert(row: InternalRow): Unit =
-    throw new IllegalStateException("mor delete writer received an INSERT row")
+    inserts.getOrElse(throw new IllegalStateException(
+      "mor writer received an INSERT row on a deletes-only (empty-schema) write")).write(row)
+
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
 
   override def commit(): WriterCommitMessage =
-    DvDeltaMessage(acc.map { case (f, b) => f -> b.result() }.toMap)
+    DvDeltaMessage(acc.map { case (f, b) => f -> b.result() }.toMap,
+      inserts.map(_.commit()).orNull)
 
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = inserts.foreach(_.abort())
+  override def close(): Unit = inserts.foreach(_.close())
 }

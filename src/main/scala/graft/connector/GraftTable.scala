@@ -44,11 +44,18 @@ class GraftTable(tableName: String, log: TableLog,
 
   override def name(): String = tableName
 
-  override def schema(): StructType = log.schema
+  /** Schema/properties of THIS handle's version: a time-travel pin reads
+    * the snapshot under the meta it was committed with (schema evolution
+    * is versioned through the manifest meta header).
+    */
+  private val (tableSchema, tableProps): (StructType, Map[String, String]) =
+    pinnedVersion.map(log.metaAt).getOrElse((log.schema, log.properties))
+
+  override def schema(): StructType = tableSchema
 
   override def partitioning(): Array[Transform] = Array.empty
 
-  override def properties(): util.Map[String, String] = log.properties.asJava
+  override def properties(): util.Map[String, String] = tableProps.asJava
 
   /** Row-lineage metadata columns (`__graft_file`, `__graft_pos`): the
     * file and parquet row index a row came from — selectable on any read
@@ -98,10 +105,10 @@ class GraftTable(tableName: String, log: TableLog,
     val entries = snapshotEntries
     val hasDvs = entries.exists(_.dv.isDefined)
     val readTable = new ParquetTable(tableName, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), entries.map(_.dir), Some(log.schema),
+      CaseInsensitiveStringMap.empty(), entries.map(_.dir), Some(tableSchema),
       classOf[ParquetFileFormat]) {
       override lazy val fileIndex: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =
-        new GraftFileIndex(sparkSession, entries, log.schema)
+        new GraftFileIndex(sparkSession, entries, tableSchema)
     }
     val inner = readTable.newScanBuilder(options)
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
@@ -175,23 +182,31 @@ class GraftTable(tableName: String, log: TableLog,
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty, s"cannot modify $tableName pinned at VERSION AS OF ${pinnedVersion.get}")
     // rewrite the snapshot this handle resolved at analysis time — the same
-    // one any self-referencing scan of the command reads. DELETE on a
-    // merge-on-read table writes deletion vectors instead of rewriting
-    // dirs; UPDATE/MERGE (and copy-on-write tables) keep the group-based
-    // rewrite, which applies any existing vectors in its scan.
-    val mor = log.properties.get(GraftTable.DeleteModeProp).contains("merge-on-read")
+    // one any self-referencing scan of the command reads. A command whose
+    // per-command mode property is merge-on-read writes deletion vectors
+    // (+ a staged insert dir) instead of rewriting dirs; everything else
+    // keeps the group-based copy-on-write rewrite, which applies any
+    // existing vectors in its scan.
+    val modeProp = info.command match {
+      case RowLevelOperation.Command.DELETE => GraftTable.DeleteModeProp
+      case RowLevelOperation.Command.UPDATE => GraftTable.UpdateModeProp
+      case RowLevelOperation.Command.MERGE => GraftTable.MergeModeProp
+    }
+    val mor = tableProps.get(modeProp).contains("merge-on-read")
     () =>
-      if (mor && info.command == RowLevelOperation.Command.DELETE)
-        new GraftMorDeleteOperation(log, delegate, snapshotEntries)
+      if (mor) new GraftMorOperation(log, delegate, snapshotEntries, info.command)
       else new GraftRowLevelOperation(log, info.command, delegate, snapshotEntries)
   }
 }
 
 object GraftTable {
-  /** Table property selecting how DELETE materializes: `copy-on-write`
-    * (default — group rewrite) or `merge-on-read` (deletion vectors).
+  /** Per-command table properties selecting how a row-level command
+    * materializes: `copy-on-write` (default — group rewrite) or
+    * `merge-on-read` (deletion vectors + staged inserts).
     */
   val DeleteModeProp = "graft.delete.mode"
+  val UpdateModeProp = "graft.update.mode"
+  val MergeModeProp = "graft.merge.mode"
 }
 
 /** Plain-write builder: `INSERT INTO` appends a new data dir; `INSERT

@@ -87,11 +87,29 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       throw new IllegalStateException(s"table already exists: $tableDir")
   }
 
-  // schema and properties are frozen at CREATE, so one read per TableLog
-  // instance suffices (a query plans several scans/writes, each of which
-  // would otherwise re-slurp the same small file from the filesystem)
-  @transient private lazy val metaCache: (StructType, Map[String, String]) =
+  /** CREATE-time schema and properties (`table.json`) — the fallback for
+    * every version whose manifest carries no meta header (pre-ALTER
+    * history, or a table never altered).
+    */
+  @transient private lazy val baseMeta: (StructType, Map[String, String]) =
     TableLog.decodeMeta(slurp(schemaPath))
+
+  /** Schema + properties in effect at version `v`: the manifest's own meta
+    * header when present (written by ALTER TABLE and carried forward by
+    * every later commit), else the CREATE-time `table.json`. Versioned so
+    * time travel reads each snapshot under the schema it was written with.
+    */
+  def metaAt(v: Long): (StructType, Map[String, String]) =
+    TableLog.parseMetaHeader(slurp(manifestPath(v))).getOrElse(baseMeta)
+
+  /** CREATE-time meta, for callers resolving the empty-table case. */
+  private[connector] def baseMetaPublic: (StructType, Map[String, String]) = baseMeta
+
+  // current meta is resolved once per TableLog instance (a query plans
+  // several scans/writes, each of which would otherwise re-slurp the same
+  // small files) — the same analysis-time pinning scans get
+  @transient private lazy val metaCache: (StructType, Map[String, String]) =
+    latestVersion.map(metaAt).getOrElse(baseMeta)
   def schema: StructType = metaCache._1
   def properties: Map[String, String] = metaCache._2
 
@@ -122,7 +140,7 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val mp = manifestPath(v)
     if (!fs.exists(mp))
       throw new IllegalArgumentException(s"no version $v of table $tableDir")
-    slurp(mp).linesIterator.filter(_.nonEmpty).map { line =>
+    slurp(mp).linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val (rel, stats, dv) = line.split("\t", 3) match {
         case Array(r, json, dvRel) =>
           (r, if (json.isEmpty) None else DirStats.decode(json),
@@ -182,19 +200,32 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     tryCommitEntries(expected, dirs.map(DirEntry(_, None)))
 
   /** As [[tryCommit]], preserving each entry's column stats and deletion
-    * vector reference in the manifest.
+    * vector reference in the manifest. The previous version's meta header
+    * (post-ALTER schema/properties) is carried forward verbatim, so
+    * `metaAt` never has to walk history.
     */
-  def tryCommitEntries(expected: Option[Long], entries: Seq[DirEntry]): Boolean = {
+  def tryCommitEntries(expected: Option[Long], entries: Seq[DirEntry]): Boolean =
+    tryCommitEntriesMeta(expected, entries, newMeta = None)
+
+  /** As [[tryCommitEntries]]; `newMeta` replaces the meta header (ALTER
+    * TABLE's commit — same CAS, so schema changes serialize with writes).
+    */
+  def tryCommitEntriesMeta(expected: Option[Long], entries: Seq[DirEntry],
+                           newMeta: Option[(StructType, Map[String, String])]): Boolean = {
     val next = expected.getOrElse(0L) + 1
     if (latestVersion.exists(_ >= next)) return false
-    val body = entries.map { e =>
+    val header: Option[String] = newMeta.map(TableLog.encodeMetaHeader)
+      .orElse(expected.flatMap(v =>
+        slurp(manifestPath(v)).linesIterator.nextOption()
+          .filter(_.startsWith(TableLog.MetaHeaderPrefix))))
+    val body = (header.toSeq ++ entries.map { e =>
       val statsField = e.stats.map(DirStats.encode).getOrElse("")
       e.dv match {
         case Some(dvPath) => s"${rel(e.dir)}\t$statsField\t${rel(dvPath)}"
         case None if statsField.nonEmpty => s"${rel(e.dir)}\t$statsField"
         case None => rel(e.dir)
       }
-    }.mkString("", "\n", "\n")
+    }).mkString("", "\n", "\n")
     writeAtomic(manifestPath(next), body)
   }
 
@@ -257,6 +288,38 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 }
 
 object TableLog {
+
+  /** Manifest meta-header line: `#meta<TAB>{"schema":"<json>","properties":{...}}`.
+    * Written by ALTER TABLE, carried forward by every later commit;
+    * `#`-prefixed lines are invisible to entry parsing, so pre-evolution
+    * manifests (and pre-evolution readers of header-less manifests) are
+    * unaffected.
+    */
+  private[connector] val MetaHeaderPrefix = "#meta\t"
+
+  private[connector] def encodeMetaHeader(meta: (StructType, Map[String, String])): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("schema", meta._1.json)
+    val props = node.putObject("properties")
+    meta._2.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    MetaHeaderPrefix + om.writeValueAsString(node)
+  }
+
+  private[connector] def parseMetaHeader(manifestContent: String): Option[(StructType, Map[String, String])] =
+    manifestContent.linesIterator.nextOption()
+      .filter(_.startsWith(MetaHeaderPrefix))
+      .map { line =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(line.stripPrefix(MetaHeaderPrefix))
+        val schema = DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType]
+        val props = scala.collection.immutable.ListMap.newBuilder[String, String]
+        node.get("properties").properties().forEach { e =>
+          props += e.getKey -> e.getValue.asText()
+        }
+        (schema, props.result())
+      }
+
   /** `table.json` layout: first line the schema JSON, then one
     * `key<TAB>value` property per line. Kept line-oriented (not nested JSON)
     * so it can be read without a JSON parser dependency.

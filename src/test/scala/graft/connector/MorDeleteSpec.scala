@@ -191,13 +191,69 @@ class MorDeleteSpec extends LakeSpec {
     val l = log("db/cc")
     val pinned = l.currentEntries()
     sql("DELETE FROM morlake.db.cc WHERE k = 1")   // vector changes under the pin
-    val stale = new GraftDvBatchWrite(l, pinned)
+    val stale = new GraftDvBatchWrite(l, pinned, None, None)
     val fs = new org.apache.hadoop.fs.Path(pinned.head.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val file = fs.listStatus(new org.apache.hadoop.fs.Path(pinned.head.dir))
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     val ex = intercept[java.util.ConcurrentModificationException](
-      stale.commit(Array(DvDeltaMessage(Map(file.toString -> Array(0L))))))
+      stale.commit(Array(DvDeltaMessage(Map(file.toString -> Array(0L)), null))))
     assert(ex.getMessage.contains("deletion vector changed"))
+  }
+
+  test("merge-on-read UPDATE: delete+reinsert, original dirs untouched") {
+    sql("CREATE TABLE morlake.db.mu (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.update.mode'='merge-on-read')")
+    sql("INSERT INTO morlake.db.mu SELECT id, 'old' FROM range(0, 100)")
+    val dirsBefore = log("db/mu").currentDirs()
+    sql("UPDATE morlake.db.mu SET v = 'new' WHERE k % 10 = 0")
+    val entries = log("db/mu").currentEntries()
+    // original dir survives with a vector; updated rows live in a new dir
+    assert(entries.map(_.dir).toSet.intersect(dirsBefore.toSet) === dirsBefore.toSet)
+    assert(entries.size === dirsBefore.size + 1)
+    assert(entries.count(_.dv.isDefined) >= 1)
+    assert(rows("SELECT count(*) c FROM morlake.db.mu") === Seq(Row(100L)))
+    assert(rows("SELECT count(*) c FROM morlake.db.mu WHERE v = 'new'") === Seq(Row(10L)))
+    assert(rows("SELECT v FROM morlake.db.mu WHERE k = 50") === Seq(Row("new")))
+    assert(rows("SELECT v FROM morlake.db.mu WHERE k = 51") === Seq(Row("old")))
+    // time travel still shows pre-update rows
+    assert(rows("SELECT count(*) c FROM morlake.db.mu VERSION AS OF 1 WHERE v = 'old'") ===
+      Seq(Row(100L)))
+  }
+
+  test("merge-on-read MERGE: update + insert + delete clauses") {
+    sql("CREATE TABLE morlake.db.mm (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
+    sql("INSERT INTO morlake.db.mm VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dirsBefore = log("db/mm").currentDirs()
+    import spark.implicits._
+    Seq((2L, "B", "upsert"), (3L, null.asInstanceOf[String], "delete"),
+      (4L, "d", "upsert"))
+      .toDF("k", "v", "op").createOrReplaceTempView("mm_updates")
+    sql("""MERGE INTO morlake.db.mm t USING mm_updates s ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED AND s.op <> 'delete' THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+    assert(rows("SELECT k, v FROM morlake.db.mm ORDER BY k") ===
+      Seq(Row(1L, "a"), Row(2L, "B"), Row(4L, "d")))
+    val entries = log("db/mm").currentEntries()
+    assert(dirsBefore.toSet.subsetOf(entries.map(_.dir).toSet),
+      "merge-on-read MERGE must keep the original dirs")
+  }
+
+  test("mor UPDATE then mor DELETE then compaction converge") {
+    sql("CREATE TABLE morlake.db.mx (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('graft.update.mode'='merge-on-read', 'graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO morlake.db.mx SELECT id, 'x' FROM range(0, 200)")
+    sql("UPDATE morlake.db.mx SET v = 'y' WHERE k < 50")
+    sql("DELETE FROM morlake.db.mx WHERE k % 2 = 0")
+    assert(rows("SELECT count(*) c FROM morlake.db.mx") === Seq(Row(100L)))
+    assert(rows("SELECT count(*) c FROM morlake.db.mx WHERE v = 'y'") === Seq(Row(25L)))
+    assert(Compaction.compact(spark, log("db/mx")))
+    assert(log("db/mx").currentEntries().forall(_.dv.isEmpty))
+    assert(rows("SELECT count(*) c FROM morlake.db.mx") === Seq(Row(100L)))
+    assert(rows("SELECT sum(k) s FROM morlake.db.mx") ===
+      Seq(Row((0L until 200L).filter(_ % 2 == 1).sum)))
   }
 }
