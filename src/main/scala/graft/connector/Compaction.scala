@@ -90,26 +90,7 @@ object Compaction {
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
         val staging = log.newDataDir()
         val df0 = spark.read.schema(log.schema).parquet(small.map(_.dir): _*)
-        val deletedPairs: Seq[(String, Long)] = small.flatMap { e =>
-          vector(e).files.toSeq.flatMap { case (name, poss) =>
-            val q = fs.makeQualified(new Path(e.dir, name)).toString
-            poss.map(q -> _)
-          }
-        }
-        val df =
-          if (deletedPairs.isEmpty) df0
-          else {
-            // V1 parquet reads serve the hidden _metadata struct; its
-            // file_path is the qualified Path string, matching the
-            // manifest's qualified dir + vector's file name
-            val session = spark
-            import session.implicits._
-            val del = deletedPairs.toDF("__dv_file", "__dv_pos")
-            df0.withColumn("__dv_file", col("_metadata.file_path"))
-              .withColumn("__dv_pos", col("_metadata.row_index"))
-              .join(broadcast(del), Seq("__dv_file", "__dv_pos"), "left_anti")
-              .drop("__dv_file", "__dv_pos")
-          }
+        val df = DvReads.applyVectors(spark, df0, small, log.hadoopConf)
         val laidOut = {
           // coalesce, not repartition: merging small files is a narrow
           // dependency, no shuffle needed (the anti-join broadcasts)

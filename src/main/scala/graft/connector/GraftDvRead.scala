@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -230,7 +230,11 @@ private[connector] final class DvRowReader(inner: PartitionReader[InternalRow],
 private[connector] final class GraftDvScan(private val inner: ParquetScan,
                                            private val required: StructType,
                                            private val dvs: Map[String, DeletionVector])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+
+  // the delegated parquet estimate counts vectored-out rows too — a small
+  // over-estimate, still far better for join planning than no statistics
+  override def estimateStatistics(): Statistics = inner.estimateStatistics()
 
   private val withIdx = GraftDvRead.withRowIndex(inner)
   private val rowIndexOrdinal = withIdx.readDataSchema.length - 1
@@ -268,7 +272,9 @@ private[connector] final class GraftDvScan(private val inner: ParquetScan,
   */
 private[connector] final class GraftHybridScan(private val inner: ParquetScan,
                                                private val dvs: Map[String, DeletionVector])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def estimateStatistics(): Statistics = inner.estimateStatistics()
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String =

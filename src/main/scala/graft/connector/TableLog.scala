@@ -231,6 +231,30 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
   private[connector] def hadoopConf: Configuration = conf
 
+  /** Version history, newest first (`DESCRIBE HISTORY`'s role): commit
+    * instant = manifest mtime (the rename IS the commit), physical rows
+    * from committed stats (None when any dir is statless), live rows =
+    * physical minus deletion-vector cardinality. Spans only versions
+    * vacuum has kept.
+    */
+  def history(): Seq[TableLog.TableVersion] = {
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("manifest-"))
+      .map(st => st.getPath.getName.stripPrefix("manifest-").toLong -> st.getModificationTime)
+      .sortBy(-_._1)
+      .map { case (v, ts) =>
+        val entries = entriesAt(v)
+        val rows =
+          if (entries.forall(_.stats.isDefined)) Some(entries.flatMap(_.stats).map(_.rows).sum)
+          else None
+        val deleted = entries.flatMap(_.dv)
+          .map(p => DeletionVector.read(p, conf).cardinality).sum
+        TableLog.TableVersion(v, ts, entries.size, rows, rows.map(_ - deleted))
+      }
+  }
+
   /** Drop all but the newest `keepVersions` manifests and delete the data
     * dirs no surviving manifest references. Two classes of dead dir differ
     * in how safely they can be reclaimed:
@@ -288,6 +312,10 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 }
 
 object TableLog {
+
+  /** One row of [[TableLog.history]]. */
+  final case class TableVersion(version: Long, timestampMs: Long, dirs: Int,
+                                physicalRows: Option[Long], liveRows: Option[Long])
 
   /** Manifest meta-header line: `#meta<TAB>{"schema":"<json>","properties":{...}}`.
     * Written by ALTER TABLE, carried forward by every later commit;

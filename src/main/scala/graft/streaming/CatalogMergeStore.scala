@@ -28,7 +28,8 @@ import graft.connector.{GraftCatalog, TableLog}
   * transactional upsert, stream_blocks.py:108-115.
   */
 class CatalogMergeStore(spark: SparkSession, stateDir: String,
-                        keys: Seq[String]) extends UpsertStateStore {
+                        keys: Seq[String],
+                        mergeOnRead: Boolean = false) extends UpsertStateStore {
   import UpsertSink.BucketCol
 
   /** One catalog per state dir (the name encodes the dir so two sinks never
@@ -67,11 +68,17 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
     // to V2TableReference and the copy inside ReplaceData's
     // groupFilterCondition is never re-resolved ("No plan for
     // TableReference" at physical planning; pinned by SelfRefMergeSpec).
-    val dirs = log.currentDirs()
+    val entries = log.currentEntries()
     val t =
-      if (dirs.isEmpty)
+      if (entries.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], log.schema)
-      else spark.read.schema(log.schema).parquet(dirs: _*)
+      else
+        // a merge-on-read table hides rows behind deletion vectors; this
+        // direct read must subtract them or the fold would resurrect
+        // superseded state (caught by the catalog-mor sink spec)
+        graft.connector.DvReads.applyVectors(spark,
+          spark.read.schema(log.schema).parquet(entries.map(_.dir): _*),
+          entries, spark.sparkContext.hadoopConfiguration)
     Some(touched match {
       // the bucket filter reaches the parquet scan (row-group stats skip
       // untouched data); dedicated bucket dirs stay the bucket stores'
@@ -88,8 +95,14 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
     val ss = next.sparkSession
     ensureCatalog(ss)
     ensureCatalog()
-    if (!log.exists)
-      ss.sql(s"CREATE TABLE $tableRef (${next.schema.toDDL})")
+    if (!log.exists) {
+      // merge-on-read flips the batch write from O(touched-dirs rewritten)
+      // to O(batch rows appended) + per-dir deletion vectors
+      val props =
+        if (mergeOnRead) " TBLPROPERTIES ('graft.merge.mode'='merge-on-read')"
+        else ""
+      ss.sql(s"CREATE TABLE $tableRef (${next.schema.toDDL})$props")
+    }
     val src = s"graft_merge_src_${java.lang.Long.toHexString(System.nanoTime())}"
     next.createOrReplaceTempView(src)
     try {

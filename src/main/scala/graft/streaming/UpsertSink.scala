@@ -46,6 +46,8 @@ class UpsertSink(spark: SparkSession, stateDir: String,
     case UpsertSink.BucketSwap => new BucketSwapStore(spark, stateDir)
     case UpsertSink.Snapshot => new SnapshotStore(spark, stateDir)
     case UpsertSink.CatalogMerge => new CatalogMergeStore(spark, stateDir, keys)
+    case UpsertSink.CatalogMergeMor =>
+      new CatalogMergeStore(spark, stateDir, keys, mergeOnRead = true)
   }
 
   /** Stable key bucket: Murmur3 over the key columns, identical for a key on
@@ -147,4 +149,10 @@ object UpsertSink {
     * lakehouse transaction semantics, O(state) rewrite per batch.
     */
   case object CatalogMerge extends Backend
+  /** [[CatalogMerge]] with the table in merge-on-read mode: a batch writes
+    * deletion vectors over the matched rows plus ONE appended dir of new
+    * state instead of rewriting bucket dirs — O(batch) written per batch,
+    * with `compact()` as the amortized maintenance that purges vectors.
+    */
+  case object CatalogMergeMor extends Backend
 }

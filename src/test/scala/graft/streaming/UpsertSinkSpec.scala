@@ -19,7 +19,8 @@ class UpsertSinkSpec extends SparkSpec {
   private val backends = Seq[(String, UpsertSink.Backend)](
     "bucket-swap" -> UpsertSink.BucketSwap,
     "snapshot" -> UpsertSink.Snapshot,
-    "catalog-merge" -> UpsertSink.CatalogMerge)
+    "catalog-merge" -> UpsertSink.CatalogMerge,
+    "catalog-mor" -> UpsertSink.CatalogMergeMor)
 
   for ((bname, backend) <- backends) {
 
@@ -303,6 +304,47 @@ class UpsertSinkSpec extends SparkSpec {
     val after = sink.state().filter(col("key").isin("k0", "k9")).orderBy("key")
       .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
     assert(after == List("k0" -> "h0", "k9" -> "v9"))
+  }
+
+  test("catalog-mor store: batches append + vector instead of rewriting; compact purges") {
+    val dir = Files.createTempDirectory("graft-sink-cat-mor").toString
+    val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 4, backend = UpsertSink.CatalogMergeMor)
+    // batch 0 seeds keys; batches 1..3 overwrite the SAME keys, which under
+    // copy-on-write would rewrite the touched dirs each time
+    sink.merge(Seq(("a", 0L, "upsert", "a0"), ("b", 0L, "upsert", "b0"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    val log = new graft.connector.TableLog(s"$dir/state",
+      spark.sparkContext.hadoopConfiguration)
+    val seedDirs = log.currentDirs()
+    // update only 'a' each batch: the seed dir keeps 'b' alive, so its
+    // shadowed 'a' row must be VECTORED out, not collapse the whole dir
+    (1 to 3).foreach { i =>
+      sink.merge(Seq(("a", i.toLong, "upsert", s"a$i"))
+        .toDF("key", "seq", "op", "payload"), batchId = i.toLong)
+    }
+    val entries = log.currentEntries()
+    // merge-on-read: dirs only ever accumulate (appends + vectors); a
+    // fully-shadowed dir may collapse, but nothing is rewritten in place
+    assert(entries.exists(_.dv.isDefined),
+      "the partially-shadowed seed dir must carry a deletion vector")
+    assert(seedDirs.toSet.subsetOf(entries.map(_.dir).toSet),
+      "mor merges must keep the partially-live seed dirs")
+    val live = sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList
+    assert(live == List("a" -> "a3", "b" -> "b0"))
+    // maintenance: compact purges vectors and folds the per-batch dirs
+    val store = new CatalogMergeStore(spark, dir, Seq("key"), mergeOnRead = true)
+    assert(store.compact())
+    assert(log.currentEntries().forall(_.dv.isEmpty))
+    assert(sink.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList ==
+      List("a" -> "a3", "b" -> "b0"))
+    // fencing after purge: stale seq never regresses
+    sink.merge(Seq(("a", 2L, "upsert", "stale")).toDF("key", "seq", "op", "payload"),
+      batchId = 4L)
+    assert(sink.state().filter(col("key") === "a").collect()
+      .head.getAs[String]("payload") == "a3")
   }
 
   test("snapshot store: vacuum drops superseded versions, keeps the live snapshot") {
