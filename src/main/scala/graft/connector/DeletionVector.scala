@@ -164,3 +164,46 @@ object DeletionVector {
     } finally in.close()
   }
 }
+
+/** Per-JVM cache of decoded deletion vectors, keyed by file path — safe
+  * because vector files are immutable once a manifest references them.
+  * Scans ship the vector's PATH in each task (Delta's model) rather than
+  * serializing position arrays into every partition, so an executor reads
+  * and decodes each vector once however many file splits it processes;
+  * LRU-bounded so long-lived executors don't accumulate every vector a
+  * streaming job ever referenced.
+  */
+private[connector] object DeletionVectorCache {
+  private val MaxEntries = 64
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, DeletionVector](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, DeletionVector]): Boolean =
+        size() > MaxEntries
+    })
+
+  def get(path: String, conf: Configuration): DeletionVector = {
+    val hit = cache.get(path)
+    if (hit != null) hit
+    else {
+      val v = DeletionVector.read(path, conf)
+      cache.put(path, v)
+      v
+    }
+  }
+}
+
+/** Minimal serializable Hadoop `Configuration` carrier for reader
+  * factories (the Spark-internal equivalent is `private[spark]`).
+  */
+private[connector] final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

@@ -47,27 +47,42 @@ private[connector] object GraftDvRead {
     StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
       nullable = true)
 
-  /** Qualified-dir-path -> decoded deletion vector, for the entries that
+  /** A dir's committed vector: its immutable file path (what tasks ship)
+    * plus the driver-decoded content (what planning routes on).
+    */
+  final case class DvRef(path: String, vector: DeletionVector)
+
+  /** Qualified-dir-path -> deletion vector reference, for the entries that
     * carry one. Keys are qualified the way listed file paths report their
     * parent (all dirs share the table's filesystem, one lookup suffices).
     */
   def dvByDir(entries: Seq[DirEntry],
-              conf: org.apache.hadoop.conf.Configuration): Map[String, DeletionVector] = {
+              conf: org.apache.hadoop.conf.Configuration): Map[String, DvRef] = {
     val vectored = entries.filter(_.dv.isDefined)
     if (vectored.isEmpty) return Map.empty
     val fs = new Path(vectored.head.dir).getFileSystem(conf)
     vectored.map { e =>
       fs.makeQualified(new Path(e.dir)).toString ->
-        DeletionVector.read(e.dv.get, conf)
+        DvRef(e.dv.get, DeletionVector.read(e.dv.get, conf))
     }.toMap
   }
 
-  /** Deleted positions of one listed file, given the per-dir vectors. */
-  def positionsFor(dvs: Map[String, DeletionVector], file: PartitionedFile): Array[Long] = {
+  /** Deleted positions of one listed file, given the per-dir vectors
+    * (driver-side routing only — tasks re-resolve via the cache).
+    */
+  def positionsFor(dvs: Map[String, DvRef], file: PartitionedFile): Array[Long] = {
     val p = file.filePath.toPath
     dvs.get(p.getParent.toString)
-      .flatMap(_.files.get(p.getName))
+      .flatMap(_.vector.files.get(p.getName))
       .getOrElse(Array.emptyLongArray)
+  }
+
+  /** The vector file covering `file`, when that file has deleted rows. */
+  def dvPathFor(dvs: Map[String, DvRef], file: PartitionedFile): Option[String] = {
+    val p = file.filePath.toPath
+    dvs.get(p.getParent.toString)
+      .filter(_.vector.files.get(p.getName).exists(_.nonEmpty))
+      .map(_.path)
   }
 
   /** Split delegated partitions into one-split-per-partition units so each
@@ -76,11 +91,11 @@ private[connector] object GraftDvRead {
     * only the grouping of splits into tasks changes.
     */
   def resplit(parts: Array[InputPartition],
-              dvs: Map[String, DeletionVector]): Array[InputPartition] =
+              dvs: Map[String, DvRef]): Array[InputPartition] =
     parts.flatMap {
       case fp: FilePartition => fp.files.map { f =>
         DvInputPartition(FilePartition(0, Array(f)),
-          f.filePath.toString, f.start, positionsFor(dvs, f))
+          f.filePath.toString, f.start, dvPathFor(dvs, f))
       }
       case other => throw new IllegalStateException(
         s"delegated parquet scan planned a non-file partition: $other")
@@ -108,15 +123,17 @@ private[connector] object GraftDvRead {
   }
 }
 
-/** One file split plus the deleted positions of its file. `fileStart` keeps
-  * partition identity stable/readable in plans; positions travel with the
-  * task (vectors are per-dir KBs-to-low-MBs; Delta ships whole DV files to
-  * executors the same way).
+/** One file split plus a REFERENCE to its file's deletion vector (None =
+  * no deleted rows in this file). Shipping the path instead of the
+  * positions keeps task serialization O(1) however large the vector —
+  * executors read and cache each immutable vector file once
+  * ([[DeletionVectorCache]]), Delta's model. `fileStart` keeps partition
+  * identity stable/readable in plans.
   */
 private[connector] final case class DvInputPartition(inner: FilePartition,
                                                      filePath: String,
                                                      fileStart: Long,
-                                                     deleted: Array[Long])
+                                                     dvPath: Option[String])
     extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -136,13 +153,14 @@ private[connector] final class DvPartitionReaderFactory(dvFactory: PartitionRead
                                                         cleanFactory: PartitionReaderFactory,
                                                         rowIndexOrdinal: Int,
                                                         outputMap: Array[Int],
-                                                        outputTypes: Array[DataType])
+                                                        outputTypes: Array[DataType],
+                                                        conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case d: DvInputPartition =>
       new DvRowReader(dvFactory.createReader(d.inner), d, rowIndexOrdinal,
-        outputMap, outputTypes)
+        outputMap, outputTypes, conf)
     case other => cleanFactory.createReader(other)
   }
 
@@ -180,10 +198,16 @@ private[connector] final class DvRowReader(inner: PartitionReader[InternalRow],
                                            part: DvInputPartition,
                                            rowIndexOrdinal: Int,
                                            outputMap: Array[Int],
-                                           outputTypes: Array[DataType])
+                                           outputTypes: Array[DataType],
+                                           conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val skipper = new DeletionVector.Skipper(part.deleted)
+  private val skipper = part.dvPath match {
+    case None => new DeletionVector.Skipper(Array.emptyLongArray)
+    case Some(dvp) =>
+      val fileName = new Path(part.filePath).getName
+      DeletionVector.skipper(DeletionVectorCache.get(dvp, conf.value), fileName)
+  }
   private val fileName = UTF8String.fromString(part.filePath)
   private val out = new GenericInternalRow(outputMap.length)
   private var current: InternalRow = _
@@ -229,7 +253,7 @@ private[connector] final class DvRowReader(inner: PartitionReader[InternalRow],
   */
 private[connector] final class GraftDvScan(private val inner: ParquetScan,
                                            private val required: StructType,
-                                           private val dvs: Map[String, DeletionVector])
+                                           private val dvs: Map[String, GraftDvRead.DvRef])
     extends Scan with Batch with SupportsReportStatistics {
 
   // the delegated parquet estimate counts vectored-out rows too — a small
@@ -253,7 +277,8 @@ private[connector] final class GraftDvScan(private val inner: ParquetScan,
   override def createReaderFactory(): PartitionReaderFactory = {
     val delegated = withIdx.toBatch.createReaderFactory()
     new DvPartitionReaderFactory(delegated, delegated,
-      rowIndexOrdinal, outputMap, outputTypes)
+      rowIndexOrdinal, outputMap, outputTypes,
+      new SerializableHadoopConf(inner.hadoopConf))
   }
 
   override def equals(other: Any): Boolean = other match {
@@ -271,7 +296,7 @@ private[connector] final class GraftDvScan(private val inner: ParquetScan,
   * positions skipped.
   */
 private[connector] final class GraftHybridScan(private val inner: ParquetScan,
-                                               private val dvs: Map[String, DeletionVector])
+                                               private val dvs: Map[String, GraftDvRead.DvRef])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def estimateStatistics(): Statistics = inner.estimateStatistics()
@@ -310,7 +335,8 @@ private[connector] final class GraftHybridScan(private val inner: ParquetScan,
       inner.toBatch.createReaderFactory(),
       rowIdxScan.readDataSchema.length - 1,
       Array.tabulate(n)(identity),
-      inner.readDataSchema.fields.map(_.dataType))
+      inner.readDataSchema.fields.map(_.dataType),
+      new SerializableHadoopConf(inner.hadoopConf))
   }
 
   override def equals(other: Any): Boolean = other match {

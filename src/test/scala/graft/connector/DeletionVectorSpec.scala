@@ -49,6 +49,29 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(a.union(DeletionVector.empty).files("f") === a.files("f"))
   }
 
+  test("serializable conf wrapper survives java serialization round-trip") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("graft.test.key", "v1")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    out.writeObject(new SerializableHadoopConf(conf)); out.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = in.readObject().asInstanceOf[SerializableHadoopConf]
+    assert(back.value.get("graft.test.key") === "v1")
+  }
+
+  test("vector cache returns decoded content and caches by path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dv-cache").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dv = DeletionVector(Map("f.parquet" -> Array(1L, 9L)))
+    DeletionVector.write(s"$dir/v-1", conf, dv)
+    val a = DeletionVectorCache.get(s"$dir/v-1", conf)
+    assert(a.files("f.parquet") === Array(1L, 9L))
+    // second get returns the SAME decoded instance (cached, file not re-read)
+    assert(DeletionVectorCache.get(s"$dir/v-1", conf) eq a)
+  }
+
   test("skipper is a forward cursor over membership") {
     val sk = new DeletionVector.Skipper(Array(2L, 5L, 6L))
     assert(!sk.deleted(0))
