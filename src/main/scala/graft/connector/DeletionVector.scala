@@ -67,6 +67,23 @@ object DeletionVector {
   def skipper(dv: DeletionVector, fileName: String): Skipper =
     new Skipper(dv.files.getOrElse(fileName, Array.emptyLongArray))
 
+  /** Sort + dedup positions collected in arrival order (shuffled plans —
+    * a sort-merge-join MERGE, an IN-subquery DELETE — deliver matched rows
+    * ordered by join key, NOT by row index).
+    */
+  private[connector] def normalize(pos: Array[Long]): Array[Long] = {
+    if (pos.length <= 1) return pos
+    val sorted = pos.clone()
+    java.util.Arrays.sort(sorted)
+    var n = 1
+    var i = 1
+    while (i < sorted.length) {
+      if (sorted(i) != sorted(n - 1)) { sorted(n) = sorted(i); n += 1 }
+      i += 1
+    }
+    if (n == sorted.length) sorted else java.util.Arrays.copyOf(sorted, n)
+  }
+
   private[connector] def mergeSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
     val out = new scala.collection.mutable.ArrayBuilder.ofLong
     out.sizeHint(a.length + b.length)
@@ -105,8 +122,12 @@ object DeletionVector {
     out.write(Magic)
     out.writeInt(dv.files.size)
     dv.files.toSeq.sortBy(_._1).foreach { case (name, pos) =>
-      require(pos.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
-        s"deletion vector positions for $name must be sorted distinct")
+      var i = 1
+      while (i < pos.length) {
+        require(pos(i - 1) < pos(i),
+          s"deletion vector positions for $name must be sorted distinct")
+        i += 1
+      }
       out.writeUTF(name)
       out.writeInt(pos.length)
       var prev = 0L

@@ -63,7 +63,7 @@ private[connector] object GraftDvRead {
     val fs = new Path(vectored.head.dir).getFileSystem(conf)
     vectored.map { e =>
       fs.makeQualified(new Path(e.dir)).toString ->
-        DvRef(e.dv.get, DeletionVector.read(e.dv.get, conf))
+        DvRef(e.dv.get, DeletionVectorCache.get(e.dv.get, conf))
     }.toMap
   }
 
@@ -101,6 +101,20 @@ private[connector] object GraftDvRead {
         s"delegated parquet scan planned a non-file partition: $other")
     }.zipWithIndex.map { case (p, i) => p.copy(inner = FilePartition(i, p.inner.files)) }
 
+  /** Cheapest column to force-read when the query wants none (count(*)):
+    * the narrowest fixed-width atomic field, falling back to the first.
+    * A column added by schema evolution may be absent from older files —
+    * that is fine: the reader null-fills it from footer row counts without
+    * touching pages, and row-index generation still runs (spec-pinned).
+    */
+  private def padColumn(dataSchema: StructType): StructField =
+    dataSchema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.DateType => true
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }).minByOption(_.dataType.defaultSize).getOrElse(dataSchema.fields.head)
+
   /** Rebuild the delegated scan to also produce the row-index column. An
     * empty read schema (a `count(*)`) is padded with the table's first
     * column first: the parquet readers take the no-columns case down a
@@ -111,7 +125,7 @@ private[connector] object GraftDvRead {
     require(ps.pushedAggregate.isEmpty,
       "aggregate pushdown must be disabled on scans that apply deletion vectors")
     val base =
-      if (ps.readDataSchema.fields.isEmpty) Array(ps.dataSchema.fields.head)
+      if (ps.readDataSchema.fields.isEmpty) Array(padColumn(ps.dataSchema))
       else ps.readDataSchema.fields
     // the copy MUST NOT share the original's mutable hadoopConf:
     // createReaderFactory bakes the requested read schema into that conf,

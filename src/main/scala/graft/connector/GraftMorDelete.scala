@@ -124,12 +124,16 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
       DirEntry(s, DirStats.collect(s, log.hadoopConf)))
     val stagedRows = stagingEntry.exists(e => !e.stats.exists(_.rows == 0))
 
-    // merge task outputs: per file, each task's positions are sorted
-    // (split-local row order) and tasks cover disjoint splits
+    // merge task outputs; positions are NOT assumed ordered — a shuffled
+    // plan (sort-merge-join MERGE, IN-subquery DELETE) delivers matched
+    // rows in join-key order, so each file's concatenated positions are
+    // sorted+deduped here (tasks cover disjoint splits, so true duplicates
+    // cannot occur; dedup is cheap insurance)
     val byFile = scala.collection.mutable.HashMap[String, Array[Long]]()
     dvMessages.foreach(_.deletes.foreach { case (f, pos) =>
-      byFile(f) = byFile.get(f).map(DeletionVector.mergeSorted(_, pos)).getOrElse(pos)
+      byFile(f) = byFile.get(f).map(_ ++ pos).getOrElse(pos)
     })
+    byFile.keys.toSeq.foreach(f => byFile(f) = DeletionVector.normalize(byFile(f)))
     if (byFile.isEmpty && !stagedRows) return   // matched nothing: no new version
 
     val fs = new Path(log.tableDir).getFileSystem(log.hadoopConf)
@@ -151,7 +155,7 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
       val entry = pinnedByQualified.getOrElse(qdir, throw new IllegalStateException(
         s"mor write scanned $qdir which is not in the pinned snapshot of ${log.tableDir}"))
       val merged = entry.dv
-        .map(p => DeletionVector.read(p, log.hadoopConf).union(fresh))
+        .map(p => DeletionVectorCache.get(p, log.hadoopConf).union(fresh))
         .getOrElse(fresh)
       val fullyDeleted = entry.stats.exists(s => s.rows == merged.cardinality)
       val replacement =
@@ -213,7 +217,8 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
   * pairs; INSERT/reinsert rows flow into the wrapped parquet writer for
   * the staged dir. A true in-place UPDATE never arrives
   * (representUpdateAsDeleteAndInsert splits it) and fails loudly.
-  * Positions arrive in increasing order per file within a task.
+  * Positions are collected in ARRIVAL order — shuffled plans deliver them
+  * keyed by join key, and the driver merge normalizes.
   */
 private[connector] class DvDeltaWriter(inserts: Option[DataWriter[InternalRow]])
     extends DeltaWriter[InternalRow] {

@@ -105,6 +105,18 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   /** CREATE-time meta, for callers resolving the empty-table case. */
   private[connector] def baseMetaPublic: (StructType, Map[String, String]) = baseMeta
 
+  // manifests are immutable once committed, so the raw meta header of a
+  // version can be memoized per TableLog instance — commit CAS loops would
+  // otherwise re-slurp the expected manifest on every attempt just to
+  // carry its header forward
+  @transient private lazy val headerCache =
+    scala.collection.mutable.HashMap[Long, Option[String]]()
+  private def headerAt(v: Long): Option[String] = headerCache.synchronized {
+    headerCache.getOrElseUpdate(v,
+      slurp(manifestPath(v)).linesIterator.nextOption()
+        .filter(_.startsWith(TableLog.MetaHeaderPrefix)))
+  }
+
   // current meta is resolved once per TableLog instance (a query plans
   // several scans/writes, each of which would otherwise re-slurp the same
   // small files) — the same analysis-time pinning scans get
@@ -215,9 +227,7 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val next = expected.getOrElse(0L) + 1
     if (latestVersion.exists(_ >= next)) return false
     val header: Option[String] = newMeta.map(TableLog.encodeMetaHeader)
-      .orElse(expected.flatMap(v =>
-        slurp(manifestPath(v)).linesIterator.nextOption()
-          .filter(_.startsWith(TableLog.MetaHeaderPrefix))))
+      .orElse(expected.flatMap(headerAt))
     val body = (header.toSeq ++ entries.map { e =>
       val statsField = e.stats.map(DirStats.encode).getOrElse("")
       e.dv match {

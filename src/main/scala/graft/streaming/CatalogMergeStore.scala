@@ -102,6 +102,17 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
         if (mergeOnRead) " TBLPROPERTIES ('graft.merge.mode'='merge-on-read')"
         else ""
       ss.sql(s"CREATE TABLE $tableRef (${next.schema.toDDL})$props")
+    } else {
+      // the backend choice is the caller's explicit intent — a store
+      // pointed at an EXISTING state table aligns the table's merge mode
+      // rather than silently running in whatever mode the table was
+      // created with
+      val prop = graft.connector.GraftTable.MergeModeProp
+      val have = log.properties.get(prop)
+      if (mergeOnRead && !have.contains("merge-on-read"))
+        ss.sql(s"ALTER TABLE $tableRef SET TBLPROPERTIES ('$prop'='merge-on-read')")
+      else if (!mergeOnRead && have.contains("merge-on-read"))
+        ss.sql(s"ALTER TABLE $tableRef UNSET TBLPROPERTIES ('$prop')")
     }
     val src = s"graft_merge_src_${java.lang.Long.toHexString(System.nanoTime())}"
     next.createOrReplaceTempView(src)

@@ -80,6 +80,19 @@ class AlterTableSpec extends LakeSpec {
     assert(rows("SELECT count(*) c, min(k) mn FROM altlake.db.p") === Seq(Row(80L, 20L)))
   }
 
+  test("count(*) on a vectored table pads with a column older files may lack") {
+    sql("CREATE TABLE altlake.db.cnt (pad STRING, k BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO altlake.db.cnt SELECT 'x', id FROM range(0, 30)")
+    // the narrowest numeric pad column is the EVOLVED one, absent from the
+    // dir above — the reader null-fills it from footer counts and the
+    // row-index vector must still generate for the vector subtraction
+    sql("ALTER TABLE altlake.db.cnt ADD COLUMNS (tiny INT)")
+    sql("INSERT INTO altlake.db.cnt SELECT 'y', id, 1 FROM range(100, 130)")
+    sql("DELETE FROM altlake.db.cnt WHERE k < 5 OR k >= 125")
+    assert(rows("SELECT count(*) c FROM altlake.db.cnt") === Seq(Row(50L)))
+  }
+
   test("compaction merges mixed-schema dirs under the latest schema") {
     sql("CREATE TABLE altlake.db.c (k BIGINT)")
     sql("INSERT INTO altlake.db.c VALUES (1)")

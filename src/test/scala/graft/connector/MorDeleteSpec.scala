@@ -242,6 +242,30 @@ class MorDeleteSpec extends LakeSpec {
       "merge-on-read MERGE must keep the original dirs")
   }
 
+  test("mor MERGE through a sort-merge join delivers unordered positions safely") {
+    sql("CREATE TABLE morlake.db.smj (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
+    sql("INSERT INTO morlake.db.smj SELECT id, 'old' FROM range(0, 2000)")
+    // forbid broadcast: the matched target rows then arrive at the delta
+    // writer ordered by JOIN KEY, not by row index — the driver merge must
+    // normalize before encoding (review finding: the arrival-order
+    // assumption aborted legitimate shuffled MERGEs)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("SELECT id AS k, concat('new', id) AS v FROM range(0, 2000) " +
+        "WHERE id % 3 = 0").createOrReplaceTempView("smj_src")
+      sql("""MERGE INTO morlake.db.smj t USING smj_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |""".stripMargin)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert(rows("SELECT count(*) c FROM morlake.db.smj") === Seq(Row(2000L)))
+    assert(rows("SELECT count(*) c FROM morlake.db.smj WHERE v LIKE 'new%'") ===
+      Seq(Row(667L)))
+    assert(rows("SELECT v FROM morlake.db.smj WHERE k = 9") === Seq(Row("new9")))
+    assert(rows("SELECT v FROM morlake.db.smj WHERE k = 10") === Seq(Row("old")))
+  }
+
   test("mor UPDATE then mor DELETE then compaction converge") {
     sql("CREATE TABLE morlake.db.mx (k BIGINT, v STRING) TBLPROPERTIES " +
       "('graft.update.mode'='merge-on-read', 'graft.delete.mode'='merge-on-read')")

@@ -347,6 +347,33 @@ class UpsertSinkSpec extends SparkSpec {
       .head.getAs[String]("payload") == "a3")
   }
 
+  test("catalog-mor backend pointed at an existing cow state table aligns its mode") {
+    val dir = Files.createTempDirectory("graft-sink-mode-flip").toString
+    // seed the table through the copy-on-write backend
+    val cow = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 4, backend = UpsertSink.CatalogMerge)
+    cow.merge(Seq(("a", 1L, "upsert", "v1"), ("b", 1L, "upsert", "w1"))
+      .toDF("key", "seq", "op", "payload"), batchId = 0L)
+    val log = new graft.connector.TableLog(s"$dir/state",
+      spark.sparkContext.hadoopConfiguration)
+    assert(log.properties.get("graft.merge.mode").isEmpty)
+    // switching the backend must flip the table property, not silently
+    // keep rewriting (review finding: the property was CREATE-only)
+    val mor = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
+      numBuckets = 4, backend = UpsertSink.CatalogMergeMor)
+    val seedDirs = log.currentDirs()
+    mor.merge(Seq(("a", 2L, "upsert", "v2")).toDF("key", "seq", "op", "payload"),
+      batchId = 1L)
+    val fresh = new graft.connector.TableLog(s"$dir/state",
+      spark.sparkContext.hadoopConfiguration)
+    assert(fresh.properties.get("graft.merge.mode").contains("merge-on-read"))
+    assert(seedDirs.toSet.subsetOf(fresh.currentEntries().map(_.dir).toSet),
+      "the mor batch must keep the seed dirs (vector, not rewrite)")
+    assert(mor.state().orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("payload"))).toList ==
+      List("a" -> "v2", "b" -> "w1"))
+  }
+
   test("snapshot store: vacuum drops superseded versions, keeps the live snapshot") {
     val dir = Files.createTempDirectory("graft-sink-vacuum").toString
     val sink = new UpsertSink(spark, dir, Seq("key"), "seq", "op",
