@@ -47,7 +47,10 @@ object Compaction {
               smallBytes: Long = 128L << 20,
               targetBytes: Long = 512L << 20,
               clusterBy: Seq[String] = Nil,
-              purgeDeletedFraction: Double = 0.1): Boolean = {
+              purgeDeletedFraction: Double = 0.1,
+              zorderBy: Seq[String] = Nil): Boolean = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are exclusive layouts")
     val base = log.latestVersion.getOrElse(return false)
     val entries = log.entriesAt(base)
     val fs = new Path(log.tableDir).getFileSystem(log.hadoopConf)
@@ -83,24 +86,46 @@ object Compaction {
     val worthRewriting = small.size >= 2 || purge.nonEmpty
     if (!worthRewriting && absent.isEmpty) return false
 
-    val stagingEntry =
-      if (!worthRewriting) None   // only phantom entries to drop
+    val stagingEntries: Seq[DirEntry] =
+      if (!worthRewriting) Nil   // only phantom entries to drop
       else {
         val totalBytes = sized.filter { case (e, _) => small.contains(e) }.map(_._2).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        val staging = log.newDataDir()
         val df0 = spark.read.schema(log.schema).parquet(small.map(_.dir): _*)
         val df = DvReads.applyVectors(spark, df0, small, log.hadoopConf)
-        val laidOut = {
+        if (zorderBy.nonEmpty) {
+          // each z tile becomes its OWN manifest dir, so its committed
+          // stats cover one small multi-column tile and dir-granular
+          // pruning works on every z column at planning time; tiles are
+          // written under one root then promoted to ordinary top-level
+          // data dirs (vacuum's liveness rules key on those names)
+          val root = log.newDataDir()
+          ZOrder.layout(spark, df, zorderBy, nOut)
+            .write.partitionBy(ZOrder.TileCol).parquet(root)
+          val rootPath = new Path(root)
+          val tiles = fs.listStatus(rootPath).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${ZOrder.TileCol}="))
+            .sortBy(_.getPath.getName)
+          val promoted = tiles.map { st =>
+            val dst = new Path(log.newDataDir())
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(s"failed to promote z tile ${st.getPath} to $dst")
+            dst.toString
+          }
+          fs.delete(rootPath, true)   // now-empty tile root
+          promoted.map(d => DirEntry(d, DirStats.collect(d, log.hadoopConf)))
+            .filterNot(_.stats.exists(_.rows == 0))
+        } else {
+          val staging = log.newDataDir()
           // coalesce, not repartition: merging small files is a narrow
           // dependency, no shuffle needed (the anti-join broadcasts)
           val c = df.coalesce(nOut)
-          if (clusterBy.nonEmpty)
-            c.sortWithinPartitions(clusterBy.map(col): _*)
-          else c
+          val laidOut =
+            if (clusterBy.nonEmpty) c.sortWithinPartitions(clusterBy.map(col): _*)
+            else c
+          laidOut.write.parquet(staging)
+          Seq(DirEntry(staging, DirStats.collect(staging, log.hadoopConf)))
         }
-        laidOut.write.parquet(staging)
-        Some(DirEntry(staging, DirStats.collect(staging, log.hadoopConf)))
       }
 
     val replaced = (if (worthRewriting) small.map(_.dir) else Nil).toSet ++
@@ -132,7 +157,7 @@ object Compaction {
         throw new ConcurrentModificationException(
           s"concurrent merge-on-read delete during compaction of " +
             s"${log.tableDir}: vectors changed on: ${dvChanged.mkString(", ")}")
-      val next = curEntries.filterNot(e => replaced.contains(e.dir)) ++ stagingEntry
+      val next = curEntries.filterNot(e => replaced.contains(e.dir)) ++ stagingEntries
       done = log.tryCommitEntries(cur, next)
     }
     true
