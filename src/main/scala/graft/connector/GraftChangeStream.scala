@@ -49,20 +49,27 @@ private[connector] class GraftMicroBatchStream(log: TableLog,
     val sv = start.asInstanceOf[GraftVersionOffset].version
     val ev = end.asInstanceOf[GraftVersionOffset].version
     if (ev <= sv) return Array.empty
-    // the append-only contract must hold at EVERY commit in the range, not
-    // just between its endpoints: a dir added at sv+1 and rewritten before
-    // ev would be invisible to an endpoint diff, silently emitting the
-    // rewritten rows as appends (or dropping the deleted ones). Offset
-    // ranges routinely span several commits — latestOffset jumps to the
-    // newest version and checkpointed streams resume across many — so walk
-    // the versions pairwise; a vacuumed-away intermediate manifest fails
-    // loudly in entriesAt, which is the documented retention contract.
-    // A deletion-vector change on a surviving dir is a non-append change
-    // too (rows already emitted were deleted), and fails the same way.
+    // The FIRST batch (sv = 0: nothing emitted yet) is the base image, not
+    // an append: it reads version ev's LIVE rows — history before the
+    // stream started is irrelevant (a table whose past holds rewrites or
+    // deletes streams fine from scratch), and committed deletion vectors
+    // are applied, which needs the dv-aware reader factory the table's
+    // scan provides whenever its snapshot carries vectors.
+    if (sv == 0L) return planSnapshot(ev)
+    // Past the base image the append-only contract must hold at EVERY
+    // commit in the range, not just between its endpoints: a dir added at
+    // sv+1 and rewritten before ev would be invisible to an endpoint diff,
+    // silently emitting the rewritten rows as appends (or dropping the
+    // deleted ones). Offset ranges routinely span several commits —
+    // latestOffset jumps to the newest version and checkpointed streams
+    // resume across many — so walk the versions pairwise; a vacuumed-away
+    // intermediate manifest fails loudly in entriesAt, which is the
+    // documented retention contract. A deletion-vector change on a
+    // surviving dir is a non-append change too (rows already emitted were
+    // deleted), and fails the same way.
     def dvMap(v: Long): Map[String, Option[String]] =
       log.entriesAt(v).map(e => e.dir -> e.dv).toMap
-    val startState: Map[String, Option[String]] =
-      if (sv == 0L) Map.empty else dvMap(sv)
+    val startState: Map[String, Option[String]] = dvMap(sv)
     var prev = startState
     (sv + 1 to ev).foreach { v =>
       val cur = dvMap(v)
@@ -95,6 +102,40 @@ private[connector] class GraftMicroBatchStream(log: TableLog,
     if (added.isEmpty) Array.empty
     else delegate(added).newScanBuilder(CaseInsensitiveStringMap.empty())
       .build().toBatch.planInputPartitions()
+  }
+
+  /** Partitions of the base-image batch: version `ev`'s dirs, with files
+    * hiding rows behind deletion vectors re-routed through
+    * [[DvInputPartition]]s (read row-based with positions skipped — the
+    * stream's shared reader factory dispatches per partition type).
+    */
+  private def planSnapshot(ev: Long): Array[InputPartition] = {
+    val entries = log.entriesAt(ev)
+    if (entries.isEmpty) return Array.empty
+    val base = delegate(entries.map(_.dir))
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    val dvs = GraftDvRead.dvByDir(entries, log.hadoopConf)
+    if (dvs.isEmpty) return base
+    // the factory must be the dv-dispatching one, which the table's scan
+    // builds exactly when ITS snapshot carries vectors — a vector landing
+    // between query analysis and the first batch is the one shape the
+    // factory cannot read, and fails loudly instead of resurrecting rows
+    if (!factoryScan.toBatch.createReaderFactory().isInstanceOf[DvPartitionReaderFactory])
+      throw new UnsupportedOperationException(
+        s"stream over ${log.tableDir}: deletion vectors appeared between " +
+          "query start and the first batch; restart the stream")
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val (vectored, clean) = base.collect { case fp: FilePartition => fp }
+      .partition(_.files.exists(f => GraftDvRead.positionsFor(dvs, f).nonEmpty))
+    val cleanKept: Array[InputPartition] = clean.map(identity) ++ vectored.flatMap { fp =>
+      val keep = fp.files.filterNot(f => GraftDvRead.positionsFor(dvs, f).nonEmpty)
+      if (keep.isEmpty) None else Some(FilePartition(fp.index, keep))
+    }
+    val dvParts = GraftDvRead.resplit(
+      Array(FilePartition(0, vectored.flatMap(
+        _.files.filter(f => GraftDvRead.positionsFor(dvs, f).nonEmpty)))), dvs)
+    cleanKept ++ dvParts
   }
 
   /** The reader factory of the planner-built scan: it bakes in the read

@@ -30,6 +30,34 @@ class ChangeStreamSpec extends LakeSpec {
       "each append emitted exactly once")
   }
 
+  test("fresh stream on a table with rewrite history and deletion vectors") {
+    sql("CREATE TABLE flake.fv (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO flake.fv SELECT id, 'a' FROM range(0, 20)")
+    sql("UPDATE flake.fv SET v = 'b' WHERE k < 5")      // rewrite in history
+    sql("DELETE FROM flake.fv WHERE k >= 15")           // vector on the live snapshot
+    assert(log("fv").currentEntries().exists(_.dv.isDefined))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("flake.fv").writeStream
+      .option("checkpointLocation", tmp("fv-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    // base image = the LIVE rows: history rewrites irrelevant, vectors applied
+    assert(got.toArray.map(_.asInstanceOf[Long]).sorted.toSeq === (0L until 15L))
+    // appends keep streaming after the vectored base image
+    sql("INSERT INTO flake.fv VALUES (100, 'x')")
+    q.processAllAvailable()
+    assert(got.toArray.map(_.asInstanceOf[Long]).sorted.toSeq === ((0L until 15L) :+ 100L))
+    // but a DELETE mid-stream still violates the append-only contract
+    sql("DELETE FROM flake.fv WHERE k = 3")
+    val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+    assert(ex.getCause.getMessage.contains("merge-on-read DELETE"))
+    q.stop()
+  }
+
   test("restart from checkpoint resumes at the last committed version") {
     sql("CREATE TABLE flake.cr (k BIGINT)")
     sql("INSERT INTO flake.cr VALUES (1)")
