@@ -100,7 +100,22 @@ object Compaction {
           // written under one root then promoted to ordinary top-level
           // data dirs (vacuum's liveness rules key on those names)
           val root = log.newDataDir()
-          ZOrder.layout(spark, df, zorderBy, nOut)
+          // z bounds from the committed stats when every rewritten dir has
+          // typed numeric stats for the column — skips a second full scan
+          // (and a second vector-subtraction pass) over the input dirs
+          val statBounds: Map[String, (Double, Double)] = zorderBy.flatMap { c =>
+            val cs = small.map(_.stats.flatMap(_.cols.get(c)))
+            val nums = cs.map(_.flatMap(st => (st.min, st.max) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some((mn.toDouble, mx.toDouble))
+              case (mn: java.lang.Double, mx: java.lang.Double) => Some((mn.toDouble, mx.toDouble))
+              case _ => None
+            }))
+            if (nums.forall(_.isDefined) && nums.nonEmpty)
+              Some(c -> (nums.flatten.map(_._1).min, nums.flatten.map(_._2).max))
+            else None
+          }.toMap
+          ZOrder.layout(spark, df, zorderBy, nOut, statBounds)
             .write.partitionBy(ZOrder.TileCol).parquet(root)
           val rootPath = new Path(root)
           val tiles = fs.listStatus(rootPath).toSeq

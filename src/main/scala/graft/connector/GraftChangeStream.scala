@@ -100,9 +100,23 @@ private[connector] class GraftMicroBatchStream(log: TableLog,
           "streams appends only")
     val added = endEntries.map(_.dir).filterNot(startState.keySet)
     if (added.isEmpty) Array.empty
-    else delegate(added).newScanBuilder(CaseInsensitiveStringMap.empty())
-      .build().toBatch.planInputPartitions()
+    else routeForFactory(delegate(added)
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions(), Map.empty)
   }
+
+  /** A stream whose scan serves lineage columns has NO clean passthrough —
+    * its factory's plain route lacks the output projection — so every
+    * batch's partitions (appends included, vector-free or not) must travel
+    * as [[DvInputPartition]]s through the dv reader.
+    */
+  private def routeForFactory(parts: Array[InputPartition],
+                              dvs: Map[String, GraftDvRead.DvRef]): Array[InputPartition] =
+    factoryScan.toBatch.createReaderFactory() match {
+      case f: DvPartitionReaderFactory if !f.cleanPassthrough =>
+        GraftDvRead.resplit(parts, dvs)
+      case _ => parts
+    }
 
   /** Partitions of the base-image batch: version `ev`'s dirs, with files
     * hiding rows behind deletion vectors re-routed through
@@ -116,26 +130,26 @@ private[connector] class GraftMicroBatchStream(log: TableLog,
       .newScanBuilder(CaseInsensitiveStringMap.empty())
       .build().toBatch.planInputPartitions()
     val dvs = GraftDvRead.dvByDir(entries, log.hadoopConf)
-    if (dvs.isEmpty) return base
-    // the factory must be the dv-dispatching one, which the table's scan
-    // builds exactly when ITS snapshot carries vectors — a vector landing
-    // between query analysis and the first batch is the one shape the
-    // factory cannot read, and fails loudly instead of resurrecting rows
-    if (!factoryScan.toBatch.createReaderFactory().isInstanceOf[DvPartitionReaderFactory])
-      throw new UnsupportedOperationException(
-        s"stream over ${log.tableDir}: deletion vectors appeared between " +
-          "query start and the first batch; restart the stream")
-    import org.apache.spark.sql.execution.datasources.FilePartition
-    val (vectored, clean) = base.collect { case fp: FilePartition => fp }
-      .partition(_.files.exists(f => GraftDvRead.positionsFor(dvs, f).nonEmpty))
-    val cleanKept: Array[InputPartition] = clean.map(identity) ++ vectored.flatMap { fp =>
-      val keep = fp.files.filterNot(f => GraftDvRead.positionsFor(dvs, f).nonEmpty)
-      if (keep.isEmpty) None else Some(FilePartition(fp.index, keep))
+    factoryScan.toBatch.createReaderFactory() match {
+      case f: DvPartitionReaderFactory if !f.cleanPassthrough =>
+        // lineage-column stream: everything dv-routed (projection lives
+        // only on that side)
+        GraftDvRead.resplit(base, dvs)
+      case _: DvPartitionReaderFactory =>
+        // hybrid factory: clean files keep the plain route, vectored files
+        // re-split through the dv reader — the same shared splitter the
+        // batch scan uses
+        val (clean, dvParts) = GraftDvRead.splitCleanVectored(base, dvs)
+        clean ++ dvParts
+      case _ if dvs.nonEmpty =>
+        // a vector landed between query analysis and the first batch — the
+        // one shape the analysis-time factory cannot read; fail loudly
+        // instead of resurrecting rows
+        throw new UnsupportedOperationException(
+          s"stream over ${log.tableDir}: deletion vectors appeared between " +
+            "query start and the first batch; restart the stream")
+      case _ => base
     }
-    val dvParts = GraftDvRead.resplit(
-      Array(FilePartition(0, vectored.flatMap(
-        _.files.filter(f => GraftDvRead.positionsFor(dvs, f).nonEmpty)))), dvs)
-    cleanKept ++ dvParts
   }
 
   /** The reader factory of the planner-built scan: it bakes in the read

@@ -115,6 +115,28 @@ private[connector] object GraftDvRead {
       case _ => false
     }).minByOption(_.dataType.defaultSize).getOrElse(dataSchema.fields.head)
 
+  /** Split delegated partitions into (clean, vectored): files hiding rows
+    * behind a vector are pulled out and re-split one-file-per-partition
+    * ([[resplit]]); everything else — including any non-file partition a
+    * future delegate might plan — passes through untouched for the clean
+    * factory. Shared by [[GraftHybridScan]] and the changefeed's base
+    * image so the routing logic cannot drift between batch and stream.
+    */
+  def splitCleanVectored(parts: Array[InputPartition],
+                         dvs: Map[String, DvRef]): (Array[InputPartition], Array[InputPartition]) = {
+    def vectoredFile(f: PartitionedFile): Boolean = positionsFor(dvs, f).nonEmpty
+    val clean = parts.flatMap {
+      case fp: FilePartition =>
+        val keep = fp.files.filterNot(vectoredFile)
+        if (keep.isEmpty) None
+        else if (keep.length == fp.files.length) Some(fp)
+        else Some(FilePartition(fp.index, keep))
+      case other => Some(other)
+    }
+    val vectored = parts.collect { case fp: FilePartition => fp.files.filter(vectoredFile) }.flatten
+    (clean, resplit(Array(FilePartition(0, vectored)), dvs))
+  }
+
   /** Rebuild the delegated scan to also produce the row-index column. An
     * empty read schema (a `count(*)`) is padded with the table's first
     * column first: the parquet readers take the no-columns case down a
@@ -168,7 +190,8 @@ private[connector] final class DvPartitionReaderFactory(dvFactory: PartitionRead
                                                         rowIndexOrdinal: Int,
                                                         outputMap: Array[Int],
                                                         outputTypes: Array[DataType],
-                                                        conf: SerializableHadoopConf)
+                                                        conf: SerializableHadoopConf,
+                                                        val cleanPassthrough: Boolean)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
@@ -290,9 +313,12 @@ private[connector] final class GraftDvScan(private val inner: ParquetScan,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val delegated = withIdx.toBatch.createReaderFactory()
+    // cleanPassthrough = false: the clean factory CANNOT serve this scan's
+    // output (it lacks the lineage projection), so every partition — the
+    // changefeed's appends included — must route through the dv reader
     new DvPartitionReaderFactory(delegated, delegated,
       rowIndexOrdinal, outputMap, outputTypes,
-      new SerializableHadoopConf(inner.hadoopConf))
+      new SerializableHadoopConf(inner.hadoopConf), cleanPassthrough = false)
   }
 
   override def equals(other: Any): Boolean = other match {
@@ -321,23 +347,9 @@ private[connector] final class GraftHybridScan(private val inner: ParquetScan,
 
   override def toBatch: Batch = this
 
-  private def hasDeletes(f: PartitionedFile): Boolean =
-    GraftDvRead.positionsFor(dvs, f).nonEmpty
-
   override def planInputPartitions(): Array[InputPartition] = {
-    val base = inner.toBatch.planInputPartitions()
-    val clean = base.flatMap {
-      case fp: FilePartition =>
-        val keep = fp.files.filterNot(hasDeletes)
-        if (keep.isEmpty) None
-        else if (keep.length == fp.files.length) Some(fp)
-        else Some(FilePartition(fp.index, keep))
-      case other => Some(other)
-    }
-    val vectored = base.collect { case fp: FilePartition => fp.files.filter(hasDeletes) }
-      .flatten
-    val dvParts = GraftDvRead.resplit(
-      Array(FilePartition(0, vectored)), dvs)
+    val (clean, dvParts) =
+      GraftDvRead.splitCleanVectored(inner.toBatch.planInputPartitions(), dvs)
     clean ++ dvParts
   }
 
@@ -350,7 +362,7 @@ private[connector] final class GraftHybridScan(private val inner: ParquetScan,
       rowIdxScan.readDataSchema.length - 1,
       Array.tabulate(n)(identity),
       inner.readDataSchema.fields.map(_.dataType),
-      new SerializableHadoopConf(inner.hadoopConf))
+      new SerializableHadoopConf(inner.hadoopConf), cleanPassthrough = true)
   }
 
   override def equals(other: Any): Boolean = other match {

@@ -68,20 +68,54 @@ private[connector] object ZOrder {
     * internally sorted output partitions (one parquet file each under the
     * compaction write).
     */
-  def layout(spark: SparkSession, df: DataFrame, cols: Seq[String], nOut: Int): DataFrame = {
+  /** `bounds` may carry stats-derived [min, max] per column (wider than
+    * observed costs only cell resolution, never correctness); columns not
+    * covered are measured with one aggregation pass over `df`.
+    */
+  def layout(spark: SparkSession, df: DataFrame, cols: Seq[String], nOut: Int,
+             bounds: Map[String, (Double, Double)] = Map.empty): DataFrame = {
     require(cols.nonEmpty && cols.size <= 7,
       s"zorderBy takes 1..7 columns, got ${cols.size}")
-    // one pass for the observed ranges (driver-side: 2 doubles per column)
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val mins = cols.indices.map(i => Option(row.get(2 * i)).map(_.asInstanceOf[Double]).getOrElse(0.0))
-    val maxs = cols.indices.map(i => Option(row.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0))
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"zorderBy column $c not in ${df.schema.fieldNames.mkString(",")}"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.DateType => ()
+        case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType => ()
+        case dt => throw new IllegalArgumentException(
+          s"zorderBy column $c has unsupported type $dt: numeric/date/" +
+            "timestamp/boolean only (a string column would need range-id " +
+            "coding; under ANSI mode the cast would abort mid-job)")
+      }
+    }
+    Seq("__graft_z", TileCol).foreach(r => require(!df.columns.exists(_.equalsIgnoreCase(r)),
+      s"table column $r collides with the z-order layout's internal column"))
+    val missing = cols.filterNot(bounds.contains)
+    val measured: Map[String, (Double, Double)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        // one pass for the observed ranges (driver-side: 2 doubles/column)
+        val aggs = missing.flatMap(c =>
+          Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        missing.zipWithIndex.map { case (c, i) =>
+          c -> (Option(row.get(2 * i)).map(_.toString.toDouble).getOrElse(0.0),
+            Option(row.get(2 * i + 1)).map(_.toString.toDouble).getOrElse(0.0))
+        }.toMap
+      }
+    val all = bounds ++ measured
+    val mins = cols.map(all(_)._1)
+    val maxs = cols.map(all(_)._2)
     val zCol = "__graft_z"
+    // the (TileCol, zCol) sort prefix-satisfies the parquet writer's
+    // required partitionBy ordering, so no writer-inserted sort (which
+    // breaks ties arbitrarily across spill runs) can scramble the z order
+    // inside a tile
     df.withColumn(zCol, zvalue(cols, mins, maxs))
       .repartitionByRange(math.max(1, nOut), col(zCol))
-      .sortWithinPartitions(zCol)
       .withColumn(TileCol, spark_partition_id())
+      .sortWithinPartitions(col(TileCol), col(zCol))
       .drop(zCol)
   }
 }

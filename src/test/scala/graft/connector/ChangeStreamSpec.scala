@@ -58,6 +58,26 @@ class ChangeStreamSpec extends LakeSpec {
     q.stop()
   }
 
+  test("lineage columns are a batch feature: a stream selecting them fails") {
+    sql("CREATE TABLE flake.lc (k BIGINT, v STRING)")
+    sql("INSERT INTO flake.lc SELECT id, 'a' FROM range(0, 5)")
+    // Spark's streaming planner never prunes DSv2 scans, so the connector
+    // cannot learn that lineage columns were projected and cannot serve
+    // them (the scan would emit data-schema rows under a wider plan).
+    // Pin that the query fails rather than returning garbage; batch reads
+    // of the same columns work (MorDeleteSpec).
+    val q = spark.readStream.table("flake.lc")
+      .select("k", "__graft_pos", "__graft_file")
+      .writeStream
+      .option("checkpointLocation", tmp("lc-ckpt"))
+      .format("noop")
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+  }
+
   test("restart from checkpoint resumes at the last committed version") {
     sql("CREATE TABLE flake.cr (k BIGINT)")
     sql("INSERT INTO flake.cr VALUES (1)")

@@ -66,6 +66,18 @@ class ZOrderSpec extends LakeSpec {
     assert(l.history().head.liveRows === Some(10000L))
   }
 
+  test("zorderBy validates column types and reserved names up front") {
+    sql("CREATE TABLE zlake.db.zbad (x BIGINT, s STRING)")
+    sql("INSERT INTO zlake.db.zbad VALUES (1, 'a')")
+    sql("INSERT INTO zlake.db.zbad VALUES (2, 'b')")   // 2 dirs: rewrite proceeds to layout
+    val ty = intercept[IllegalArgumentException](
+      Compaction.compact(spark, log("db/zbad"), zorderBy = Seq("s")))
+    assert(ty.getMessage.contains("unsupported type"))
+    val missing = intercept[IllegalArgumentException](
+      Compaction.compact(spark, log("db/zbad"), zorderBy = Seq("nope")))
+    assert(missing.getMessage.contains("not in"))
+  }
+
   test("zorderBy refuses to combine with clusterBy") {
     seedGrid("zr")
     intercept[IllegalArgumentException](
