@@ -139,7 +139,12 @@ object Compaction {
             if (clusterBy.nonEmpty) c.sortWithinPartitions(clusterBy.map(col): _*)
             else c
           laidOut.write.parquet(staging)
+          // same empty-output guard as the z-order branch: when every
+          // rewritten row was vector-deleted the consolidated dir holds no
+          // rows — committing it would just re-create the small-dir problem
+          // being solved (the unreferenced staging dir is vacuum's to drop)
           Seq(DirEntry(staging, DirStats.collect(staging, log.hadoopConf)))
+            .filterNot(_.stats.exists(_.rows == 0))
         }
       }
 

@@ -57,6 +57,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     part
   }
 
+  /** Data columns may not shadow the engine's internal names: the
+    * merge-on-read scan strips [[GraftDvRead.MetaColNames]] from the
+    * parquet read schema unconditionally (a real column so named would be
+    * silently served the file path / row index instead of its data), and
+    * z-order compaction refuses its internal columns only at OPTIMIZE time
+    * — far too late for a committed table. Mirror of ZOrder's
+    * reserved-name check, case-insensitive like column resolution.
+    */
+  private def checkColumnName(name: String): Unit = {
+    val reserved = GraftDvRead.MetaColNames ++ Seq("__graft_z", ZOrder.TileCol)
+    require(!reserved.exists(_.equalsIgnoreCase(name)),
+      s"column name '$name' is reserved for graft-lake internal use " +
+        s"(reserved: ${reserved.mkString(", ")})")
+  }
+
   private def tableDir(ident: Identifier): String =
     ((ident.namespace :+ ident.name).map(checkPart)).mkString(s"$root/", "/", "")
 
@@ -114,6 +129,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "graft-lake tables do not take PARTITIONED BY: the manifest's immutable " +
         "data dirs are the replacement unit (bucket/partition keys stay data columns)")
+    schema.fieldNames.foreach(checkColumnName)
     val l = log(ident)
     if (l.exists) throw new TableAlreadyExistsException(catalogName +: ident.namespace.toSeq :+ ident.name)
     val props = properties.asScala.toMap -- Seq(TableCatalog.PROP_OWNER,
@@ -156,6 +172,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"added column $name must append at the end (FIRST/AFTER would shift ordinals)")
           require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
             s"column $name already exists in ${fullName(ident)}")
+          checkColumnName(name)
           val field = org.apache.spark.sql.types.StructField(name, a.dataType, nullable = true)
           sch = org.apache.spark.sql.types.StructType(
             sch.fields :+ Option(a.comment).map(field.withComment).getOrElse(field))

@@ -321,12 +321,21 @@ private[connector] final class GraftDvScan(private val inner: ParquetScan,
       new SerializableHadoopConf(inner.hadoopConf), cleanPassthrough = false)
   }
 
+  // vector IDENTITY (the immutable vector file paths), not just the keyed
+  // dirs: two snapshots can share every data dir and differ only in vector
+  // contents (`t` vs `t VERSION AS OF n` after a MOR DELETE), and the inner
+  // ParquetScan's equality is root-path-based — keySet-only equality would
+  // let planner scan/exchange reuse serve one snapshot's rows for both
+  // sides of a cross-version join/union
+  private def dvIdentity: Map[String, String] =
+    dvs.map { case (dir, ref) => dir -> ref.path }
   override def equals(other: Any): Boolean = other match {
     case o: GraftDvScan =>
-      inner == o.inner && required == o.required && dvs.keySet == o.dvs.keySet
+      inner == o.inner && required == o.required && dvIdentity == o.dvIdentity
     case _ => false
   }
-  override def hashCode(): Int = inner.hashCode() * 31 + required.hashCode()
+  override def hashCode(): Int =
+    (inner.hashCode() * 31 + required.hashCode()) * 31 + dvIdentity.hashCode()
 }
 
 /** Scan for plain reads of a snapshot that carries deletion vectors but
@@ -365,9 +374,13 @@ private[connector] final class GraftHybridScan(private val inner: ParquetScan,
       new SerializableHadoopConf(inner.hadoopConf), cleanPassthrough = true)
   }
 
+  // same cross-version reuse hazard as GraftDvScan: compare vector file
+  // paths, not just which dirs carry a vector
+  private def dvIdentity: Map[String, String] =
+    dvs.map { case (dir, ref) => dir -> ref.path }
   override def equals(other: Any): Boolean = other match {
-    case o: GraftHybridScan => inner == o.inner && dvs.keySet == o.dvs.keySet
+    case o: GraftHybridScan => inner == o.inner && dvIdentity == o.dvIdentity
     case _ => false
   }
-  override def hashCode(): Int = inner.hashCode()
+  override def hashCode(): Int = inner.hashCode() * 31 + dvIdentity.hashCode()
 }
