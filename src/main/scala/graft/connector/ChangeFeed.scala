@@ -1,0 +1,157 @@
+package graft.connector
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, not, regexp_replace}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+/** Batch change-data-feed over a catalog table's version range — Delta's
+  * `table_changes(t, s, e)` contract, computed from the manifest log
+  * instead of materialized change files. Where the STREAMING changefeed
+  * ([[GraftMicroBatchStream]]) is append-only by contract (a rewrite or a
+  * merge-on-read DELETE in its range fails the stream loudly), this batch
+  * face reconstructs those versions as retractions, so every commit kind
+  * is readable:
+  *
+  *  - a dir ADDED at version v emits its rows as `_change_type='insert'`;
+  *  - a dir whose deletion vector GREW at v emits exactly the
+  *    newly-deleted positions as `'delete'` (in-new-and-not-in-old, probed
+  *    executor-side against the immutable old/new vector files);
+  *  - a dir REMOVED at v emits its then-live rows (old vector applied) as
+  *    `'delete'` — metadata-only DELETE, copy-on-write rewrites, and
+  *    compaction all land here.
+  *
+  * Every emitted row carries `_commit_version` and `_commit_timestamp`
+  * (manifest mtime — the rename is the commit).
+  *
+  * Semantics are NET-EFFECT retractions, not row-matched updates: a
+  * copy-on-write UPDATE appears as delete(old dir's live rows) +
+  * insert(new dir's rows), and a pure-layout compaction appears as
+  * equal-volume delete+insert churn that nets to zero — the documented
+  * price of computing changes from the log instead of writing Delta's
+  * `_change_data` files on every update. Merge-on-read commands, the
+  * recommended mode for hot tables, produce exact minimal deltas (vector
+  * growth + one staged dir).
+  *
+  * Scale shape: the whole range plans THREE scans regardless of how many
+  * versions it spans — one over all added dirs, one over all removed dirs
+  * (each joined against a broadcast dir→version table to attach commit
+  * columns), plus one per version that grew vectors (those need
+  * per-version old/new vector pairs). Nothing but dir paths and vector
+  * paths ever sits on the driver. A range reaching past `vacuum`'s
+  * retention window fails loudly (missing manifest or missing dir), never
+  * silently under-reports.
+  */
+object ChangeFeed {
+
+  val TypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+  val TimestampCol = "_commit_timestamp"
+
+  /** Changes committed in versions `(startVersion, endVersion]` — exclusive
+    * start, like the streaming offsets: `between(spark, log, v, v)` is
+    * empty, `between(spark, log, 0, latest)` replays the table from
+    * nothing (its inserts minus deletes are exactly the live snapshot).
+    */
+  def between(spark: SparkSession, log: TableLog,
+              startVersion: Long, endVersion: Long): DataFrame = {
+    val latest = log.latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"${log.tableDir} has no committed version"))
+    require(0 <= startVersion && startVersion <= endVersion && endVersion <= latest,
+      s"need 0 <= start <= end <= $latest (latest), got ($startVersion, $endVersion]")
+    val dataSchema = log.metaAt(endVersion)._1
+    val outSchema = StructType(dataSchema.fields ++ Seq(
+      StructField(TypeCol, StringType, nullable = false),
+      StructField(VersionCol, LongType, nullable = false),
+      StructField(TimestampCol, TimestampType, nullable = false)))
+
+    def stateAt(v: Long): Map[String, DirEntry] =
+      if (v == 0) Map.empty
+      else log.entriesAt(v).map(e => e.dir -> e).toMap
+
+    // one pairwise walk of the range, like the stream's contract check —
+    // endpoint diffs would mis-attribute (or miss) a dir added and removed
+    // mid-range
+    val added = Seq.newBuilder[(String, Option[String], Long)]  // dir, dvAtAdd, v
+    val removed = Seq.newBuilder[(String, Option[String], Long)] // dir, dvBefore, v
+    val grown = Seq.newBuilder[(String, Option[String], String, Long)] // dir, old, new, v
+    var prev = stateAt(startVersion)
+    (startVersion + 1 to endVersion).foreach { v =>
+      val cur = stateAt(v)
+      cur.valuesIterator.filterNot(e => prev.contains(e.dir)).foreach(e =>
+        added += ((e.dir, e.dv, v)))
+      prev.valuesIterator.filterNot(e => cur.contains(e.dir)).foreach(e =>
+        removed += ((e.dir, e.dv, v)))
+      cur.valuesIterator.foreach { e =>
+        prev.get(e.dir).filter(_.dv != e.dv).foreach { old =>
+          // vectors only grow on a surviving dir (shrink = purge = rewrite
+          // = dir replacement); a vanishing vector would mean resurrection
+          require(e.dv.isDefined,
+            s"vector of ${e.dir} vanished at version $v without a rewrite")
+          grown += ((e.dir, old.dv, e.dv.get, v))
+        }
+      }
+      prev = cur
+    }
+
+    val conf = log.hadoopConf
+    def qualify(dir: String): String =
+      new Path(dir).getFileSystem(conf).makeQualified(new Path(dir)).toString
+    def read(dirs: Seq[String]): DataFrame =
+      spark.read.schema(dataSchema).parquet(dirs: _*)
+    // attach (_change_type, _commit_version, _commit_timestamp) by joining
+    // the row's parent dir against a broadcast dir→commit table — one scan
+    // serves every version's adds (and one every version's removes)
+    def withCommit(df: DataFrame, byDir: Seq[(String, Long)],
+                   changeType: String): DataFrame = {
+      val dirsDf = spark.createDataFrame(
+        byDir.map { case (d, v) =>
+          Row(qualify(d), v, new java.sql.Timestamp(log.commitTimestamp(v)))
+        }.asJava,
+        StructType(Seq(StructField("__cf_dir", StringType),
+          StructField("__cf_v", LongType), StructField("__cf_ts", TimestampType))))
+      df.join(broadcast(dirsDf),
+          regexp_replace(col("_metadata.file_path"), "/[^/]*$", "") === col("__cf_dir"))
+        .select(dataSchema.fieldNames.map(col).toSeq ++ Seq(
+          lit(changeType).as(TypeCol), col("__cf_v").as(VersionCol),
+          col("__cf_ts").as(TimestampCol)): _*)
+    }
+
+    val parts = Seq.newBuilder[DataFrame]
+    val addedList = added.result()
+    if (addedList.nonEmpty) {
+      // vector-at-add applied defensively: today's writers never commit a
+      // fresh dir with deletions, but the feed must not resurrect if one did
+      val dvMap = addedList.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
+      val df0 = read(addedList.map(_._1))
+      val df = if (dvMap.isEmpty) df0 else df0.where(not(DvReads.deletedAt(dvMap, conf)))
+      parts += withCommit(df, addedList.map(t => (t._1, t._3)), "insert")
+    }
+    val removedList = removed.result()
+    if (removedList.nonEmpty) {
+      // rows LIVE at removal time: growth steps already emitted the rest
+      val dvMap = removedList.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
+      val df0 = read(removedList.map(_._1))
+      val df = if (dvMap.isEmpty) df0 else df0.where(not(DvReads.deletedAt(dvMap, conf)))
+      parts += withCommit(df, removedList.map(t => (t._1, t._3)), "delete")
+    }
+    // vector growth needs the per-version old/new PAIR, so these scans
+    // cannot fold across versions; one scan per growing version
+    grown.result().groupBy(_._4).toSeq.sortBy(_._1).foreach { case (v, steps) =>
+      val oldMap = steps.collect { case (d, Some(o), _, _) => qualify(d) -> o }.toMap
+      val newMap = steps.map { case (d, _, n, _) => qualify(d) -> n }.toMap
+      val newlyDeleted = read(steps.map(_._1))
+        .where(DvReads.deletedAt(newMap, conf) &&
+          (if (oldMap.isEmpty) lit(true) else not(DvReads.deletedAt(oldMap, conf))))
+      parts += newlyDeleted.select(dataSchema.fieldNames.map(col).toSeq ++ Seq(
+        lit("delete").as(TypeCol), lit(v).as(VersionCol),
+        lit(new java.sql.Timestamp(log.commitTimestamp(v))).as(TimestampCol)): _*)
+    }
+
+    parts.result().reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[Row](), outSchema))
+  }
+}

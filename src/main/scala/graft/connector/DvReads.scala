@@ -26,17 +26,25 @@ import org.apache.spark.sql.functions.{col, not, udf}
   */
 object DvReads {
 
-  /** `df` must be a V1 parquet read over exactly `entries`' dirs. Returns
-    * it with every vectored position removed; a vector-free entry list
-    * returns `df` untouched.
+  /** Qualified-dir-path -> vector-file-path for the entries that carry a
+    * vector (the probe's routing map — shipped to executors, the positions
+    * are not).
     */
-  def applyVectors(spark: SparkSession, df: DataFrame, entries: Seq[DirEntry],
-                   conf: Configuration): DataFrame = {
+  private[connector] def dvPathMap(entries: Seq[DirEntry],
+                                   conf: Configuration): Map[String, String] = {
     val vectored = entries.filter(_.dv.isDefined)
-    if (vectored.isEmpty) return df
+    if (vectored.isEmpty) return Map.empty
     val fs = new Path(vectored.head.dir).getFileSystem(conf)
-    val dvPathByDir: Map[String, String] =
-      vectored.map(e => fs.makeQualified(new Path(e.dir)).toString -> e.dv.get).toMap
+    vectored.map(e => fs.makeQualified(new Path(e.dir)).toString -> e.dv.get).toMap
+  }
+
+  /** The deleted-position probe as a Column predicate over this read's
+    * hidden `_metadata` struct: true iff the row's (file, row_index) is in
+    * its dir's vector per `dvPathByDir`. Dirs absent from the map probe
+    * false, so one predicate serves mixed vectored/clean reads.
+    */
+  private[connector] def deletedAt(dvPathByDir: Map[String, String],
+                                   conf: Configuration): org.apache.spark.sql.Column = {
     val sconf = new SerializableHadoopConf(conf)
     val isDeleted = udf { (file: String, pos: Long) =>
       val cut = file.lastIndexOf('/')
@@ -48,6 +56,17 @@ object DvReads {
           java.util.Arrays.binarySearch(arr, pos) >= 0
       }
     }
-    df.where(not(isDeleted(col("_metadata.file_path"), col("_metadata.row_index"))))
+    isDeleted(col("_metadata.file_path"), col("_metadata.row_index"))
+  }
+
+  /** `df` must be a V1 parquet read over exactly `entries`' dirs. Returns
+    * it with every vectored position removed; a vector-free entry list
+    * returns `df` untouched.
+    */
+  def applyVectors(spark: SparkSession, df: DataFrame, entries: Seq[DirEntry],
+                   conf: Configuration): DataFrame = {
+    val dvPathByDir = dvPathMap(entries, conf)
+    if (dvPathByDir.isEmpty) return df
+    df.where(not(deletedAt(dvPathByDir, conf)))
   }
 }

@@ -187,6 +187,18 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Commit instant of one version (manifest mtime — the rename IS the
+    * commit), without the full per-version stats/vector walk `history()`
+    * does. Fails on a vacuumed-away version, like `entriesAt`.
+    */
+  def commitTimestamp(v: Long): Long = {
+    val p = manifestPath(v)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"version $v of $tableDir has no manifest (vacuumed or never committed)")
+    fs.getFileStatus(p).getModificationTime
+  }
+
   /** Allocate a fresh, never-visible data directory name for a write. */
   def newDataDir(): String =
     new Path(tableDir, s"data/d-${java.util.UUID.randomUUID().toString.take(12)}").toString

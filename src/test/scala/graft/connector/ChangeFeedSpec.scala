@@ -1,0 +1,117 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, sum, when}
+
+/** Batch change-data-feed ([[ChangeFeed.between]]): per-version
+  * insert/delete rows reconstructed from the manifest log, covering the
+  * commit kinds the append-only STREAM refuses — merge-on-read deletes,
+  * metadata-only deletes, copy-on-write rewrites, compaction.
+  */
+class ChangeFeedSpec extends LakeSpec {
+  protected def catalogName = "cdflake"
+
+  private def feed(table: String, s: Long, e: Long): DataFrame =
+    ChangeFeed.between(spark, log(table), s, e)
+
+  /** Net effect of the feed: per distinct row, inserts minus deletes. */
+  private def net(df: DataFrame, keyCols: String*): Seq[Row] =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(when(col(ChangeFeed.TypeCol) === "insert", 1)
+        .otherwise(-1)).as("n"))
+      .where(col("n") =!= 0)
+      .orderBy(keyCols.map(col): _*)
+      .collect().toSeq
+
+  test("appends emit inserts with their commit versions") {
+    sql("CREATE NAMESPACE IF NOT EXISTS cdflake.db")
+    sql("CREATE TABLE cdflake.db.a (k BIGINT)")
+    sql("INSERT INTO cdflake.db.a VALUES (1), (2)")   // v1
+    sql("INSERT INTO cdflake.db.a VALUES (3)")        // v2
+    val f = feed("db/a", 0, 2)
+    assert(f.schema.fieldNames.toSeq ===
+      Seq("k", "_change_type", "_commit_version", "_commit_timestamp"))
+    assert(f.select("k", "_change_type", "_commit_version").collect().toSet ===
+      Set(Row(1L, "insert", 1L), Row(2L, "insert", 1L), Row(3L, "insert", 2L)))
+    assert(f.where(col(ChangeFeed.TimestampCol).isNull).count() === 0)
+    // exclusive start: only v2's commit
+    assert(feed("db/a", 1, 2).select("k").collect().toSeq === Seq(Row(3L)))
+    assert(feed("db/a", 2, 2).count() === 0)
+    intercept[IllegalArgumentException](feed("db/a", 1, 99))
+  }
+
+  test("merge-on-read DELETE emits exactly the newly-deleted rows") {
+    sql("CREATE TABLE cdflake.db.m (k BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO cdflake.db.m SELECT id FROM range(0, 10)")  // v1
+    sql("DELETE FROM cdflake.db.m WHERE k % 3 = 0")              // v2: dv
+    sql("DELETE FROM cdflake.db.m WHERE k % 3 = 1")              // v3: dv grows
+    val f = feed("db/m", 1, 3)
+    assert(f.where(col(ChangeFeed.TypeCol) === "insert").count() === 0)
+    assert(f.select("k", "_change_type", "_commit_version").collect().toSet ===
+      Set(Row(0L, "delete", 2L), Row(3L, "delete", 2L), Row(6L, "delete", 2L),
+        Row(9L, "delete", 2L),
+        Row(1L, "delete", 3L), Row(4L, "delete", 3L), Row(7L, "delete", 3L)))
+    // replay from scratch matches the live snapshot
+    assert(net(feed("db/m", 0, 3), "k").map(_.getLong(0)).toSet === Set(2L, 5L, 8L))
+  }
+
+  test("metadata-only DELETE (dropped dirs) emits the dropped rows") {
+    sql("CREATE TABLE cdflake.db.d (k BIGINT)")
+    sql("INSERT INTO cdflake.db.d SELECT id FROM range(0, 5)")    // v1
+    sql("INSERT INTO cdflake.db.d SELECT id FROM range(10, 15)")  // v2
+    sql("DELETE FROM cdflake.db.d WHERE k >= 10")                 // v3: dir dropped
+    assert(log("db/d").entriesAt(3).size === 1, "precondition: metadata-only drop")
+    val f = feed("db/d", 2, 3)
+    assert(f.select("k", "_change_type").collect().toSet ===
+      (10L until 15L).map(Row(_, "delete")).toSet)
+  }
+
+  test("copy-on-write UPDATE nets to the updated state") {
+    sql("CREATE TABLE cdflake.db.u (k BIGINT, v BIGINT)")
+    sql("INSERT INTO cdflake.db.u SELECT id, 0 FROM range(0, 6)")  // v1
+    sql("UPDATE cdflake.db.u SET v = 1 WHERE k < 2")               // v2: rewrite
+    val f = feed("db/u", 1, 2)
+    // rewrite churn: the dir's untouched rows appear as delete+insert pairs
+    // that cancel; the net is exactly the logical update
+    assert(net(f, "k", "v").toSet ===
+      Set(Row(0L, 0L, -1L), Row(1L, 0L, -1L), Row(0L, 1L, 1L), Row(1L, 1L, 1L)))
+    assert(net(feed("db/u", 0, 2), "k", "v").size === 6)
+  }
+
+  test("compaction churn nets to zero") {
+    sql("CREATE TABLE cdflake.db.c (k BIGINT)")
+    sql("INSERT INTO cdflake.db.c VALUES (1)")
+    sql("INSERT INTO cdflake.db.c VALUES (2)")
+    sql("INSERT INTO cdflake.db.c VALUES (3)")
+    assert(Compaction.compact(spark, log("db/c")))   // v4: pure layout
+    val f = feed("db/c", 3, 4)
+    assert(f.count() === 6, "3 deletes + 3 inserts of churn")
+    assert(net(f, "k").isEmpty, "layout maintenance must net to zero")
+  }
+
+  test("schema evolution: pre-ALTER dirs feed NULL for added columns") {
+    sql("CREATE TABLE cdflake.db.s (k BIGINT)")
+    sql("INSERT INTO cdflake.db.s VALUES (1)")                    // v1
+    sql("ALTER TABLE cdflake.db.s ADD COLUMNS (tag STRING)")      // v2
+    sql("INSERT INTO cdflake.db.s VALUES (2, 't')")               // v3
+    val f = feed("db/s", 0, 3)
+    assert(f.select("k", "tag", "_commit_version").collect().toSet ===
+      Set(Row(1L, null, 1L), Row(2L, "t", 3L)))
+  }
+
+  test("mor MERGE feeds its exact delta: vector growth plus staged inserts") {
+    sql("CREATE TABLE cdflake.db.g (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
+    sql("INSERT INTO cdflake.db.g SELECT id, 0 FROM range(0, 6)")   // v1
+    sql("MERGE INTO cdflake.db.g t USING (SELECT id k, 9 v FROM range(4, 8)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")                             // v2
+    val f = feed("db/g", 1, 2).select("k", "v", "_change_type")
+    assert(f.collect().toSet === Set(
+      Row(4L, 0L, "delete"), Row(5L, 0L, "delete"),   // shadowed via vector
+      Row(4L, 9L, "insert"), Row(5L, 9L, "insert"),   // reinserts
+      Row(6L, 9L, "insert"), Row(7L, 9L, "insert")))  // new keys
+    assert(net(feed("db/g", 0, 2), "k", "v").size === 8)
+  }
+}
