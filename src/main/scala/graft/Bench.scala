@@ -236,9 +236,10 @@ object Bench {
       (rows.size.toLong, secs)
     }
 
+    val cfRoot = tmp("bench-cf")
     benchStream("catalog_changefeed") {
       // end-to-end lakehouse append -> manifest-tailing stream drain rate
-      val root = tmp("bench-cf")
+      val root = cfRoot
       spark.conf.set("spark.sql.catalog.benchcf",
         classOf[graft.connector.GraftCatalog].getName)
       spark.conf.set("spark.sql.catalog.benchcf.root", root)
@@ -262,6 +263,23 @@ object Bench {
       q.stop()
       require(got.get() == n, s"changefeed emitted ${got.get()} of $n rows")
       (n, secs)
+    }
+
+    benchStream("catalog_cdf") {
+      // batch change-data-feed replay rate over the table the changefeed
+      // bench just built (8 append versions + its own mor-delete commit)
+      val log = new graft.connector.TableLog(s"$cfRoot/t",
+        spark.sparkContext.hadoopConfiguration)
+      spark.sql("ALTER TABLE benchcf.t " +
+        "SET TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+      spark.sql("DELETE FROM benchcf.t WHERE k % 10 = 3")
+      val latest = log.latestVersion.get
+      val t0 = System.nanoTime()
+      val changes = graft.connector.ChangeFeed
+        .between(spark, log, 0L, latest).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(changes == 44000L, s"cdf emitted $changes of 44000 change rows")
+      (changes, secs)
     }
 
     // ---- baseline comparison: recorded idle numbers, committed in-repo ----

@@ -100,6 +100,25 @@ class ChangeFeedSpec extends LakeSpec {
       Set(Row(1L, null, 1L), Row(2L, "t", 3L)))
   }
 
+  test("scale shape: one scan serves every append version in the range") {
+    sql("CREATE TABLE cdflake.db.w (k BIGINT)")
+    (0 until 24).foreach(i => sql(s"INSERT INTO cdflake.db.w VALUES ($i)"))
+    val f = feed("db/w", 0, 24)
+    assert(f.select("k", "_commit_version").collect().toSet ===
+      (0 until 24).map(i => Row(i.toLong, i + 1L)).toSet)
+    // the claim in the ChangeFeed docstring: scans don't grow with version
+    // count — 24 append commits still plan ONE file scan (joined against
+    // the broadcast dir→commit table)
+    // count file relations on the optimized logical plan (the physical one
+    // hides behind an AQE wrapper until executed)
+    val scans = f.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation] => r
+    }
+    assert(scans.size === 1, s"expected 1 scan for 24 append versions, got ${scans.size}")
+  }
+
   test("mor MERGE feeds its exact delta: vector growth plus staged inserts") {
     sql("CREATE TABLE cdflake.db.g (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
