@@ -50,33 +50,36 @@ object ChangeFeed {
   val VersionCol = "_commit_version"
   val TimestampCol = "_commit_timestamp"
 
-  /** Changes committed in versions `(startVersion, endVersion]` — exclusive
-    * start, like the streaming offsets: `between(spark, log, v, v)` is
-    * empty, `between(spark, log, 0, latest)` replays the table from
-    * nothing (its inserts minus deletes are exactly the live snapshot).
-    */
-  def between(spark: SparkSession, log: TableLog,
-              startVersion: Long, endVersion: Long): DataFrame = {
-    val latest = log.latestVersion.getOrElse(
-      throw new IllegalArgumentException(s"${log.tableDir} has no committed version"))
-    require(0 <= startVersion && startVersion <= endVersion && endVersion <= latest,
-      s"need 0 <= start <= end <= $latest (latest), got ($startVersion, $endVersion]")
-    val dataSchema = log.metaAt(endVersion)._1
-    val outSchema = StructType(dataSchema.fields ++ Seq(
-      StructField(TypeCol, StringType, nullable = false),
-      StructField(VersionCol, LongType, nullable = false),
-      StructField(TimestampCol, TimestampType, nullable = false)))
+  /** The change columns appended to a table's data schema. */
+  def changeFields: Seq[StructField] = Seq(
+    StructField(TypeCol, StringType, nullable = false),
+    StructField(VersionCol, LongType, nullable = false),
+    StructField(TimestampCol, TimestampType, nullable = false))
 
+  /** The manifest-diff of a version range, attributed per commit:
+    *  - `added`: (dir, vector-at-add, version) — dirs that appeared;
+    *  - `removed`: (dir, vector-just-before, version) — dirs that vanished
+    *    (their then-live rows are the retraction);
+    *  - `grown`: (dir, old-vector, new-vector, version) — surviving dirs
+    *    whose deletion vector changed (the new-minus-old positions are the
+    *    exact deleted rows).
+    */
+  final case class ChangeSet(added: Seq[(String, Option[String], Long)],
+                             removed: Seq[(String, Option[String], Long)],
+                             grown: Seq[(String, Option[String], String, Long)])
+
+  /** Walk the range pairwise (endpoint diffs would mis-attribute — or miss
+    * entirely — a dir added and removed mid-range) and classify every
+    * entry-level change. Fails loudly on a vacuumed-away version.
+    */
+  private[connector] def diff(log: TableLog,
+                              startVersion: Long, endVersion: Long): ChangeSet = {
     def stateAt(v: Long): Map[String, DirEntry] =
       if (v == 0) Map.empty
       else log.entriesAt(v).map(e => e.dir -> e).toMap
-
-    // one pairwise walk of the range, like the stream's contract check —
-    // endpoint diffs would mis-attribute (or miss) a dir added and removed
-    // mid-range
-    val added = Seq.newBuilder[(String, Option[String], Long)]  // dir, dvAtAdd, v
-    val removed = Seq.newBuilder[(String, Option[String], Long)] // dir, dvBefore, v
-    val grown = Seq.newBuilder[(String, Option[String], String, Long)] // dir, old, new, v
+    val added = Seq.newBuilder[(String, Option[String], Long)]
+    val removed = Seq.newBuilder[(String, Option[String], Long)]
+    val grown = Seq.newBuilder[(String, Option[String], String, Long)]
     var prev = stateAt(startVersion)
     (startVersion + 1 to endVersion).foreach { v =>
       val cur = stateAt(v)
@@ -95,7 +98,24 @@ object ChangeFeed {
       }
       prev = cur
     }
+    ChangeSet(added.result(), removed.result(), grown.result())
+  }
 
+  /** Changes committed in versions `(startVersion, endVersion]` — exclusive
+    * start, like the streaming offsets: `between(spark, log, v, v)` is
+    * empty, `between(spark, log, 0, latest)` replays the table from
+    * nothing (its inserts minus deletes are exactly the live snapshot).
+    */
+  def between(spark: SparkSession, log: TableLog,
+              startVersion: Long, endVersion: Long): DataFrame = {
+    val latest = log.latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"${log.tableDir} has no committed version"))
+    require(0 <= startVersion && startVersion <= endVersion && endVersion <= latest,
+      s"need 0 <= start <= end <= $latest (latest), got ($startVersion, $endVersion]")
+    val dataSchema = log.metaAt(endVersion)._1
+    val outSchema = StructType(dataSchema.fields ++ changeFields)
+
+    val changes = diff(log, startVersion, endVersion)
     val conf = log.hadoopConf
     def qualify(dir: String): String =
       new Path(dir).getFileSystem(conf).makeQualified(new Path(dir)).toString
@@ -120,7 +140,7 @@ object ChangeFeed {
     }
 
     val parts = Seq.newBuilder[DataFrame]
-    val addedList = added.result()
+    val addedList = changes.added
     if (addedList.nonEmpty) {
       // vector-at-add applied defensively: today's writers never commit a
       // fresh dir with deletions, but the feed must not resurrect if one did
@@ -129,7 +149,7 @@ object ChangeFeed {
       val df = if (dvMap.isEmpty) df0 else df0.where(not(DvReads.deletedAt(dvMap, conf)))
       parts += withCommit(df, addedList.map(t => (t._1, t._3)), "insert")
     }
-    val removedList = removed.result()
+    val removedList = changes.removed
     if (removedList.nonEmpty) {
       // rows LIVE at removal time: growth steps already emitted the rest
       val dvMap = removedList.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
@@ -139,7 +159,7 @@ object ChangeFeed {
     }
     // vector growth needs the per-version old/new PAIR, so these scans
     // cannot fold across versions; one scan per growing version
-    grown.result().groupBy(_._4).toSeq.sortBy(_._1).foreach { case (v, steps) =>
+    changes.grown.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (v, steps) =>
       val oldMap = steps.collect { case (d, Some(o), _, _) => qualify(d) -> o }.toMap
       val newMap = steps.map { case (d, _, n, _) => qualify(d) -> n }.toMap
       val newlyDeleted = read(steps.map(_._1))

@@ -1,0 +1,398 @@
+package graft.connector
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetTable}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Derived metadata tables of a catalog table, addressed Iceberg-style by
+  * an extra identifier part: `lake.db.t.changes` and `lake.db.t.history`
+  * ([[GraftCatalog.loadTable]] routes the suffix when `db.t` exists and
+  * the trailing name does not resolve to a real table — which it never
+  * can, because a table dir is not a namespace).
+  *
+  * `t.changes` is the change-data-feed as a TABLE — the same per-version
+  * insert/delete semantics as [[ChangeFeed.between]] (shared
+  * [[ChangeFeed.diff]], so the two faces cannot drift), served through
+  * DSv2 partitions instead of a driver-built DataFrame, which is what
+  * makes it STREAMABLE: `spark.readStream.table("lake.db.t.changes")`
+  * tails every commit kind — merge-on-read deletes and copy-on-write
+  * rewrites included — as retraction rows, where the plain table's
+  * changefeed is append-only by contract and fails on them. Columns are
+  * the data schema plus `_change_type`/`_commit_version`/
+  * `_commit_timestamp`.
+  *
+  * Range control, batch: `option("startVersion", s)` (exclusive, default
+  * 0) and `option("endVersion", e)` (inclusive, default latest). A stream
+  * starts AFTER the latest version at stream start — future changes only
+  * — unless `option("startVersion", s)` asks for a replay; its offsets
+  * are manifest versions, checkpoint-resumable like the plain changefeed.
+  *
+  * Scale shape: per emitted version the driver plans only the CHANGED
+  * dirs' splits (never snapshot-proportional work); deleted positions
+  * travel as vector file REFERENCES resolved through the executor-side
+  * [[DeletionVectorCache]]; rows are read once, row-based, through the
+  * same row-index machinery as merge-on-read scans. Retention: a range
+  * reaching past `vacuum` fails loudly (missing manifest or dir), never
+  * silently under-reports.
+  */
+private[connector] class GraftChangesTable(tableName: String, log: TableLog)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  private val dataSchema: StructType = log.schema
+
+  override def schema(): StructType =
+    StructType(dataSchema.fields ++ ChangeFeed.changeFields)
+
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  private def delegate(paths: Seq[String]): ParquetTable =
+    ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
+      paths, Some(dataSchema), classOf[ParquetFileFormat])
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val start = Option(options.get("startVersion")).map(_.toLong)
+    val end = Option(options.get("endVersion")).map(_.toLong)
+    () => new GraftChangesScan(schema(), dataSchema, log, delegate, start, end)
+  }
+}
+
+private[connector] final class GraftChangesScan(outSchema: StructType,
+                                                dataSchema: StructType,
+                                                log: TableLog,
+                                                delegate: Seq[String] => ParquetTable,
+                                                startOpt: Option[Long],
+                                                endOpt: Option[Long])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    s"graft-lake changes(${startOpt.getOrElse(0L)}, ${endOpt.getOrElse("latest")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val latest = log.latestVersion.getOrElse(0L)
+    val start = startOpt.getOrElse(0L)
+    val end = endOpt.getOrElse(latest)
+    require(0 <= start && start <= end && end <= latest,
+      s"need 0 <= startVersion <= endVersion <= $latest (latest), got ($start, $end]")
+    ChangeTableRead.planRange(log, delegate, start, end)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangeTableRead.readerFactory(log, delegate, dataSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftChangesMicroBatchStream(log, delegate, startOpt)
+}
+
+/** Micro-batch face of `t.changes`: offsets are manifest versions, each
+  * batch is the change rows of `(startOffset, endOffset]` — planned with
+  * the exact machinery the batch face uses. Where the plain table's
+  * stream begins with a base-image snapshot, a change stream begins
+  * EMPTY at the table's current version (future changes only) unless
+  * `startVersion` requests a historical replay.
+  */
+private[connector] final class GraftChangesMicroBatchStream(log: TableLog,
+                                                            delegate: Seq[String] => ParquetTable,
+                                                            startOpt: Option[Long])
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startOpt.getOrElse(log.latestVersion.getOrElse(0L)))
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(log.latestVersion.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    GraftVersionOffset(node.get("version").asLong())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[GraftVersionOffset].version
+    val ev = end.asInstanceOf[GraftVersionOffset].version
+    if (ev <= sv) Array.empty
+    else ChangeTableRead.planRange(log, delegate, sv, ev)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangeTableRead.readerFactory(log, delegate, log.schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Planning + reading machinery shared by the batch and stream faces of
+  * `t.changes`.
+  */
+private[connector] object ChangeTableRead {
+
+  /** Emit modes of a change split. */
+  val InsertLive = 0   // rows not hidden by the NEW vector -> 'insert'
+  val DeleteLive = 1   // rows not hidden by the OLD vector -> 'delete'
+  val DeleteNew = 2    // rows in new-and-not-old -> 'delete'
+
+  /** Change partitions of `(startVersion, endVersion]`, driver-side:
+    * added dirs (clean ones keep the delegated task grouping), removed
+    * dirs, and vector-growth dirs, each stamped with its commit.
+    */
+  def planRange(log: TableLog, delegate: Seq[String] => ParquetTable,
+                startVersion: Long, endVersion: Long): Array[InputPartition] = {
+    val changes = ChangeFeed.diff(log, startVersion, endVersion)
+    val out = Array.newBuilder[InputPartition]
+
+    def plan(dirs: Seq[String]): Array[InputPartition] =
+      delegate(dirs).newScanBuilder(CaseInsensitiveStringMap.empty())
+        .build().toBatch.planInputPartitions()
+
+    def resplit(parts: Array[InputPartition], emit: Int, v: Long, ts: Long,
+                oldDvByDir: Map[String, String],
+                newDvByDir: Map[String, String]): Seq[InputPartition] =
+      parts.flatMap {
+        case fp: FilePartition => fp.files.map { f =>
+          val dir = f.filePath.toPath.getParent.toString
+          ChangeSplitPartition(FilePartition(0, Array(f)), f.filePath.toString,
+            oldDvByDir.get(dir), newDvByDir.get(dir), emit, v, ts)
+        }
+        case other => throw new IllegalStateException(
+          s"delegated parquet scan planned a non-file partition: $other")
+      }.toSeq
+
+    def qualify(dir: String): String =
+      new Path(dir).getFileSystem(log.hadoopConf)
+        .makeQualified(new Path(dir)).toString
+
+    // adds: per version (a FilePartition groups multiple files, which must
+    // share one commit stamp); clean dirs keep the delegated grouping,
+    // the rare vectored-at-add dir re-splits per file
+    changes.added.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, list) =>
+      val ts = log.commitTimestamp(v)
+      val (vectored, clean) = list.partition(_._2.isDefined)
+      if (clean.nonEmpty)
+        out ++= plan(clean.map(_._1)).map(p =>
+          CleanChangePartition(p.asInstanceOf[FilePartition], v, ts))
+      if (vectored.nonEmpty) {
+        val dvMap = vectored.map(t => qualify(t._1) -> t._2.get).toMap
+        out ++= resplit(plan(vectored.map(_._1)), InsertLive, v, ts,
+          Map.empty, dvMap)
+      }
+    }
+    // removes: then-live rows as deletes
+    changes.removed.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, list) =>
+      val ts = log.commitTimestamp(v)
+      val dvMap = list.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
+      out ++= resplit(plan(list.map(_._1)), DeleteLive, v, ts, dvMap, Map.empty)
+    }
+    // vector growth: new-minus-old positions as deletes
+    changes.grown.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (v, list) =>
+      val ts = log.commitTimestamp(v)
+      val oldMap = list.collect { case (d, Some(o), _, _) => qualify(d) -> o }.toMap
+      val newMap = list.map { case (d, _, n, _) => qualify(d) -> n }.toMap
+      out ++= resplit(plan(list.map(_._1)), DeleteNew, v, ts, oldMap, newMap)
+    }
+    out.result()
+  }
+
+  /** One factory serves every partition shape of a change read. Built from
+    * a delegated parquet scan whose baked file list is irrelevant — readers
+    * take their file splits from the partitions — but whose READ SCHEMA
+    * matters: the row-index variant for vector-aware splits, the plain one
+    * for clean appends.
+    */
+  def readerFactory(log: TableLog, delegate: Seq[String] => ParquetTable,
+                    dataSchema: StructType): PartitionReaderFactory = {
+    val ps = delegate(Nil).newScanBuilder(CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[ParquetScan]
+    val withIdx = GraftDvRead.withRowIndex(ps)
+    new ChangePartitionReaderFactory(
+      withIdx.toBatch.createReaderFactory(),
+      ps.toBatch.createReaderFactory(),
+      withIdx.readDataSchema.length - 1,
+      dataSchema.fields.map(_.dataType),
+      new SerializableHadoopConf(log.hadoopConf))
+  }
+}
+
+/** One file split of a change read that needs vector awareness: emit mode
+  * plus REFERENCES to the file's old/new vectors (resolved executor-side
+  * through [[DeletionVectorCache]]) and the commit stamp.
+  */
+private[connector] final case class ChangeSplitPartition(inner: FilePartition,
+                                                         filePath: String,
+                                                         oldDv: Option[String],
+                                                         newDv: Option[String],
+                                                         emit: Int,
+                                                         version: Long,
+                                                         tsMillis: Long)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** A clean appended partition (no vectors anywhere near it): delegated
+  * task grouping preserved, every row emits as an insert.
+  */
+private[connector] final case class CleanChangePartition(inner: FilePartition,
+                                                         version: Long,
+                                                         tsMillis: Long)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private[connector] final class ChangePartitionReaderFactory(dvFactory: PartitionReaderFactory,
+                                                            cleanFactory: PartitionReaderFactory,
+                                                            rowIndexOrdinal: Int,
+                                                            dataTypes: Array[DataType],
+                                                            conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case c: ChangeSplitPartition =>
+      new ChangeSplitReader(dvFactory.createReader(c.inner), c, rowIndexOrdinal,
+        dataTypes, conf)
+    case c: CleanChangePartition =>
+      new CleanChangeReader(cleanFactory.createReader(c.inner), c, dataTypes)
+    case other => throw new IllegalStateException(
+      s"change read got an unexpected partition: $other")
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+}
+
+/** Appends the three change columns to a data row. */
+private[connector] abstract class ChangeRowAppender(dataTypes: Array[DataType],
+                                                    changeType: String,
+                                                    version: Long,
+                                                    tsMillis: Long) {
+  private val typeValue = UTF8String.fromString(changeType)
+  protected val out = new GenericInternalRow(dataTypes.length + 3)
+  out.update(dataTypes.length, typeValue)
+  out.update(dataTypes.length + 1, version)
+  out.update(dataTypes.length + 2, tsMillis * 1000L)   // micros
+
+  protected def fill(row: InternalRow): InternalRow = {
+    var i = 0
+    while (i < dataTypes.length) {
+      out.update(i, if (row.isNullAt(i)) null else row.get(i, dataTypes(i)))
+      i += 1
+    }
+    out
+  }
+}
+
+private[connector] final class CleanChangeReader(inner: PartitionReader[InternalRow],
+                                                 part: CleanChangePartition,
+                                                 dataTypes: Array[DataType])
+    extends ChangeRowAppender(dataTypes, "insert", part.version, part.tsMillis)
+    with PartitionReader[InternalRow] {
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = fill(inner.get())
+  override def close(): Unit = inner.close()
+}
+
+/** Row-index read of one file with dual forward-cursor vector probes; the
+  * emit mode decides which rows become change rows.
+  */
+private[connector] final class ChangeSplitReader(inner: PartitionReader[InternalRow],
+                                                 part: ChangeSplitPartition,
+                                                 rowIndexOrdinal: Int,
+                                                 dataTypes: Array[DataType],
+                                                 conf: SerializableHadoopConf)
+    extends ChangeRowAppender(dataTypes,
+      if (part.emit == ChangeTableRead.InsertLive) "insert" else "delete",
+      part.version, part.tsMillis)
+    with PartitionReader[InternalRow] {
+
+  private val fileName = new Path(part.filePath).getName
+  private def skipper(dv: Option[String]) = dv match {
+    case None => new DeletionVector.Skipper(Array.emptyLongArray)
+    case Some(p) =>
+      DeletionVector.skipper(DeletionVectorCache.get(p, conf.value), fileName)
+  }
+  private val oldSk = skipper(part.oldDv)
+  private val newSk = skipper(part.newDv)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val row = inner.get()
+      val pos = row.getLong(rowIndexOrdinal)
+      // both cursors advance on every row — && short-circuiting would
+      // leave the old cursor behind, which is fine (it re-advances), but
+      // evaluating both keeps the probes O(1) amortized
+      val inNew = newSk.deleted(pos)
+      val inOld = oldSk.deleted(pos)
+      val emit = part.emit match {
+        case ChangeTableRead.InsertLive => !inNew
+        case ChangeTableRead.DeleteLive => !inOld
+        case _ => inNew && !inOld
+      }
+      if (emit) { current = row; return true }
+    }
+    false
+  }
+
+  override def get(): InternalRow = fill(current)
+  override def close(): Unit = inner.close()
+}
+
+/** `lake.db.t.history` — `DESCRIBE HISTORY` as a queryable table:
+  * (version, committed_at, dirs, physical_rows, live_rows), newest first,
+  * spanning the versions vacuum has kept. Driver-computed ([[LocalScan]]):
+  * the manifest walk is metadata-sized by construction.
+  */
+private[connector] class GraftHistoryTable(tableName: String, log: TableLog)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("committed_at", TimestampType, nullable = false),
+    org.apache.spark.sql.types.StructField("dirs", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("physical_rows", LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("live_rows", LongType, nullable = true)))
+
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val schema0 = schema()
+    () => new LocalScan {
+      override def readSchema(): StructType = schema0
+      override def description(): String = s"graft-lake history of $tableName"
+      override def rows(): Array[InternalRow] =
+        log.history().map { v =>
+          val r = new GenericInternalRow(5)
+          r.update(0, v.version)
+          r.update(1, v.timestampMs * 1000L)
+          r.update(2, v.dirs)
+          r.update(3, v.physicalRows.map(Long.box).orNull)
+          r.update(4, v.liveRows.map(Long.box).orNull)
+          r
+        }.toArray
+    }
+  }
+}

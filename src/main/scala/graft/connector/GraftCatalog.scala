@@ -96,8 +96,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val l = log(ident)
-    if (!l.exists) throw new NoSuchTableException(catalogName +: ident.namespace.toSeq :+ ident.name)
+    if (!l.exists)
+      return metadataTable(ident).getOrElse(
+        throw new NoSuchTableException(catalogName +: ident.namespace.toSeq :+ ident.name))
     new GraftTable(fullName(ident), l)
+  }
+
+  /** Iceberg-style derived metadata tables, addressed by an extra
+    * identifier part: `db.t.changes` (the change-data-feed as a
+    * batch/streaming table) and `db.t.history` (DESCRIBE HISTORY). Routed
+    * only when the full identifier resolves to no real table — which it
+    * never can, because a table dir is not a namespace.
+    */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+    val pl = log(parent)
+    if (!pl.exists) return None
+    ident.name match {
+      case "changes" => Some(new GraftChangesTable(s"${fullName(parent)}.changes", pl))
+      case "history" => Some(new GraftHistoryTable(s"${fullName(parent)}.history", pl))
+      case _ => None
+    }
   }
 
   /** `VERSION AS OF v` — pin the table at manifest version `v`. */

@@ -1,0 +1,139 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.{col, sum, when}
+
+/** Derived metadata tables (`db.t.changes`, `db.t.history`): the CDF as a
+  * batch/streaming DSv2 table — equivalence with [[ChangeFeed.between]],
+  * version-range options, a stream that survives the commit kinds the
+  * plain changefeed refuses — and DESCRIBE HISTORY as a queryable table.
+  */
+class MetadataTableSpec extends LakeSpec {
+  protected def catalogName = "mdlake"
+
+  /** A table with every commit kind in its history: appends, a COW
+    * update, a MOR delete, and a compaction.
+    */
+  private def buildMixed(name: String): Unit = {
+    sql("CREATE NAMESPACE IF NOT EXISTS mdlake.db")
+    sql(s"CREATE TABLE mdlake.db.$name (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql(s"INSERT INTO mdlake.db.$name SELECT id, 0 FROM range(0, 8)")   // v1
+    sql(s"INSERT INTO mdlake.db.$name SELECT id, 0 FROM range(8, 12)")  // v2
+    sql(s"UPDATE mdlake.db.$name SET v = 1 WHERE k < 2")                // v3 cow
+    sql(s"DELETE FROM mdlake.db.$name WHERE k % 5 = 4")                 // v4 mor
+    assert(Compaction.compact(spark, log(s"db/$name")))                 // v5
+  }
+
+  test("batch changes table matches ChangeFeed.between on a mixed history") {
+    buildMixed("mx")
+    val viaTable = sql("SELECT * FROM mdlake.db.mx.changes")
+    val viaApi = ChangeFeed.between(spark, log("db/mx"), 0, 5)
+    assert(viaTable.schema.fieldNames === viaApi.schema.fieldNames)
+    val cols = Seq("k", "v", "_change_type", "_commit_version")
+    assert(viaTable.select(cols.map(col): _*).collect().sortBy(_.toString) ===
+      viaApi.select(cols.map(col): _*).collect().sortBy(_.toString))
+    // net effect replays to the live snapshot
+    val net = viaTable.groupBy("k", "v")
+      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+      .where(col("n") =!= 0)
+    assert(net.select("k", "v").collect().toSet ===
+      sql("SELECT k, v FROM mdlake.db.mx").collect().toSet)
+  }
+
+  test("startVersion/endVersion options bound the batch range") {
+    sql("CREATE TABLE mdlake.db.rg (k BIGINT)")
+    sql("INSERT INTO mdlake.db.rg VALUES (1)")
+    sql("INSERT INTO mdlake.db.rg VALUES (2)")
+    sql("INSERT INTO mdlake.db.rg VALUES (3)")
+    def range(opts: (String, String)*): Seq[Long] = {
+      var r = spark.read
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.table("mdlake.db.rg.changes").select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(range() === Seq(1L, 2L, 3L))
+    assert(range("startVersion" -> "1") === Seq(2L, 3L))
+    assert(range("startVersion" -> "1", "endVersion" -> "2") === Seq(2L))
+    intercept[Exception](range("startVersion" -> "9"))
+  }
+
+  test("streaming changes: future-only by default, survives mor deletes and rewrites") {
+    sql("CREATE TABLE mdlake.db.st (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO mdlake.db.st SELECT id, 0 FROM range(0, 6)")   // pre-stream
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = spark.readStream.table("mdlake.db.st.changes").writeStream
+      .option("checkpointLocation", tmp("md-st-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.select("_change_type", "k", "_commit_version").collect()
+          .foreach(r => got.add((r.getString(0), r.getLong(1), r.getLong(2)))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    assert(got.isEmpty, "default stream starts AFTER the current version")
+    sql("INSERT INTO mdlake.db.st VALUES (100, 0)")       // append
+    q.processAllAvailable()
+    assert(got.toArray.toSet === Set(("insert", 100L, 2L)))
+    sql("DELETE FROM mdlake.db.st WHERE k % 3 = 1")       // mor: vector growth
+    q.processAllAvailable()
+    assert(got.toArray.toSet === Set(("insert", 100L, 2L),
+      ("delete", 1L, 3L), ("delete", 4L, 3L), ("delete", 100L, 3L)))
+    sql("UPDATE mdlake.db.st SET v = 9 WHERE k = 0")      // cow rewrite churn
+    q.processAllAvailable()
+    q.stop()
+    val after = got.toArray.map(_.asInstanceOf[(String, Long, Long)]).toSeq
+      .filter(_._3 == 4L)
+    // the rewritten dir retracts its live rows and re-inserts the new copy
+    assert(after.count(_._1 == "delete") === after.count(_._1 == "insert"))
+    assert(after.filter(_._1 == "insert").map(_._2).toSet ===
+      after.filter(_._1 == "delete").map(_._2).toSet)
+  }
+
+  test("streaming replay from startVersion 0 reconstructs the table") {
+    buildMixed("rp")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = spark.readStream.option("startVersion", "0")
+      .table("mdlake.db.rp.changes").writeStream
+      .option("checkpointLocation", tmp("md-rp-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.select("_change_type", "k", "v").collect()
+          .foreach(r => got.add((r.getString(0), r.getLong(1), r.getLong(2)))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val counts = got.toArray.map(_.asInstanceOf[(String, Long, Long)]).toSeq
+      .groupBy(t => (t._2, t._3))
+      .map { case (kv, ts) =>
+        kv -> ts.map(t => if (t._1 == "insert") 1 else -1).sum
+      }
+      .filter(_._2 != 0).keySet
+    assert(counts === sql("SELECT k, v FROM mdlake.db.rp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("history table serves DESCRIBE HISTORY queries") {
+    buildMixed("hi")
+    val h = sql("SELECT * FROM mdlake.db.hi.history ORDER BY version")
+    assert(h.schema.fieldNames ===
+      Array("version", "committed_at", "dirs", "physical_rows", "live_rows"))
+    val rows = h.collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 5L))
+    // v4's mor delete: physical unchanged from v3, live shrinks; v5's
+    // compaction: physical falls to live
+    val byV = rows.map(r => r.getLong(0) ->
+      (r.getLong(3), r.getLong(4))).toMap
+    assert(byV(3)._1 === byV(4)._1)
+    assert(byV(4)._2 < byV(4)._1)
+    assert(byV(5)._1 === byV(4)._2 && byV(5)._2 === byV(4)._2)
+    assert(h.where(col("committed_at").isNull).count() === 0)
+  }
+
+  test("unknown suffixes and missing parents still resolve to no table") {
+    buildMixed("nx")
+    intercept[Exception](sql("SELECT * FROM mdlake.db.nx.snapshots"))
+    intercept[Exception](sql("SELECT * FROM mdlake.db.nope.changes"))
+    intercept[Exception](sql("INSERT INTO mdlake.db.nx.changes VALUES (1, 1, 'insert', 1, now())"))
+  }
+}
