@@ -71,6 +71,12 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val start = Option(options.get("startVersion")).map(_.toLong)
     val end = Option(options.get("endVersion")).map(_.toLong)
+    // validated here (not just at batch planning) so a stream with a
+    // nonsense range fails at query start, not with a manifest-read error
+    // inside the first batch
+    start.foreach(s => require(s >= 0, s"startVersion must be >= 0, got $s"))
+    end.foreach(e => require(e >= 0 && start.forall(_ <= e),
+      s"need 0 <= startVersion <= endVersion, got ($start, $e]"))
     () => new GraftChangesScan(schema(), dataSchema, log, delegate, start, end)
   }
 }

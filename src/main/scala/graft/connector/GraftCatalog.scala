@@ -150,6 +150,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "graft-lake tables do not take PARTITIONED BY: the manifest's immutable " +
         "data dirs are the replacement unit (bucket/partition keys stay data columns)")
     schema.fieldNames.foreach(checkColumnName)
+    // no tables nested inside a table's own directory: the nested dir
+    // would pollute the parent's manifest/data layout, and a nested table
+    // named like a metadata suffix would shadow `t.changes`/`t.history`
+    val parts = ident.namespace.toSeq :+ ident.name
+    (1 until parts.length).foreach { i =>
+      val ancestor = parts.take(i).mkString(s"$root/", "/", "")
+      require(!new TableLog(ancestor, conf).exists,
+        s"cannot create ${fullName(ident)}: ${parts.take(i).mkString(".")} " +
+          "is a table, not a namespace")
+    }
     val l = log(ident)
     if (l.exists) throw new TableAlreadyExistsException(catalogName +: ident.namespace.toSeq :+ ident.name)
     val props = properties.asScala.toMap -- Seq(TableCatalog.PROP_OWNER,

@@ -135,5 +135,21 @@ class MetadataTableSpec extends LakeSpec {
     intercept[Exception](sql("SELECT * FROM mdlake.db.nx.snapshots"))
     intercept[Exception](sql("SELECT * FROM mdlake.db.nope.changes"))
     intercept[Exception](sql("INSERT INTO mdlake.db.nx.changes VALUES (1, 1, 'insert', 1, now())"))
+    // nothing may nest under a table dir — a real table named `changes`
+    // there would shadow the metadata suffix (and pollute the layout)
+    val e = intercept[Exception](sql("CREATE TABLE mdlake.db.nx.changes (x BIGINT)"))
+    assert(e.getMessage.contains("is a table, not a namespace"))
+    // and a nonsense stream range fails at query START (scan-builder
+    // validation), before any batch tries to read manifest -3
+    val q = spark.readStream.option("startVersion", "-3")
+      .table("mdlake.db.nx.changes").writeStream
+      .option("checkpointLocation", tmp("md-neg-ckpt"))
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .start()
+    val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(se.getCause.getMessage.contains("startVersion must be >= 0"))
+    q.stop()
   }
 }
