@@ -157,17 +157,47 @@ object ChangeFeed {
       val df = if (dvMap.isEmpty) df0 else df0.where(not(DvReads.deletedAt(dvMap, conf)))
       parts += withCommit(df, removedList.map(t => (t._1, t._3)), "delete")
     }
-    // vector growth needs the per-version old/new PAIR, so these scans
-    // cannot fold across versions; one scan per growing version
-    changes.grown.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (v, steps) =>
-      val oldMap = steps.collect { case (d, Some(o), _, _) => qualify(d) -> o }.toMap
-      val newMap = steps.map { case (d, _, n, _) => qualify(d) -> n }.toMap
-      val newlyDeleted = read(steps.map(_._1))
-        .where(DvReads.deletedAt(newMap, conf) &&
-          (if (oldMap.isEmpty) lit(true) else not(DvReads.deletedAt(oldMap, conf))))
+    // vector growth: grouped by DIR, not by version — vectors only grow,
+    // so a dir's growth steps chain (old_1 c new_1 = old_2 c ...) and one
+    // scan of the dir serves every step, attributing each newly-deleted
+    // row to the FIRST chain vector containing it. A replay with V
+    // deletes over the same dirs reads each dir once, not V times.
+    if (changes.grown.nonEmpty) {
+      val byDir = changes.grown.groupBy(_._1)
+      val chains: Map[String, (Option[String], Seq[(Long, String)])] =
+        byDir.map { case (dir, steps0) =>
+          val steps = steps0.sortBy(_._4)
+          qualify(dir) -> (steps.head._2, steps.map(s => (s._4, s._3)))
+        }
+      val baselineMap = chains.collect { case (d, (Some(o), _)) => d -> o }
+      val sconf = new SerializableHadoopConf(conf)
+      val deletingVersion =
+        org.apache.spark.sql.functions.udf { (file: String, pos: Long) =>
+          val cut = file.lastIndexOf('/')
+          chains.get(file.substring(0, cut)).flatMap { case (_, chain) =>
+            val name = file.substring(cut + 1)
+            chain.collectFirst { case (v, dvPath)
+              if java.util.Arrays.binarySearch(
+                DeletionVectorCache.get(dvPath, sconf.value).files
+                  .getOrElse(name, Array.emptyLongArray), pos) >= 0 => v
+            }
+          }.map(java.lang.Long.valueOf).orNull
+        }
+      val tsDf = spark.createDataFrame(
+        changes.grown.map(_._4).distinct.sorted.map(v =>
+          Row(v, new java.sql.Timestamp(log.commitTimestamp(v)))).asJava,
+        StructType(Seq(StructField("__cf_v", LongType),
+          StructField("__cf_ts", TimestampType))))
+      val newlyDeleted = read(byDir.keys.toSeq)
+        .withColumn("__cf_v",
+          deletingVersion(col("_metadata.file_path"), col("_metadata.row_index")))
+        .where(col("__cf_v").isNotNull &&
+          (if (baselineMap.isEmpty) lit(true)
+           else not(DvReads.deletedAt(baselineMap, conf))))
+        .join(broadcast(tsDf), "__cf_v")
       parts += newlyDeleted.select(dataSchema.fieldNames.map(col).toSeq ++ Seq(
-        lit("delete").as(TypeCol), lit(v).as(VersionCol),
-        lit(new java.sql.Timestamp(log.commitTimestamp(v))).as(TimestampCol)): _*)
+        lit("delete").as(TypeCol), col("__cf_v").as(VersionCol),
+        col("__cf_ts").as(TimestampCol)): _*)
     }
 
     parts.result().reduceOption(_ unionByName _)

@@ -209,12 +209,40 @@ private[connector] object ChangeTableRead {
       val dvMap = list.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
       out ++= resplit(plan(list.map(_._1)), DeleteLive, v, ts, dvMap, Map.empty)
     }
-    // vector growth: new-minus-old positions as deletes
-    changes.grown.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (v, list) =>
-      val ts = log.commitTimestamp(v)
-      val oldMap = list.collect { case (d, Some(o), _, _) => qualify(d) -> o }.toMap
-      val newMap = list.map { case (d, _, n, _) => qualify(d) -> n }.toMap
-      out ++= resplit(plan(list.map(_._1)), DeleteNew, v, ts, oldMap, newMap)
+    // vector growth: new-minus-old positions as deletes. Grouped by DIR,
+    // not by version: vectors only grow, so a dir's growth steps chain
+    // (old_1 c new_1 = old_2 c new_2 ...) and ONE scan of the dir serves
+    // every step — each newly-deleted row is attributed to the FIRST
+    // chain vector containing it. A replay whose history holds V deletes
+    // over the same dirs therefore reads each dir once, not V times (the
+    // CdfScaleProbe regression that motivated this shape).
+    val growthByDir = changes.grown.groupBy(_._1)
+    if (growthByDir.nonEmpty) {
+      val tsOf = changes.grown.map(_._4).distinct
+        .map(v => v -> log.commitTimestamp(v)).toMap
+      val chainByDir: Map[String, (Option[String], Seq[(Long, Long, String)])] =
+        growthByDir.map { case (dir, steps0) =>
+          val steps = steps0.sortBy(_._4)
+          steps.sliding(2).foreach {
+            case Seq((_, _, n1, v1), (_, o2, _, v2)) =>
+              require(o2.contains(n1),
+                s"growth chain of $dir broken between versions $v1 and $v2")
+            case _ =>
+          }
+          qualify(dir) -> (steps.head._2,
+            steps.map(s => (s._4, tsOf(s._4), s._3)))
+        }
+      out ++= plan(growthByDir.keys.toSeq).flatMap[InputPartition] {
+        case fp: FilePartition => fp.files.map { f =>
+          val dir = f.filePath.toPath.getParent.toString
+          val (baseline, chain) = chainByDir(dir)
+          ChangeSplitPartition(FilePartition(0, Array(f)), f.filePath.toString,
+            baseline, Some(chain.last._3), DeleteNew,
+            chain.last._1, chain.last._2, chain)
+        }.toSeq
+        case other => throw new IllegalStateException(
+          s"delegated parquet scan planned a non-file partition: $other")
+      }
     }
     out.result()
   }
@@ -241,7 +269,11 @@ private[connector] object ChangeTableRead {
 
 /** One file split of a change read that needs vector awareness: emit mode
   * plus REFERENCES to the file's old/new vectors (resolved executor-side
-  * through [[DeletionVectorCache]]) and the commit stamp.
+  * through [[DeletionVectorCache]]) and the commit stamp. `growth` (the
+  * [[ChangeTableRead.DeleteNew]] mode only) is the dir's full growth
+  * chain in the range — (version, tsMillis, vectorPath) ascending — so
+  * one pass over the file attributes every newly-deleted row to its
+  * deleting commit.
   */
 private[connector] final case class ChangeSplitPartition(inner: FilePartition,
                                                          filePath: String,
@@ -249,7 +281,8 @@ private[connector] final case class ChangeSplitPartition(inner: FilePartition,
                                                          newDv: Option[String],
                                                          emit: Int,
                                                          version: Long,
-                                                         tsMillis: Long)
+                                                         tsMillis: Long,
+                                                         growth: Seq[(Long, Long, String)] = Nil)
     extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -295,6 +328,12 @@ private[connector] abstract class ChangeRowAppender(dataTypes: Array[DataType],
   out.update(dataTypes.length + 1, version)
   out.update(dataTypes.length + 2, tsMillis * 1000L)   // micros
 
+  /** Re-stamp the commit columns (growth-chain rows carry per-row commits). */
+  protected def stamp(version: Long, tsMillis: Long): Unit = {
+    out.update(dataTypes.length + 1, version)
+    out.update(dataTypes.length + 2, tsMillis * 1000L)
+  }
+
   protected def fill(row: InternalRow): InternalRow = {
     var i = 0
     while (i < dataTypes.length) {
@@ -336,6 +375,12 @@ private[connector] final class ChangeSplitReader(inner: PartitionReader[Internal
   }
   private val oldSk = skipper(part.oldDv)
   private val newSk = skipper(part.newDv)
+  // DeleteNew only: one forward cursor per chain vector; a newly-deleted
+  // row's commit is the FIRST chain vector containing it (vectors are
+  // nested ascending, so first-containing = the version that deleted it)
+  private val chainSks = part.growth.map { case (v, ts, dv) =>
+    (v, ts, skipper(Some(dv)))
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -352,7 +397,14 @@ private[connector] final class ChangeSplitReader(inner: PartitionReader[Internal
         case ChangeTableRead.DeleteLive => !inOld
         case _ => inNew && !inOld
       }
-      if (emit) { current = row; return true }
+      if (emit) {
+        if (part.emit == ChangeTableRead.DeleteNew && chainSks.length > 1) {
+          val hit = chainSks.find(_._3.deleted(pos)).getOrElse(chainSks.last)
+          stamp(hit._1, hit._2)
+        }
+        current = row
+        return true
+      }
     }
     false
   }

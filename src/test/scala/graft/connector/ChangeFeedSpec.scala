@@ -119,6 +119,19 @@ class ChangeFeedSpec extends LakeSpec {
     assert(scans.size === 1, s"expected 1 scan for 24 append versions, got ${scans.size}")
   }
 
+  test("a range past the retention window fails loudly, never under-reports") {
+    sql("CREATE TABLE cdflake.db.v (k BIGINT)")
+    sql("INSERT INTO cdflake.db.v VALUES (1)")
+    sql("INSERT INTO cdflake.db.v VALUES (2)")
+    sql("INSERT INTO cdflake.db.v VALUES (3)")
+    log("db/v").vacuum(keepVersions = 2)   // manifests 2 and 3 survive
+    // the kept tail still reads ((2, 3] needs version 2 as its start state)
+    assert(feed("db/v", 2, 3).select("k").collect().toSeq === Seq(Row(3L)))
+    // a replay from before the window hits the vacuumed manifest
+    val e = intercept[Exception](feed("db/v", 0, 3).collect())
+    assert(e.getMessage.contains("no version"))
+  }
+
   test("mor MERGE feeds its exact delta: vector growth plus staged inserts") {
     sql("CREATE TABLE cdflake.db.g (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
