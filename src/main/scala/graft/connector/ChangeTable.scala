@@ -64,9 +64,9 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  private def delegate(paths: Seq[String]): ParquetTable =
+  private def delegate(readSchema: StructType, paths: Seq[String]): ParquetTable =
     ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
-      paths, Some(dataSchema), classOf[ParquetFileFormat])
+      paths, Some(readSchema), classOf[ParquetFileFormat])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val start = Option(options.get("startVersion")).map(_.toLong)
@@ -77,21 +77,38 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog)
     start.foreach(s => require(s >= 0, s"startVersion must be >= 0, got $s"))
     end.foreach(e => require(e >= 0 && start.forall(_ <= e),
       s"need 0 <= startVersion <= endVersion, got ($start, $e]"))
-    () => new GraftChangesScan(schema(), dataSchema, log, delegate, start, end)
+    val fullOut = schema()
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // column pruning: a CDC consumer selecting 2 of 40 columns must not
+      // read 40 — the delegated parquet scans serve only the required
+      // data columns, and the change columns are computed, so they cost
+      // nothing to keep. (Batch only; Spark's streaming planner never
+      // prunes DSv2 scans, so a stream always reads the full schema.)
+      private var required: StructType = fullOut
+      override def pruneColumns(r: StructType): Unit = required = r
+      override def build(): Scan =
+        new GraftChangesScan(required, dataSchema, log, delegate, start, end)
+    }
   }
 }
 
 private[connector] final class GraftChangesScan(outSchema: StructType,
                                                 dataSchema: StructType,
                                                 log: TableLog,
-                                                delegate: Seq[String] => ParquetTable,
+                                                delegate: (StructType, Seq[String]) => ParquetTable,
                                                 startOpt: Option[Long],
                                                 endOpt: Option[Long])
     extends Scan with Batch {
 
+  /** The data columns the output actually needs, in output order. */
+  private val prunedData = StructType(
+    outSchema.fields.filter(f => dataSchema.fieldNames.contains(f.name)))
+
   override def readSchema(): StructType = outSchema
   override def description(): String =
-    s"graft-lake changes(${startOpt.getOrElse(0L)}, ${endOpt.getOrElse("latest")}]"
+    s"graft-lake changes(${startOpt.getOrElse(0L)}, ${endOpt.getOrElse("latest")}] " +
+      s"ReadSchema: ${prunedData.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = this
 
@@ -105,7 +122,7 @@ private[connector] final class GraftChangesScan(outSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChangeTableRead.readerFactory(log, delegate, dataSchema)
+    ChangeTableRead.readerFactory(log, delegate, prunedData, outSchema)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftChangesMicroBatchStream(log, delegate, startOpt)
@@ -119,7 +136,7 @@ private[connector] final class GraftChangesScan(outSchema: StructType,
   * `startVersion` requests a historical replay.
   */
 private[connector] final class GraftChangesMicroBatchStream(log: TableLog,
-                                                            delegate: Seq[String] => ParquetTable,
+                                                            delegate: (StructType, Seq[String]) => ParquetTable,
                                                             startOpt: Option[Long])
     extends MicroBatchStream {
 
@@ -141,8 +158,13 @@ private[connector] final class GraftChangesMicroBatchStream(log: TableLog,
     else ChangeTableRead.planRange(log, delegate, sv, ev)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    ChangeTableRead.readerFactory(log, delegate, log.schema)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // streams are never column-pruned (Spark's streaming planner doesn't
+    // prune DSv2 scans), so the full data schema is both read and output
+    val dataSchema = log.schema
+    ChangeTableRead.readerFactory(log, delegate, dataSchema,
+      StructType(dataSchema.fields ++ ChangeFeed.changeFields))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -162,13 +184,14 @@ private[connector] object ChangeTableRead {
     * added dirs (clean ones keep the delegated task grouping), removed
     * dirs, and vector-growth dirs, each stamped with its commit.
     */
-  def planRange(log: TableLog, delegate: Seq[String] => ParquetTable,
+  def planRange(log: TableLog, delegate: (StructType, Seq[String]) => ParquetTable,
                 startVersion: Long, endVersion: Long): Array[InputPartition] = {
     val changes = ChangeFeed.diff(log, startVersion, endVersion)
     val out = Array.newBuilder[InputPartition]
 
+    // splits depend on file sizes only, never on the read schema
     def plan(dirs: Seq[String]): Array[InputPartition] =
-      delegate(dirs).newScanBuilder(CaseInsensitiveStringMap.empty())
+      delegate(log.schema, dirs).newScanBuilder(CaseInsensitiveStringMap.empty())
         .build().toBatch.planInputPartitions()
 
     def resplit(parts: Array[InputPartition], emit: Int, v: Long, ts: Long,
@@ -247,22 +270,43 @@ private[connector] object ChangeTableRead {
     out.result()
   }
 
+  /** Output-map codes for the computed change columns. */
+  val SrcType: Int = -1
+  val SrcVersion: Int = -2
+  val SrcTimestamp: Int = -3
+
   /** One factory serves every partition shape of a change read. Built from
     * a delegated parquet scan whose baked file list is irrelevant — readers
     * take their file splits from the partitions — but whose READ SCHEMA
-    * matters: the row-index variant for vector-aware splits, the plain one
-    * for clean appends.
+    * matters: only `prunedData` (the data columns `output` needs) is read,
+    * with the row-index variant for vector-aware splits and the plain one
+    * for clean appends. `output` maps each emitted field to a data ordinal
+    * or a computed change column.
     */
-  def readerFactory(log: TableLog, delegate: Seq[String] => ParquetTable,
-                    dataSchema: StructType): PartitionReaderFactory = {
-    val ps = delegate(Nil).newScanBuilder(CaseInsensitiveStringMap.empty())
+  def readerFactory(log: TableLog, delegate: (StructType, Seq[String]) => ParquetTable,
+                    prunedData: StructType, output: StructType): PartitionReaderFactory = {
+    // a no-data-column output (count(*)) still needs ONE real column in
+    // the delegated schema: the no-columns parquet path never materializes
+    // the row-index vector, and withRowIndex pads from this schema
+    val readData =
+      if (prunedData.fields.nonEmpty) prunedData
+      else StructType(Seq(GraftDvRead.padColumn(log.schema)))
+    val ps = delegate(readData, Nil)
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
       .build().asInstanceOf[ParquetScan]
     val withIdx = GraftDvRead.withRowIndex(ps)
+    val outputMap = output.fields.map(_.name match {
+      case ChangeFeed.TypeCol => SrcType
+      case ChangeFeed.VersionCol => SrcVersion
+      case ChangeFeed.TimestampCol => SrcTimestamp
+      case n => prunedData.fieldIndex(n)
+    })
     new ChangePartitionReaderFactory(
       withIdx.toBatch.createReaderFactory(),
       ps.toBatch.createReaderFactory(),
       withIdx.readDataSchema.length - 1,
-      dataSchema.fields.map(_.dataType),
+      outputMap,
+      output.fields.map(_.dataType),
       new SerializableHadoopConf(log.hadoopConf))
   }
 }
@@ -300,16 +344,18 @@ private[connector] final case class CleanChangePartition(inner: FilePartition,
 private[connector] final class ChangePartitionReaderFactory(dvFactory: PartitionReaderFactory,
                                                             cleanFactory: PartitionReaderFactory,
                                                             rowIndexOrdinal: Int,
-                                                            dataTypes: Array[DataType],
+                                                            outputMap: Array[Int],
+                                                            outputTypes: Array[DataType],
                                                             conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case c: ChangeSplitPartition =>
       new ChangeSplitReader(dvFactory.createReader(c.inner), c, rowIndexOrdinal,
-        dataTypes, conf)
+        outputMap, outputTypes, conf)
     case c: CleanChangePartition =>
-      new CleanChangeReader(cleanFactory.createReader(c.inner), c, dataTypes)
+      new CleanChangeReader(cleanFactory.createReader(c.inner), c,
+        outputMap, outputTypes)
     case other => throw new IllegalStateException(
       s"change read got an unexpected partition: $other")
   }
@@ -317,27 +363,47 @@ private[connector] final class ChangePartitionReaderFactory(dvFactory: Partition
   override def supportColumnarReads(p: InputPartition): Boolean = false
 }
 
-/** Appends the three change columns to a data row. */
-private[connector] abstract class ChangeRowAppender(dataTypes: Array[DataType],
+/** Builds the output row per `outputMap` (data ordinal or computed change
+  * column).
+  */
+private[connector] abstract class ChangeRowAppender(outputMap: Array[Int],
+                                                    outputTypes: Array[DataType],
                                                     changeType: String,
                                                     version: Long,
                                                     tsMillis: Long) {
-  private val typeValue = UTF8String.fromString(changeType)
-  protected val out = new GenericInternalRow(dataTypes.length + 3)
-  out.update(dataTypes.length, typeValue)
-  out.update(dataTypes.length + 1, version)
-  out.update(dataTypes.length + 2, tsMillis * 1000L)   // micros
+  protected val out = new GenericInternalRow(outputMap.length)
+  locally {
+    val typeValue = UTF8String.fromString(changeType)
+    var i = 0
+    while (i < outputMap.length) {
+      outputMap(i) match {
+        case ChangeTableRead.SrcType => out.update(i, typeValue)
+        case _ => ()
+      }
+      i += 1
+    }
+    stamp(version, tsMillis)
+  }
 
   /** Re-stamp the commit columns (growth-chain rows carry per-row commits). */
   protected def stamp(version: Long, tsMillis: Long): Unit = {
-    out.update(dataTypes.length + 1, version)
-    out.update(dataTypes.length + 2, tsMillis * 1000L)
+    var i = 0
+    while (i < outputMap.length) {
+      outputMap(i) match {
+        case ChangeTableRead.SrcVersion => out.update(i, version)
+        case ChangeTableRead.SrcTimestamp => out.update(i, tsMillis * 1000L) // micros
+        case _ => ()
+      }
+      i += 1
+    }
   }
 
   protected def fill(row: InternalRow): InternalRow = {
     var i = 0
-    while (i < dataTypes.length) {
-      out.update(i, if (row.isNullAt(i)) null else row.get(i, dataTypes(i)))
+    while (i < outputMap.length) {
+      val m = outputMap(i)
+      if (m >= 0)
+        out.update(i, if (row.isNullAt(m)) null else row.get(m, outputTypes(i)))
       i += 1
     }
     out
@@ -346,8 +412,9 @@ private[connector] abstract class ChangeRowAppender(dataTypes: Array[DataType],
 
 private[connector] final class CleanChangeReader(inner: PartitionReader[InternalRow],
                                                  part: CleanChangePartition,
-                                                 dataTypes: Array[DataType])
-    extends ChangeRowAppender(dataTypes, "insert", part.version, part.tsMillis)
+                                                 outputMap: Array[Int],
+                                                 outputTypes: Array[DataType])
+    extends ChangeRowAppender(outputMap, outputTypes, "insert", part.version, part.tsMillis)
     with PartitionReader[InternalRow] {
   override def next(): Boolean = inner.next()
   override def get(): InternalRow = fill(inner.get())
@@ -360,9 +427,10 @@ private[connector] final class CleanChangeReader(inner: PartitionReader[Internal
 private[connector] final class ChangeSplitReader(inner: PartitionReader[InternalRow],
                                                  part: ChangeSplitPartition,
                                                  rowIndexOrdinal: Int,
-                                                 dataTypes: Array[DataType],
+                                                 outputMap: Array[Int],
+                                                 outputTypes: Array[DataType],
                                                  conf: SerializableHadoopConf)
-    extends ChangeRowAppender(dataTypes,
+    extends ChangeRowAppender(outputMap, outputTypes,
       if (part.emit == ChangeTableRead.InsertLive) "insert" else "delete",
       part.version, part.tsMillis)
     with PartitionReader[InternalRow] {

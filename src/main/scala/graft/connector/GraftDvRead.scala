@@ -107,7 +107,7 @@ private[connector] object GraftDvRead {
     * that is fine: the reader null-fills it from footer row counts without
     * touching pages, and row-index generation still runs (spec-pinned).
     */
-  private def padColumn(dataSchema: StructType): StructField =
+  private[connector] def padColumn(dataSchema: StructType): StructField =
     dataSchema.fields.filter(f => f.dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.DateType => true

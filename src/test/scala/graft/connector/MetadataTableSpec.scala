@@ -130,6 +130,28 @@ class MetadataTableSpec extends LakeSpec {
     assert(h.where(col("committed_at").isNull).count() === 0)
   }
 
+  test("batch changes reads are column-pruned; count(*) works") {
+    sql("CREATE TABLE mdlake.db.pr (k BIGINT, v BIGINT, pad STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO mdlake.db.pr SELECT id, id * 2, repeat('x', 50) FROM range(0, 10)")
+    sql("DELETE FROM mdlake.db.pr WHERE k % 4 = 1")
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString
+    val narrow = sql("SELECT k, _change_type FROM mdlake.db.pr.changes")
+    assert(scanDesc(narrow).contains("ReadSchema: k") &&
+      !scanDesc(narrow).contains("pad"),
+      s"expected a k-only read, got: ${scanDesc(narrow)}")
+    assert(narrow.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      ((0L until 10L).map(k => (k, "insert")) ++
+        Seq(1L, 5L, 9L).map(k => (k, "delete"))).toSet)
+    // no data columns at all (count(*)) still counts every change row
+    assert(sql("SELECT count(*) c FROM mdlake.db.pr.changes").collect()
+      === Array(Row(13L)))
+  }
+
   test("unknown suffixes and missing parents still resolve to no table") {
     buildMixed("nx")
     intercept[Exception](sql("SELECT * FROM mdlake.db.nx.snapshots"))
