@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * catalog, so MERGE/UPDATE/DELETE run as plain SQL instead of through a
   * bespoke sink API.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -100,6 +101,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       return metadataTable(ident).getOrElse(
         throw new NoSuchTableException(catalogName +: ident.namespace.toSeq :+ ident.name))
     new GraftTable(fullName(ident), l)
+  }
+
+  // ---- maintenance procedures (`CALL lake.system.optimize/vacuum`) ------
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, resolveTableArg).getOrElse(
+      throw new RuntimeException(s"procedure not found: " +
+        s"${(catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")} " +
+        s"(available: CALL $catalogName.${GraftProcedures.Namespace}" +
+        ".optimize / .vacuum)"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq(GraftProcedures.Namespace))
+      GraftProcedures.list()
+    else Array.empty
+
+  /** A procedure's `table` argument ('db.t' relative to this catalog). */
+  private def resolveTableArg(name: String): TableLog = {
+    val parts = name.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table argument '$name': expected 'namespace.table'")
+    val l = log(Identifier.of(parts.init.toArray, parts.last))
+    require(l.exists, s"no such table $catalogName.$name")
+    l
   }
 
   /** Iceberg-style derived metadata tables, addressed by an extra

@@ -1,0 +1,142 @@
+package graft.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance procedures of the mini-lakehouse, served through Spark
+  * 4.1's `ProcedureCatalog` — Iceberg's `CALL` pattern on the public API:
+  *
+  * {{{
+  *   CALL lake.system.optimize(`table` => 'db.t', zorder_by => 'x,y')
+  *   CALL lake.system.vacuum(`table` => 'db.t', keep_versions => 2)
+  * }}}
+  *
+  * Both run driver-side against the table's manifest log (the data work —
+  * the compaction rewrite — is a Spark job like any other; only the
+  * orchestration is driver code) and return a one-row [[LocalScan]]
+  * result. `SHOW PROCEDURES IN lake.system` / `DESCRIBE PROCEDURE` work
+  * through the same interface.
+  */
+private[connector] object GraftProcedures {
+
+  val Namespace = "system"
+
+  def list(): Array[Identifier] =
+    Array(Identifier.of(Array(Namespace), "optimize"),
+      Identifier.of(Array(Namespace), "vacuum"))
+
+  def load(ident: Identifier, resolve: String => TableLog): Option[UnboundProcedure] = {
+    if (ident.namespace.toSeq != Seq(Namespace)) return None
+    ident.name match {
+      case "optimize" => Some(new OptimizeProcedure(resolve))
+      case "vacuum" => Some(new VacuumProcedure(resolve))
+      case _ => None
+    }
+  }
+
+  private[connector] def oneRowResult(schema: StructType, values: Array[Any]): java.util.Iterator[Scan] = {
+    val row = new GenericInternalRow(values)
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  private[connector] def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private[connector] def in(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** Split a comma-separated column list ('' = none). */
+  private[connector] def cols(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+}
+
+/** `CALL lake.system.optimize(...)` — [[Compaction.compact]] as SQL:
+  * folds small dirs, purges deletion vectors, optionally lays out by
+  * `cluster_by` (sort within partitions) or `zorder_by` (tile-per-dir
+  * Morton layout). Returns (compacted, dirs_before, dirs_after).
+  */
+private[connector] final class OptimizeProcedure(resolve: String => TableLog)
+    extends UnboundProcedure {
+
+  override def name(): String = "optimize"
+  override def description(): String =
+    "compact small data dirs and purge deletion vectors (OPTIMIZE); " +
+      "cluster_by/zorder_by choose the rewrite layout"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = OptimizeProcedure.this.name()
+    override def description(): String = OptimizeProcedure.this.description()
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      GraftProcedures.in("table", StringType),
+      GraftProcedures.in("small_bytes", LongType, (128L << 20).toString),
+      GraftProcedures.in("target_bytes", LongType, (512L << 20).toString),
+      GraftProcedures.in("cluster_by", StringType, "''"),
+      GraftProcedures.in("zorder_by", StringType, "''"),
+      GraftProcedures.in("purge_deleted_fraction", DoubleType, "0.1"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = resolve(input.getUTF8String(0).toString)
+      val before = log.currentEntries().size
+      val compacted = Compaction.compact(SparkSession.active, log,
+        smallBytes = input.getLong(1),
+        targetBytes = input.getLong(2),
+        clusterBy = GraftProcedures.cols(input.getUTF8String(3).toString),
+        purgeDeletedFraction = input.getDouble(5),
+        zorderBy = GraftProcedures.cols(input.getUTF8String(4).toString))
+      val after = log.currentEntries().size
+      GraftProcedures.oneRowResult(
+        StructType(Seq(StructField("compacted", BooleanType, nullable = false),
+          StructField("dirs_before", IntegerType, nullable = false),
+          StructField("dirs_after", IntegerType, nullable = false))),
+        Array(compacted, before, after))
+    }
+  }
+}
+
+/** `CALL lake.system.vacuum(...)` — [[TableLog.vacuum]] as SQL: drop all
+  * but the newest `keep_versions` manifests and reclaim unreferenced
+  * data dirs / vector files past the orphan retention window. Returns
+  * (manifests_dropped, paths_reclaimed).
+  */
+private[connector] final class VacuumProcedure(resolve: String => TableLog)
+    extends UnboundProcedure {
+
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "drop manifests past keep_versions and reclaim unreferenced dirs/vectors " +
+      "(run outside the reader SLA window)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = VacuumProcedure.this.name()
+    override def description(): String = VacuumProcedure.this.description()
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      GraftProcedures.in("table", StringType),
+      GraftProcedures.in("keep_versions", IntegerType, "2"),
+      GraftProcedures.in("orphan_retention_ms", LongType, (60L * 60 * 1000).toString))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = resolve(input.getUTF8String(0).toString)
+      val stats = log.vacuum(keepVersions = input.getInt(1),
+        orphanRetentionMs = input.getLong(2))
+      GraftProcedures.oneRowResult(
+        StructType(Seq(
+          StructField("manifests_dropped", IntegerType, nullable = false),
+          StructField("paths_reclaimed", IntegerType, nullable = false))),
+        Array(stats.manifestsDropped, stats.pathsReclaimed))
+    }
+  }
+}

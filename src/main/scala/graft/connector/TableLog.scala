@@ -289,10 +289,11 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     *    crashed `.tmp-` manifest staging files) are only reclaimed once
     *    older than `orphanRetentionMs` (Delta's retention-window rule).
     * Run outside the reader SLA window — same contract as Delta VACUUM.
+    * Returns what was reclaimed (the CALL procedure's result row).
     */
   def vacuum(keepVersions: Int = 2,
-             orphanRetentionMs: Long = 60L * 60 * 1000): Unit = {
-    val v = latestVersion.getOrElse(return)
+             orphanRetentionMs: Long = 60L * 60 * 1000): TableLog.VacuumStats = {
+    val v = latestVersion.getOrElse(return TableLog.VacuumStats(0, 0))
     val root = new Path(tableDir)
     val manifests = fs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("manifest-"))
@@ -315,21 +316,23 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
         .toSet -- liveDv
     dropped.foreach { case (_, p) => fs.delete(p, false) }
     val now = System.currentTimeMillis()
-    def reclaim(subdir: String, keep: Set[String], dead: Set[String]): Unit = {
+    def reclaim(subdir: String, keep: Set[String], dead: Set[String]): Int = {
       val root = new Path(tableDir, subdir)
-      if (fs.exists(root))
-        fs.listStatus(root).toSeq
-          .filterNot(st => keep.contains(st.getPath.getName))
-          .filter(st => dead.contains(st.getPath.getName) ||
-            now - st.getModificationTime > orphanRetentionMs)
-          .foreach(st => fs.delete(st.getPath, true))
+      if (!fs.exists(root)) return 0
+      val victims = fs.listStatus(root).toSeq
+        .filterNot(st => keep.contains(st.getPath.getName))
+        .filter(st => dead.contains(st.getPath.getName) ||
+          now - st.getModificationTime > orphanRetentionMs)
+      victims.foreach(st => fs.delete(st.getPath, true))
+      victims.size
     }
-    reclaim("data", live, superseded)
-    reclaim("dv", liveDv, supersededDv)
+    val reclaimed = reclaim("data", live, superseded) +
+      reclaim("dv", liveDv, supersededDv)
     fs.listStatus(root).toSeq
       .filter(st => st.getPath.getName.startsWith(".tmp-") &&
         now - st.getModificationTime > orphanRetentionMs)
       .foreach(st => fs.delete(st.getPath, false))
+    TableLog.VacuumStats(dropped.size, reclaimed)
   }
 }
 
@@ -338,6 +341,9 @@ object TableLog {
   /** One row of [[TableLog.history]]. */
   final case class TableVersion(version: Long, timestampMs: Long, dirs: Int,
                                 physicalRows: Option[Long], liveRows: Option[Long])
+
+  /** What one [[TableLog.vacuum]] run reclaimed. */
+  final case class VacuumStats(manifestsDropped: Int, pathsReclaimed: Int)
 
   /** Manifest meta-header line: `#meta<TAB>{"schema":"<json>","properties":{...}}`.
     * Written by ALTER TABLE, carried forward by every later commit;
