@@ -207,10 +207,23 @@ object GraftTable {
   val DeleteModeProp = "graft.delete.mode"
   val UpdateModeProp = "graft.update.mode"
   val MergeModeProp = "graft.merge.mode"
+
+  /** Comma-separated columns appends sort WITHIN partitions before
+    * writing (tight parquet row-group stats from the first write).
+    */
+  val WriteClusterByProp = "graft.write.clusterBy"
 }
 
 /** Plain-write builder: `INSERT INTO` appends a new data dir; `INSERT
   * OVERWRITE` / `TRUNCATE` ([[SupportsTruncate]]) replaces the dir list.
+  *
+  * `graft.write.clusterBy` (comma-separated columns): appends request a
+  * WITHIN-PARTITION sort on those columns ([[RequiresDistributionAndOrdering]]
+  * with an unspecified distribution — no shuffle), so every written file's
+  * parquet row groups carry tight min/max on the cluster keys from the
+  * FIRST write, not only after an OPTIMIZE with `cluster_by`. Row-group
+  * pruning then works on fresh appends; dir-granular stats pruning is
+  * unaffected (one dir per write either way).
   */
 private[connector] class GraftWriteBuilder(log: TableLog, info: LogicalWriteInfo,
                                            delegate: Seq[String] => ParquetTable)
@@ -222,7 +235,26 @@ private[connector] class GraftWriteBuilder(log: TableLog, info: LogicalWriteInfo
   override def build(): Write = {
     val staging = log.newDataDir()
     val inner = delegate(Seq(staging)).newWriteBuilder(info).build()
-    new GraftWrite(inner, log, staging, if (replace) Replace else Append)
+    val mode = if (replace) Replace else Append
+    val clusterBy = log.properties.get(GraftTable.WriteClusterByProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (clusterBy.isEmpty) new GraftWrite(inner, log, staging, mode)
+    else {
+      val missing = clusterBy.filterNot(c =>
+        log.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"${GraftTable.WriteClusterByProp} references unknown columns: " +
+          missing.mkString(", "))
+      new GraftWrite(inner, log, staging, mode)
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          clusterBy.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      }
+    }
   }
 }
 
