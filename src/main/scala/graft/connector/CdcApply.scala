@@ -40,13 +40,18 @@ object CdcApply {
     val dataCols = changes.columns.filterNot(c =>
       c == ChangeFeed.TypeCol || c == ChangeFeed.VersionCol ||
         c == ChangeFeed.TimestampCol).toSeq
-    require(keyCols.forall(dataCols.contains),
-      s"key columns ${keyCols.mkString(",")} must be data columns of the feed " +
-        s"(${dataCols.mkString(",")})")
+    // resolve keys CASE-INSENSITIVELY, like Spark's own column resolution
+    // (and the catalog's reserved-name / clusterBy checks) — a caller
+    // passing "K" for column "k" must neither fail here nor silently have
+    // the key treated as a data column downstream
+    val resolvedKeys = keyCols.map { k =>
+      dataCols.find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
+        s"key column $k is not a data column of the feed (${dataCols.mkString(",")})"))
+    }
     changes.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        applyBatch(batch, targetTable, keyCols, dataCols); ()
+        applyBatch(batch, targetTable, resolvedKeys, dataCols); ()
       }
       .start()
   }
@@ -55,9 +60,15 @@ object CdcApply {
     * Public so a batch backfill (`ChangeFeed.between` output) can apply
     * the same way a stream does.
     */
-  def applyBatch(batch: Dataset[Row], targetTable: String, keyCols: Seq[String],
+  def applyBatch(batch: Dataset[Row], targetTable: String, keyCols0: Seq[String],
                  dataCols: Seq[String]): Unit = {
     if (batch.isEmpty) return
+    // same case-insensitive key resolution as applyChanges (this entry is
+    // public for batch backfills)
+    val keyCols = keyCols0.map { k =>
+      dataCols.find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
+        s"key column $k is not a data column of the feed (${dataCols.mkString(",")})"))
+    }
     val spark = batch.sparkSession
     val terminal = batch
       .groupBy(keyCols.map(col): _*)

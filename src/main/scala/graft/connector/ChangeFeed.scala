@@ -1,24 +1,21 @@
 package graft.connector
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, not, regexp_replace}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
 
 /** Batch change-data-feed over a catalog table's version range — Delta's
   * `table_changes(t, s, e)` contract, computed from the manifest log
   * instead of materialized change files. Where the STREAMING changefeed
   * ([[GraftMicroBatchStream]]) is append-only by contract (a rewrite or a
-  * merge-on-read DELETE in its range fails the stream loudly), this batch
-  * face reconstructs those versions as retractions, so every commit kind
-  * is readable:
+  * merge-on-read DELETE in its range fails the stream loudly), the CDF
+  * reconstructs those versions as retractions, so every commit kind is
+  * readable:
   *
   *  - a dir ADDED at version v emits its rows as `_change_type='insert'`;
-  *  - a dir whose deletion vector GREW at v emits exactly the
-  *    newly-deleted positions as `'delete'` (in-new-and-not-in-old, probed
-  *    executor-side against the immutable old/new vector files);
+  *  - a dir whose deletion vector GREW emits exactly the newly-deleted
+  *    positions as `'delete'`, attributed to the first chain vector
+  *    containing them (probed executor-side against the immutable vector
+  *    files);
   *  - a dir REMOVED at v emits its then-live rows (old vector applied) as
   *    `'delete'` — metadata-only DELETE, copy-on-write rewrites, and
   *    compaction all land here.
@@ -35,14 +32,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * recommended mode for hot tables, produce exact minimal deltas (vector
   * growth + one staged dir).
   *
-  * Scale shape: the whole range plans THREE scans regardless of how many
-  * versions it spans — one over all added dirs, one over all removed dirs
-  * (each joined against a broadcast dir→version table to attach commit
-  * columns), plus one per version that grew vectors (those need
-  * per-version old/new vector pairs). Nothing but dir paths and vector
-  * paths ever sits on the driver. A range reaching past `vacuum`'s
-  * retention window fails loudly (missing manifest or missing dir), never
-  * silently under-reports.
+  * There is ONE emit implementation: the DSv2 partition/reader pipeline
+  * in [[ChangeTableRead]] (shared with the streaming face of
+  * `db.t.changes`). `between` is the programmatic entry — it reads the
+  * same [[GraftChangesTable]] through an unregistered relation, so the
+  * API face and the SQL face cannot drift. Scale shape, retention
+  * contract, and column pruning are documented on [[GraftChangesTable]].
   */
 object ChangeFeed {
 
@@ -112,96 +107,9 @@ object ChangeFeed {
       throw new IllegalArgumentException(s"${log.tableDir} has no committed version"))
     require(0 <= startVersion && startVersion <= endVersion && endVersion <= latest,
       s"need 0 <= start <= end <= $latest (latest), got ($startVersion, $endVersion]")
-    val dataSchema = log.metaAt(endVersion)._1
-    val outSchema = StructType(dataSchema.fields ++ changeFields)
-
-    val changes = diff(log, startVersion, endVersion)
-    val conf = log.hadoopConf
-    def qualify(dir: String): String =
-      new Path(dir).getFileSystem(conf).makeQualified(new Path(dir)).toString
-    def read(dirs: Seq[String]): DataFrame =
-      spark.read.schema(dataSchema).parquet(dirs: _*)
-    // attach (_change_type, _commit_version, _commit_timestamp) by joining
-    // the row's parent dir against a broadcast dir→commit table — one scan
-    // serves every version's adds (and one every version's removes)
-    def withCommit(df: DataFrame, byDir: Seq[(String, Long)],
-                   changeType: String): DataFrame = {
-      val dirsDf = spark.createDataFrame(
-        byDir.map { case (d, v) =>
-          Row(qualify(d), v, new java.sql.Timestamp(log.commitTimestamp(v)))
-        }.asJava,
-        StructType(Seq(StructField("__cf_dir", StringType),
-          StructField("__cf_v", LongType), StructField("__cf_ts", TimestampType))))
-      df.join(broadcast(dirsDf),
-          regexp_replace(col("_metadata.file_path"), "/[^/]*$", "") === col("__cf_dir"))
-        .select(dataSchema.fieldNames.map(col).toSeq ++ Seq(
-          lit(changeType).as(TypeCol), col("__cf_v").as(VersionCol),
-          col("__cf_ts").as(TimestampCol)): _*)
-    }
-
-    val parts = Seq.newBuilder[DataFrame]
-    val addedList = changes.added
-    if (addedList.nonEmpty) {
-      // vector-at-add applied defensively: today's writers never commit a
-      // fresh dir with deletions, but the feed must not resurrect if one did
-      val dvMap = addedList.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
-      val df0 = read(addedList.map(_._1))
-      val df = if (dvMap.isEmpty) df0 else df0.where(not(DvReads.deletedAt(dvMap, conf)))
-      parts += withCommit(df, addedList.map(t => (t._1, t._3)), "insert")
-    }
-    val removedList = changes.removed
-    if (removedList.nonEmpty) {
-      // rows LIVE at removal time: growth steps already emitted the rest
-      val dvMap = removedList.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
-      val df0 = read(removedList.map(_._1))
-      val df = if (dvMap.isEmpty) df0 else df0.where(not(DvReads.deletedAt(dvMap, conf)))
-      parts += withCommit(df, removedList.map(t => (t._1, t._3)), "delete")
-    }
-    // vector growth: grouped by DIR, not by version — vectors only grow,
-    // so a dir's growth steps chain (old_1 c new_1 = old_2 c ...) and one
-    // scan of the dir serves every step, attributing each newly-deleted
-    // row to the FIRST chain vector containing it. A replay with V
-    // deletes over the same dirs reads each dir once, not V times.
-    if (changes.grown.nonEmpty) {
-      val byDir = changes.grown.groupBy(_._1)
-      val chains: Map[String, (Option[String], Seq[(Long, String)])] =
-        byDir.map { case (dir, steps0) =>
-          val steps = steps0.sortBy(_._4)
-          qualify(dir) -> (steps.head._2, steps.map(s => (s._4, s._3)))
-        }
-      val baselineMap = chains.collect { case (d, (Some(o), _)) => d -> o }
-      val sconf = new SerializableHadoopConf(conf)
-      val deletingVersion =
-        org.apache.spark.sql.functions.udf { (file: String, pos: Long) =>
-          val cut = file.lastIndexOf('/')
-          chains.get(file.substring(0, cut)).flatMap { case (_, chain) =>
-            val name = file.substring(cut + 1)
-            chain.collectFirst { case (v, dvPath)
-              if java.util.Arrays.binarySearch(
-                DeletionVectorCache.get(dvPath, sconf.value).files
-                  .getOrElse(name, Array.emptyLongArray), pos) >= 0 => v
-            }
-          }.map(java.lang.Long.valueOf).orNull
-        }
-      val tsDf = spark.createDataFrame(
-        changes.grown.map(_._4).distinct.sorted.map(v =>
-          Row(v, new java.sql.Timestamp(log.commitTimestamp(v)))).asJava,
-        StructType(Seq(StructField("__cf_v", LongType),
-          StructField("__cf_ts", TimestampType))))
-      val newlyDeleted = read(byDir.keys.toSeq)
-        .withColumn("__cf_v",
-          deletingVersion(col("_metadata.file_path"), col("_metadata.row_index")))
-        .where(col("__cf_v").isNotNull &&
-          (if (baselineMap.isEmpty) lit(true)
-           else not(DvReads.deletedAt(baselineMap, conf))))
-        .join(broadcast(tsDf), "__cf_v")
-      parts += newlyDeleted.select(dataSchema.fieldNames.map(col).toSeq ++ Seq(
-        lit("delete").as(TypeCol), col("__cf_v").as(VersionCol),
-        col("__cf_ts").as(TimestampCol)): _*)
-    }
-
-    parts.result().reduceOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[Row](), outSchema))
+    org.apache.spark.sql.GraftSqlBridge.readTable(spark,
+      new GraftChangesTable(s"changes(${log.tableDir})", log),
+      Map("startVersion" -> startVersion.toString,
+        "endVersion" -> endVersion.toString))
   }
 }

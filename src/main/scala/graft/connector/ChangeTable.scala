@@ -125,7 +125,7 @@ private[connector] final class GraftChangesScan(outSchema: StructType,
     ChangeTableRead.readerFactory(log, delegate, prunedData, outSchema)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftChangesMicroBatchStream(log, delegate, startOpt)
+    new GraftChangesMicroBatchStream(log, delegate, startOpt, endOpt)
 }
 
 /** Micro-batch face of `t.changes`: offsets are manifest versions, each
@@ -137,14 +137,20 @@ private[connector] final class GraftChangesScan(outSchema: StructType,
   */
 private[connector] final class GraftChangesMicroBatchStream(log: TableLog,
                                                             delegate: (StructType, Seq[String]) => ParquetTable,
-                                                            startOpt: Option[Long])
+                                                            startOpt: Option[Long],
+                                                            endOpt: Option[Long])
     extends MicroBatchStream {
 
   override def initialOffset(): Offset =
     GraftVersionOffset(startOpt.getOrElse(log.latestVersion.getOrElse(0L)))
 
-  override def latestOffset(): Offset =
-    GraftVersionOffset(log.latestVersion.getOrElse(0L))
+  // endVersion bounds the STREAM too: offsets never advance past it, so a
+  // bounded replay drains (start, end] and then idles — it must not keep
+  // emitting versions committed after the requested bound
+  override def latestOffset(): Offset = {
+    val latest = log.latestVersion.getOrElse(0L)
+    GraftVersionOffset(endOpt.fold(latest)(math.min(latest, _)))
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)

@@ -67,11 +67,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * reserved-name check, case-insensitive like column resolution.
     */
   private def checkColumnName(name: String): Unit = {
-    val reserved = GraftDvRead.MetaColNames ++ Seq("__graft_z", ZOrder.TileCol)
+    val reserved = GraftDvRead.MetaColNames ++ Seq(ZOrder.ZCol, ZOrder.TileCol)
     require(!reserved.exists(_.equalsIgnoreCase(name)),
       s"column name '$name' is reserved for graft-lake internal use " +
         s"(reserved: ${reserved.mkString(", ")})")
   }
+
+  /** No path nested inside a table's own directory: a nested table or
+    * namespace dir would pollute the parent's manifest/data layout, and a
+    * nested table named like a metadata suffix would shadow
+    * `t.changes`/`t.history`. Enforced at CREATE TABLE, RENAME TABLE
+    * (the rename target), and CREATE NAMESPACE.
+    */
+  private def checkNotNestedUnderTable(parts: Seq[String]): Unit =
+    (1 until parts.length).foreach { i =>
+      val ancestor = parts.take(i).mkString(s"$root/", "/", "")
+      require(!new TableLog(ancestor, conf).exists,
+        s"cannot create ${parts.mkString(".")}: ${parts.take(i).mkString(".")} " +
+          "is a table, not a namespace")
+    }
 
   private def tableDir(ident: Identifier): String =
     ((ident.namespace :+ ident.name).map(checkPart)).mkString(s"$root/", "/", "")
@@ -93,7 +107,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean = log(ident).exists
+  // metadata tables exist too: tableExists must agree with loadTable
+  // (tooling that checks before reading would see contradictory answers)
+  override def tableExists(ident: Identifier): Boolean =
+    log(ident).exists || isMetadataIdent(ident)
+
+  /** True when `ident` addresses a derived metadata table of an existing
+    * parent (`db.t.changes` / `db.t.history`) — without building it.
+    */
+  private def isMetadataIdent(ident: Identifier): Boolean =
+    ident.namespace.nonEmpty &&
+      Seq("changes", "history").contains(ident.name) &&
+      log(Identifier.of(ident.namespace.init, ident.namespace.last)).exists
 
   override def loadTable(ident: Identifier): Table = {
     val l = log(ident)
@@ -134,10 +159,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * never can, because a table dir is not a namespace.
     */
   private def metadataTable(ident: Identifier): Option[Table] = {
-    if (ident.namespace.isEmpty) return None
+    if (!isMetadataIdent(ident)) return None
     val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
     val pl = log(parent)
-    if (!pl.exists) return None
     ident.name match {
       case "changes" => Some(new GraftChangesTable(s"${fullName(parent)}.changes", pl))
       case "history" => Some(new GraftHistoryTable(s"${fullName(parent)}.history", pl))
@@ -175,16 +199,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft-lake tables do not take PARTITIONED BY: the manifest's immutable " +
         "data dirs are the replacement unit (bucket/partition keys stay data columns)")
     schema.fieldNames.foreach(checkColumnName)
-    // no tables nested inside a table's own directory: the nested dir
-    // would pollute the parent's manifest/data layout, and a nested table
-    // named like a metadata suffix would shadow `t.changes`/`t.history`
-    val parts = ident.namespace.toSeq :+ ident.name
-    (1 until parts.length).foreach { i =>
-      val ancestor = parts.take(i).mkString(s"$root/", "/", "")
-      require(!new TableLog(ancestor, conf).exists,
-        s"cannot create ${fullName(ident)}: ${parts.take(i).mkString(".")} " +
-          "is a table, not a namespace")
-    }
+    checkNotNestedUnderTable(ident.namespace.toSeq :+ ident.name)
     val l = log(ident)
     if (l.exists) throw new TableAlreadyExistsException(catalogName +: ident.namespace.toSeq :+ ident.name)
     val props = properties.asScala.toMap -- Seq(TableCatalog.PROP_OWNER,
@@ -248,11 +263,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     l.exists && l.drop()
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    // Spark passes RENAME TO's target through VERBATIM — `ALTER TABLE
+    // lake.db.t RENAME TO lake.db.u` arrives with namespace [lake, db],
+    // unlike every other command (where the catalog part is resolved
+    // away). Unstripped, the rename would silently relocate the table
+    // into a `root/lake/...` subtree. Strip the redundant prefix when it
+    // names this catalog and no real namespace shadows that name.
+    val newIdent =
+      if (newIdent0.namespace.headOption.contains(catalogName) &&
+          !fs.exists(nsDir(Array(catalogName))))
+        Identifier.of(newIdent0.namespace.tail, newIdent0.name)
+      else newIdent0
     if (!log(oldIdent).exists)
       throw new NoSuchTableException(catalogName +: oldIdent.namespace.toSeq :+ oldIdent.name)
-    if (log(newIdent).exists)
+    if (log(newIdent).exists || isMetadataIdent(newIdent))
       throw new TableAlreadyExistsException(catalogName +: newIdent.namespace.toSeq :+ newIdent.name)
+    // same invariant as createTable: a rename must not move a table inside
+    // another table's directory (where it would pollute that table's
+    // layout and shadow its metadata suffixes) — and it must not invent
+    // its target namespace (hadoop's local rename silently creates
+    // parents, burying the table in a path no identifier resolves)
+    checkNotNestedUnderTable(newIdent.namespace.toSeq :+ newIdent.name)
+    require(namespaceExists(newIdent.namespace),
+      s"cannot rename to ${fullName(newIdent)}: namespace " +
+        s"${newIdent.namespace.mkString(".")} does not exist")
     if (!fs.rename(new Path(tableDir(oldIdent)), new Path(tableDir(newIdent))))
       throw new java.io.IOException(s"rename failed: $oldIdent -> $newIdent")
   }
@@ -294,6 +329,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                metadata: util.Map[String, String]): Unit = {
     if (namespaceExists(namespace) && namespace.nonEmpty)
       throw new NamespaceAlreadyExistsException((catalogName +: namespace.toSeq).toArray)
+    checkNotNestedUnderTable(namespace.toSeq)
     fs.mkdirs(nsDir(namespace))
   }
 

@@ -31,6 +31,9 @@ private[connector] object ZOrder {
     */
   val TileCol = "__graft_ztile"
 
+  /** The interleaved z-value column the layout sorts on (internal). */
+  val ZCol = "__graft_z"
+
   private val Bits = 8
   private val Cells = 1 << Bits   // 256 cells per column
 
@@ -89,7 +92,7 @@ private[connector] object ZOrder {
             "coding; under ANSI mode the cast would abort mid-job)")
       }
     }
-    Seq("__graft_z", TileCol).foreach(r => require(!df.columns.exists(_.equalsIgnoreCase(r)),
+    Seq(ZCol, TileCol).foreach(r => require(!df.columns.exists(_.equalsIgnoreCase(r)),
       s"table column $r collides with the z-order layout's internal column"))
     val missing = cols.filterNot(bounds.contains)
     val measured: Map[String, (Double, Double)] =
@@ -107,7 +110,7 @@ private[connector] object ZOrder {
     val all = bounds ++ measured
     val mins = cols.map(all(_)._1)
     val maxs = cols.map(all(_)._2)
-    val zCol = "__graft_z"
+    val zCol = ZCol
     // the (TileCol, zCol) sort prefix-satisfies the parquet writer's
     // required partitionBy ordering, so no writer-inserted sort (which
     // breaks ties arbitrarily across spill runs) can scramble the z order

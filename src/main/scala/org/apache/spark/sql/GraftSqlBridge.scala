@@ -27,4 +27,20 @@ object GraftSqlBridge {
   def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
+
+  /** A DataFrame over an unregistered DSv2 [[connector.catalog.Table]]
+    * handle with read options — how a library face (the change-data-feed)
+    * reads its own table implementation without a catalog round-trip.
+    * `Dataset.ofRows` and the classic session type are `private[sql]`.
+    */
+  def readTable(spark: SparkSession,
+                table: org.apache.spark.sql.connector.catalog.Table,
+                options: Map[String, String]): DataFrame = {
+    val relation = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      .create(table, None, None,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          scala.jdk.CollectionConverters.MapHasAsJava(options).asJava))
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], relation)
+  }
 }

@@ -109,14 +109,14 @@ class ChangeFeedSpec extends LakeSpec {
     // the claim in the ChangeFeed docstring: scans don't grow with version
     // count — 24 append commits still plan ONE file scan (joined against
     // the broadcast dir→commit table)
-    // count file relations on the optimized logical plan (the physical one
-    // hides behind an AQE wrapper until executed)
+    // between() reads through the DSv2 changes table: the whole range is
+    // ONE scan node (partitions per version inside it), never a union
+    // that grows with commit count
     val scans = f.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
-        if r.relation.isInstanceOf[
-          org.apache.spark.sql.execution.datasources.HadoopFsRelation] => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
     }
     assert(scans.size === 1, s"expected 1 scan for 24 append versions, got ${scans.size}")
+    assert(scans.head.scan.isInstanceOf[GraftChangesScan])
   }
 
   test("a range past the retention window fails loudly, never under-reports") {

@@ -130,6 +130,29 @@ class MetadataTableSpec extends LakeSpec {
     assert(h.where(col("committed_at").isNull).count() === 0)
   }
 
+  test("a stream with endVersion drains the bound and then idles") {
+    sql("CREATE TABLE mdlake.db.bd (k BIGINT)")
+    sql("INSERT INTO mdlake.db.bd VALUES (1)")   // v1
+    sql("INSERT INTO mdlake.db.bd VALUES (2)")   // v2
+    sql("INSERT INTO mdlake.db.bd VALUES (3)")   // v3
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .option("startVersion", "0").option("endVersion", "2")
+      .table("mdlake.db.bd.changes").writeStream
+      .option("checkpointLocation", tmp("md-bd-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    assert(got.toArray.toSet === Set(1L, 2L), "only versions <= endVersion")
+    sql("INSERT INTO mdlake.db.bd VALUES (4)")   // v4: past the bound
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray.toSet === Set(1L, 2L),
+      "versions past endVersion must never be emitted")
+  }
+
   test("batch changes reads are column-pruned; count(*) works") {
     sql("CREATE TABLE mdlake.db.pr (k BIGINT, v BIGINT, pad STRING) " +
       "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
@@ -157,10 +180,24 @@ class MetadataTableSpec extends LakeSpec {
     intercept[Exception](sql("SELECT * FROM mdlake.db.nx.snapshots"))
     intercept[Exception](sql("SELECT * FROM mdlake.db.nope.changes"))
     intercept[Exception](sql("INSERT INTO mdlake.db.nx.changes VALUES (1, 1, 'insert', 1, now())"))
-    // nothing may nest under a table dir — a real table named `changes`
-    // there would shadow the metadata suffix (and pollute the layout)
-    val e = intercept[Exception](sql("CREATE TABLE mdlake.db.nx.changes (x BIGINT)"))
-    assert(e.getMessage.contains("is a table, not a namespace"))
+    // nothing may nest under a table dir: a metadata-suffix name is taken
+    // (tableExists says so, so CREATE fails as already-exists), and any
+    // OTHER nested name trips the table-not-namespace guard
+    val shadow = intercept[Exception](sql("CREATE TABLE mdlake.db.nx.changes (x BIGINT)"))
+    assert(shadow.getMessage.contains("already exists"))
+    val nested = intercept[Exception](sql("CREATE TABLE mdlake.db.nx.other (x BIGINT)"))
+    assert(nested.getMessage.contains("is a table, not a namespace"))
+    // renames and namespaces may not nest under a table dir either
+    sql("CREATE TABLE mdlake.db.mv (x BIGINT)")
+    val ren = intercept[Exception](
+      sql("ALTER TABLE mdlake.db.mv RENAME TO mdlake.db.nx.sub"))
+    assert(ren.getMessage.contains("is a table, not a namespace"))
+    val ns = intercept[Exception](sql("CREATE NAMESPACE mdlake.db.nx.ns"))
+    assert(ns.getMessage.contains("is a table, not a namespace"))
+    // tableExists agrees with loadTable on metadata idents
+    assert(spark.catalog.tableExists("mdlake.db.nx.changes"))
+    assert(spark.catalog.tableExists("mdlake.db.nx.history"))
+    assert(!spark.catalog.tableExists("mdlake.db.nx.snapshots"))
     // and a nonsense stream range fails at query START (scan-builder
     // validation), before any batch tries to read manifest -3
     val q = spark.readStream.option("startVersion", "-3")
