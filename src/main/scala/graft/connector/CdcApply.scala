@@ -69,6 +69,20 @@ object CdcApply {
       dataCols.find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
         s"key column $k is not a data column of the feed (${dataCols.mkString(",")})"))
     }
+    // the terminal-change reduction orders a struct of the data columns;
+    // map columns are not orderable and would die inside the aggregate
+    // with a cryptic analysis error — refuse them up front
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    batch.schema.fields.filter(f => dataCols.contains(f.name)).foreach { f =>
+      require(!hasMap(f.dataType),
+        s"APPLY CHANGES cannot reduce over map-typed column ${f.name}: " +
+          "maps are not orderable (project it to a sorted array first)")
+    }
     val spark = batch.sparkSession
     val terminal = batch
       .groupBy(keyCols.map(col): _*)

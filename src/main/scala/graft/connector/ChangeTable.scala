@@ -157,11 +157,26 @@ private[connector] final class GraftChangesMicroBatchStream(log: TableLog,
     GraftVersionOffset(node.get("version").asLong())
   }
 
+  // the schema this stream emits, fixed at stream start: a structured
+  // stream cannot widen its output mid-query
+  private val streamSchema: StructType = log.schema
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sv = start.asInstanceOf[GraftVersionOffset].version
     val ev = end.asInstanceOf[GraftVersionOffset].version
-    if (ev <= sv) Array.empty
-    else ChangeTableRead.planRange(log, delegate, sv, ev)
+    if (ev <= sv) return Array.empty
+    // an ALTER ADD COLUMNS inside the batch range would make this stream
+    // silently DROP the new column from every subsequent change row (the
+    // reader factory was built against the start-of-stream schema) — fail
+    // loudly instead, Delta's schema-change contract; a restarted stream
+    // picks up the evolved schema and resumes from its checkpoint
+    val evolved = log.metaAt(ev)._1
+    if (evolved.fields.length != streamSchema.fields.length)
+      throw new UnsupportedOperationException(
+        s"schema of ${log.tableDir} evolved mid-stream " +
+          s"(${streamSchema.fields.length} -> ${evolved.fields.length} " +
+          "columns); restart the stream to pick up the new schema")
+    ChangeTableRead.planRange(log, delegate, sv, ev)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -130,6 +130,31 @@ class MetadataTableSpec extends LakeSpec {
     assert(h.where(col("committed_at").isNull).count() === 0)
   }
 
+  test("a changes stream fails loudly when the schema evolves mid-stream") {
+    sql("CREATE TABLE mdlake.db.ev (k BIGINT)")
+    sql("INSERT INTO mdlake.db.ev VALUES (1)")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("mdlake.db.ev.changes").writeStream
+      .option("checkpointLocation", tmp("md-ev-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    sql("INSERT INTO mdlake.db.ev VALUES (2)")
+    q.processAllAvailable()
+    assert(got.toArray.toSet === Set(2L))
+    // widening the schema mid-stream must fail the query, not silently
+    // drop the new column from subsequent change rows
+    sql("ALTER TABLE mdlake.db.ev ADD COLUMNS (tag STRING)")
+    sql("INSERT INTO mdlake.db.ev VALUES (3, 't')")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(ex.getCause.getMessage.contains("evolved mid-stream"))
+    q.stop()
+  }
+
   test("a stream with endVersion drains the bound and then idles") {
     sql("CREATE TABLE mdlake.db.bd (k BIGINT)")
     sql("INSERT INTO mdlake.db.bd VALUES (1)")   // v1
