@@ -502,6 +502,68 @@ private[connector] final class ChangeSplitReader(inner: PartitionReader[Internal
   override def close(): Unit = inner.close()
 }
 
+/** `lake.db.t.files` — the live snapshot's manifest entries as a
+  * queryable table (Iceberg's `files` metadata table at dir granularity):
+  * one row per data dir with its committed row count, deletion-vector
+  * state, and per-column min/max ranges as strings — the exact
+  * information dir-granular pruning plans with, exposed for layout
+  * debugging ("why didn't this predicate prune?"). Driver-computed
+  * ([[LocalScan]]): manifest-sized by construction.
+  */
+private[connector] class GraftFilesTable(tableName: String, log: TableLog)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("dir", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows", LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("deleted_rows", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("deletion_vector", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("column_stats",
+      org.apache.spark.sql.types.ArrayType(StructType(Seq(
+        org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("min", org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("max", org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("nulls", LongType, nullable = false))),
+        containsNull = false), nullable = true)))
+
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val schema0 = schema()
+    () => new LocalScan {
+      override def readSchema(): StructType = schema0
+      override def description(): String = s"graft-lake files of $tableName"
+      override def rows(): Array[InternalRow] =
+        log.currentEntries().map { e =>
+          val r = new GenericInternalRow(5)
+          r.update(0, UTF8String.fromString(e.dir))
+          r.update(1, e.stats.map(s => Long.box(s.rows)).orNull)
+          r.update(2, e.dv.map(p =>
+            DeletionVector.read(p, log.hadoopConf).cardinality).getOrElse(0L))
+          r.update(3, e.dv.map(UTF8String.fromString).orNull)
+          r.update(4, e.stats.map { s =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              s.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+                val cr = new GenericInternalRow(4)
+                cr.update(0, UTF8String.fromString(c))
+                cr.update(1, Option(cs.min).map(v => UTF8String.fromString(v.toString)).orNull)
+                cr.update(2, Option(cs.max).map(v => UTF8String.fromString(v.toString)).orNull)
+                cr.update(3, cs.nulls)
+                cr
+              }.toArray[Any])
+          }.orNull)
+          r
+        }.toArray
+    }
+  }
+}
+
 /** `lake.db.t.history` — `DESCRIBE HISTORY` as a queryable table:
   * (version, committed_at, dirs, physical_rows, live_rows), newest first,
   * spanning the versions vacuum has kept. Driver-computed ([[LocalScan]]):

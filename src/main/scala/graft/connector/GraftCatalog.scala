@@ -113,11 +113,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     log(ident).exists || isMetadataIdent(ident)
 
   /** True when `ident` addresses a derived metadata table of an existing
-    * parent (`db.t.changes` / `db.t.history`) — without building it.
+    * parent (`db.t.changes` / `db.t.history` / `db.t.files`) — without
+    * building it.
     */
   private def isMetadataIdent(ident: Identifier): Boolean =
     ident.namespace.nonEmpty &&
-      Seq("changes", "history").contains(ident.name) &&
+      Seq("changes", "history", "files").contains(ident.name) &&
       log(Identifier.of(ident.namespace.init, ident.namespace.last)).exists
 
   override def loadTable(ident: Identifier): Table = {
@@ -154,9 +155,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Iceberg-style derived metadata tables, addressed by an extra
     * identifier part: `db.t.changes` (the change-data-feed as a
-    * batch/streaming table) and `db.t.history` (DESCRIBE HISTORY). Routed
-    * only when the full identifier resolves to no real table — which it
-    * never can, because a table dir is not a namespace.
+    * batch/streaming table), `db.t.history` (DESCRIBE HISTORY), and
+    * `db.t.files` (the live manifest entries with their pruning stats).
+    * Routed only when the full identifier resolves to no real table —
+    * which it never can, because a table dir is not a namespace.
     */
   private def metadataTable(ident: Identifier): Option[Table] = {
     if (!isMetadataIdent(ident)) return None
@@ -165,6 +167,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.name match {
       case "changes" => Some(new GraftChangesTable(s"${fullName(parent)}.changes", pl))
       case "history" => Some(new GraftHistoryTable(s"${fullName(parent)}.history", pl))
+      case "files" => Some(new GraftFilesTable(s"${fullName(parent)}.files", pl))
       case _ => None
     }
   }

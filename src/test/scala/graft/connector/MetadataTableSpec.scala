@@ -113,6 +113,28 @@ class MetadataTableSpec extends LakeSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("files table exposes the live manifest entries with their stats") {
+    sql("CREATE TABLE mdlake.db.fl (k BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO mdlake.db.fl SELECT id FROM range(0, 10)")
+    sql("INSERT INTO mdlake.db.fl SELECT id FROM range(10, 20)")
+    sql("DELETE FROM mdlake.db.fl WHERE k % 7 = 1")   // vectors on both dirs
+    val f = sql("SELECT * FROM mdlake.db.fl.files ORDER BY dir")
+    assert(f.schema.fieldNames ===
+      Array("dir", "rows", "deleted_rows", "deletion_vector", "column_stats"))
+    val rs = f.collect()
+    assert(rs.length === 2)
+    assert(rs.map(_.getLong(1)).sum === 20L, "physical rows")
+    assert(rs.map(_.getLong(2)).sum === 3L, "1,8,15 deleted")
+    assert(rs.forall(r => r.getString(3) != null))
+    // the k column's committed range is queryable
+    val kstats = sql("SELECT dir, s.min, s.max FROM " +
+      "(SELECT dir, explode(column_stats) s FROM mdlake.db.fl.files) " +
+      "WHERE s.column = 'k' ORDER BY cast(s.min AS BIGINT)").collect()
+    assert(kstats.map(r => (r.getString(1), r.getString(2))).toSeq ===
+      Seq(("0", "9"), ("10", "19")))
+  }
+
   test("history table serves DESCRIBE HISTORY queries") {
     buildMixed("hi")
     val h = sql("SELECT * FROM mdlake.db.hi.history ORDER BY version")
