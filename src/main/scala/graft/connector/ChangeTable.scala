@@ -35,10 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `_commit_timestamp`.
   *
   * Range control, batch: `option("startVersion", s)` (exclusive, default
-  * 0) and `option("endVersion", e)` (inclusive, default latest). A stream
-  * starts AFTER the latest version at stream start — future changes only
-  * — unless `option("startVersion", s)` asks for a replay; its offsets
-  * are manifest versions, checkpoint-resumable like the plain changefeed.
+  * 0) and `option("endVersion", e)` (inclusive, default latest) — or
+  * `startTimestamp`/`endTimestamp` (epoch millis or a timestamp literal,
+  * resolved through manifest mtimes). A stream starts AFTER the latest
+  * version at stream start — future changes only — unless a start option
+  * asks for a replay; its offsets are manifest versions,
+  * checkpoint-resumable like the plain changefeed.
   *
   * Scale shape: per emitted version the driver plans only the CHANGED
   * dirs' splits (never snapshot-proportional work); deleted positions
@@ -68,9 +70,38 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog)
     ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
       paths, Some(readSchema), classOf[ParquetFileFormat])
 
+  /** `startTimestamp`/`endTimestamp` option values: epoch millis or an
+    * ISO / `java.sql.Timestamp` literal, resolved through manifest mtimes.
+    * A start timestamp picks the newest version at-or-before it (that
+    * version's own changes are NOT included — it is the exclusive start
+    * state, mirroring Delta's startingTimestamp edge); an end timestamp
+    * includes everything committed at or before it.
+    */
+  private def tsToMillis(raw: String): Long =
+    try raw.toLong catch {
+      case _: NumberFormatException =>
+        try java.sql.Timestamp.valueOf(raw).getTime catch {
+          case _: IllegalArgumentException =>
+            java.time.Instant.parse(raw).toEpochMilli
+        }
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def versionAt(optName: String): Option[Long] =
+      Option(options.get(optName)).map { raw =>
+        val ms = tsToMillis(raw)
+        log.versionAtTimestamp(ms).getOrElse(
+          throw new IllegalArgumentException(
+            s"$optName $raw predates every version of ${log.tableDir}"))
+      }
+    require(!(options.containsKey("startVersion") && options.containsKey("startTimestamp")),
+      "startVersion and startTimestamp are exclusive")
+    require(!(options.containsKey("endVersion") && options.containsKey("endTimestamp")),
+      "endVersion and endTimestamp are exclusive")
     val start = Option(options.get("startVersion")).map(_.toLong)
+      .orElse(versionAt("startTimestamp"))
     val end = Option(options.get("endVersion")).map(_.toLong)
+      .orElse(versionAt("endTimestamp"))
     // validated here (not just at batch planning) so a stream with a
     // nonsense range fails at query start, not with a manifest-read error
     // inside the first batch

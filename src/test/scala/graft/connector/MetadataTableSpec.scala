@@ -113,6 +113,35 @@ class MetadataTableSpec extends LakeSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("timestamp range options resolve through manifest mtimes") {
+    sql("CREATE TABLE mdlake.db.ts (k BIGINT)")
+    sql("INSERT INTO mdlake.db.ts VALUES (1)")
+    sql("INSERT INTO mdlake.db.ts VALUES (2)")
+    sql("INSERT INTO mdlake.db.ts VALUES (3)")
+    // space the commit instants a second apart (same-ms commits are
+    // indistinguishable by mtime)
+    val base = (System.currentTimeMillis() / 1000) * 1000 - 60000
+    (1 to 3).foreach(v => assert(
+      new java.io.File(s"$root/db/ts/manifest-$v").setLastModified(base + v * 1000)))
+    val l = log("db/ts")
+    def keys(opts: (String, String)*): Seq[Long] = {
+      var r = spark.read
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.table("mdlake.db.ts.changes").select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // start is the exclusive start STATE: v1's own changes excluded
+    assert(keys("startTimestamp" -> l.commitTimestamp(1).toString) === Seq(2L, 3L))
+    assert(keys("startTimestamp" -> l.commitTimestamp(1).toString,
+      "endTimestamp" -> l.commitTimestamp(2).toString) === Seq(2L))
+    // ISO / Timestamp-literal form works too
+    assert(keys("endTimestamp" ->
+      new java.sql.Timestamp(l.commitTimestamp(2)).toString) === Seq(1L, 2L))
+    val early = intercept[Exception](keys("startTimestamp" -> (base - 5000).toString))
+    assert(early.getMessage.contains("predates"))
+    intercept[Exception](keys("startVersion" -> "1", "startTimestamp" -> "123"))
+  }
+
   test("files table exposes the live manifest entries with their stats") {
     sql("CREATE TABLE mdlake.db.fl (k BIGINT) " +
       "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
