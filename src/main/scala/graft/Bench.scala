@@ -282,6 +282,24 @@ object Bench {
       (changes, secs)
     }
 
+    benchStream("cdc_apply") {
+      // end-to-end CDC replication: full-history changes stream of the
+      // table above folded into a replica via APPLY CHANGES (terminal-
+      // change reduction + MERGE per micro-batch)
+      spark.sql("CREATE TABLE benchcf.replica (k BIGINT, v STRING)")
+      val src = spark.readStream.option("startVersion", "0")
+        .table("benchcf.t.changes")
+      val q = graft.connector.CdcApply.applyChanges(
+        src, "benchcf.replica", Seq("k"), tmp("bench-cdc-ckpt"))
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rows = spark.table("benchcf.replica").count()
+      require(rows == 36000L, s"replica holds $rows of 36000 live rows")
+      (44000L, secs)   // change rows applied
+    }
+
     // ---- baseline comparison: recorded idle numbers, committed in-repo ----
     val baselinePath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")

@@ -82,7 +82,12 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog)
       case _: NumberFormatException =>
         try java.sql.Timestamp.valueOf(raw).getTime catch {
           case _: IllegalArgumentException =>
-            java.time.Instant.parse(raw).toEpochMilli
+            try java.time.Instant.parse(raw).toEpochMilli catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"cannot parse timestamp '$raw': use epoch millis, " +
+                    "'yyyy-MM-dd HH:mm:ss[.f]', or ISO-8601 instant")
+            }
         }
     }
 
