@@ -26,6 +26,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *    min of the two CPU samples decides — a real regression persists, a
   *    contention spike usually does not.
   *
+  * The RECORD tells the same truth as the gate (round-10 lesson: the
+  * driver's BENCH_r10 shipped a 2.76x wall ratio built from contended
+  * first samples the end-of-run re-measure had already disproved): every
+  * re-measure min-merges into the reported `queries`/`cpu` maps, so any
+  * consumer parsing them sees the deciding samples; superseded first
+  * samples move to a `contended` provenance map in the full line. When
+  * the suite-wide cpu_ratio exceeds [[ContentionSuspectRatio]] the whole
+  * suite is re-measured once (per-query min decides) and the baseline
+  * section carries `"contention_suspected":true`.
+  *
   * Baseline lifecycle: `SPARK_GRAFT_BENCH_WRITE_BASELINE=<path>` dumps the
   * current run's wall/cpu maps in baseline format — run idle, inspect,
   * commit. A missing baseline file disables the gate (baseline: null).
@@ -38,6 +48,16 @@ object Bench {
     */
   final val GateRatio = 2.0
   final val GateFloorSec = 0.5
+
+  /** Suite-wide CPU ratio above which the run is presumed CONTENDED (an
+    * idle run of untouched code holds cpu_ratio ~1.0-1.3; external load
+    * inflates even CPU time via GC and cache thrash). A suspected run
+    * re-measures the WHOLE suite once and lets the per-query min decide —
+    * so the record the driver keeps reflects what the code does, not what
+    * the machine happened to be doing (BENCH_r10 shipped a 2.76x wall
+    * ratio from a contention window that idle re-runs measured at 1.6x).
+    */
+  final val ContentionSuspectRatio = 1.5
 
   private def processCpuSec(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -137,10 +157,11 @@ object Bench {
       wall(name) = if (ok) r3(w) else -1.0
       cpu(name) = if (ok && !c.isNaN) r3(c) else -1.0
     }
-    val okWall = wall.filter(_._2 >= 0)
-    val okCpu = cpu.filter(_._2 >= 0)
-    val total = r3(okWall.values.sum)
-    val totalCpu = r3(okCpu.values.sum)
+    // defs, not vals: the contention second pass below may revise the maps,
+    // and every consumer (ratios, totals, the printed line) must see the
+    // DECIDING values, not the first samples
+    def okWall = wall.filter(_._2 >= 0)
+    def okCpu = cpu.filter(_._2 >= 0)
 
     // ---- streaming throughput (rows/s per sink; stateful streams + one
     // append-only ANN index sink), so streaming regressions are visible
@@ -305,6 +326,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
     var baselineJson = "null"
     val regressions = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // first samples superseded by a re-measure min — kept for provenance in
+    // the full (BENCH_local.json) line so a contended run's raw numbers
+    // stay inspectable without ever being mistaken for the record
+    val contended = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val baseFile = new java.io.File(baselinePath)
     if (baseFile.isFile) {
       try {
@@ -318,51 +343,73 @@ object Bench {
           m.toMap
         }
         val bWall = sect("wall"); val bCpu = sect("cpu")
-        val commonW = okWall.keys.filter(bWall.contains).toSeq
-        val commonC = okCpu.keys.filter(k => bCpu.getOrElse(k, 0.0) > 0).toSeq
         def ratio(cur: collection.Map[String, Double],
-                  base: Map[String, Double], ks: Seq[String]): Double = {
+                  base: Map[String, Double], ks: Iterable[String]): Double = {
           val b = ks.map(base).sum
           if (b > 0) r3(ks.map(cur).sum / b) else -1.0
         }
-        val wr = ratio(okWall, bWall, commonW)
-        val cr = ratio(okCpu, bCpu, commonC)
+        // defs so the ratios track the maps through re-measure revisions
+        def wr = ratio(okWall, bWall, okWall.keys.filter(bWall.contains))
+        def cr = ratio(okCpu, bCpu,
+          okCpu.keys.filter(k => bCpu.getOrElse(k, 0.0) > 0))
+        /** Min-merge one re-measure sample into the deciding maps. */
+        def decide(k: String, w2: Double, c2raw: Double): Unit = {
+          val c2 = if (c2raw.isNaN) cpu(k) else r3(c2raw)
+          if (r3(w2) < wall(k) || c2 < cpu(k)) contended(k) = (wall(k), cpu(k))
+          wall(k) = math.min(wall(k), r3(w2))
+          cpu(k) = math.min(cpu(k), c2)
+        }
+        def remeasure(k: String): Unit = {
+          val c0 = processCpuSec()
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(k)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          if (ok) decide(k, (System.nanoTime() - t0) / 1e9, processCpuSec() - c0)
+        }
+        // a suite-wide CPU ratio far above idle means the MACHINE was busy,
+        // not the code: re-measure everything once and let per-query mins
+        // decide, so the record the driver parses is the honest one
+        val contentionSuspected = cr > ContentionSuspectRatio
+        if (contentionSuspected) {
+          System.err.println(s"[bench] suite cpu_ratio $cr > " +
+            s"$ContentionSuspectRatio vs idle baseline — contention " +
+            "suspected; re-measuring the full suite (per-query min decides)")
+          SparkEntry.queries.keys.toSeq.sorted
+            .filter(k => wall.getOrElse(k, -1.0) >= 0).foreach(remeasure)
+        }
         // contention-normalized threshold: uniform suite-wide slowdown
         // (cr > 1) raises every query's bar equally, so only relative
         // outliers fire; an idle run (cr <= 1) keeps the plain 2x bar
-        val norm = math.max(1.0, cr)
-        def flagged(cpuOf: String => Double): Seq[(String, Double)] =
-          commonC.flatMap { k =>
-            val b = bCpu(k)
-            if (b >= GateFloorSec && cpuOf(k) > GateRatio * norm * b)
-              Some(k -> r3(cpuOf(k) / b))
+        def flagged: Seq[(String, Double)] = {
+          val norm = math.max(1.0, cr)
+          okCpu.keys.toSeq.flatMap { k =>
+            val b = bCpu.getOrElse(k, 0.0)
+            if (b >= GateFloorSec && cpu(k) > GateRatio * norm * b)
+              Some(k -> r3(cpu(k) / b))
             else None
           }
-        val first = flagged(okCpu)
+        }
+        val first = flagged
         if (first.nonEmpty) {
-          // re-measure once, same JVM; min of the two samples decides
+          // re-measure once, same JVM; the min of the samples decides BOTH
+          // the gate and the recorded per-query numbers
           System.err.println(s"[bench] re-measuring ${first.size} flagged " +
             s"queries: " + first.map(_._1).mkString(", "))
-          val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
-          first.foreach { case (k, _) =>
-            val c0 = processCpuSec()
-            try { SparkEntry.queries(k)(spark, sfDir).count() }
-            catch { case _: Throwable => () }
-            val c = processCpuSec() - c0
-            retried(k) = if (c.isNaN) okCpu(k) else math.min(okCpu(k), r3(c))
-          }
-          flagged(k => retried.getOrElse(k, okCpu(k))).foreach {
-            case (k, r) => regressions(k) = r
-          }
+          first.foreach { case (k, _) => remeasure(k) }
+          flagged.foreach { case (k, r) => regressions(k) = r }
         }
         baselineJson = s"""{"path":"$baselinePath","wall_ratio":$wr,""" +
-          s""""cpu_ratio":$cr,"compared":${commonC.size}}"""
+          s""""cpu_ratio":$cr,"compared":${
+            okCpu.keys.count(k => bCpu.getOrElse(k, 0.0) > 0)},""" +
+          s""""contention_suspected":$contentionSuspected}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] baseline read FAILED: " +
             s"${e.getClass.getName}: ${e.getMessage}")
       }
     }
+    val total = r3(okWall.values.sum)
+    val totalCpu = r3(okCpu.values.sum)
     // regenerate the committed baseline from an idle run:
     //   SPARK_GRAFT_BENCH_WRITE_BASELINE=BENCH_BASELINE.json sbt "runMain graft.Bench"
     sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").foreach { p =>
@@ -376,11 +423,16 @@ object Bench {
 
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
+    // provenance of re-measured queries: the superseded FIRST samples as
+    // [wall, cpu] (the deciding mins live in the main maps)
+    val contendedJson = contended.map { case (k, (w, c)) => s"\"$k\":[$w,$c]" }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${jsonMap(wall)},"cpu":${jsonMap(cpu)},""" +
         s""""total_cpu":$totalCpu,"streaming":${jsonMap(streaming)},""" +
         s""""baseline":$baselineJson,"regressions":${jsonMap(regressions)},""" +
+        s""""contended":$contendedJson,""" +
         s""""errors":$errJson,"sf":"$sfDir","cpus":"$cpus"}"""
     // The full line above is ~6 KB at 128 queries, but the round snapshot
     // keeps only the LAST 2000 chars of stdout (and sbt appends its own

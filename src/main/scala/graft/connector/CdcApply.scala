@@ -93,7 +93,12 @@ object CdcApply {
     val view = s"__cdc_apply_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     terminal.createOrReplaceTempView(view)
     try {
-      val onClause = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+      // null-SAFE key equality: with `=`, a feed row whose key is NULL never
+      // matches, so its terminal insert would re-insert a duplicate on every
+      // at-least-once foreachBatch replay — breaking the documented
+      // idempotency. `<=>` matches the reduction's groupBy semantics (null
+      // keys form one group) and keeps the MERGE convergent.
+      val onClause = keyCols.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
       val setClause = dataCols.filterNot(keyCols.contains)
         .map(c => s"t.`$c` = s.`$c`").mkString(", ")
       val insertCols = dataCols.map(c => s"`$c`").mkString(", ")

@@ -109,10 +109,17 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog)
       .orElse(versionAt("endTimestamp"))
     // validated here (not just at batch planning) so a stream with a
     // nonsense range fails at query start, not with a manifest-read error
-    // inside the first batch
+    // inside the first batch — including a start PAST the latest version,
+    // which a stream would otherwise accept and idle on forever
+    // (latestOffset < initialOffset): a typo'd replay must fail as loudly
+    // as the batch face does on the same input
     start.foreach(s => require(s >= 0, s"startVersion must be >= 0, got $s"))
     end.foreach(e => require(e >= 0 && start.forall(_ <= e),
       s"need 0 <= startVersion <= endVersion, got ($start, $e]"))
+    val latestNow = log.latestVersion.getOrElse(0L)
+    start.foreach(s => require(s <= latestNow,
+      s"need 0 <= startVersion <= endVersion <= $latestNow (latest), " +
+        s"got ($s, ${end.getOrElse(latestNow)}]"))
     val fullOut = schema()
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -201,17 +208,21 @@ private[connector] final class GraftChangesMicroBatchStream(log: TableLog,
     val sv = start.asInstanceOf[GraftVersionOffset].version
     val ev = end.asInstanceOf[GraftVersionOffset].version
     if (ev <= sv) return Array.empty
-    // an ALTER ADD COLUMNS inside the batch range would make this stream
-    // silently DROP the new column from every subsequent change row (the
-    // reader factory was built against the start-of-stream schema) — fail
-    // loudly instead, Delta's schema-change contract; a restarted stream
-    // picks up the evolved schema and resumes from its checkpoint
+    // an ALTER inside the batch range would make this stream silently emit
+    // wrong rows (the reader factory was built against the start-of-stream
+    // schema: an added column would be dropped; a hypothetical rename/type
+    // change would serve wrongly-typed values) — fail loudly instead,
+    // Delta's schema-change contract; a restarted stream picks up the
+    // evolved schema and resumes from its checkpoint. Compared as full
+    // StructTypes, not field counts: alterTable only appends today, but a
+    // count-only guard would let any future rename/type-change support
+    // slip through silently.
     val evolved = log.metaAt(ev)._1
-    if (evolved.fields.length != streamSchema.fields.length)
+    if (evolved != streamSchema)
       throw new UnsupportedOperationException(
         s"schema of ${log.tableDir} evolved mid-stream " +
-          s"(${streamSchema.fields.length} -> ${evolved.fields.length} " +
-          "columns); restart the stream to pick up the new schema")
+          s"(${streamSchema.simpleString} -> ${evolved.simpleString}); " +
+          "restart the stream to pick up the new schema")
     ChangeTableRead.planRange(log, delegate, sv, ev)
   }
 

@@ -63,11 +63,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * parquet read schema unconditionally (a real column so named would be
     * silently served the file path / row index instead of its data), and
     * z-order compaction refuses its internal columns only at OPTIMIZE time
-    * — far too late for a committed table. Mirror of ZOrder's
-    * reserved-name check, case-insensitive like column resolution.
+    * — far too late for a committed table. The CDC output names are
+    * reserved too: `db.t.changes` appends them to the data schema and maps
+    * output fields BY NAME, so a real column so named would be silently
+    * served the computed change value (and APPLY CHANGES would misclassify
+    * it as a change column). Mirror of ZOrder's reserved-name check,
+    * case-insensitive like column resolution.
     */
   private def checkColumnName(name: String): Unit = {
-    val reserved = GraftDvRead.MetaColNames ++ Seq(ZOrder.ZCol, ZOrder.TileCol)
+    val reserved = GraftDvRead.MetaColNames ++ Seq(ZOrder.ZCol, ZOrder.TileCol) ++
+      Seq(ChangeFeed.TypeCol, ChangeFeed.VersionCol, ChangeFeed.TimestampCol)
     require(!reserved.exists(_.equalsIgnoreCase(name)),
       s"column name '$name' is reserved for graft-lake internal use " +
         s"(reserved: ${reserved.mkString(", ")})")
@@ -131,12 +136,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- maintenance procedures (`CALL lake.system.optimize/vacuum`) ------
 
+  // an unknown procedure is an ANALYSIS 'not found', not an internal
+  // failure: throw Spark's ROUTINE_NOT_FOUND condition (sqlState 42883) so
+  // analyzer paths / tooling that distinguish the two see the right kind
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     GraftProcedures.load(ident, resolveTableArg).getOrElse(
-      throw new RuntimeException(s"procedure not found: " +
-        s"${(catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")} " +
-        s"(available: CALL $catalogName.${GraftProcedures.Namespace}" +
-        ".optimize / .vacuum)"))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "ROUTINE_NOT_FOUND",
+        messageParameters = Map("routineName" ->
+          (catalogName +: ident.namespace.toSeq :+ ident.name)
+            .map(p => s"`$p`").mkString("."))))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.toSeq == Seq(GraftProcedures.Namespace))

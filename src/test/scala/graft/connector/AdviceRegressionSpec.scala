@@ -70,6 +70,63 @@ class AdviceRegressionSpec extends LakeSpec {
     assert(sql("SELECT * FROM advlake.db.alt").schema.fieldNames === Array("k"))
   }
 
+  // ---- round-10 findings ---------------------------------------------------
+
+  test("CDC output column names are rejected at CREATE and ALTER") {
+    Seq("_change_type", "_COMMIT_VERSION", "_commit_timestamp").foreach { c =>
+      val e = intercept[Exception](
+        sql(s"CREATE TABLE advlake.db.cdc_bad (k BIGINT, `$c` STRING)"))
+      assert(e.getMessage.contains("reserved"), s"create with $c: ${e.getMessage}")
+      assert(!log("db/cdc_bad").exists)
+    }
+    sql("CREATE TABLE advlake.db.cdc_alt (k BIGINT)")
+    val e = intercept[Exception](
+      sql("ALTER TABLE advlake.db.cdc_alt ADD COLUMNS (`_Change_Type` STRING)"))
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("APPLY CHANGES is idempotent for null-keyed rows (null-safe merge keys)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    sql("CREATE TABLE advlake.db.nk (k BIGINT, v STRING)")
+    val batch = spark.range(1).select(
+      lit(null).cast("bigint").as("k"), lit("x").as("v"),
+      lit("insert").as(ChangeFeed.TypeCol), lit(1L).as(ChangeFeed.VersionCol))
+    CdcApply.applyBatch(batch, "advlake.db.nk", Seq("k"), Seq("k", "v"))
+    // at-least-once replay of the same batch must converge, not duplicate
+    CdcApply.applyBatch(batch, "advlake.db.nk", Seq("k"), Seq("k", "v"))
+    assert(rows("SELECT count(*) c FROM advlake.db.nk") === Seq(Row(1L)))
+    // and a null-keyed delete removes the row
+    CdcApply.applyBatch(
+      batch.withColumn(ChangeFeed.TypeCol, lit("delete"))
+        .withColumn(ChangeFeed.VersionCol, lit(2L)),
+      "advlake.db.nk", Seq("k"), Seq("k", "v"))
+    assert(rows("SELECT count(*) c FROM advlake.db.nk") === Seq(Row(0L)))
+  }
+
+  test("a change stream with startVersion past latest fails at query start") {
+    sql("CREATE TABLE advlake.db.sv (k BIGINT)")
+    sql("INSERT INTO advlake.db.sv VALUES (1)")   // v1
+    val e = intercept[Exception] {
+      spark.readStream.option("startVersion", "9")
+        .table("advlake.db.sv.changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmp("adv-sv-ckpt"))
+        .start().processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => String.valueOf(c.getMessage)
+        .contains("startVersion <= endVersion <= 1")),
+      s"expected the batch-shaped range error, got: ${e.getMessage}")
+  }
+
+  test("unknown CALL procedure raises ROUTINE_NOT_FOUND, not a bare RuntimeException") {
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      sql("CALL advlake.system.nonexistent()"))
+    assert(e.getCondition === "ROUTINE_NOT_FOUND", e.getMessage)
+    assert(e.getMessage.contains("nonexistent"))
+  }
+
   test("coalesce compaction drops an all-rows-deleted staging entry") {
     // a DELETE whose vector reaches full coverage drops the dir entry
     // outright, so the 0-row-rewrite case needs the one shape that
