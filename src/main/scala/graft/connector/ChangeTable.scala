@@ -50,12 +50,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * reaching past `vacuum` fails loudly (missing manifest or dir), never
   * silently under-reports.
   */
-private[connector] class GraftChangesTable(tableName: String, log: TableLog)
+private[connector] class GraftChangesTable(tableName: String, log: TableLog,
+                                           projected: Option[StructType] = None)
     extends Table with SupportsRead {
 
   override def name(): String = tableName
 
-  private val dataSchema: StructType = log.schema
+  // `projected` comes from the FORMAT face ([[GraftChangesProvider]]),
+  // where a `columns` option is visible at table-construction time and so
+  // can narrow the table schema itself — which is what makes a projected
+  // STREAM possible (the streaming planner pins the relation to the
+  // table's schema; a narrower scan under a full-schema relation would
+  // misalign rows)
+  private val dataSchema: StructType = projected.getOrElse(log.schema)
 
   override def schema(): StructType =
     StructType(dataSchema.fields ++ ChangeFeed.changeFields)
@@ -120,15 +127,31 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog)
     start.foreach(s => require(s <= latestNow,
       s"need 0 <= startVersion <= endVersion <= $latestNow (latest), " +
         s"got ($s, ${end.getOrElse(latestNow)}]"))
+    // `option("columns", "a,b")`: an explicit read-schema override — the
+    // escape hatch for STREAMS, which Spark's streaming planner never
+    // column-prunes (a wide-table CDC stream would read every column per
+    // batch). The change columns are always appended (they are computed,
+    // not read). Batch reads get planner pruning anyway; when both are
+    // present the planner's requirement wins (it is what the query needs).
+    val requested: Option[StructType] = Option(options.get("columns")).map { raw =>
+      val names = raw.split(",").map(_.trim).filter(_.nonEmpty)
+      require(names.nonEmpty, "columns option must name at least one column")
+      val fields = names.map { n =>
+        dataSchema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"columns option names unknown column '$n' " +
+              s"(data columns: ${dataSchema.fieldNames.mkString(", ")})"))
+      }
+      StructType(fields.toSeq ++ ChangeFeed.changeFields)
+    }
     val fullOut = schema()
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       // column pruning: a CDC consumer selecting 2 of 40 columns must not
       // read 40 — the delegated parquet scans serve only the required
       // data columns, and the change columns are computed, so they cost
-      // nothing to keep. (Batch only; Spark's streaming planner never
-      // prunes DSv2 scans, so a stream always reads the full schema.)
-      private var required: StructType = fullOut
+      // nothing to keep.
+      private var required: StructType = requested.getOrElse(fullOut)
       override def pruneColumns(r: StructType): Unit = required = r
       override def build(): Scan =
         new GraftChangesScan(required, dataSchema, log, delegate, start, end)
@@ -167,8 +190,22 @@ private[connector] final class GraftChangesScan(outSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     ChangeTableRead.readerFactory(log, delegate, prunedData, outSchema)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftChangesMicroBatchStream(log, delegate, startOpt, endOpt)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // a `columns` option narrows the SCAN, but the streaming planner pins
+    // the relation to the TABLE's schema — on the catalog face the two
+    // would misalign (rows served under the wrong attributes), so a
+    // projected catalog-face stream must fail loudly and point at the
+    // format face, whose table schema IS the projection
+    if (prunedData.fieldNames.toSeq != dataSchema.fieldNames.toSeq)
+      throw new UnsupportedOperationException(
+        "a projected changes STREAM must use the format face — " +
+          """spark.readStream.format("graft-changes").option("path", <tableDir>)""" +
+          """.option("columns", ...).load() — Spark's streaming planner pins """ +
+          "the catalog table's full schema, so the columns option cannot " +
+          "narrow a db.t.changes stream")
+    new GraftChangesMicroBatchStream(log, delegate, startOpt, endOpt,
+      prunedData, outSchema)
+  }
 }
 
 /** Micro-batch face of `t.changes`: offsets are manifest versions, each
@@ -181,7 +218,9 @@ private[connector] final class GraftChangesScan(outSchema: StructType,
 private[connector] final class GraftChangesMicroBatchStream(log: TableLog,
                                                             delegate: (StructType, Seq[String]) => ParquetTable,
                                                             startOpt: Option[Long],
-                                                            endOpt: Option[Long])
+                                                            endOpt: Option[Long],
+                                                            prunedData: StructType,
+                                                            outSchema: StructType)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset =
@@ -226,13 +265,12 @@ private[connector] final class GraftChangesMicroBatchStream(log: TableLog,
     ChangeTableRead.planRange(log, delegate, sv, ev)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // streams are never column-pruned (Spark's streaming planner doesn't
-    // prune DSv2 scans), so the full data schema is both read and output
-    val dataSchema = log.schema
-    ChangeTableRead.readerFactory(log, delegate, dataSchema,
-      StructType(dataSchema.fields ++ ChangeFeed.changeFields))
-  }
+  // the planner never prunes a streaming DSv2 scan, so prunedData is the
+  // full data schema unless the user passed option("columns", ...) — the
+  // explicit override that keeps a wide-table CDC stream from reading
+  // every column per batch
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangeTableRead.readerFactory(log, delegate, prunedData, outSchema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -251,25 +289,46 @@ private[connector] object ChangeTableRead {
   /** Change partitions of `(startVersion, endVersion]`, driver-side:
     * added dirs (clean ones keep the delegated task grouping), removed
     * dirs, and vector-growth dirs, each stamped with its commit.
+    *
+    * Change-type classification per version: a version whose commit op
+    * marker says merge-on-read UPDATE stages EXACT delete+reinsert pairs
+    * ([[GraftMorOperation]] represents updates as delete-and-insert into
+    * one staged dir), so its vector growth / collapsed dirs emit as
+    * `update_preimage` and its staged dir as `update_postimage` — Delta's
+    * `table_changes` update types, with pairing implied by the shared
+    * `_commit_version`. Everything else keeps plain insert/delete:
+    * copy-on-write rewrites re-insert unmatched rows (no row lineage), and
+    * a mor MERGE's staged dir mixes reinserts with genuinely-new NOT
+    * MATCHED inserts — labeling either would fabricate updates that never
+    * happened, the documented net-effect trade.
     */
   def planRange(log: TableLog, delegate: (StructType, Seq[String]) => ParquetTable,
                 startVersion: Long, endVersion: Long): Array[InputPartition] = {
     val changes = ChangeFeed.diff(log, startVersion, endVersion)
     val out = Array.newBuilder[InputPartition]
 
+    val opCache = scala.collection.mutable.HashMap[Long, Boolean]()
+    def isMorUpdate(v: Long): Boolean =
+      opCache.getOrElseUpdate(v, log.opAt(v).contains("UPDATE"))
+    def addType(v: Long): String =
+      if (isMorUpdate(v)) "update_postimage" else "insert"
+    def delType(v: Long): String =
+      if (isMorUpdate(v)) "update_preimage" else "delete"
+
     // splits depend on file sizes only, never on the read schema
     def plan(dirs: Seq[String]): Array[InputPartition] =
       delegate(log.schema, dirs).newScanBuilder(CaseInsensitiveStringMap.empty())
         .build().toBatch.planInputPartitions()
 
-    def resplit(parts: Array[InputPartition], emit: Int, v: Long, ts: Long,
+    def resplit(parts: Array[InputPartition], emit: Int, changeType: String,
+                v: Long, ts: Long,
                 oldDvByDir: Map[String, String],
                 newDvByDir: Map[String, String]): Seq[InputPartition] =
       parts.flatMap {
         case fp: FilePartition => fp.files.map { f =>
           val dir = f.filePath.toPath.getParent.toString
           ChangeSplitPartition(FilePartition(0, Array(f)), f.filePath.toString,
-            oldDvByDir.get(dir), newDvByDir.get(dir), emit, v, ts)
+            oldDvByDir.get(dir), newDvByDir.get(dir), emit, changeType, v, ts)
         }
         case other => throw new IllegalStateException(
           s"delegated parquet scan planned a non-file partition: $other")
@@ -287,18 +346,21 @@ private[connector] object ChangeTableRead {
       val (vectored, clean) = list.partition(_._2.isDefined)
       if (clean.nonEmpty)
         out ++= plan(clean.map(_._1)).map(p =>
-          CleanChangePartition(p.asInstanceOf[FilePartition], v, ts))
+          CleanChangePartition(p.asInstanceOf[FilePartition], addType(v), v, ts))
       if (vectored.nonEmpty) {
         val dvMap = vectored.map(t => qualify(t._1) -> t._2.get).toMap
-        out ++= resplit(plan(vectored.map(_._1)), InsertLive, v, ts,
+        out ++= resplit(plan(vectored.map(_._1)), InsertLive, addType(v), v, ts,
           Map.empty, dvMap)
       }
     }
-    // removes: then-live rows as deletes
+    // removes: then-live rows as deletes (update_preimage when the version
+    // is a mor UPDATE — the fully-deleted-dir collapse: every then-live
+    // row of the dropped dir was updated)
     changes.removed.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, list) =>
       val ts = log.commitTimestamp(v)
       val dvMap = list.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
-      out ++= resplit(plan(list.map(_._1)), DeleteLive, v, ts, dvMap, Map.empty)
+      out ++= resplit(plan(list.map(_._1)), DeleteLive, delType(v), v, ts,
+        dvMap, Map.empty)
     }
     // vector growth: new-minus-old positions as deletes. Grouped by DIR,
     // not by version: vectors only grow, so a dir's growth steps chain
@@ -311,7 +373,7 @@ private[connector] object ChangeTableRead {
     if (growthByDir.nonEmpty) {
       val tsOf = changes.grown.map(_._4).distinct
         .map(v => v -> log.commitTimestamp(v)).toMap
-      val chainByDir: Map[String, (Option[String], Seq[(Long, Long, String)])] =
+      val chainByDir: Map[String, (Option[String], Seq[ChainStep])] =
         growthByDir.map { case (dir, steps0) =>
           val steps = steps0.sortBy(_._4)
           steps.sliding(2).foreach {
@@ -321,15 +383,15 @@ private[connector] object ChangeTableRead {
             case _ =>
           }
           qualify(dir) -> (steps.head._2,
-            steps.map(s => (s._4, tsOf(s._4), s._3)))
+            steps.map(s => ChainStep(s._4, tsOf(s._4), s._3, delType(s._4))))
         }
       out ++= plan(growthByDir.keys.toSeq).flatMap[InputPartition] {
         case fp: FilePartition => fp.files.map { f =>
           val dir = f.filePath.toPath.getParent.toString
           val (baseline, chain) = chainByDir(dir)
           ChangeSplitPartition(FilePartition(0, Array(f)), f.filePath.toString,
-            baseline, Some(chain.last._3), DeleteNew,
-            chain.last._1, chain.last._2, chain)
+            baseline, Some(chain.last.dv), DeleteNew, chain.last.changeType,
+            chain.last.version, chain.last.tsMillis, chain)
         }.toSeq
         case other => throw new IllegalStateException(
           s"delegated parquet scan planned a non-file partition: $other")
@@ -379,30 +441,40 @@ private[connector] object ChangeTableRead {
   }
 }
 
+/** One step of a dir's vector-growth chain: the commit, its instant, the
+  * chain vector, and the change type its rows emit as (`delete`, or
+  * `update_preimage` when that commit was a mor UPDATE).
+  */
+private[connector] final case class ChainStep(version: Long, tsMillis: Long,
+                                              dv: String, changeType: String)
+
 /** One file split of a change read that needs vector awareness: emit mode
-  * plus REFERENCES to the file's old/new vectors (resolved executor-side
-  * through [[DeletionVectorCache]]) and the commit stamp. `growth` (the
-  * [[ChangeTableRead.DeleteNew]] mode only) is the dir's full growth
-  * chain in the range — (version, tsMillis, vectorPath) ascending — so
-  * one pass over the file attributes every newly-deleted row to its
-  * deleting commit.
+  * and change type, plus REFERENCES to the file's old/new vectors
+  * (resolved executor-side through [[DeletionVectorCache]]) and the
+  * commit stamp. `growth` (the [[ChangeTableRead.DeleteNew]] mode only)
+  * is the dir's full growth chain in the range, ascending — so one pass
+  * over the file attributes every newly-deleted row to its deleting
+  * commit (and that commit's change type).
   */
 private[connector] final case class ChangeSplitPartition(inner: FilePartition,
                                                          filePath: String,
                                                          oldDv: Option[String],
                                                          newDv: Option[String],
                                                          emit: Int,
+                                                         changeType: String,
                                                          version: Long,
                                                          tsMillis: Long,
-                                                         growth: Seq[(Long, Long, String)] = Nil)
+                                                         growth: Seq[ChainStep] = Nil)
     extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
 /** A clean appended partition (no vectors anywhere near it): delegated
-  * task grouping preserved, every row emits as an insert.
+  * task grouping preserved, every row emits with one change type
+  * (`insert`, or `update_postimage` for a mor UPDATE's staged dir).
   */
 private[connector] final case class CleanChangePartition(inner: FilePartition,
+                                                         changeType: String,
                                                          version: Long,
                                                          tsMillis: Long)
     extends InputPartition {
@@ -440,24 +512,18 @@ private[connector] abstract class ChangeRowAppender(outputMap: Array[Int],
                                                     version: Long,
                                                     tsMillis: Long) {
   protected val out = new GenericInternalRow(outputMap.length)
-  locally {
+  locally { stamp(changeType, version, tsMillis) }
+
+  /** Re-stamp the change columns (growth-chain rows carry per-row commits
+    * — and per-commit change types, since a chain can mix plain DELETEs
+    * with mor-UPDATE pre-images).
+    */
+  protected def stamp(changeType: String, version: Long, tsMillis: Long): Unit = {
     val typeValue = UTF8String.fromString(changeType)
     var i = 0
     while (i < outputMap.length) {
       outputMap(i) match {
         case ChangeTableRead.SrcType => out.update(i, typeValue)
-        case _ => ()
-      }
-      i += 1
-    }
-    stamp(version, tsMillis)
-  }
-
-  /** Re-stamp the commit columns (growth-chain rows carry per-row commits). */
-  protected def stamp(version: Long, tsMillis: Long): Unit = {
-    var i = 0
-    while (i < outputMap.length) {
-      outputMap(i) match {
         case ChangeTableRead.SrcVersion => out.update(i, version)
         case ChangeTableRead.SrcTimestamp => out.update(i, tsMillis * 1000L) // micros
         case _ => ()
@@ -482,7 +548,8 @@ private[connector] final class CleanChangeReader(inner: PartitionReader[Internal
                                                  part: CleanChangePartition,
                                                  outputMap: Array[Int],
                                                  outputTypes: Array[DataType])
-    extends ChangeRowAppender(outputMap, outputTypes, "insert", part.version, part.tsMillis)
+    extends ChangeRowAppender(outputMap, outputTypes, part.changeType,
+      part.version, part.tsMillis)
     with PartitionReader[InternalRow] {
   override def next(): Boolean = inner.next()
   override def get(): InternalRow = fill(inner.get())
@@ -498,8 +565,7 @@ private[connector] final class ChangeSplitReader(inner: PartitionReader[Internal
                                                  outputMap: Array[Int],
                                                  outputTypes: Array[DataType],
                                                  conf: SerializableHadoopConf)
-    extends ChangeRowAppender(outputMap, outputTypes,
-      if (part.emit == ChangeTableRead.InsertLive) "insert" else "delete",
+    extends ChangeRowAppender(outputMap, outputTypes, part.changeType,
       part.version, part.tsMillis)
     with PartitionReader[InternalRow] {
 
@@ -514,9 +580,7 @@ private[connector] final class ChangeSplitReader(inner: PartitionReader[Internal
   // DeleteNew only: one forward cursor per chain vector; a newly-deleted
   // row's commit is the FIRST chain vector containing it (vectors are
   // nested ascending, so first-containing = the version that deleted it)
-  private val chainSks = part.growth.map { case (v, ts, dv) =>
-    (v, ts, skipper(Some(dv)))
-  }
+  private val chainSks = part.growth.map(s => (s, skipper(Some(s.dv))))
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -535,8 +599,8 @@ private[connector] final class ChangeSplitReader(inner: PartitionReader[Internal
       }
       if (emit) {
         if (part.emit == ChangeTableRead.DeleteNew && chainSks.length > 1) {
-          val hit = chainSks.find(_._3.deleted(pos)).getOrElse(chainSks.last)
-          stamp(hit._1, hit._2)
+          val (step, _) = chainSks.find(_._2.deleted(pos)).getOrElse(chainSks.last)
+          stamp(step.changeType, step.version, step.tsMillis)
         }
         current = row
         return true
@@ -591,8 +655,7 @@ private[connector] class GraftFilesTable(tableName: String, log: TableLog)
           val r = new GenericInternalRow(5)
           r.update(0, UTF8String.fromString(e.dir))
           r.update(1, e.stats.map(s => Long.box(s.rows)).orNull)
-          r.update(2, e.dv.map(p =>
-            DeletionVector.read(p, log.hadoopConf).cardinality).getOrElse(0L))
+          r.update(2, log.deletedRows(e))
           r.update(3, e.dv.map(UTF8String.fromString).orNull)
           r.update(4, e.stats.map { s =>
             new org.apache.spark.sql.catalyst.util.GenericArrayData(

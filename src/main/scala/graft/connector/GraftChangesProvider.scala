@@ -1,0 +1,79 @@
+package graft.connector
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-based FORMAT face of the change-data-feed:
+  *
+  * {{{
+  * spark.read.format("graft-changes")
+  *   .option("path", "/warehouse/lake/db/t")        // the table's dir
+  *   .option("startVersion", "0")                   // same range options
+  *   .load()
+  * spark.readStream.format("graft-changes")
+  *   .option("path", "/warehouse/lake/db/t")
+  *   .option("columns", "k,v")                      // projected STREAM
+  *   .load()
+  * }}}
+  *
+  * Same table implementation as `db.t.changes` ([[GraftChangesTable]] —
+  * the two faces cannot drift), addressed by path instead of catalog
+  * identifier. It exists for one capability the catalog face cannot
+  * offer: a COLUMN-PROJECTED STREAM. Spark's streaming planner pins a
+  * relation to its table's schema and never prunes a DSv2 streaming scan,
+  * so the only way to stream fewer columns is a table whose schema IS the
+  * projection — and only a TableProvider sees the options early enough to
+  * build one. The `columns` option here narrows the table schema itself
+  * (data columns in the requested order, change columns always appended),
+  * so wide-table CDC consumers stop paying for columns they drop.
+  */
+class GraftChangesProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changes"
+
+  private def logFor(options: CaseInsensitiveStringMap): TableLog = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        """graft-changes needs option("path", <table dir>) (or load(<path>))"""))
+    val log = new TableLog(path,
+      SparkSession.active.sessionState.newHadoopConf())
+    require(log.exists, s"no graft-lake table at $path")
+    log
+  }
+
+  /** The `columns` projection applied to the table's data schema (order
+    * as requested), or the full data schema.
+    */
+  private def dataSchemaFor(log: TableLog,
+                            options: CaseInsensitiveStringMap): Option[StructType] =
+    Option(options.get("columns")).map { raw =>
+      val names = raw.split(",").map(_.trim).filter(_.nonEmpty)
+      require(names.nonEmpty, "columns option must name at least one column")
+      StructType(names.map { n =>
+        log.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"columns option names unknown column '$n' " +
+              s"(data columns: ${log.schema.fieldNames.mkString(", ")})"))
+      }.toSeq)
+    }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val log = logFor(options)
+    StructType(dataSchemaFor(log, options).getOrElse(log.schema).fields ++
+      ChangeFeed.changeFields)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val log = logFor(options)
+    new GraftChangesTable(s"changes(${log.tableDir})", log,
+      dataSchemaFor(log, options))
+  }
+}

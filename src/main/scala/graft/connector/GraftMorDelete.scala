@@ -83,7 +83,7 @@ private[connector] class GraftMorOperation(log: TableLog,
           staging.map(s => delegate(Seq(s)).newWriteBuilder(info).build())
         override def description(): String = s"graft-lake mor $cmd -> ${log.tableDir}"
         override def toBatch: DeltaBatchWrite =
-          new GraftDvBatchWrite(log, pinned, inner.map(_.toBatch), staging)
+          new GraftDvBatchWrite(log, pinned, inner.map(_.toBatch), staging, cmd)
       }
     }
 }
@@ -98,7 +98,8 @@ private[connector] final case class DvDeltaMessage(deletes: Map[String, Array[Lo
 
 private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
                                            innerInserts: Option[BatchWrite],
-                                           staging: Option[String])
+                                           staging: Option[String],
+                                           cmd: RowLevelOperation.Command)
     extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -163,7 +164,10 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
         else {
           val dvPath = log.newDvFile()
           DeletionVector.write(dvPath, log.hadoopConf, merged)
-          Some(entry.copy(dv = Some(dvPath)))
+          // cache the cardinality in the manifest line: the count is free
+          // here, and it spares every later metadata query (files table,
+          // history, vacuum sizing) a driver-side vector read
+          Some(entry.copy(dv = Some(dvPath), dvRows = Some(merged.cardinality)))
         }
       entry.dir -> replacement
     }
@@ -198,7 +202,11 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
           s"concurrent rewrite of ${log.tableDir}: deleted-from dirs replaced: " +
             missing.mkString(", "))
       val next = if (stagedRows) kept :+ stagingEntry.get else kept
-      done = log.tryCommitEntries(expected, next)
+      // the op marker lets the change-data-feed classify this version's
+      // rows: a mor UPDATE's vector growth + staged dir are exact
+      // update_preimage/update_postimage pairs (ChangeTableRead)
+      done = log.tryCommitEntriesMeta(expected, next, newMeta = None,
+        op = Some(cmd.toString))
     }
   }
 

@@ -42,8 +42,15 @@ import scala.collection.immutable.ListMap
   * min/max/null bounds stay conservative for pruning and `rows` is the
   * pre-deletion count.
   */
+/** `dvRows` is the vector's cardinality, cached in the manifest line at
+  * commit time (the committer just built the vector, so the count is free)
+  * — metadata queries (`db.t.files`, `history()`) serve it without
+  * re-reading vector files driver-side. None on pre-cache manifest lines;
+  * such entries degrade to reading the (immutable) vector file.
+  */
 final case class DirEntry(dir: String, stats: Option[DirStats],
-                          dv: Option[String] = None)
+                          dv: Option[String] = None,
+                          dvRows: Option[Long] = None)
 
 class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
@@ -143,26 +150,38 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   /** Data directories + their committed column stats at version `v`, in
     * manifest order. Manifest line format: `relDir` alone (no stats — the
     * pre-stats layout, or a dir whose footers could not be read),
-    * `relDir<TAB>statsJson`, or `relDir<TAB>statsJson<TAB>relDvFile` for a
+    * `relDir<TAB>statsJson`, `relDir<TAB>statsJson<TAB>relDvFile` for a
     * dir carrying a deletion vector (the stats field is empty when the dir
-    * is statless but vectored). Unparseable stats degrade to None (the dir
-    * is simply never pruned), so old manifests read unchanged.
+    * is statless but vectored), or `...<TAB>relDvFile<TAB>dvRows` with the
+    * vector's cached cardinality. Unparseable stats degrade to None (the
+    * dir is simply never pruned), so old manifests read unchanged.
     */
   def entriesAt(v: Long): Seq[DirEntry] = {
     val mp = manifestPath(v)
     if (!fs.exists(mp))
       throw new IllegalArgumentException(s"no version $v of table $tableDir")
     slurp(mp).linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-      val (rel, stats, dv) = line.split("\t", 3) match {
+      val (rel, stats, dv, dvRows) = line.split("\t", 4) match {
+        case Array(r, json, dvRel, card) =>
+          (r, if (json.isEmpty) None else DirStats.decode(json),
+            Some(new Path(tableDir, dvRel).toString), card.toLongOption)
         case Array(r, json, dvRel) =>
           (r, if (json.isEmpty) None else DirStats.decode(json),
-            Some(new Path(tableDir, dvRel).toString))
-        case Array(r, json) => (r, DirStats.decode(json), None)
-        case Array(r) => (r, None, None)
+            Some(new Path(tableDir, dvRel).toString), None)
+        case Array(r, json) => (r, DirStats.decode(json), None, None)
+        case Array(r) => (r, None, None, None)
       }
-      DirEntry(new Path(tableDir, rel).toString, stats, dv)
+      DirEntry(new Path(tableDir, rel).toString, stats, dv, dvRows)
     }.toSeq
   }
+
+  /** Cardinality of an entry's deletion vector: the manifest-cached count
+    * when present, else one read of the (immutable) vector file; 0 for an
+    * unvectored entry.
+    */
+  def deletedRows(e: DirEntry): Long =
+    e.dvRows.orElse(e.dv.map(p => DeletionVector.read(p, conf).cardinality))
+      .getOrElse(0L)
 
   /** Data directories of version `v` (absolute paths), in manifest order. */
   def dirsAt(v: Long): Seq[String] = entriesAt(v).map(_.dir)
@@ -232,24 +251,43 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     tryCommitEntriesMeta(expected, entries, newMeta = None)
 
   /** As [[tryCommitEntries]]; `newMeta` replaces the meta header (ALTER
-    * TABLE's commit — same CAS, so schema changes serialize with writes).
+    * TABLE's commit — same CAS, so schema changes serialize with writes),
+    * and `op` stamps the commit's OPERATION as a per-commit `#op` line
+    * (written by merge-on-read row-level commands; the change-data-feed
+    * reads it back through [[opAt]] to classify a version's retractions as
+    * update pre/post-images). Unlike the meta header, an op line is never
+    * carried forward — it describes exactly one commit.
     */
   def tryCommitEntriesMeta(expected: Option[Long], entries: Seq[DirEntry],
-                           newMeta: Option[(StructType, Map[String, String])]): Boolean = {
+                           newMeta: Option[(StructType, Map[String, String])],
+                           op: Option[String] = None): Boolean = {
     val next = expected.getOrElse(0L) + 1
     if (latestVersion.exists(_ >= next)) return false
     val header: Option[String] = newMeta.map(TableLog.encodeMetaHeader)
       .orElse(expected.flatMap(headerAt))
-    val body = (header.toSeq ++ entries.map { e =>
-      val statsField = e.stats.map(DirStats.encode).getOrElse("")
-      e.dv match {
-        case Some(dvPath) => s"${rel(e.dir)}\t$statsField\t${rel(dvPath)}"
-        case None if statsField.nonEmpty => s"${rel(e.dir)}\t$statsField"
-        case None => rel(e.dir)
-      }
-    }).mkString("", "\n", "\n")
+    op.foreach(o => require(!o.contains("\n") && !o.contains("\t"),
+      s"illegal op marker '$o'"))
+    val body = (header.toSeq ++ op.map(TableLog.OpPrefix + _).toSeq ++
+      entries.map { e =>
+        val statsField = e.stats.map(DirStats.encode).getOrElse("")
+        e.dv match {
+          case Some(dvPath) =>
+            val base = s"${rel(e.dir)}\t$statsField\t${rel(dvPath)}"
+            e.dvRows.fold(base)(c => s"$base\t$c")
+          case None if statsField.nonEmpty => s"${rel(e.dir)}\t$statsField"
+          case None => rel(e.dir)
+        }
+      }).mkString("", "\n", "\n")
     writeAtomic(manifestPath(next), body)
   }
+
+  /** The operation marker of version `v`'s commit (`#op` line), if its
+    * writer recorded one — merge-on-read DELETE/UPDATE/MERGE commits do.
+    */
+  def opAt(v: Long): Option[String] =
+    slurp(manifestPath(v)).linesIterator
+      .find(_.startsWith(TableLog.OpPrefix))
+      .map(_.stripPrefix(TableLog.OpPrefix))
 
   private[connector] def hadoopConf: Configuration = conf
 
@@ -271,8 +309,7 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
         val rows =
           if (entries.forall(_.stats.isDefined)) Some(entries.flatMap(_.stats).map(_.rows).sum)
           else None
-        val deleted = entries.flatMap(_.dv)
-          .map(p => DeletionVector.read(p, conf).cardinality).sum
+        val deleted = entries.map(deletedRows).sum
         TableLog.TableVersion(v, ts, entries.size, rows, rows.map(_ - deleted))
       }
   }
@@ -352,6 +389,11 @@ object TableLog {
     * unaffected.
     */
   private[connector] val MetaHeaderPrefix = "#meta\t"
+
+  /** Per-commit operation marker line: `#op<TAB><OPERATION>`. Invisible to
+    * entry parsing (`#` lines are skipped) and never carried forward.
+    */
+  private[connector] val OpPrefix = "#op\t"
 
   private[connector] def encodeMetaHeader(meta: (StructType, Map[String, String])): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -62,4 +62,128 @@ class CdcApplySpec extends LakeSpec {
       "cdclake.db.d2", Seq("k"), Seq("k", "v"))
     assertReplicaMatches("cdclake.db.s2", "cdclake.db.d2")
   }
+
+  test("update pre/post-image pairs fold to the post-image") {
+    // a mor-UPDATE source's feed carries update_preimage/update_postimage
+    // in the SAME commit version: the reduction must pick the post-image
+    // (a lexical max over the type string would pick the PRE-image)
+    sql("CREATE TABLE cdclake.db.s3 (k BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('graft.update.mode'='merge-on-read','graft.delete.mode'='merge-on-read')")
+    sql("CREATE TABLE cdclake.db.d3 (k BIGINT, v BIGINT)")
+    sql("INSERT INTO cdclake.db.s3 SELECT id, 0 FROM range(0, 6)")
+    sql("UPDATE cdclake.db.s3 SET v = 5 WHERE k IN (1, 3)")
+    sql("DELETE FROM cdclake.db.s3 WHERE k = 4")
+    val feed = spark.read.table("cdclake.db.s3.changes")
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet ===
+      Set("insert", "update_preimage", "update_postimage", "delete"),
+      "precondition: the feed actually carries update types")
+    CdcApply.applyBatch(feed, "cdclake.db.d3", Seq("k"), Seq("k", "v"))
+    assertReplicaMatches("cdclake.db.s3", "cdclake.db.d3")
+    assert(rows("SELECT v FROM cdclake.db.d3 WHERE k = 1") === Seq(Row(5L)))
+  }
+
+  // ---- SEQUENCE BY -----------------------------------------------------------
+
+  /** A synthetic change frame (no source table needed): rows of
+    * (k, v, seq, _change_type, _commit_version).
+    */
+  private def feed(rows: Seq[(Long, String, Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v", "seq", ChangeFeed.TypeCol, ChangeFeed.VersionCol)
+  }
+
+  private val seqDataCols = Seq("k", "v", "seq")
+
+  test("SEQUENCE BY orders a batch by the user column, not commit order") {
+    sql("CREATE NAMESPACE IF NOT EXISTS cdclake.db")
+    sql("CREATE TABLE cdclake.db.sq (k BIGINT, v STRING, seq BIGINT)")
+    // commit order says 'old' wins; the sequence column says 'new' does
+    CdcApply.applyBatch(feed(Seq(
+      (1L, "new", 20L, "insert", 1L),
+      (1L, "old", 10L, "insert", 2L))),
+      "cdclake.db.sq", Seq("k"), seqDataCols, sequenceBy = Some("seq"))
+    assert(rows("SELECT v FROM cdclake.db.sq WHERE k = 1") === Seq(Row("new")))
+    // a LATER batch carrying only stale events must not roll the row back
+    CdcApply.applyBatch(feed(Seq((1L, "stale", 5L, "insert", 3L))),
+      "cdclake.db.sq", Seq("k"), seqDataCols, sequenceBy = Some("seq"))
+    assert(rows("SELECT v FROM cdclake.db.sq WHERE k = 1") === Seq(Row("new")))
+    // a stale delete is refused too
+    CdcApply.applyBatch(feed(Seq((1L, "x", 6L, "delete", 4L))),
+      "cdclake.db.sq", Seq("k"), seqDataCols, sequenceBy = Some("seq"))
+    assert(rows("SELECT v FROM cdclake.db.sq WHERE k = 1") === Seq(Row("new")))
+    // a genuinely newer delete lands
+    CdcApply.applyBatch(feed(Seq((1L, "x", 30L, "delete", 5L))),
+      "cdclake.db.sq", Seq("k"), seqDataCols, sequenceBy = Some("seq"))
+    assert(rows("SELECT count(*) c FROM cdclake.db.sq") === Seq(Row(0L)))
+    // equal sequence re-applies: at-least-once replay converges
+    CdcApply.applyBatch(feed(Seq((2L, "a", 1L, "insert", 6L))),
+      "cdclake.db.sq", Seq("k"), seqDataCols, sequenceBy = Some("seq"))
+    CdcApply.applyBatch(feed(Seq((2L, "a", 1L, "insert", 6L))),
+      "cdclake.db.sq", Seq("k"), seqDataCols, sequenceBy = Some("seq"))
+    assert(rows("SELECT v FROM cdclake.db.sq") === Seq(Row("a")))
+  }
+
+  // ---- SCD TYPE 2 ------------------------------------------------------------
+
+  test("SCD2 maintains validity intervals across batches; replay is idempotent") {
+    sql("CREATE TABLE cdclake.db.hist (k BIGINT, v STRING, " +
+      "__start_at BIGINT, __end_at BIGINT)")
+    def hist() = rows("SELECT k, v, __start_at, __end_at FROM cdclake.db.hist " +
+      "ORDER BY k, __start_at")
+    // batch 1: out-of-order WITHIN the batch is fine
+    val b1 = feed(Seq(
+      (1L, "b", 20L, "insert", 2L),
+      (1L, "a", 10L, "insert", 1L),
+      (2L, "x", 5L, "insert", 1L)))
+    CdcApply.applyBatchScd2(b1, "cdclake.db.hist", Seq("k"), seqDataCols, "seq")
+    assert(hist() === Seq(
+      Row(1L, "a", 10L, 20L), Row(1L, "b", 20L, null),
+      Row(2L, "x", 5L, null)))
+    // at-least-once replay of the SAME batch converges
+    CdcApply.applyBatchScd2(b1, "cdclake.db.hist", Seq("k"), seqDataCols, "seq")
+    assert(hist() === Seq(
+      Row(1L, "a", 10L, 20L), Row(1L, "b", 20L, null),
+      Row(2L, "x", 5L, null)))
+    // batch 2: closes k=1's open row, delete ends k=2 without a new row
+    CdcApply.applyBatchScd2(feed(Seq(
+      (1L, "c", 30L, "insert", 3L),
+      (2L, "x", 9L, "delete", 3L))),
+      "cdclake.db.hist", Seq("k"), seqDataCols, "seq")
+    assert(hist() === Seq(
+      Row(1L, "a", 10L, 20L), Row(1L, "b", 20L, 30L), Row(1L, "c", 30L, null),
+      Row(2L, "x", 5L, 9L)))
+    // update pre/post-image pairs: the post-image opens the interval, the
+    // pre-image (old sequence value) must NOT fabricate one
+    CdcApply.applyBatchScd2(feed(Seq(
+      (1L, "c", 30L, "update_preimage", 4L),
+      (1L, "d", 40L, "update_postimage", 4L))),
+      "cdclake.db.hist", Seq("k"), seqDataCols, "seq")
+    assert(hist() === Seq(
+      Row(1L, "a", 10L, 20L), Row(1L, "b", 20L, 30L), Row(1L, "c", 30L, 40L),
+      Row(1L, "d", 40L, null), Row(2L, "x", 5L, 9L)))
+  }
+
+  test("SCD2 streams from a mor-update source end-to-end") {
+    sql("CREATE TABLE cdclake.db.s4 (k BIGINT, v STRING, seq BIGINT) " +
+      "TBLPROPERTIES ('graft.update.mode'='merge-on-read'," +
+      "'graft.delete.mode'='merge-on-read')")
+    sql("CREATE TABLE cdclake.db.h4 (k BIGINT, v STRING, " +
+      "__start_at BIGINT, __end_at BIGINT)")
+    val q = CdcApply.applyChangesScd2(
+      spark.readStream.option("startVersion", "0").table("cdclake.db.s4.changes"),
+      "cdclake.db.h4", Seq("k"), "seq", tmp("scd2-ckpt"))
+    sql("INSERT INTO cdclake.db.s4 VALUES (1, 'a', 100)")
+    q.processAllAvailable()
+    sql("UPDATE cdclake.db.s4 SET v = 'b', seq = 200 WHERE k = 1")
+    q.processAllAvailable()
+    sql("DELETE FROM cdclake.db.s4 WHERE k = 1")
+    // the mor DELETE's change row carries seq=200 (the row's value): the
+    // interval closes at the deleted row's sequence
+    q.processAllAvailable()
+    q.stop()
+    assert(rows("SELECT k, v, __start_at, __end_at FROM cdclake.db.h4 " +
+      "ORDER BY __start_at") === Seq(
+      Row(1L, "a", 100L, 200L), Row(1L, "b", 200L, 200L)))
+  }
 }

@@ -287,4 +287,163 @@ class MetadataTableSpec extends LakeSpec {
     assert(se.getCause.getMessage.contains("startVersion must be >= 0"))
     q.stop()
   }
+
+  // ---- update pre/post-image change types (mor UPDATE commits) -------------
+
+  test("a mor UPDATE emits update_preimage/update_postimage pairs") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mdlake.db")
+    sql("CREATE TABLE mdlake.db.up (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.update.mode'='merge-on-read')")
+    sql("INSERT INTO mdlake.db.up SELECT id, 0 FROM range(0, 8)")   // v1
+    sql("UPDATE mdlake.db.up SET v = 7 WHERE k IN (2, 5)")          // v2 mor
+    assert(log("db/up").opAt(2).contains("UPDATE"), "commit op marker")
+    val v2 = sql("SELECT _change_type, k, v FROM mdlake.db.up.changes " +
+      "WHERE _commit_version = 2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v2 === Set(
+      ("update_preimage", 2L, 0L), ("update_preimage", 5L, 0L),
+      ("update_postimage", 2L, 7L), ("update_postimage", 5L, 7L)))
+    // pairing: same key appears exactly once as pre- and once as post-image
+    // within the commit; everything else in the feed is plain inserts
+    val types = sql("SELECT DISTINCT _change_type FROM mdlake.db.up.changes")
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set("insert", "update_preimage", "update_postimage"))
+  }
+
+  test("a cow UPDATE stays net-effect delete+insert") {
+    sql("CREATE TABLE mdlake.db.upc (k BIGINT, v BIGINT)")
+    sql("INSERT INTO mdlake.db.upc SELECT id, 0 FROM range(0, 8)")  // v1
+    sql("UPDATE mdlake.db.upc SET v = 7 WHERE k = 3")               // v2 cow
+    assert(log("db/upc").opAt(2).isEmpty, "cow rewrites carry no op marker")
+    val types = sql("SELECT DISTINCT _change_type FROM mdlake.db.upc.changes " +
+      "WHERE _commit_version = 2").collect().map(_.getString(0)).toSet
+    assert(types === Set("insert", "delete"),
+      "no row lineage on a cow rewrite: unmatched rows re-insert verbatim")
+  }
+
+  test("a growth chain mixes delete and update_preimage per commit") {
+    sql("CREATE TABLE mdlake.db.gc (k BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read','graft.update.mode'='merge-on-read')")
+    sql("INSERT INTO mdlake.db.gc SELECT id, 0 FROM range(0, 10)")  // v1
+    sql("DELETE FROM mdlake.db.gc WHERE k = 1")                     // v2: dv grows
+    sql("UPDATE mdlake.db.gc SET v = 9 WHERE k = 2")                // v3: dv grows again
+    val ch = sql("SELECT _change_type, k, v, _commit_version " +
+      "FROM mdlake.db.gc.changes WHERE _commit_version > 1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // ONE scan of the dir serves both growth steps, each row stamped with
+    // its own commit's version AND change type
+    assert(ch === Set(
+      ("delete", 1L, 0L, 2L),
+      ("update_preimage", 2L, 0L, 3L),
+      ("update_postimage", 2L, 9L, 3L)))
+    // a mor DELETE records its op too, but keeps the plain delete type
+    assert(log("db/gc").opAt(2).contains("DELETE"))
+  }
+
+  test("replaying a history with update types reconstructs the snapshot") {
+    sql("CREATE TABLE mdlake.db.rp2 (k BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('graft.update.mode'='merge-on-read','graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO mdlake.db.rp2 SELECT id, 0 FROM range(0, 10)")
+    sql("UPDATE mdlake.db.rp2 SET v = 1 WHERE k < 4")
+    sql("DELETE FROM mdlake.db.rp2 WHERE k IN (0, 8)")
+    sql("UPDATE mdlake.db.rp2 SET v = 2 WHERE k = 1")
+    val l = log("db/rp2")
+    val net = ChangeFeed.between(spark, l, 0, l.latestVersion.get)
+      .groupBy("k", "v")
+      .agg(sum(when(col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(-1)).as("n"))
+      .where(col("n") =!= 0)
+    assert(net.select("k", "v").collect().toSet ===
+      sql("SELECT k, v FROM mdlake.db.rp2").collect().toSet)
+  }
+
+  // ---- explicit read-schema override (streams are never planner-pruned) ----
+
+  test("format face streams a COLUMN-PROJECTED change feed") {
+    sql("CREATE TABLE mdlake.db.pj (k BIGINT, a STRING, b STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO mdlake.db.pj SELECT id, concat('a', id), concat('b', id) " +
+      "FROM range(0, 5)")
+    val schemas = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-changes")
+      .option("path", s"$root/db/pj")
+      .option("startVersion", "0").option("columns", "k")
+      .load().writeStream
+      .option("checkpointLocation", tmp("md-pj-ckpt"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        schemas.add(b.schema.fieldNames.toSeq)
+        b.collect().foreach(r => got.add((r.getLong(r.fieldIndex("k")),
+          r.getString(r.fieldIndex("_change_type")),
+          r.getLong(r.fieldIndex("_commit_version"))))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    sql("DELETE FROM mdlake.db.pj WHERE k = 3")
+    q.processAllAvailable()
+    q.stop()
+    assert(schemas.toArray.head === Seq("k",
+      "_change_type", "_commit_version", "_commit_timestamp"))
+    assert(got.toArray.toSet === Set(
+      (0L, "insert", 1L), (1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 1L), (4L, "insert", 1L), (3L, "delete", 2L)))
+    // the catalog face cannot legally project a stream (the planner pins
+    // the table's full schema) — it must refuse, pointing at this face
+    val bad = spark.readStream
+      .option("startVersion", "0").option("columns", "k")
+      .table("mdlake.db.pj.changes").writeStream
+      .option("checkpointLocation", tmp("md-pjx-ckpt"))
+      .foreachBatch { (_: Dataset[Row], _: Long) => () }
+      .start()
+    val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      bad.processAllAvailable())
+    assert(se.getCause.getMessage.contains("format face"))
+    bad.stop()
+    // batch through the format face matches the catalog face
+    val viaFormat = spark.read.format("graft-changes")
+      .option("path", s"$root/db/pj").load()
+    assert(viaFormat.collect().toSet ===
+      sql("SELECT * FROM mdlake.db.pj.changes").collect().toSet)
+  }
+
+  test("columns option on the batch face defers to planner pruning; unknown names fail") {
+    sql("CREATE TABLE mdlake.db.pj2 (k BIGINT, a STRING)")
+    sql("INSERT INTO mdlake.db.pj2 VALUES (1, 'x')")
+    // batch: the relation keeps the table schema and the planner's own
+    // pruning (what the query actually selects) wins over the option
+    val d = spark.read.option("columns", "k").table("mdlake.db.pj2.changes")
+    assert(d.select("a").collect().map(_.getString(0)).toSeq === Seq("x"))
+    assert(d.select("k").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val e = intercept[Exception](
+      spark.read.option("columns", "nope").table("mdlake.db.pj2.changes").collect())
+    assert(e.getMessage.contains("unknown column 'nope'"))
+  }
+
+  // ---- manifest-cached deletion-vector cardinality -------------------------
+
+  test("dv cardinality is manifest-cached and served without vector reads") {
+    sql("CREATE TABLE mdlake.db.card (k BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO mdlake.db.card SELECT id FROM range(0, 100)")  // v1
+    sql("DELETE FROM mdlake.db.card WHERE k % 4 = 0")               // v2: 25 rows
+    val l = log("db/card")
+    val e = l.currentEntries().find(_.dv.isDefined).get
+    assert(e.dvRows === Some(25L), "commit caches the union's cardinality")
+    assert(e.dvRows.get ===
+      DeletionVector.read(e.dv.get, l.hadoopConf).cardinality)
+    assert(rows("SELECT deleted_rows FROM mdlake.db.card.files " +
+      "WHERE deletion_vector IS NOT NULL") === Seq(Row(25L)))
+    // a second delete re-caches the grown union's count
+    sql("DELETE FROM mdlake.db.card WHERE k = 1")                   // v3: 26
+    assert(l.currentEntries().find(_.dv.isDefined).get.dvRows === Some(26L))
+    // legacy manifest lines (no cached count) still parse and degrade to
+    // one read of the immutable vector file
+    val legacy = l.currentEntries().map(en => en.copy(dvRows = None))
+    assert(l.tryCommitEntries(l.latestVersion, legacy))
+    val reread = l.currentEntries().find(_.dv.isDefined).get
+    assert(reread.dvRows === None)
+    assert(l.deletedRows(reread) === 26L)
+    assert(rows("SELECT deleted_rows FROM mdlake.db.card.files " +
+      "WHERE deletion_vector IS NOT NULL") === Seq(Row(26L)))
+  }
 }

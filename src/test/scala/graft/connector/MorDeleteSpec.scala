@@ -191,7 +191,8 @@ class MorDeleteSpec extends LakeSpec {
     val l = log("db/cc")
     val pinned = l.currentEntries()
     sql("DELETE FROM morlake.db.cc WHERE k = 1")   // vector changes under the pin
-    val stale = new GraftDvBatchWrite(l, pinned, None, None)
+    val stale = new GraftDvBatchWrite(l, pinned, None, None,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
     val fs = new org.apache.hadoop.fs.Path(pinned.head.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val file = fs.listStatus(new org.apache.hadoop.fs.Path(pinned.head.dir))

@@ -52,11 +52,14 @@ class ProcedureSpec extends LakeSpec {
       Set("optimize", "vacuum"))
     assert(sql("DESCRIBE PROCEDURE prlake.system.optimize").collect()
       .mkString.contains("optimize"))
-    // Spark wraps the catalog's error in FAILED_TO_LOAD_ROUTINE; ours
-    // (with the available-procedures hint) rides along as the cause
-    val missing = intercept[Exception](sql("CALL prlake.system.nope()"))
-    assert(missing.getMessage.contains("Failed to load routine"))
-    assert(Option(missing.getCause).exists(_.getMessage.contains("procedure not found")))
+    // an unknown procedure is an analysis-time 'not found' — the catalog
+    // raises Spark's ROUTINE_NOT_FOUND condition (sqlState 42883), which
+    // propagates unwrapped (a RuntimeException would get swallowed into a
+    // generic FAILED_TO_LOAD_ROUTINE internal-failure shape)
+    val missing = intercept[org.apache.spark.sql.AnalysisException](
+      sql("CALL prlake.system.nope()"))
+    assert(missing.getCondition === "ROUTINE_NOT_FOUND")
+    assert(missing.getMessage.contains("nope"))
     val noTable = intercept[Exception](
       rows("CALL prlake.system.optimize(`table` => 'db.ghost')"))
     assert(noTable.getMessage.contains("no such table"))
