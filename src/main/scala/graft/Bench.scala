@@ -343,6 +343,16 @@ object Bench {
           m.toMap
         }
         val bWall = sect("wall"); val bCpu = sect("cpu")
+        // the baseline is per-SCALE-FACTOR: comparing a sf0.001 sanity run
+        // against the sf0.1 baseline flags fixed-overhead noise on
+        // sub-second queries as "regressions" — ratios stay informational,
+        // but the gate and the contention re-measure only run when the
+        // scale factors match (the driver's gate always does)
+        val baseSf = Option(node.get("sf")).map(_.asText)
+        val sfMatches = baseSf.forall(_ == sfDir)
+        if (!sfMatches)
+          System.err.println(s"[bench] baseline sf ${baseSf.get} != run sf " +
+            s"$sfDir: ratios informational, regression gate disabled")
         def ratio(cur: collection.Map[String, Double],
                   base: Map[String, Double], ks: Iterable[String]): Double = {
           val b = ks.map(base).sum
@@ -369,7 +379,7 @@ object Bench {
         // a suite-wide CPU ratio far above idle means the MACHINE was busy,
         // not the code: re-measure everything once and let per-query mins
         // decide, so the record the driver parses is the honest one
-        val contentionSuspected = cr > ContentionSuspectRatio
+        val contentionSuspected = sfMatches && cr > ContentionSuspectRatio
         if (contentionSuspected) {
           System.err.println(s"[bench] suite cpu_ratio $cr > " +
             s"$ContentionSuspectRatio vs idle baseline — contention " +
@@ -389,7 +399,7 @@ object Bench {
             else None
           }
         }
-        val first = flagged
+        val first = if (sfMatches) flagged else Nil
         if (first.nonEmpty) {
           // re-measure once, same JVM; the min of the samples decides BOTH
           // the gate and the recorded per-query numbers
@@ -401,7 +411,8 @@ object Bench {
         baselineJson = s"""{"path":"$baselinePath","wall_ratio":$wr,""" +
           s""""cpu_ratio":$cr,"compared":${
             okCpu.keys.count(k => bCpu.getOrElse(k, 0.0) > 0)},""" +
-          s""""contention_suspected":$contentionSuspected}"""
+          s""""contention_suspected":$contentionSuspected""" +
+          (if (sfMatches) "}" else ""","sf_mismatch":true}""")
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] baseline read FAILED: " +

@@ -309,7 +309,7 @@ private[connector] object ChangeTableRead {
 
     val opCache = scala.collection.mutable.HashMap[Long, Boolean]()
     def isMorUpdate(v: Long): Boolean =
-      opCache.getOrElseUpdate(v, log.opAt(v).contains("UPDATE"))
+      opCache.getOrElseUpdate(v, log.opAt(v).contains("UPDATE (merge-on-read)"))
     def addType(v: Long): String =
       if (isMorUpdate(v)) "update_postimage" else "insert"
     def delType(v: Long): String =
@@ -675,9 +675,12 @@ private[connector] class GraftFilesTable(tableName: String, log: TableLog)
 }
 
 /** `lake.db.t.history` — `DESCRIBE HISTORY` as a queryable table:
-  * (version, committed_at, dirs, physical_rows, live_rows), newest first,
-  * spanning the versions vacuum has kept. Driver-computed ([[LocalScan]]):
-  * the manifest walk is metadata-sized by construction.
+  * (version, committed_at, operation, dirs, physical_rows, live_rows),
+  * newest first, spanning the versions vacuum has kept. `operation` is
+  * the commit's `#op` marker — WRITE / OVERWRITE / DELETE / UPDATE /
+  * MERGE (suffixed `(merge-on-read)` for vector commits) / OPTIMIZE /
+  * ALTER TABLE; NULL on pre-marker history. Driver-computed
+  * ([[LocalScan]]): the manifest walk is metadata-sized by construction.
   */
 private[connector] class GraftHistoryTable(tableName: String, log: TableLog)
     extends Table with SupportsRead {
@@ -687,6 +690,7 @@ private[connector] class GraftHistoryTable(tableName: String, log: TableLog)
   override def schema(): StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
     org.apache.spark.sql.types.StructField("committed_at", TimestampType, nullable = false),
+    org.apache.spark.sql.types.StructField("operation", org.apache.spark.sql.types.StringType, nullable = true),
     org.apache.spark.sql.types.StructField("dirs", IntegerType, nullable = false),
     org.apache.spark.sql.types.StructField("physical_rows", LongType, nullable = true),
     org.apache.spark.sql.types.StructField("live_rows", LongType, nullable = true)))
@@ -704,12 +708,13 @@ private[connector] class GraftHistoryTable(tableName: String, log: TableLog)
       override def description(): String = s"graft-lake history of $tableName"
       override def rows(): Array[InternalRow] =
         log.history().map { v =>
-          val r = new GenericInternalRow(5)
+          val r = new GenericInternalRow(6)
           r.update(0, v.version)
           r.update(1, v.timestampMs * 1000L)
-          r.update(2, v.dirs)
-          r.update(3, v.physicalRows.map(Long.box).orNull)
-          r.update(4, v.liveRows.map(Long.box).orNull)
+          r.update(2, v.operation.map(UTF8String.fromString).orNull)
+          r.update(3, v.dirs)
+          r.update(4, v.physicalRows.map(Long.box).orNull)
+          r.update(5, v.liveRows.map(Long.box).orNull)
           r
         }.toArray
     }

@@ -178,7 +178,7 @@ object Compaction {
           s"concurrent merge-on-read delete during compaction of " +
             s"${log.tableDir}: vectors changed on: ${dvChanged.mkString(", ")}")
       val next = curEntries.filterNot(e => replaced.contains(e.dir)) ++ stagingEntries
-      done = log.tryCommitEntries(cur, next)
+      done = log.tryCommitEntriesMeta(cur, next, newMeta = None, op = Some("OPTIMIZE"))
     }
     true
   }

@@ -265,7 +265,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(only ADD COLUMNS of nullable appended columns and SET/UNSET TBLPROPERTIES)")
       }
       val entries = expected.map(l.entriesAt).getOrElse(Nil)
-      done = l.tryCommitEntriesMeta(expected, entries, Some((sch, props)))
+      done = l.tryCommitEntriesMeta(expected, entries, Some((sch, props)),
+        op = Some("ALTER TABLE"))
     }
     loadTable(ident)
   }

@@ -202,11 +202,13 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
           s"concurrent rewrite of ${log.tableDir}: deleted-from dirs replaced: " +
             missing.mkString(", "))
       val next = if (stagedRows) kept :+ stagingEntry.get else kept
-      // the op marker lets the change-data-feed classify this version's
-      // rows: a mor UPDATE's vector growth + staged dir are exact
-      // update_preimage/update_postimage pairs (ChangeTableRead)
+      // the op marker names the command AND the mode: the change-data-feed
+      // keys on the exact "UPDATE (merge-on-read)" string to classify this
+      // version's rows as update_preimage/update_postimage pairs — a COW
+      // UPDATE stamps plain "UPDATE" and must NOT match (its rewrite
+      // re-inserts unmatched rows, so the pairing would be fabricated)
       done = log.tryCommitEntriesMeta(expected, next, newMeta = None,
-        op = Some(cmd.toString))
+        op = Some(s"$cmd (merge-on-read)"))
     }
   }
 

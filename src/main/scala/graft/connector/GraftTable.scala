@@ -175,7 +175,8 @@ class GraftTable(tableName: String, log: TableLog,
       // and an unclassifiable dir from a concurrent commit simply survives
       // (serializable as: this DELETE ordered before that commit)
       val next = current.filterNot(e => DirStats.mustMatchAll(e.stats, filters.toSeq))
-      done = next == current || log.tryCommitEntries(expected, next)
+      done = next == current || log.tryCommitEntriesMeta(expected, next,
+        newMeta = None, op = Some("DELETE"))
     }
   }
 
@@ -269,7 +270,8 @@ private[connector] case object Replace extends CommitMode
   * concurrent merge-on-read delete) must conflict, not be replaced.
   */
 private[connector] final case class ReplacePinned(pinned: () => Seq[String],
-                                                  dvOf: String => Option[String]) extends CommitMode
+                                                  dvOf: String => Option[String],
+                                                  op: String) extends CommitMode
 
 /** Group-based copy-on-write row-level operation behind `MERGE INTO` /
   * `UPDATE` / `DELETE`, with dir-granular group pruning.
@@ -356,7 +358,7 @@ private[connector] class GraftRowLevelOperation(log: TableLog,
         val inner = delegate(Seq(staging)).newWriteBuilder(info).build()
         new GraftWrite(inner, log, staging,
           ReplacePinned(() => readDirs(),
-            dir => pinned.find(_.dir == dir).flatMap(_.dv)),
+            dir => pinned.find(_.dir == dir).flatMap(_.dv), cmd.toString),
           projectTo = Some(info.schema()))
       }
     }
@@ -420,7 +422,7 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
       val next = mode match {
         case Append => if (stagedEmpty) current else current :+ stagingEntry
         case Replace => if (stagedEmpty) Nil else Seq(stagingEntry)
-        case ReplacePinned(pinnedFn, dvOf) =>
+        case ReplacePinned(pinnedFn, dvOf, _) =>
           // a dir we read that is no longer listed was replaced by a
           // concurrent rewrite — our copy-on-write output is based on stale
           // rows and must not win; a dir whose deletion vector changed was
@@ -442,7 +444,14 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
           // fully-pruned no-op rewrite leaves the manifest's dir list unchanged
           if (stagedEmpty) kept else kept :+ stagingEntry
       }
-      done = log.tryCommitEntries(expected, next)
+      // stamp the commit's operation (DESCRIBE HISTORY's operation column;
+      // the CDF keys only on the "(merge-on-read)"-suffixed markers)
+      val op = mode match {
+        case Append => "WRITE"
+        case Replace => "OVERWRITE"
+        case rp: ReplacePinned => rp.op
+      }
+      done = log.tryCommitEntriesMeta(expected, next, newMeta = None, op = Some(op))
       // CAS miss: someone committed expected+1 first — re-read and retry
       // (Append/Replace always converge; ReplacePinned re-checks conflicts)
     }

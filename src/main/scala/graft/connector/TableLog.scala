@@ -310,7 +310,8 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
           if (entries.forall(_.stats.isDefined)) Some(entries.flatMap(_.stats).map(_.rows).sum)
           else None
         val deleted = entries.map(deletedRows).sum
-        TableLog.TableVersion(v, ts, entries.size, rows, rows.map(_ - deleted))
+        TableLog.TableVersion(v, ts, entries.size, rows, rows.map(_ - deleted),
+          opAt(v))
       }
   }
 
@@ -375,9 +376,13 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
 object TableLog {
 
-  /** One row of [[TableLog.history]]. */
+  /** One row of [[TableLog.history]]. `operation` = the commit's `#op`
+    * marker (None on pre-marker history — markers arrived with the CDC
+    * update-type work, so older manifests simply have no record).
+    */
   final case class TableVersion(version: Long, timestampMs: Long, dirs: Int,
-                                physicalRows: Option[Long], liveRows: Option[Long])
+                                physicalRows: Option[Long], liveRows: Option[Long],
+                                operation: Option[String] = None)
 
   /** What one [[TableLog.vacuum]] run reclaimed. */
   final case class VacuumStats(manifestsDropped: Int, pathsReclaimed: Int)

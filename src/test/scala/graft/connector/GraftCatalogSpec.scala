@@ -84,7 +84,7 @@ class GraftCatalogSpec extends LakeSpec {
     // second rewrite based on the stale snapshot must refuse to commit —
     // exercised through the real GraftBatchWrite commit path
     val stale = new GraftBatchWrite(NoopBatchWrite, log, log.newDataDir(),
-      ReplacePinned(() => pinnedBefore, _ => None))
+      ReplacePinned(() => pinnedBefore, _ => None, "UPDATE"))
     val ex = intercept[java.util.ConcurrentModificationException](
       stale.commit(Array.empty))
     assert(ex.getMessage.contains("concurrent rewrite"))

@@ -168,13 +168,17 @@ class MetadataTableSpec extends LakeSpec {
     buildMixed("hi")
     val h = sql("SELECT * FROM mdlake.db.hi.history ORDER BY version")
     assert(h.schema.fieldNames ===
-      Array("version", "committed_at", "dirs", "physical_rows", "live_rows"))
+      Array("version", "committed_at", "operation", "dirs", "physical_rows", "live_rows"))
     val rows = h.collect()
     assert(rows.map(_.getLong(0)).toSeq === (1L to 5L))
+    // every writer stamps its operation
+    assert(rows.map(r => r.getLong(0) -> r.getString(2)).toMap === Map(
+      1L -> "WRITE", 2L -> "WRITE", 3L -> "UPDATE",
+      4L -> "DELETE (merge-on-read)", 5L -> "OPTIMIZE"))
     // v4's mor delete: physical unchanged from v3, live shrinks; v5's
     // compaction: physical falls to live
     val byV = rows.map(r => r.getLong(0) ->
-      (r.getLong(3), r.getLong(4))).toMap
+      (r.getLong(4), r.getLong(5))).toMap
     assert(byV(3)._1 === byV(4)._1)
     assert(byV(4)._2 < byV(4)._1)
     assert(byV(5)._1 === byV(4)._2 && byV(5)._2 === byV(4)._2)
@@ -296,7 +300,7 @@ class MetadataTableSpec extends LakeSpec {
       "TBLPROPERTIES ('graft.update.mode'='merge-on-read')")
     sql("INSERT INTO mdlake.db.up SELECT id, 0 FROM range(0, 8)")   // v1
     sql("UPDATE mdlake.db.up SET v = 7 WHERE k IN (2, 5)")          // v2 mor
-    assert(log("db/up").opAt(2).contains("UPDATE"), "commit op marker")
+    assert(log("db/up").opAt(2).contains("UPDATE (merge-on-read)"), "commit op marker")
     val v2 = sql("SELECT _change_type, k, v FROM mdlake.db.up.changes " +
       "WHERE _commit_version = 2").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -314,7 +318,8 @@ class MetadataTableSpec extends LakeSpec {
     sql("CREATE TABLE mdlake.db.upc (k BIGINT, v BIGINT)")
     sql("INSERT INTO mdlake.db.upc SELECT id, 0 FROM range(0, 8)")  // v1
     sql("UPDATE mdlake.db.upc SET v = 7 WHERE k = 3")               // v2 cow
-    assert(log("db/upc").opAt(2).isEmpty, "cow rewrites carry no op marker")
+    assert(log("db/upc").opAt(2).contains("UPDATE"),
+      "a cow UPDATE records its operation but NOT the merge-on-read marker")
     val types = sql("SELECT DISTINCT _change_type FROM mdlake.db.upc.changes " +
       "WHERE _commit_version = 2").collect().map(_.getString(0)).toSet
     assert(types === Set("insert", "delete"),
@@ -337,7 +342,7 @@ class MetadataTableSpec extends LakeSpec {
       ("update_preimage", 2L, 0L, 3L),
       ("update_postimage", 2L, 9L, 3L)))
     // a mor DELETE records its op too, but keeps the plain delete type
-    assert(log("db/gc").opAt(2).contains("DELETE"))
+    assert(log("db/gc").opAt(2).contains("DELETE (merge-on-read)"))
   }
 
   test("replaying a history with update types reconstructs the snapshot") {
