@@ -362,10 +362,15 @@ object Bench {
         def wr = ratio(okWall, bWall, okWall.keys.filter(bWall.contains))
         def cr = ratio(okCpu, bCpu,
           okCpu.keys.filter(k => bCpu.getOrElse(k, 0.0) > 0))
-        /** Min-merge one re-measure sample into the deciding maps. */
+        /** Min-merge one re-measure sample into the deciding maps. The
+          * provenance entry is insert-once: a query re-measured twice
+          * (contention pass, then flagged pass) must keep its TRUE first
+          * sample, not an intermediate min.
+          */
         def decide(k: String, w2: Double, c2raw: Double): Unit = {
           val c2 = if (c2raw.isNaN) cpu(k) else r3(c2raw)
-          if (r3(w2) < wall(k) || c2 < cpu(k)) contended(k) = (wall(k), cpu(k))
+          if ((r3(w2) < wall(k) || c2 < cpu(k)) && !contended.contains(k))
+            contended(k) = (wall(k), cpu(k))
           wall(k) = math.min(wall(k), r3(w2))
           cpu(k) = math.min(cpu(k), c2)
         }

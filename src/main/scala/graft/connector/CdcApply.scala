@@ -22,8 +22,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * post-image half of an update pair win their own version, which is
   * exactly the net effect (a plain lexical max would pick `update_preimage`
   * over `update_postimage` and apply the OLD row). The reduced batch then
-  * MERGEs into the target: terminal delete → DELETE, anything else →
-  * upsert. Out-of-order keys inside a batch therefore cannot corrupt the
+  * MERGEs into the target: a terminal delete OR update_preimage →
+  * DELETE (a pre-image survives the reduction only when the update moved
+  * the row to a DIFFERENT key — the old key's row was retracted), anything
+  * else → upsert. Out-of-order keys inside a batch therefore cannot corrupt the
   * replica, and restart-replayed batches (foreachBatch's at-least-once)
   * are idempotent because the reduction is deterministic and the MERGE
   * converges.
@@ -87,6 +89,10 @@ object CdcApply {
     val dataCols = dataColsOf(changes)
     val resolvedKeys = resolve(keyCols, dataCols, "key")
     val resolvedSeq = sequenceBy.map(s => resolve(Seq(s), dataCols, "sequence").head)
+    // misconfiguration fails at STREAM START, not inside the first
+    // non-empty batch as an async StreamingQueryException
+    resolvedSeq.foreach(s => require(!resolvedKeys.contains(s),
+      s"sequence column $s cannot be a key column"))
     changes.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -140,11 +146,18 @@ object CdcApply {
         .map(c => s"t.`$c` = s.`$c`").mkString(", ")
       val insertCols = dataCols.map(c => s"`$c`").mkString(", ")
       val insertVals = dataCols.map(c => s"s.`$c`").mkString(", ")
+      // a TERMINAL update_preimage is a retraction, exactly like a delete:
+      // it survives the per-key reduction only when no post-image shares
+      // its key — i.e. the update MOVED the row to another key (a
+      // key-column UPDATE) — so the old key's row must be deleted, never
+      // upserted with its stale pre-image values (and never re-inserted on
+      // a mid-history bootstrap)
+      val retract = s"s.`${ChangeFeed.TypeCol}` IN ('delete', 'update_preimage')"
       spark.sql(
         s"""MERGE INTO $targetTable t USING $view s ON $onClause
-           |WHEN MATCHED AND s.`${ChangeFeed.TypeCol}` = 'delete'$guard THEN DELETE
+           |WHEN MATCHED AND $retract$guard THEN DELETE
            |${if (setClause.nonEmpty) s"WHEN MATCHED$guard THEN UPDATE SET $setClause" else ""}
-           |WHEN NOT MATCHED AND s.`${ChangeFeed.TypeCol}` <> 'delete'
+           |WHEN NOT MATCHED AND NOT ($retract)
            |THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
     } finally spark.catalog.dropTempView(view)
   }
@@ -192,7 +205,11 @@ object CdcApply {
     * ACROSS batches each key's sequence must not decrease (the same
     * contract Delta's SCD2 APPLY CHANGES documents) — a violation leaves
     * the out-of-order interval un-spliced rather than corrupting closed
-    * history.
+    * history. Keys must be STABLE (the standard CDC dimension contract):
+    * a key-mutating update reads as the new key's insert, and the old
+    * key's open interval closes only when its delete arrives. Sequence
+    * values must be non-null — a null cannot place an interval and is
+    * rejected loudly.
     *
     * Scale shape: one shuffle by key for the window (batch-sized, not
     * table-sized), then the same dir-granular MERGEs as type 1.
@@ -204,6 +221,9 @@ object CdcApply {
     val dataCols = dataColsOf(changes)
     val resolvedKeys = resolve(keyCols, dataCols, "key")
     val resolvedSeq = resolve(Seq(sequenceBy), dataCols, "sequence").head
+    // fail at stream start, like applyChanges
+    require(!resolvedKeys.contains(resolvedSeq),
+      s"sequence column $resolvedSeq cannot be a key column")
     changes.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -225,9 +245,20 @@ object CdcApply {
     val spark = batch.sparkSession
     val rest = dataCols.filterNot(c => keyCols.contains(c) || c == seqCol)
 
+    // a NULL sequence value cannot place an interval: merge 2's
+    // `t.__start_at = s.seq` would never match it, so every at-least-once
+    // replay would insert another never-closable duplicate — reject
+    // loudly, inline (raise_error rides the existing pass; no extra job)
+    val seqChecked = batch.withColumn(seqCol,
+      when(col(seqCol).isNotNull, col(seqCol)).otherwise(
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit(
+            s"SCD2 APPLY CHANGES requires a non-null sequence column " +
+              s"($seqCol): a null sequence cannot place a validity interval"))
+          .cast(batch.schema(batch.schema.fieldIndex(seqCol)).dataType)))
     // one event per (key, seq): pre-images drop, rewrites/update pairs
     // reduce to their net row by (version, type-rank)
-    val events = batch
+    val events = seqChecked
       .filter(col(ChangeFeed.TypeCol) =!= "update_preimage")
       .groupBy((keyCols :+ seqCol).map(col): _*)
       .agg(max(struct(

@@ -56,6 +56,29 @@ object ChangeFeed {
     StructField(VersionCol, LongType, nullable = false),
     StructField(TimestampCol, TimestampType, nullable = false))
 
+  /** Parse a `columns` read-schema override against the table's data
+    * schema: fields in the requested order, names resolved
+    * case-insensitively, unknowns AND duplicates rejected loudly (a
+    * duplicate would build a table schema with the field twice and die
+    * later as an opaque ambiguous-column analysis error). One parser for
+    * both faces (catalog scan option and format-face table construction),
+    * so they cannot drift.
+    */
+  private[connector] def parseColumnsOption(raw: String,
+                                            dataSchema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val names = raw.split(",").map(_.trim).filter(_.nonEmpty)
+    require(names.nonEmpty, "columns option must name at least one column")
+    val fields = names.map { n =>
+      dataSchema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"columns option names unknown column '$n' " +
+            s"(data columns: ${dataSchema.fieldNames.mkString(", ")})"))
+    }
+    require(fields.map(_.name.toLowerCase).distinct.length == fields.length,
+      s"columns option names duplicate columns: '$raw'")
+    org.apache.spark.sql.types.StructType(fields.toSeq)
+  }
+
   /** The manifest-diff of a version range, attributed per commit:
     *  - `added`: (dir, vector-at-add, version) — dirs that appeared;
     *  - `removed`: (dir, vector-just-before, version) — dirs that vanished

@@ -133,17 +133,9 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog,
     // batch). The change columns are always appended (they are computed,
     // not read). Batch reads get planner pruning anyway; when both are
     // present the planner's requirement wins (it is what the query needs).
-    val requested: Option[StructType] = Option(options.get("columns")).map { raw =>
-      val names = raw.split(",").map(_.trim).filter(_.nonEmpty)
-      require(names.nonEmpty, "columns option must name at least one column")
-      val fields = names.map { n =>
-        dataSchema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
-          throw new IllegalArgumentException(
-            s"columns option names unknown column '$n' " +
-              s"(data columns: ${dataSchema.fieldNames.mkString(", ")})"))
-      }
-      StructType(fields.toSeq ++ ChangeFeed.changeFields)
-    }
+    val requested: Option[StructType] = Option(options.get("columns")).map(raw =>
+      StructType(ChangeFeed.parseColumnsOption(raw, dataSchema).fields ++
+        ChangeFeed.changeFields))
     val fullOut = schema()
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {

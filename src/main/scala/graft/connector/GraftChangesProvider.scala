@@ -37,31 +37,32 @@ class GraftChangesProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changes"
 
-  private def logFor(options: CaseInsensitiveStringMap): TableLog = {
+  // one load() resolves the table twice (inferSchema, then getTable with
+  // the same options) — memoize the last TableLog per path so the second
+  // call reuses the existence check and meta slurp instead of repeating
+  // the driver-side roundtrips
+  @transient private var lastLog: (String, TableLog) = _
+
+  private def logFor(options: CaseInsensitiveStringMap): TableLog = synchronized {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         """graft-changes needs option("path", <table dir>) (or load(<path>))"""))
+    if (lastLog != null && lastLog._1 == path) return lastLog._2
     val log = new TableLog(path,
       SparkSession.active.sessionState.newHadoopConf())
     require(log.exists, s"no graft-lake table at $path")
+    lastLog = (path, log)
     log
   }
 
   /** The `columns` projection applied to the table's data schema (order
-    * as requested), or the full data schema.
+    * as requested), or the full data schema. Shared parser with the
+    * catalog face ([[ChangeFeed.parseColumnsOption]]).
     */
   private def dataSchemaFor(log: TableLog,
                             options: CaseInsensitiveStringMap): Option[StructType] =
-    Option(options.get("columns")).map { raw =>
-      val names = raw.split(",").map(_.trim).filter(_.nonEmpty)
-      require(names.nonEmpty, "columns option must name at least one column")
-      StructType(names.map { n =>
-        log.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
-          throw new IllegalArgumentException(
-            s"columns option names unknown column '$n' " +
-              s"(data columns: ${log.schema.fieldNames.mkString(", ")})"))
-      }.toSeq)
-    }
+    Option(options.get("columns"))
+      .map(raw => ChangeFeed.parseColumnsOption(raw, log.schema))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val log = logFor(options)

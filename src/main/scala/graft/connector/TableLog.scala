@@ -160,7 +160,11 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val mp = manifestPath(v)
     if (!fs.exists(mp))
       throw new IllegalArgumentException(s"no version $v of table $tableDir")
-    slurp(mp).linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+    parseEntries(slurp(mp))
+  }
+
+  private def parseEntries(content: String): Seq[DirEntry] =
+    content.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val (rel, stats, dv, dvRows) = line.split("\t", 4) match {
         case Array(r, json, dvRel, card) =>
           (r, if (json.isEmpty) None else DirStats.decode(json),
@@ -173,7 +177,6 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       }
       DirEntry(new Path(tableDir, rel).toString, stats, dv, dvRows)
     }.toSeq
-  }
 
   /** Cardinality of an entry's deletion vector: the manifest-cached count
     * when present, else one read of the (immutable) vector file; 0 for an
@@ -282,10 +285,18 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   }
 
   /** The operation marker of version `v`'s commit (`#op` line), if its
-    * writer recorded one — merge-on-read DELETE/UPDATE/MERGE commits do.
+    * writer recorded one. Memoized per instance (manifests are immutable)
+    * — the change-feed planner probes several versions per range.
     */
-  def opAt(v: Long): Option[String] =
-    slurp(manifestPath(v)).linesIterator
+  def opAt(v: Long): Option[String] = opCache.synchronized {
+    opCache.getOrElseUpdate(v, parseOp(slurp(manifestPath(v))))
+  }
+
+  @transient private lazy val opCache =
+    scala.collection.mutable.HashMap[Long, Option[String]]()
+
+  private def parseOp(content: String): Option[String] =
+    content.linesIterator
       .find(_.startsWith(TableLog.OpPrefix))
       .map(_.stripPrefix(TableLog.OpPrefix))
 
@@ -305,13 +316,16 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       .map(st => st.getPath.getName.stripPrefix("manifest-").toLong -> st.getModificationTime)
       .sortBy(-_._1)
       .map { case (v, ts) =>
-        val entries = entriesAt(v)
+        // ONE slurp serves both the entries and the op marker (opAt would
+        // re-read the same small file — 2N roundtrips on object storage)
+        val content = slurp(manifestPath(v))
+        val entries = parseEntries(content)
         val rows =
           if (entries.forall(_.stats.isDefined)) Some(entries.flatMap(_.stats).map(_.rows).sum)
           else None
         val deleted = entries.map(deletedRows).sum
         TableLog.TableVersion(v, ts, entries.size, rows, rows.map(_ - deleted),
-          opAt(v))
+          parseOp(content))
       }
   }
 

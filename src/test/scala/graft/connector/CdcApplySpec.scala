@@ -186,4 +186,51 @@ class CdcApplySpec extends LakeSpec {
       "ORDER BY __start_at") === Seq(
       Row(1L, "a", 100L, 200L), Row(1L, "b", 200L, 200L)))
   }
+
+  test("a key-column mor UPDATE retracts the old key instead of upserting its pre-image") {
+    sql("CREATE TABLE cdclake.db.s5 (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('graft.update.mode'='merge-on-read')")
+    sql("CREATE TABLE cdclake.db.d5 (k BIGINT, v STRING)")
+    sql("INSERT INTO cdclake.db.s5 VALUES (1, 'a'), (9, 'z')")
+    sql("UPDATE cdclake.db.s5 SET k = 2 WHERE k = 1")   // key MOVES: 1 -> 2
+    val feed = spark.read.table("cdclake.db.s5.changes")
+    // the pre-image (k=1) and post-image (k=2) reduce under DIFFERENT
+    // keys: k=1's terminal change is the pre-image, which must DELETE
+    CdcApply.applyBatch(feed, "cdclake.db.d5", Seq("k"), Seq("k", "v"))
+    assertReplicaMatches("cdclake.db.s5", "cdclake.db.d5")
+    assert(rows("SELECT count(*) c FROM cdclake.db.d5 WHERE k = 1") === Seq(Row(0L)))
+    // and a mid-history bootstrap (replica starts empty at a range whose
+    // terminal for k=1 is the pre-image) must not re-insert the dead row
+    sql("CREATE TABLE cdclake.db.d5b (k BIGINT, v STRING)")
+    CdcApply.applyBatch(feed, "cdclake.db.d5b", Seq("k"), Seq("k", "v"))
+    assertReplicaMatches("cdclake.db.s5", "cdclake.db.d5b")
+  }
+
+  test("SCD2 rejects null sequence values loudly") {
+    sql("CREATE TABLE cdclake.db.h6 (k BIGINT, v STRING, " +
+      "__start_at BIGINT, __end_at BIGINT)")
+    val e = intercept[Exception] {
+      CdcApply.applyBatchScd2(feed(Seq((1L, "a", 0L, "insert", 1L)))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(null).cast("bigint")),
+        "cdclake.db.h6", Seq("k"), seqDataCols, "seq")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => String.valueOf(c.getMessage)
+      .contains("non-null sequence column")), e.getMessage)
+    assert(rows("SELECT count(*) c FROM cdclake.db.h6") === Seq(Row(0L)))
+  }
+
+  test("columns option rejects duplicates; sequenceBy=key fails at stream start") {
+    sql("CREATE TABLE cdclake.db.s7 (k BIGINT, v STRING)")
+    val dup = intercept[Exception](
+      spark.read.format("graft-changes").option("path", s"$root/db/s7")
+        .option("columns", "k,K").load())
+    assert(dup.getMessage.contains("duplicate columns"))
+    val seqKey = intercept[IllegalArgumentException](
+      CdcApply.applyChanges(
+        spark.readStream.option("startVersion", "0").table("cdclake.db.s7.changes"),
+        "cdclake.db.s7", Seq("k"), tmp("sk-ckpt"), sequenceBy = Some("K")))
+    assert(seqKey.getMessage.contains("cannot be a key column"))
+  }
 }
