@@ -433,10 +433,18 @@ object Dedup {
                       checkpointDir: Option[String] = None): DataFrame = {
     // lineage truncation for one round's labels (see scaladoc)
     def truncate(df: DataFrame): DataFrame = truncateLineage(df, checkpointDir)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    try {
+    // the edges are TRUNCATED, not merely persisted: `pairs` is usually an
+    // expensive candidate-generation subplan (LSH banding / an inverted-
+    // index self-join), and a persist keeps that whole tree in the logical
+    // plan — every round's two jobs then re-analyze and re-optimize it
+    // (cache hits save the compute, not the planning), which measured as
+    // ~2.5x the loop's own CPU at 32 threads (CcProbe: x18 warm 11-13
+    // CPU-s as one plan vs 4.4 with the input checkpointed). The truncated
+    // frame is one LogicalRDD leaf per round, same as the labels.
+    val edges = truncate(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    locally {
       // seed with the FIRST neighbor-min fold fused into initialization:
       // label(v) = min(v, min neighbor) — edges are symmetric so every node
       // appears as src, and one round's work rides the init materialization
@@ -479,7 +487,7 @@ object Dedup {
         "(a component's diameter exceeds the iteration bound); raise maxIters " +
         "— returning unconverged labels would silently split clusters")
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    } finally edges.unpersist(blocking = false)
+    }
   }
 
   /** Materialize the dedup decision a pair/cluster analysis implies: keep
