@@ -233,4 +233,25 @@ class CdcApplySpec extends LakeSpec {
         "cdclake.db.s7", Seq("k"), tmp("sk-ckpt"), sequenceBy = Some("K")))
     assert(seqKey.getMessage.contains("cannot be a key column"))
   }
+
+  test("SCD2 out-of-order across batches: un-spliced, never corrupting closed history") {
+    // documented contract: per-key sequences must not decrease ACROSS
+    // batches; a violation leaves the late interval un-spliced (open) and
+    // all previously closed intervals untouched — no exception, no rewrite
+    sql("CREATE TABLE cdclake.db.h7 (k BIGINT, v STRING, " +
+      "__start_at BIGINT, __end_at BIGINT)")
+    CdcApply.applyBatchScd2(feed(Seq((1L, "a", 10L, "insert", 1L))),
+      "cdclake.db.h7", Seq("k"), seqDataCols, "seq")
+    CdcApply.applyBatchScd2(feed(Seq((1L, "b", 30L, "insert", 2L))),
+      "cdclake.db.h7", Seq("k"), seqDataCols, "seq")
+    // LATE batch: seq 20 arrives after 30 was applied
+    CdcApply.applyBatchScd2(feed(Seq((1L, "late", 20L, "insert", 3L))),
+      "cdclake.db.h7", Seq("k"), seqDataCols, "seq")
+    val h = rows("SELECT v, __start_at, __end_at FROM cdclake.db.h7 " +
+      "ORDER BY __start_at")
+    // closed history intact; the open row untouched; the late interval
+    // lands un-spliced (its end unknown to this batch)
+    assert(h === Seq(Row("a", 10L, 30L), Row("late", 20L, null),
+      Row("b", 30L, null)))
+  }
 }
