@@ -303,6 +303,43 @@ object Bench {
       (changes, secs)
     }
 
+    benchStream("cdc_scd2") {
+      // SCD2 replication rate: a mor-update source's change stream folded
+      // into a history table (per-batch window + two merges). Mor mode so
+      // update pairs carry exact pre/post-images and intervals land
+      // precisely (the SCD2-exact path).
+      spark.sql("CREATE TABLE benchcf.src2 (k BIGINT, v STRING, seq BIGINT) " +
+        "TBLPROPERTIES ('graft.update.mode'='merge-on-read')")
+      spark.sql("CREATE TABLE benchcf.hist (k BIGINT, v STRING, " +
+        "__start_at BIGINT, __end_at BIGINT)")
+      val src = spark.readStream.option("startVersion", "0")
+        .table("benchcf.src2.changes")
+      val q = graft.connector.CdcApply.applyChangesScd2(
+        src, "benchcf.hist", Seq("k"), "seq", tmp("bench-scd2-ckpt"))
+      val per = 4000L
+      var changes = 0L
+      val t0 = System.nanoTime()
+      (0 until 3).foreach { i =>
+        spark.sql(s"INSERT INTO benchcf.src2 SELECT id, concat('v', id), " +
+          s"${i + 1} FROM range(${i * per}, ${(i + 1) * per})")
+        changes += per
+        q.processAllAvailable()
+      }
+      spark.sql("UPDATE benchcf.src2 SET v = concat(v, 'u'), seq = seq + 10 " +
+        s"WHERE k < $per")
+      changes += 2 * per   // pre+post images
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val open = spark.sql("SELECT count(*) FROM benchcf.hist " +
+        "WHERE __end_at IS NULL").head().getLong(0)
+      require(open == 3 * per, s"history holds $open open rows of ${3 * per}")
+      val closed = spark.sql("SELECT count(*) FROM benchcf.hist " +
+        "WHERE __end_at IS NOT NULL").head().getLong(0)
+      require(closed == per, s"history holds $closed closed rows of $per")
+      (changes, secs)
+    }
+
     benchStream("cdc_apply") {
       // end-to-end CDC replication: full-history changes stream of the
       // table above folded into a replica via APPLY CHANGES (terminal-
