@@ -59,6 +59,16 @@ object Bench {
     */
   final val ContentionSuspectRatio = 1.5
 
+  /** Wall-time outlier trigger: a query whose WALL exceeds this multiple of
+    * its baseline wall is re-measured even when the cpu-normalized gate
+    * stayed quiet — a sub-second query can ship a contended wall sample
+    * without tripping the CPU gate (r11's driver record carried
+    * f15_error_gate at 2.05x wall, never re-measured, because its 0.35 s
+    * baseline cpu sits under the gate floor). Re-measure only — the
+    * pass/fail verdict stays with the CPU gate.
+    */
+  final val WallOutlierRatio = 1.8
+
   private def processCpuSec(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean =>
@@ -165,26 +175,23 @@ object Bench {
 
     // ---- streaming throughput (rows/s per sink; stateful streams + one
     // append-only ANN index sink), so streaming regressions are visible
-    // round-over-round, not just spec-green ----
+    // round-over-round, not just spec-green. Each bench is a THUNK taking a
+    // `tag` that suffixes the catalog tables it creates, so the baseline
+    // comparison below can RE-RUN a suspiciously-slow one (same
+    // max-of-two-rates treatment the query section's min-of-two got in
+    // r11 — the r11 driver record shipped cdc_apply at 12x below its idle
+    // rate because the streaming section had no contention guard) ----
     val streaming = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def benchStream(name: String)(run: => (Long, Double)): Unit =
-      try {
-        val (rows, secs) = run
-        streaming(name) = if (secs > 0) math.rint(rows / secs) else -1.0
-      } catch {
-        case e: Throwable =>
-          errors(s"stream_$name") = e.getClass.getSimpleName
-          System.err.println(s"[bench] stream_$name FAILED: " +
-            s"${e.getClass.getName}: " +
-            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
-          streaming(name) = -1.0
-      }
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
 
-    benchStream("latest_wins") {
+    val streamBenches = scala.collection.mutable.LinkedHashMap[String, String => (Long, Double)]()
+    def defStream(name: String)(run: String => (Long, Double)): Unit =
+      streamBenches(name) = run
+
+    defStream("latest_wins") { _ =>
       import spark.implicits._
       val n = 40000; val keys = 4000; val batches = 8
       val events = (0 until n).map { i =>
@@ -208,7 +215,7 @@ object Bench {
       (n.toLong, secs)
     }
 
-    benchStream("dedup") {
+    defStream("dedup") { _ =>
       import spark.implicits._
       val n = 40000; val distinct = 20000; val batches = 8
       val docs = (0 until n).map { i =>
@@ -232,7 +239,7 @@ object Bench {
       (n.toLong, secs)
     }
 
-    benchStream("int8_index") {
+    defStream("int8_index") { _ =>
       import spark.implicits._
       import org.apache.spark.sql.functions._
       val n = 4000; val batches = 8
@@ -258,16 +265,16 @@ object Bench {
     }
 
     val cfRoot = tmp("bench-cf")
-    benchStream("catalog_changefeed") {
+    defStream("catalog_changefeed") { tag =>
       // end-to-end lakehouse append -> manifest-tailing stream drain rate
       val root = cfRoot
       spark.conf.set("spark.sql.catalog.benchcf",
         classOf[graft.connector.GraftCatalog].getName)
       spark.conf.set("spark.sql.catalog.benchcf.root", root)
-      spark.sql("CREATE TABLE benchcf.t (k BIGINT, v STRING)")
+      spark.sql(s"CREATE TABLE benchcf.t$tag (k BIGINT, v STRING)")
       val n = 40000L; val batches = 8
       val got = new java.util.concurrent.atomic.AtomicLong()
-      val q = spark.readStream.table("benchcf.t").writeStream
+      val q = spark.readStream.table(s"benchcf.t$tag").writeStream
         .option("checkpointLocation", tmp("bench-cf-ckpt"))
         .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
           got.addAndGet(b.count()); ()
@@ -276,7 +283,7 @@ object Bench {
       val per = n / batches
       val t0 = System.nanoTime()
       (0 until batches).foreach { i =>
-        spark.sql(s"INSERT INTO benchcf.t SELECT id, concat('v', id) " +
+        spark.sql(s"INSERT INTO benchcf.t$tag SELECT id, concat('v', id) " +
           s"FROM range(${i * per}, ${(i + 1) * per})")
         q.processAllAvailable()
       }
@@ -286,9 +293,11 @@ object Bench {
       (n, secs)
     }
 
-    benchStream("catalog_cdf") {
+    defStream("catalog_cdf") { _ =>
       // batch change-data-feed replay rate over the table the changefeed
-      // bench just built (8 append versions + its own mor-delete commit)
+      // bench just built (8 append versions + its own mor-delete commit).
+      // A re-run reuses the same base table: the repeated DELETE matches
+      // nothing (no new version), so the 44000-row replay is identical.
       val log = new graft.connector.TableLog(s"$cfRoot/t",
         spark.sparkContext.hadoopConfiguration)
       spark.sql("ALTER TABLE benchcf.t " +
@@ -303,59 +312,75 @@ object Bench {
       (changes, secs)
     }
 
-    benchStream("cdc_scd2") {
+    defStream("cdc_scd2") { tag =>
       // SCD2 replication rate: a mor-update source's change stream folded
       // into a history table (per-batch window + two merges). Mor mode so
       // update pairs carry exact pre/post-images and intervals land
       // precisely (the SCD2-exact path).
-      spark.sql("CREATE TABLE benchcf.src2 (k BIGINT, v STRING, seq BIGINT) " +
+      spark.sql(s"CREATE TABLE benchcf.src2$tag (k BIGINT, v STRING, seq BIGINT) " +
         "TBLPROPERTIES ('graft.update.mode'='merge-on-read')")
-      spark.sql("CREATE TABLE benchcf.hist (k BIGINT, v STRING, " +
+      spark.sql(s"CREATE TABLE benchcf.hist$tag (k BIGINT, v STRING, " +
         "__start_at BIGINT, __end_at BIGINT)")
       val src = spark.readStream.option("startVersion", "0")
-        .table("benchcf.src2.changes")
+        .table(s"benchcf.src2$tag.changes")
       val q = graft.connector.CdcApply.applyChangesScd2(
-        src, "benchcf.hist", Seq("k"), "seq", tmp("bench-scd2-ckpt"))
+        src, s"benchcf.hist$tag", Seq("k"), "seq", tmp("bench-scd2-ckpt"))
       val per = 4000L
       var changes = 0L
       val t0 = System.nanoTime()
       (0 until 3).foreach { i =>
-        spark.sql(s"INSERT INTO benchcf.src2 SELECT id, concat('v', id), " +
+        spark.sql(s"INSERT INTO benchcf.src2$tag SELECT id, concat('v', id), " +
           s"${i + 1} FROM range(${i * per}, ${(i + 1) * per})")
         changes += per
         q.processAllAvailable()
       }
-      spark.sql("UPDATE benchcf.src2 SET v = concat(v, 'u'), seq = seq + 10 " +
+      spark.sql(s"UPDATE benchcf.src2$tag SET v = concat(v, 'u'), seq = seq + 10 " +
         s"WHERE k < $per")
       changes += 2 * per   // pre+post images
       q.processAllAvailable()
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
-      val open = spark.sql("SELECT count(*) FROM benchcf.hist " +
+      val open = spark.sql(s"SELECT count(*) FROM benchcf.hist$tag " +
         "WHERE __end_at IS NULL").head().getLong(0)
       require(open == 3 * per, s"history holds $open open rows of ${3 * per}")
-      val closed = spark.sql("SELECT count(*) FROM benchcf.hist " +
+      val closed = spark.sql(s"SELECT count(*) FROM benchcf.hist$tag " +
         "WHERE __end_at IS NOT NULL").head().getLong(0)
       require(closed == per, s"history holds $closed closed rows of $per")
       (changes, secs)
     }
 
-    benchStream("cdc_apply") {
+    defStream("cdc_apply") { tag =>
       // end-to-end CDC replication: full-history changes stream of the
       // table above folded into a replica via APPLY CHANGES (terminal-
       // change reduction + MERGE per micro-batch)
-      spark.sql("CREATE TABLE benchcf.replica (k BIGINT, v STRING)")
+      spark.sql(s"CREATE TABLE benchcf.replica$tag (k BIGINT, v STRING)")
       val src = spark.readStream.option("startVersion", "0")
         .table("benchcf.t.changes")
       val q = graft.connector.CdcApply.applyChanges(
-        src, "benchcf.replica", Seq("k"), tmp("bench-cdc-ckpt"))
+        src, s"benchcf.replica$tag", Seq("k"), tmp("bench-cdc-ckpt"))
       val t0 = System.nanoTime()
       q.processAllAvailable()
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
-      val rows = spark.table("benchcf.replica").count()
+      val rows = spark.table(s"benchcf.replica$tag").count()
       require(rows == 36000L, s"replica holds $rows of 36000 live rows")
       (44000L, secs)   // change rows applied
+    }
+
+    // first pass: run every stream bench once (errors recorded like query
+    // errors; a -1 rate marks the failure in the numeric map)
+    streamBenches.foreach { case (name, run) =>
+      try {
+        val (rows, secs) = run("")
+        streaming(name) = if (secs > 0) math.rint(rows / secs) else -1.0
+      } catch {
+        case e: Throwable =>
+          errors(s"stream_$name") = e.getClass.getSimpleName
+          System.err.println(s"[bench] stream_$name FAILED: " +
+            s"${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+          streaming(name) = -1.0
+      }
     }
 
     // ---- baseline comparison: recorded idle numbers, committed in-repo.
@@ -447,22 +472,80 @@ object Bench {
             else None
           }
         }
-        val first = if (sfMatches) flagged else Nil
+        // wall-time outliers re-measure too (no gate verdict — the CPU gate
+        // decides pass/fail): a micro-query's contended wall sample must
+        // not ship as the record just because its cpu stayed under the
+        // floor. Normalized by the suite wall ratio, like the cpu bar.
+        def wallFlagged: Seq[String] = {
+          val norm = math.max(1.0, wr)
+          okWall.keys.toSeq.filter { k =>
+            val b = bWall.getOrElse(k, 0.0)
+            b > 0 && wall(k) > WallOutlierRatio * norm * b
+          }
+        }
+        val first: Seq[String] =
+          if (sfMatches) (flagged.map(_._1) ++ wallFlagged).distinct else Nil
         if (first.nonEmpty) {
           // re-measure once, same JVM; the min of the samples decides BOTH
           // the gate and the recorded per-query numbers
           System.err.println(s"[bench] re-measuring ${first.size} flagged " +
-            s"queries: " + first.map(_._1).mkString(", "))
-          first.foreach { case (k, _) => remeasure(k) }
+            s"queries: " + first.mkString(", "))
+          first.foreach(remeasure)
           flagged.foreach { case (k, r) => regressions(k) = r }
+        }
+        // ---- streaming-rate guard, the same contention treatment the
+        // query section has (r11 shipped cdc_apply at 12x below its idle
+        // rate with no re-measure): a rate more than GateRatio x below its
+        // baseline — bar normalized by the suite cpu ratio, so uniform
+        // machine load doesn't fire it — re-runs that bench once, the MAX
+        // rate decides (rates invert the min-of-two rule), and a ratio that
+        // SURVIVES the re-run regresses the run like a query would ----
+        val bStream = sect("streaming")
+        def streamFlagged: Seq[(String, Double)] = {
+          val norm = math.max(1.0, cr)
+          streaming.toSeq.flatMap { case (k, rate) =>
+            val b = bStream.getOrElse(k, 0.0)
+            if (b > 0 && rate > 0 && rate * GateRatio * norm < b)
+              Some(k -> r3(b / rate))
+            else None
+          }
+        }
+        val streamFirst = if (sfMatches) streamFlagged else Nil
+        if (streamFirst.nonEmpty) {
+          System.err.println(s"[bench] re-running ${streamFirst.size} flagged " +
+            "stream benches: " + streamFirst.map(_._1).mkString(", "))
+          streamFirst.foreach { case (k, _) =>
+            try {
+              val (rows, secs) = streamBenches(k)("_r2")
+              val rate2 = if (secs > 0) math.rint(rows / secs) else -1.0
+              if (rate2 > streaming(k)) {
+                if (!contended.contains(s"stream_$k"))
+                  contended(s"stream_$k") = (streaming(k), -1.0)
+                streaming(k) = rate2
+              }
+            } catch {
+              case e: Throwable =>   // keep the first sample; re-run noise only
+                System.err.println(s"[bench] stream_$k re-run FAILED " +
+                  s"(first sample kept): ${e.getClass.getName}: " +
+                  String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+            }
+          }
+          streamFlagged.foreach { case (k, r) => regressions(s"stream_$k") = r }
         }
         // the reported flag reflects the POST-re-measure state: a first
         // pass that read hot but whose mins came back to ~1x was transient
         // warm-up/JIT noise the re-measure absorbed; a ratio that SURVIVES
         // the min-of-two (the r10 driver window) is the real signal
         val contentionSuspected = sfMatches && cr > ContentionSuspectRatio
+        // streaming ratio: current/baseline rate summed over compared
+        // streams — ABOVE 1 is faster (rates, not times)
+        val srKeys = streaming.keys.filter(k =>
+          streaming(k) > 0 && bStream.getOrElse(k, 0.0) > 0).toSeq
+        val sr =
+          if (srKeys.isEmpty) -1.0
+          else r3(srKeys.map(streaming).sum / srKeys.map(bStream).sum)
         baselineJson = s"""{"path":"$baselinePath","wall_ratio":$wr,""" +
-          s""""cpu_ratio":$cr,"compared":${
+          s""""cpu_ratio":$cr,"streaming_ratio":$sr,"compared":${
             okCpu.keys.count(k => bCpu.getOrElse(k, 0.0) > 0)},""" +
           s""""contention_suspected":$contentionSuspected""" +
           (if (sfMatches) "}" else ""","sf_mismatch":true}""")

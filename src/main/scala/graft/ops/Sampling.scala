@@ -123,22 +123,39 @@ object Sampling {
     * it stays within cap_s = floor(budget · √tokens_s / Σ √tokens).
     * Appends (n_tokens, cap) to the selected rows.
     *
-    * 100 TB shape: caps come from a per-source aggregate (sources × 1 rows
-    * — the only all-to-one window runs on THAT tiny frame, never the
-    * corpus) broadcast back; selection is one per-source window cumsum.
-    * sqrt is IEEE-correctly-rounded and the cumsum is integer, so
-    * membership is engine-replayable row-for-row, like the other samplers.
+    * 100 TB shape: caps come from a per-source aggregate (sources × 1 rows)
+    * collected like a codebook — bounded by the SOURCE CATALOG's size
+    * (tens of named corpora, never the row count), the same driver-state
+    * envelope as the DSIR bucket tables — and broadcast back as a literal
+    * frame; selection is one per-source window cumsum. No global window
+    * anywhere in the plan (an all-to-one WindowExec, even over a tiny
+    * aggregate, is the exact shape a scale review greps for). sqrt is
+    * IEEE-correctly-rounded and the cumsum is integer, so membership is
+    * engine-replayable row-for-row, like the other samplers.
     */
   def budgetMix(df: DataFrame, sourceCol: String, idCol: String,
                 tokenCountCol: Column, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1 token, got $budget")
+    val spark = df.sparkSession
     val toks = df.withColumn("n_tokens", tokenCountCol)
-    val caps = toks.groupBy(col(sourceCol))
-      .agg(sum(col("n_tokens")).as("__supply"))
-      .withColumn("__w", sqrt(col("__supply").cast("double")))
-      .withColumn("cap", floor(lit(budget.toDouble) * col("__w") /
-        sum(col("__w")).over(Window.partitionBy())).cast("long"))
-      .select(col(sourceCol), col("cap"))
+    // per-source √supply weights, summed driver-side in source-name order
+    // (deterministic; the FP envelope is the same one the external-oracle
+    // sum carries — a handful of same-magnitude doubles)
+    val supplies = toks.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).cast("long").as("__supply"))
+      .collect()
+      .map(r => (r.get(0), math.sqrt(r.getLong(1).toDouble)))
+      .sortBy(_._1.toString)
+    val wsum = supplies.map(_._2).sum
+    val capRows = supplies.map { case (src, w) =>
+      org.apache.spark.sql.Row(src, math.floor(budget.toDouble * w / wsum).toLong)
+    }
+    val srcField = toks.schema(toks.schema.fieldIndex(sourceCol))
+    val caps = spark.createDataFrame(
+      java.util.Arrays.asList(capRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(srcField.copy(name = sourceCol),
+        org.apache.spark.sql.types.StructField("cap",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val order = Window.partitionBy(col(sourceCol))
       .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.connector.{CdcApply, ChangeFeed, GraftCatalog}
+
+/** Oracle-gated replays of the CDC APPLY CHANGES surface
+  * (`connector/CdcApply.scala`): a deterministic multi-version change log is
+  * derived from the parquet test tables, folded through the PUBLIC batch
+  * faces (`applyBatch` / `applyBatchScd2` — the exact per-batch code the
+  * streaming faces run in foreachBatch) into a real catalog table, and the
+  * final table contents are compared against a DuckDB SQL replay of the
+  * same log. This moves the newest connector layer into the strongest gate
+  * class (rows+schema+hash vs an independent engine), not just specs —
+  * the r11 verdict's item 2, for which the 128-query freeze was lifted.
+  *
+  * The oracle does NOT restate the construction's final answer: it builds
+  * the identical change log in SQL and replays the REDUCTION SEMANTICS
+  * (terminal change per key by `(_commit_version, type-rank)` for type 1;
+  * per-key interval chaining by sequence for SCD2), so a bug in the
+  * terminal-rank ordering, the retraction handling, or the interval
+  * splice shows up as a hash mismatch.
+  *
+  * Batching: the log is applied in MULTIPLE batches (inserts first, then
+  * updates+deletes / restatements, then closes), so cross-batch MERGE
+  * convergence — not just single-batch reduction — is what the oracle
+  * equality certifies.
+  *
+  * Scale shape: each batch is one hash aggregation (no window for type 1;
+  * one batch-sized window for SCD2) plus the catalog's dir-granular MERGE
+  * — the documented CdcApply shape; nothing here is test-only scaffolding.
+  */
+object CdcQueries {
+
+  private val dec = DecimalType(38, 6)
+  /** Integer micro-units (see RelationalQueries.micro): decimal math stays
+    * internal, compared columns are BIGINT — hash-stable across engines.
+    */
+  private def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c.cast(dec) * lit(1000000L)).cast("long")
+
+  /** One throwaway catalog per invocation (bench re-measure may run a query
+    * twice in one session; unique names keep every run self-contained).
+    */
+  private def tempCatalog(s: SparkSession): String = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-cdc-$id").toString
+    s.conf.set(s"spark.sql.catalog.cdc$id", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.cdc$id.root", root)
+    s"cdc$id"
+  }
+
+  val qs: Map[String, Q] = Map(
+
+    // ---- APPLY CHANGES (type 1): three change versions over `orders`
+    // applied in two batches. Batch 2 mixes an update pair, a delete, and
+    // late NOT-MATCHED inserts, and holds keys carrying BOTH the v2 update
+    // pair and the v3 delete — so the terminal reduction's
+    // (version, type-rank) ordering and the MERGE's retraction arm are
+    // both load-bearing for the final state. ----
+    "x64_cdc_apply" -> Q(
+      (s, dir) => {
+        val cat = tempCatalog(s)
+        s.sql(s"CREATE TABLE $cat.replica (k BIGINT, price_micro BIGINT)")
+        val o = Tables.orders(s, dir)
+        def ev(filter: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column,
+               ct: String, v: Long): DataFrame =
+          o.filter(filter).select(
+            col("o_orderkey").as("k"), price.as("price_micro"),
+            lit(ct).as(ChangeFeed.TypeCol), lit(v).as(ChangeFeed.VersionCol))
+        val base = micro(col("o_totalprice"))
+        val in7 = col("o_orderkey") % 7 =!= 0
+        val batch1 = ev(in7, base, "insert", 1L)
+        val batch2 =
+          ev(in7 && col("o_orderkey") % 5 === 0, base, "update_preimage", 2L)
+            .unionByName(ev(in7 && col("o_orderkey") % 5 === 0, base * 2, "update_postimage", 2L))
+            .unionByName(ev(in7 && col("o_orderkey") % 3 === 0, base, "delete", 3L))
+            .unionByName(ev(col("o_orderkey") % 7 === 0, base * 3, "insert", 3L))
+        val dataCols = Seq("k", "price_micro")
+        CdcApply.applyBatch(batch1, s"$cat.replica", Seq("k"), dataCols)
+        CdcApply.applyBatch(batch2, s"$cat.replica", Seq("k"), dataCols)
+        s.table(s"$cat.replica").orderBy(col("k"))
+      },
+      Some("""WITH log AS (
+          SELECT o_orderkey AS k, cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro,
+                 'insert' AS ct, 1 AS v FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey, cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT),
+                 'update_preimage', 2 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey, cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) * 2,
+                 'update_postimage', 2 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey, cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT),
+                 'delete', 3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) * 3,
+                 'insert', 3 FROM orders WHERE o_orderkey % 7 = 0),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC,
+            CASE ct WHEN 'update_postimage' THEN 3 WHEN 'insert' THEN 2
+                    WHEN 'delete' THEN 1 ELSE 0 END DESC) AS rn
+          FROM log)
+        SELECT k, price_micro FROM ranked
+        WHERE rn = 1 AND ct NOT IN ('delete', 'update_preimage')
+        ORDER BY k""")),
+
+    // ---- APPLY CHANGES, SCD TYPE 2: per-customer event history (seq =
+    // order key) folded into validity intervals across THREE batches —
+    // initial events, then restatements (k % 5), then closing deletes
+    // (k % 4) — so the cross-batch open-row close (merge 1) and the
+    // within-batch interval chain (the per-key window) both gate. ----
+    "x65_scd2_apply" -> Q(
+      (s, dir) => {
+        val cat = tempCatalog(s)
+        s.sql(s"CREATE TABLE $cat.hist (k BIGINT, price_micro BIGINT, " +
+          "__start_at BIGINT, __end_at BIGINT)")
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val batch1 = o.select(
+          col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+          micro(col("o_totalprice")).as("price_micro"),
+          lit("insert").as(ChangeFeed.TypeCol), lit(1L).as(ChangeFeed.VersionCol))
+        val batch2 = c.filter(col("c_custkey") % 5 === 0).select(
+          col("c_custkey").cast("long").as("k"),
+          (lit(1000000000000000L) + col("c_custkey")).cast("long").as("seq"),
+          (col("c_custkey") * 1000).cast("long").as("price_micro"),
+          lit("insert").as(ChangeFeed.TypeCol), lit(2L).as(ChangeFeed.VersionCol))
+        val batch3 = c.filter(col("c_custkey") % 4 === 0).select(
+          col("c_custkey").cast("long").as("k"),
+          (lit(2000000000000000L) + col("c_custkey")).cast("long").as("seq"),
+          lit(0L).as("price_micro"),
+          lit("delete").as(ChangeFeed.TypeCol), lit(3L).as(ChangeFeed.VersionCol))
+        val dataCols = Seq("k", "seq", "price_micro")
+        Seq(batch1, batch2, batch3).foreach(b =>
+          CdcApply.applyBatchScd2(b, s"$cat.hist", Seq("k"), dataCols, "seq"))
+        s.table(s"$cat.hist").orderBy(col("k"), col("__start_at"))
+      },
+      Some("""WITH ev AS (
+          SELECT o_custkey AS k, o_orderkey AS seq,
+                 cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro,
+                 'insert' AS ct FROM orders
+          UNION ALL
+          SELECT c_custkey, 1000000000000000 + c_custkey, c_custkey * 1000, 'insert'
+          FROM customer WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey, 2000000000000000 + c_custkey, 0, 'delete'
+          FROM customer WHERE c_custkey % 4 = 0),
+        shaped AS (
+          SELECT k, seq, price_micro, ct,
+                 lead(seq) OVER (PARTITION BY k ORDER BY seq) AS end_at
+          FROM ev)
+        SELECT k, price_micro, seq AS __start_at, end_at AS __end_at
+        FROM shaped WHERE ct <> 'delete'
+        ORDER BY k, __start_at"""))
+  )
+}

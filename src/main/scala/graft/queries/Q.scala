@@ -13,5 +13,6 @@ object Registry {
   /** All registered operator queries, keyed by stable name. */
   def all: Map[String, Q] =
     RelationalQueries.qs ++ FunctionQueries.qs ++ WritePathQueries.qs ++
-      ExtensionQueries.qs ++ CurationQueries.qs ++ EndpointQueries.qs
+      ExtensionQueries.qs ++ CurationQueries.qs ++ EndpointQueries.qs ++
+      CdcQueries.qs
 }
