@@ -73,9 +73,13 @@ private[connector] class GraftChangesTable(tableName: String, log: TableLog,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
+  // the delegated reads speak PHYSICAL column names (column mapping; the
+  // CURRENT schema's mapping applies to every version — physical names
+  // never change once written, which is the whole point of the mapping)
   private def delegate(readSchema: StructType, paths: Seq[String]): ParquetTable =
     ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
-      paths, Some(readSchema), classOf[ParquetFileFormat])
+      paths, Some(ColumnMapping.rename(readSchema, ColumnMapping.nameMap(log.schema))),
+      classOf[ParquetFileFormat])
 
   /** `startTimestamp`/`endTimestamp` option values: epoch millis or an
     * ISO / `java.sql.Timestamp` literal, resolved through manifest mtimes.
@@ -284,15 +288,21 @@ private[connector] object ChangeTableRead {
     *
     * Change-type classification per version: a version whose commit op
     * marker says merge-on-read UPDATE stages EXACT delete+reinsert pairs
-    * ([[GraftMorOperation]] represents updates as delete-and-insert into
-    * one staged dir), so its vector growth / collapsed dirs emit as
-    * `update_preimage` and its staged dir as `update_postimage` — Delta's
-    * `table_changes` update types, with pairing implied by the shared
-    * `_commit_version`. Everything else keeps plain insert/delete:
-    * copy-on-write rewrites re-insert unmatched rows (no row lineage), and
-    * a mor MERGE's staged dir mixes reinserts with genuinely-new NOT
-    * MATCHED inserts — labeling either would fabricate updates that never
-    * happened, the documented net-effect trade.
+    * ([[GraftMorOperation]] represents updates as delete-and-insert), so
+    * its vector growth / collapsed dirs emit as `update_preimage` and its
+    * staged dir as `update_postimage` — Delta's `table_changes` update
+    * types, with pairing implied by the shared `_commit_version`. A
+    * merge-on-read MERGE gets the same exact pairs via its per-commit
+    * row-lineage markers ([[TableLog.cdcAt]]): the staged dir's `#cdcpost`
+    * vector splits its rows PER POSITION into `update_postimage`
+    * (reinserts) vs plain `insert` (NOT MATCHED rows), and each touched
+    * dir's `#cdcpre` vector splits its retractions into `update_preimage`
+    * vs plain `delete` (WHEN MATCHED DELETE
+    * rows). Copy-on-write rewrites keep plain insert/delete: they
+    * re-insert unmatched rows with no row lineage, so labeling would
+    * fabricate updates that never happened — the documented net-effect
+    * trade. Pre-marker mor MERGE history (no `#cdc` lines) also stays
+    * net-effect.
     */
   def planRange(log: TableLog, delegate: (StructType, Seq[String]) => ParquetTable,
                 startVersion: Long, endVersion: Long): Array[InputPartition] = {
@@ -302,10 +312,27 @@ private[connector] object ChangeTableRead {
     val opCache = scala.collection.mutable.HashMap[Long, Boolean]()
     def isMorUpdate(v: Long): Boolean =
       opCache.getOrElseUpdate(v, log.opAt(v).contains("UPDATE (merge-on-read)"))
+    // a mor MERGE classifies only when its commit recorded markers
+    val cdcCache = scala.collection.mutable.HashMap[Long, Option[TableLog.CdcMarkers]]()
+    def morMergeCdc(v: Long): Option[TableLog.CdcMarkers] =
+      cdcCache.getOrElseUpdate(v,
+        if (log.opAt(v).contains("MERGE (merge-on-read)")) log.cdcAt(v) else None)
     def addType(v: Long): String =
       if (isMorUpdate(v)) "update_postimage" else "insert"
     def delType(v: Long): String =
       if (isMorUpdate(v)) "update_preimage" else "delete"
+    def qualify(dir: String): String =
+      new Path(dir).getFileSystem(log.hadoopConf)
+        .makeQualified(new Path(dir)).toString
+    // the commit's pre/post-image vectors for one dir (qualified-dir key)
+    def preDvOf(v: Long, qdir: String): Option[String] =
+      morMergeCdc(v).flatMap(_.preImageDvByDir.collectFirst {
+        case (d, dv) if qualify(d) == qdir => dv
+      })
+    def postDvOf(v: Long, qdir: String): Option[String] =
+      morMergeCdc(v).flatMap(_.postImageDvByDir.collectFirst {
+        case (d, dv) if qualify(d) == qdir => dv
+      })
 
     // splits depend on file sizes only, never on the read schema
     def plan(dirs: Seq[String]): Array[InputPartition] =
@@ -315,30 +342,39 @@ private[connector] object ChangeTableRead {
     def resplit(parts: Array[InputPartition], emit: Int, changeType: String,
                 v: Long, ts: Long,
                 oldDvByDir: Map[String, String],
-                newDvByDir: Map[String, String]): Seq[InputPartition] =
+                newDvByDir: Map[String, String],
+                preDvByDir: Map[String, String] = Map.empty,
+                postDvByDir: Map[String, String] = Map.empty): Seq[InputPartition] =
       parts.flatMap {
         case fp: FilePartition => fp.files.map { f =>
           val dir = f.filePath.toPath.getParent.toString
           ChangeSplitPartition(FilePartition(0, Array(f)), f.filePath.toString,
-            oldDvByDir.get(dir), newDvByDir.get(dir), emit, changeType, v, ts)
+            oldDvByDir.get(dir), newDvByDir.get(dir), emit, changeType, v, ts,
+            preDv = preDvByDir.get(dir), postDv = postDvByDir.get(dir))
         }
         case other => throw new IllegalStateException(
           s"delegated parquet scan planned a non-file partition: $other")
       }.toSeq
 
-    def qualify(dir: String): String =
-      new Path(dir).getFileSystem(log.hadoopConf)
-        .makeQualified(new Path(dir)).toString
-
     // adds: per version (a FilePartition groups multiple files, which must
-    // share one commit stamp); clean dirs keep the delegated grouping,
-    // the rare vectored-at-add dir re-splits per file
+    // share one commit stamp); clean dirs keep the delegated grouping, the
+    // rare vectored-at-add dir re-splits per file — and so does the staged
+    // dir of a marker-carrying mor MERGE, whose rows split per position by
+    // the commit's post-image vector into update_postimage vs insert
     changes.added.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, list) =>
       val ts = log.commitTimestamp(v)
       val (vectored, clean) = list.partition(_._2.isDefined)
-      if (clean.nonEmpty)
-        out ++= plan(clean.map(_._1)).map(p =>
+      val (postSplit, cleanPlain) =
+        clean.partition(t => postDvOf(v, qualify(t._1)).isDefined)
+      if (cleanPlain.nonEmpty)
+        out ++= plan(cleanPlain.map(_._1)).map(p =>
           CleanChangePartition(p.asInstanceOf[FilePartition], addType(v), v, ts))
+      if (postSplit.nonEmpty) {
+        val postMap = postSplit.flatMap(t =>
+          postDvOf(v, qualify(t._1)).map(qualify(t._1) -> _)).toMap
+        out ++= resplit(plan(postSplit.map(_._1)), InsertLive, "insert", v, ts,
+          Map.empty, Map.empty, postDvByDir = postMap)
+      }
       if (vectored.nonEmpty) {
         val dvMap = vectored.map(t => qualify(t._1) -> t._2.get).toMap
         out ++= resplit(plan(vectored.map(_._1)), InsertLive, addType(v), v, ts,
@@ -347,12 +383,15 @@ private[connector] object ChangeTableRead {
     }
     // removes: then-live rows as deletes (update_preimage when the version
     // is a mor UPDATE — the fully-deleted-dir collapse: every then-live
-    // row of the dropped dir was updated)
+    // row of the dropped dir was updated; per-row split by the pre vector
+    // when it is a marker-carrying mor MERGE)
     changes.removed.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, list) =>
       val ts = log.commitTimestamp(v)
       val dvMap = list.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
+      val preMap = list.flatMap(t =>
+        preDvOf(v, qualify(t._1)).map(qualify(t._1) -> _)).toMap
       out ++= resplit(plan(list.map(_._1)), DeleteLive, delType(v), v, ts,
-        dvMap, Map.empty)
+        dvMap, Map.empty, preMap)
     }
     // vector growth: new-minus-old positions as deletes. Grouped by DIR,
     // not by version: vectors only grow, so a dir's growth steps chain
@@ -375,7 +414,8 @@ private[connector] object ChangeTableRead {
             case _ =>
           }
           qualify(dir) -> (steps.head._2,
-            steps.map(s => ChainStep(s._4, tsOf(s._4), s._3, delType(s._4))))
+            steps.map(s => ChainStep(s._4, tsOf(s._4), s._3, delType(s._4),
+              preDv = preDvOf(s._4, qualify(dir)))))
         }
       out ++= plan(growthByDir.keys.toSeq).flatMap[InputPartition] {
         case fp: FilePartition => fp.files.map { f =>
@@ -435,10 +475,14 @@ private[connector] object ChangeTableRead {
 
 /** One step of a dir's vector-growth chain: the commit, its instant, the
   * chain vector, and the change type its rows emit as (`delete`, or
-  * `update_preimage` when that commit was a mor UPDATE).
+  * `update_preimage` when that commit was a mor UPDATE). `preDv` (mor
+  * MERGE commits only) is the commit's pre-image vector for this dir: the
+  * step's rows split per position into `update_preimage` (in it) vs the
+  * step's base type (not in it — WHEN MATCHED DELETE rows).
   */
 private[connector] final case class ChainStep(version: Long, tsMillis: Long,
-                                              dv: String, changeType: String)
+                                              dv: String, changeType: String,
+                                              preDv: Option[String] = None)
 
 /** One file split of a change read that needs vector awareness: emit mode
   * and change type, plus REFERENCES to the file's old/new vectors
@@ -446,7 +490,12 @@ private[connector] final case class ChainStep(version: Long, tsMillis: Long,
   * commit stamp. `growth` (the [[ChangeTableRead.DeleteNew]] mode only)
   * is the dir's full growth chain in the range, ascending — so one pass
   * over the file attributes every newly-deleted row to its deleting
-  * commit (and that commit's change type).
+  * commit (and that commit's change type). `preDv` (the
+  * [[ChangeTableRead.DeleteLive]] mode, mor MERGE collapse only) splits
+  * the dropped dir's then-live rows per position into `update_preimage`
+  * vs the base change type; `postDv` (the [[ChangeTableRead.InsertLive]]
+  * mode, mor MERGE staged dir only) splits the added rows into
+  * `update_postimage` vs the base `insert`.
   */
 private[connector] final case class ChangeSplitPartition(inner: FilePartition,
                                                          filePath: String,
@@ -456,7 +505,9 @@ private[connector] final case class ChangeSplitPartition(inner: FilePartition,
                                                          changeType: String,
                                                          version: Long,
                                                          tsMillis: Long,
-                                                         growth: Seq[ChainStep] = Nil)
+                                                         growth: Seq[ChainStep] = Nil,
+                                                         preDv: Option[String] = None,
+                                                         postDv: Option[String] = None)
     extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -571,9 +622,25 @@ private[connector] final class ChangeSplitReader(inner: PartitionReader[Internal
   private val newSk = skipper(part.newDv)
   // DeleteNew only: one forward cursor per chain vector; a newly-deleted
   // row's commit is the FIRST chain vector containing it (vectors are
-  // nested ascending, so first-containing = the version that deleted it)
-  private val chainSks = part.growth.map(s => (s, skipper(Some(s.dv))))
+  // nested ascending, so first-containing = the version that deleted it).
+  // Each step's optional pre-image vector gets its own cursor: probed only
+  // for rows the step owns, so its positions still ascend.
+  private val chainSks = part.growth.map(s =>
+    (s, skipper(Some(s.dv)), s.preDv.map(p => skipper(Some(p)))))
+  // DeleteLive only (mor MERGE dir collapse): the commit's pre-image
+  // vector splits then-live rows into update_preimage vs the base type
+  private val liveSplitSk = part.preDv.map(p => skipper(Some(p)))
+  // InsertLive only (mor MERGE staged dir): the commit's post-image
+  // vector splits staged rows into update_postimage vs the base insert
+  private val postSplitSk = part.postDv.map(p => skipper(Some(p)))
   private var current: InternalRow = _
+  private var stampedType: String = part.changeType
+
+  private def restamp(changeType: String, version: Long, tsMillis: Long): Unit =
+    if (changeType != stampedType || part.growth.length > 1) {
+      stamp(changeType, version, tsMillis)
+      stampedType = changeType
+    }
 
   override def next(): Boolean = {
     while (inner.next()) {
@@ -590,9 +657,26 @@ private[connector] final class ChangeSplitReader(inner: PartitionReader[Internal
         case _ => inNew && !inOld
       }
       if (emit) {
-        if (part.emit == ChangeTableRead.DeleteNew && chainSks.length > 1) {
-          val (step, _) = chainSks.find(_._2.deleted(pos)).getOrElse(chainSks.last)
-          stamp(step.changeType, step.version, step.tsMillis)
+        part.emit match {
+          case ChangeTableRead.DeleteNew
+              if chainSks.length > 1 || chainSks.exists(_._3.isDefined) =>
+            val (step, _, preSk) = chainSks.find(_._2.deleted(pos))
+              .getOrElse(chainSks.last)
+            val ct =
+              if (preSk.exists(_.deleted(pos))) "update_preimage"
+              else step.changeType
+            restamp(ct, step.version, step.tsMillis)
+          case ChangeTableRead.DeleteLive if liveSplitSk.isDefined =>
+            val ct =
+              if (liveSplitSk.exists(_.deleted(pos))) "update_preimage"
+              else part.changeType
+            restamp(ct, part.version, part.tsMillis)
+          case ChangeTableRead.InsertLive if postSplitSk.isDefined =>
+            val ct =
+              if (postSplitSk.exists(_.deleted(pos))) "update_postimage"
+              else part.changeType
+            restamp(ct, part.version, part.tsMillis)
+          case _ => ()
         }
         current = row
         return true

@@ -91,8 +91,17 @@ object Compaction {
       else {
         val totalBytes = sized.filter { case (e, _) => small.contains(e) }.map(_._2).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        val df0 = spark.read.schema(log.schema).parquet(small.map(_.dir): _*)
-        val df = DvReads.applyVectors(spark, df0, small, log.hadoopConf)
+        // read by PHYSICAL column names, rename to logical after the
+        // vector subtraction (applyVectors needs the raw file-source
+        // frame's `_metadata`); the rewrite below runs on logical names
+        // and renames back to physical just before writing
+        val df0 = spark.read.schema(ColumnMapping.toPhysical(log.schema))
+          .parquet(small.map(_.dir): _*)
+        val df = ColumnMapping.renameDf(
+          DvReads.applyVectors(spark, df0, small, log.hadoopConf),
+          ColumnMapping.inverseMap(log.schema))
+        val toPhysicalDf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          ColumnMapping.renameDf(_, ColumnMapping.nameMap(log.schema))
         if (zorderBy.nonEmpty) {
           // each z tile becomes its OWN manifest dir, so its committed
           // stats cover one small multi-column tile and dir-granular
@@ -103,8 +112,10 @@ object Compaction {
           // z bounds from the committed stats when every rewritten dir has
           // typed numeric stats for the column — skips a second full scan
           // (and a second vector-subtraction pass) over the input dirs
+          val physOf = ColumnMapping.nameMap(log.schema)
           val statBounds: Map[String, (Double, Double)] = zorderBy.flatMap { c =>
-            val cs = small.map(_.stats.flatMap(_.cols.get(c)))
+            // committed stats key PHYSICAL names; zorderBy speaks logical
+            val cs = small.map(_.stats.flatMap(_.cols.get(physOf.getOrElse(c, c))))
             val nums = cs.map(_.flatMap(st => (st.min, st.max) match {
               case (mn: java.lang.Long, mx: java.lang.Long) =>
                 Some((mn.toDouble, mx.toDouble))
@@ -115,7 +126,7 @@ object Compaction {
               Some(c -> (nums.flatten.map(_._1).min, nums.flatten.map(_._2).max))
             else None
           }.toMap
-          ZOrder.layout(spark, df, zorderBy, nOut, statBounds)
+          toPhysicalDf(ZOrder.layout(spark, df, zorderBy, nOut, statBounds))
             .write.partitionBy(ZOrder.TileCol).parquet(root)
           val rootPath = new Path(root)
           val tiles = fs.listStatus(rootPath).toSeq
@@ -138,7 +149,7 @@ object Compaction {
           val laidOut =
             if (clusterBy.nonEmpty) c.sortWithinPartitions(clusterBy.map(col): _*)
             else c
-          laidOut.write.parquet(staging)
+          toPhysicalDf(laidOut).write.parquet(staging)
           // same empty-output guard as the z-order branch: when every
           // rewritten row was vector-deleted the consolidated dir holds no
           // rows — committing it would just re-create the small-dir problem

@@ -35,6 +35,29 @@ object DirStats {
 
   // ---- collection from parquet footers ------------------------------------
 
+  /** Per-file physical row counts of a dir's parquet files, (file name,
+    * rows) sorted by name — footer reads only. The mor MERGE commit
+    * resolves task-local staged-row indexes against these to build its
+    * post-image vector; unlike [[collect]], a read failure here must fail
+    * LOUDLY (a silently-missing count would misattribute every later row).
+    */
+  def fileRowCounts(dir: String, conf: Configuration): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try {
+          var rows = 0L
+          reader.getFooter.getBlocks.forEach(b => rows += b.getRowCount)
+          st.getPath.getName -> rows
+        } finally reader.close()
+      }
+  }
+
   /** Footer-derived stats of every parquet file under `dir` (non-recursive);
     * a missing or file-less dir is committed-empty (0 rows), and None means
     * a footer failed to read — the dir commits statless and never prunes.

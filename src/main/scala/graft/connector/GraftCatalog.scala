@@ -220,15 +220,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(fullName(ident), l)
   }
 
-  /** Schema evolution, the additive subset that is always safe on
-    * immutable parquet dirs: `ADD COLUMNS` (nullable, appended — existing
-    * dirs read the new column as NULL, the standard parquet
-    * missing-column semantics) and `SET/UNSET TBLPROPERTIES`. The new
-    * schema/properties commit as a manifest meta header through the same
-    * CAS as data commits, so an ALTER serializes with concurrent writes
-    * and time travel reads every snapshot under its own schema. Drops,
-    * renames, and type changes are refused — each would reinterpret
-    * already-written bytes.
+  /** Schema evolution on immutable parquet dirs. Additive changes are the
+    * always-safe base: `ADD COLUMNS` (nullable, appended — existing dirs
+    * read the new column as NULL, the standard parquet missing-column
+    * semantics) and `SET/UNSET TBLPROPERTIES`. `RENAME COLUMN` and `DROP
+    * COLUMN` ride on column mapping ([[ColumnMapping]] — Delta's public
+    * field-indirection design): a rename changes only the LOGICAL name,
+    * pinning the original physical (file) name in field metadata; a drop
+    * removes the field from the logical schema and the physical column
+    * simply stops being read — no parquet byte is ever rewritten. Once
+    * either has happened (property [[ColumnMapping.ModeProp]]), ADD
+    * COLUMN assigns a fresh unique physical name, so re-adding a dropped
+    * or renamed name cannot resurrect the old physical column's bytes.
+    * The new schema/properties commit as a manifest meta header through
+    * the same CAS as data commits, so an ALTER serializes with concurrent
+    * writes and time travel reads every snapshot under its own schema
+    * (and its own mapping). Type changes are refused — they would
+    * reinterpret already-written bytes.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val l = log(ident)
@@ -243,6 +251,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val (sch0, props0) = expected.map(l.metaAt).getOrElse(l.baseMetaPublic)
       var sch = sch0
       var props = props0
+      // rewrite column references inside the clusterBy property so layout
+      // maintenance keeps working across renames/drops
+      def patchClusterBy(f: String => Option[String]): Unit =
+        props.get(GraftTable.WriteClusterByProp).foreach { v =>
+          val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap(c => f(c))
+          props =
+            if (cols.isEmpty) props - GraftTable.WriteClusterByProp
+            else props + (GraftTable.WriteClusterByProp -> cols.mkString(","))
+        }
       changes.foreach {
         case a: TableChange.AddColumn =>
           require(a.fieldNames.length == 1,
@@ -255,14 +272,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
             s"column $name already exists in ${fullName(ident)}")
           checkColumnName(name)
-          val field = org.apache.spark.sql.types.StructField(name, a.dataType, nullable = true)
+          val field0 = org.apache.spark.sql.types.StructField(name, a.dataType, nullable = true)
+          // mapping active => a FRESH physical name: the logical name may
+          // have been a physical name in some older file (dropped or
+          // renamed away), whose stale bytes must read as NULL, not data
+          val field =
+            if (!props.get(ColumnMapping.ModeProp).contains("id")) field0
+            else field0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(ColumnMapping.PhysicalKey,
+                s"col-${java.util.UUID.randomUUID().toString.take(8)}-$name")
+              .build())
           sch = org.apache.spark.sql.types.StructType(
             sch.fields :+ Option(a.comment).map(field.withComment).getOrElse(field))
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames.length == 1,
+            s"cannot rename nested column ${r.fieldNames.mkString(".")}: top-level renames only")
+          val from = r.fieldNames.head
+          val to = r.newName
+          val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+          require(idx >= 0, s"column $from does not exist in ${fullName(ident)}")
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)),
+            s"column $to already exists in ${fullName(ident)}")
+          checkColumnName(to)
+          val f = sch.fields(idx)
+          val phys = ColumnMapping.physicalName(f)
+          sch = org.apache.spark.sql.types.StructType(sch.fields.updated(idx,
+            f.copy(name = to, metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(ColumnMapping.PhysicalKey, phys).build())))
+          props = props + (ColumnMapping.ModeProp -> "id")
+          patchClusterBy(c => Some(if (c.equalsIgnoreCase(from)) to else c))
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            s"cannot drop nested column ${d.fieldNames.mkString(".")}: top-level drops only")
+          val name = d.fieldNames.head
+          val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          require(idx >= 0 || d.ifExists,
+            s"column $name does not exist in ${fullName(ident)}")
+          if (idx >= 0) {
+            require(sch.length > 1,
+              s"cannot drop $name: it is the last column of ${fullName(ident)}")
+            sch = org.apache.spark.sql.types.StructType(sch.fields.patch(idx, Nil, 1))
+            props = props + (ColumnMapping.ModeProp -> "id")
+            patchClusterBy(c => if (c.equalsIgnoreCase(name)) None else Some(c))
+          }
         case p: TableChange.SetProperty => props = props + (p.property -> p.value)
         case p: TableChange.RemoveProperty => props = props - p.property
         case other => throw new UnsupportedOperationException(
           s"ALTER TABLE change not supported on graft-lake tables: $other " +
-            "(only ADD COLUMNS of nullable appended columns and SET/UNSET TBLPROPERTIES)")
+            "(ADD COLUMNS of nullable appended columns, RENAME COLUMN, " +
+            "DROP COLUMN, and SET/UNSET TBLPROPERTIES)")
       }
       val entries = expected.map(l.entriesAt).getOrElse(Nil)
       done = l.tryCommitEntriesMeta(expected, entries, Some((sch, props)),

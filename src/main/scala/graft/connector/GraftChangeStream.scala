@@ -171,10 +171,14 @@ private[connector] class GraftMicroBatchStream(log: TableLog,
 private[connector] class GraftStreamableScan(private val inner: Scan,
                                              log: TableLog,
                                              delegate: Seq[String] => ParquetTable,
-                                             streamable: Boolean = true)
+                                             streamable: Boolean = true,
+                                             readSchemaOverride: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = inner.readSchema()
+  // the override carries LOGICAL names over a physically-named delegated
+  // read (column mapping); row data is positional either way
+  override def readSchema(): StructType =
+    readSchemaOverride.getOrElse(inner.readSchema())
   override def description(): String = inner.description()
 
   override def toBatch: Batch = this

@@ -46,7 +46,8 @@ private[connector] class GraftCowScan(schema: StructType,
                                       delegate: Seq[String] => ParquetTable,
                                       initialKept: Seq[DirEntry],
                                       onKept: (GraftCowScan, Seq[String]) => Unit,
-                                      hadoopConf: org.apache.hadoop.conf.Configuration)
+                                      hadoopConf: org.apache.hadoop.conf.Configuration,
+                                      nameMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   @volatile private var kept: Seq[DirEntry] = initialKept
@@ -65,11 +66,13 @@ private[connector] class GraftCowScan(schema: StructType,
     // about as much as rewriting that one dir could save, so don't
     // advertise — Spark then skips the subquery entirely
     if (initialKept.size <= 1) Array.empty
-    else GraftCowScan.chooseFilterAttribute(schema, initialKept)
+    else GraftCowScan.chooseFilterAttribute(schema, initialKept, nameMap)
       .map(Expressions.column).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
+    // runtime predicates arrive with LOGICAL names; stats key physical
     val v1 = GraftSqlBridge.toV1Filters(predicates)
+      .map(ColumnMapping.translateV1(_, nameMap))
     if (v1.nonEmpty) {
       kept = kept.filter(e => DirStats.mayMatch(e.stats, v1.toSeq))
       onKept(this, kept.map(_.dir))
@@ -110,10 +113,13 @@ private[connector] object GraftCowScan {
     * schema order. None when no column has usable stats anywhere.
     */
   def chooseFilterAttribute(schema: StructType,
-                            entries: Seq[DirEntry]): Option[String] = {
+                            entries: Seq[DirEntry],
+                            nameMap: Map[String, String] = Map.empty): Option[String] = {
     if (entries.isEmpty) return None
+    // advertise the LOGICAL name; score against the PHYSICAL stats key
     val scored = schema.fieldNames.toSeq.flatMap { name =>
-      val cs = entries.flatMap(_.stats.flatMap(_.cols.get(name)))
+      val physName = nameMap.getOrElse(name, name)
+      val cs = entries.flatMap(_.stats.flatMap(_.cols.get(physName)))
         .filter(_.typ != "null")
       val tag = cs.headOption.map(_.typ).getOrElse("")
       val typed = cs.filter(_.typ == tag)   // ignore a mixed-domain oddity

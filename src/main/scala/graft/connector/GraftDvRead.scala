@@ -212,15 +212,19 @@ private[connector] object DvPartitionReaderFactory {
   val SrcFile: Int = -1
   val SrcPos: Int = -2
 
-  /** Output map for a required schema over the delegated data schema. */
-  def outputMapFor(required: StructType, dataSchema: StructType): (Array[Int], Array[DataType]) = {
+  /** Output map for a required schema over the delegated data schema.
+    * `nameMap` translates logical output names to the delegated schema's
+    * physical names (column mapping; empty = identity).
+    */
+  def outputMapFor(required: StructType, dataSchema: StructType,
+                   nameMap: Map[String, String] = Map.empty): (Array[Int], Array[DataType]) = {
     val map = required.fields.map { f =>
       f.name match {
         case GraftDvRead.FileCol => SrcFile
         case GraftDvRead.PosCol => SrcPos
         case n =>
-          val i = dataSchema.fieldIndex(n)   // throws on an unknown column
-          i
+          // throws on an unknown column
+          dataSchema.fieldIndex(nameMap.getOrElse(n, n))
       }
     }
     (map, required.fields.map(_.dataType))
@@ -290,7 +294,8 @@ private[connector] final class DvRowReader(inner: PartitionReader[InternalRow],
   */
 private[connector] final class GraftDvScan(private val inner: ParquetScan,
                                            private val required: StructType,
-                                           private val dvs: Map[String, GraftDvRead.DvRef])
+                                           private val dvs: Map[String, GraftDvRead.DvRef],
+                                           nameMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   // the delegated parquet estimate counts vectored-out rows too — a small
@@ -300,7 +305,7 @@ private[connector] final class GraftDvScan(private val inner: ParquetScan,
   private val withIdx = GraftDvRead.withRowIndex(inner)
   private val rowIndexOrdinal = withIdx.readDataSchema.length - 1
   private val (outputMap, outputTypes) =
-    DvPartitionReaderFactory.outputMapFor(required, inner.readDataSchema)
+    DvPartitionReaderFactory.outputMapFor(required, inner.readDataSchema, nameMap)
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -345,12 +350,16 @@ private[connector] final class GraftDvScan(private val inner: ParquetScan,
   * positions skipped.
   */
 private[connector] final class GraftHybridScan(private val inner: ParquetScan,
-                                               private val dvs: Map[String, GraftDvRead.DvRef])
+                                               private val dvs: Map[String, GraftDvRead.DvRef],
+                                               readSchemaOverride: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def estimateStatistics(): Statistics = inner.estimateStatistics()
 
-  override def readSchema(): StructType = inner.readSchema()
+  // the override carries LOGICAL names over a physically-named delegated
+  // read (column mapping); row data is positional either way
+  override def readSchema(): StructType =
+    readSchemaOverride.getOrElse(inner.readSchema())
   override def description(): String =
     s"graft-lake dv-hybrid scan (${dvs.size} vectored dirs)"
 

@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[connector] class GraftMorOperation(log: TableLog,
                                            delegate: Seq[String] => ParquetTable,
                                            pinned: Seq[DirEntry],
-                                           cmd: RowLevelOperation.Command)
+                                           cmd: RowLevelOperation.Command,
+                                           nameMap: Map[String, String] = Map.empty)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -52,11 +53,12 @@ private[connector] class GraftMorOperation(log: TableLog,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val dvs = GraftDvRead.dvByDir(pinned, log.hadoopConf)
+    val physSchema = ColumnMapping.toPhysical(log.schema)
     val readTable = new ParquetTable(log.tableDir, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), pinned.map(_.dir), Some(log.schema),
+      CaseInsensitiveStringMap.empty(), pinned.map(_.dir), Some(physSchema),
       classOf[ParquetFileFormat]) {
       override lazy val fileIndex: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =
-        new GraftFileIndex(sparkSession, pinned, log.schema)
+        new GraftFileIndex(sparkSession, pinned, physSchema)
     }
     val inner = readTable.newScanBuilder(options).asInstanceOf[ParquetScanBuilder]
     new org.apache.spark.sql.GraftDelegatingScanBuilder(inner,
@@ -65,10 +67,11 @@ private[connector] class GraftMorOperation(log: TableLog,
         val required = requiredFull.getOrElse(throw new IllegalStateException(
           "merge-on-read scan was built without column pruning; " +
             "cannot locate the row-id columns"))
-        new GraftDvScan(ps, required, dvs)
+        new GraftDvScan(ps, required, dvs, nameMap)
       },
       metadataColNames = GraftDvRead.MetaColNames,
-      refuseAggregates = true)
+      refuseAggregates = true,
+      nameMap = nameMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -76,11 +79,18 @@ private[connector] class GraftMorOperation(log: TableLog,
       override def build(): DeltaWrite = new DeltaWrite {
         // the staged dir for reinserted/inserted rows; a pure DELETE has an
         // EMPTY write schema (no data rows flow), which the parquet write
-        // builder rejects — so the insert side only exists when rows can
+        // builder rejects — so the insert side only exists when rows can.
+        // ONE dir and ONE delegated write: a second parquet write in the
+        // same task is impossible (Spark's output commit coordinator
+        // authorizes exactly one commit ask per task attempt — a second
+        // FileFormatDataWriter.commit in the task dies CommitDenied,
+        // probed on 4.1), so MERGE's post-image classification travels as
+        // task-local ROW INDEXES in the commit message instead, resolved
+        // to (file, position) against the finalized footers at commit.
         private val staging =
           if (info.schema().isEmpty) None else Some(log.newDataDir())
-        private val inner =
-          staging.map(s => delegate(Seq(s)).newWriteBuilder(info).build())
+        private val inner = staging.map(s => delegate(Seq(s))
+          .newWriteBuilder(ColumnMapping.physicalWriteInfo(info, log.schema)).build())
         override def description(): String = s"graft-lake mor $cmd -> ${log.tableDir}"
         override def toBatch: DeltaBatchWrite =
           new GraftDvBatchWrite(log, pinned, inner.map(_.toBatch), staging, cmd)
@@ -89,10 +99,19 @@ private[connector] class GraftMorOperation(log: TableLog,
 }
 
 /** Per-task outcome of a merge-on-read write: deleted positions keyed by
-  * qualified file path, plus the wrapped parquet writer's own commit
-  * message for any inserted rows.
+  * qualified file path (`updateDeletes` = the subset whose rows were
+  * REINSERTED, i.e. update-caused — paired by split-update adjacency),
+  * the task's staged-row bookkeeping for post-image classification
+  * (`postRows` = task-local row indexes, in write order, of REINSERTED
+  * staged rows; `stagedRows` = the task's total staged-row count, the
+  * driver's consistency check when resolving indexes against footers),
+  * plus the wrapped parquet writer's own commit message.
   */
 private[connector] final case class DvDeltaMessage(deletes: Map[String, Array[Long]],
+                                                   updateDeletes: Map[String, Array[Long]],
+                                                   partitionId: Int,
+                                                   postRows: Array[Long],
+                                                   stagedRows: Long,
                                                    inserts: WriterCommitMessage)
     extends WriterCommitMessage
 
@@ -106,7 +125,7 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
     val innerFactory = innerInserts.map(_.createBatchWriterFactory(info))
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-        new DvDeltaWriter(innerFactory.map(_.createWriter(partitionId, taskId)))
+        new DvDeltaWriter(partitionId, innerFactory.map(_.createWriter(partitionId, taskId)))
     }
   }
 
@@ -130,11 +149,16 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
     // rows in join-key order, so each file's concatenated positions are
     // sorted+deduped here (tasks cover disjoint splits, so true duplicates
     // cannot occur; dedup is cheap insurance)
-    val byFile = scala.collection.mutable.HashMap[String, Array[Long]]()
-    dvMessages.foreach(_.deletes.foreach { case (f, pos) =>
-      byFile(f) = byFile.get(f).map(_ ++ pos).getOrElse(pos)
-    })
-    byFile.keys.toSeq.foreach(f => byFile(f) = DeletionVector.normalize(byFile(f)))
+    def mergeByFile(pick: DvDeltaMessage => Map[String, Array[Long]]): scala.collection.mutable.HashMap[String, Array[Long]] = {
+      val m = scala.collection.mutable.HashMap[String, Array[Long]]()
+      dvMessages.foreach(pick(_).foreach { case (f, pos) =>
+        m(f) = m.get(f).map(_ ++ pos).getOrElse(pos)
+      })
+      m.keys.toSeq.foreach(f => m(f) = DeletionVector.normalize(m(f)))
+      m
+    }
+    val byFile = mergeByFile(_.deletes)
+    val updByFile = mergeByFile(_.updateDeletes)
     if (byFile.isEmpty && !stagedRows) return   // matched nothing: no new version
 
     val fs = new Path(log.tableDir).getFileSystem(log.hadoopConf)
@@ -145,12 +169,75 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
     // group the new deletes per pinned dir and build each dir's replacement
     // entry ONCE (the union is computed against the PINNED vector; the
     // commit loop below verifies that vector is still current)
-    val newByDir: Map[String, DeletionVector] = byFile.toSeq
-      .groupBy { case (f, _) => new Path(f).getParent.toString }
-      .map { case (dir, files) =>
-        dir -> DeletionVector(files.map { case (f, pos) =>
-          new Path(f).getName -> pos
+    def groupByDir(m: scala.collection.Map[String, Array[Long]]): Map[String, DeletionVector] =
+      m.toSeq
+        .groupBy { case (f, _) => new Path(f).getParent.toString }
+        .map { case (dir, files) =>
+          dir -> DeletionVector(files.map { case (f, pos) =>
+            new Path(f).getName -> pos
+          }.toMap)
+        }
+    val newByDir: Map[String, DeletionVector] = groupByDir(byFile)
+
+    // MERGE only: persist each touched dir's update-caused deletions as an
+    // immutable pre-image vector and reference it with a `#cdcpre` marker —
+    // the change feed splits the commit's retractions into exact
+    // `update_preimage` rows vs plain deletes with it. UPDATE needs none
+    // (ALL its deletions are update-caused — the op marker says so);
+    // DELETE has no reinserts, so updByDir is empty by construction.
+    val preDvByDir: Map[String, String] =
+      if (cmd != RowLevelOperation.Command.MERGE) Map.empty
+      else groupByDir(updByFile).map { case (qdir, vec) =>
+        val p = log.newPreDvFile()
+        DeletionVector.write(p, log.hadoopConf, vec)
+        qdir -> p
+      }
+
+    // MERGE only, staged side: resolve each task's reinserted row INDEXES
+    // against the finalized staged files' footers into a post-image vector
+    // over the staged dir (`#cdcpost` marker) — the change feed then
+    // splits staged rows into `update_postimage` vs plain NOT-MATCHED
+    // `insert` per position. Index → (file, position) mapping relies only
+    // on what the parquet writer guarantees: one task writes its rows in
+    // call order into its own `part-<partition>-*` files, split by the
+    // file counter; the per-task total is cross-checked loudly.
+    val postDv: Option[(String, String)] =
+      if (cmd != RowLevelOperation.Command.MERGE || !stagedRows ||
+          !dvMessages.exists(_.postRows.nonEmpty)) None
+      else {
+        val counts = DirStats.fileRowCounts(staging.get, log.hadoopConf)
+        def partOf(name: String): Int = {
+          val m = "part-(\\d+)-".r.findFirstMatchIn(name).getOrElse(
+            throw new IllegalStateException(
+              s"staged file $name does not follow the part-<id>- naming scheme"))
+          m.group(1).toInt
+        }
+        val byPart: Map[Int, Seq[(String, Long)]] =
+          counts.groupBy(c => partOf(c._1))
+        val posByFile = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+        dvMessages.filter(_.stagedRows > 0).foreach { m =>
+          val files = byPart.getOrElse(m.partitionId, Nil).sortBy(_._1)
+          val total = files.map(_._2).sum
+          require(total == m.stagedRows,
+            s"staged files of partition ${m.partitionId} hold $total rows, " +
+              s"task reported ${m.stagedRows} — cannot resolve post-image rows")
+          var idx = 0
+          var cum = 0L
+          files.foreach { case (name, rows) =>
+            while (idx < m.postRows.length && m.postRows(idx) < cum + rows) {
+              posByFile.getOrElseUpdate(name,
+                new scala.collection.mutable.ArrayBuilder.ofLong) += (m.postRows(idx) - cum)
+              idx += 1
+            }
+            cum += rows
+          }
+        }
+        val vec = DeletionVector(posByFile.map { case (f, b) =>
+          f -> DeletionVector.normalize(b.result())
         }.toMap)
+        val p = log.newPreDvFile()
+        DeletionVector.write(p, log.hadoopConf, vec)
+        Some(staging.get -> p)
       }
     val replacements: Map[String, Option[DirEntry]] = newByDir.map { case (qdir, fresh) =>
       val entry = pinnedByQualified.getOrElse(qdir, throw new IllegalStateException(
@@ -203,12 +290,26 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
             missing.mkString(", "))
       val next = if (stagedRows) kept :+ stagingEntry.get else kept
       // the op marker names the command AND the mode: the change-data-feed
-      // keys on the exact "UPDATE (merge-on-read)" string to classify this
-      // version's rows as update_preimage/update_postimage pairs — a COW
-      // UPDATE stamps plain "UPDATE" and must NOT match (its rewrite
-      // re-inserts unmatched rows, so the pairing would be fabricated)
+      // keys on the exact "UPDATE (merge-on-read)" / "MERGE (merge-on-read)"
+      // strings to classify a version's rows as update pre/post-image pairs
+      // — a COW UPDATE stamps plain "UPDATE" and must NOT match (its
+      // rewrite re-inserts unmatched rows, so the pairing would be
+      // fabricated). A MERGE additionally records its row-lineage markers:
+      // per-dir pre-image vectors as `#cdcpre`, the staged dir's
+      // post-image vector as `#cdcpost` (keyed by the MANIFEST dir
+      // string, not the qualified one).
+      val cdc =
+        if (cmd != RowLevelOperation.Command.MERGE) None
+        else {
+          val pre = preDvByDir.map { case (qdir, dv) =>
+            pinnedByQualified(qdir).dir -> dv
+          }
+          val post = postDv.toMap
+          if (pre.isEmpty && post.isEmpty) None
+          else Some(TableLog.CdcMarkers(post, pre))
+        }
       done = log.tryCommitEntriesMeta(expected, next, newMeta = None,
-        op = Some(s"$cmd (merge-on-read)"))
+        op = Some(s"$cmd (merge-on-read)"), cdc = cdc)
     }
   }
 
@@ -224,35 +325,81 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
 }
 
 /** Executor-side delta writer: DELETE rows contribute (file, position)
-  * pairs; INSERT/reinsert rows flow into the wrapped parquet writer for
-  * the staged dir. A true in-place UPDATE never arrives
+  * pairs; REINSERT rows (the post-image half of a split update) flow into
+  * the post-image staged dir; INSERT rows flow into the separate new-rows
+  * dir. A true in-place UPDATE never arrives
   * (representUpdateAsDeleteAndInsert splits it) and fails loudly.
   * Positions are collected in ARRIVAL order — shuffled plans deliver them
   * keyed by join key, and the driver merge normalizes.
+  *
+  * Update-cause attribution rides on ADJACENCY: Spark's merge/update
+  * rewrites expand one matched-and-updated input row into its delete half
+  * IMMEDIATELY followed by its reinsert half (MergeRowsExec emits a split
+  * instruction's projections consecutively; no exchange sits between it
+  * and this writer, so the pair cannot be torn apart) — and reinsert rows
+  * carry NO usable identity of their own (the delta API's metadata
+  * projection is null on them, probed on Spark 4.1). So a reinsert
+  * attributes the writer's most recent still-unpaired delete as
+  * update-caused; any other call clears the pairing window. The pairing is
+  * pinned by the ChangeFeedSpec MERGE tests — if a Spark version ever
+  * reorders the halves, those exact-set assertions fail loudly rather
+  * than silently mislabeling.
   */
-private[connector] class DvDeltaWriter(inserts: Option[DataWriter[InternalRow]])
+private[connector] class DvDeltaWriter(partitionId: Int,
+                                       inserts: Option[DataWriter[InternalRow]])
     extends DeltaWriter[InternalRow] {
 
   private val acc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+  private val updAcc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+
+  private def record(into: scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong],
+                     file: String, pos: Long): Unit =
+    into.getOrElseUpdate(file, new scala.collection.mutable.ArrayBuilder.ofLong) += pos
+
+  // the most recent delete not yet claimed by a reinsert (see class doc)
+  private var pendingFile: String = _
+  private var pendingPos: Long = 0L
+  private var hasPending = false
+  // staged-row bookkeeping: the task-local index of the NEXT staged row,
+  // and which indexes were reinserts (ascending by construction)
+  private var stagedCount = 0L
+  private val postRows = new scala.collection.mutable.ArrayBuilder.ofLong
+
+  private def stage(row: InternalRow): Unit = {
+    inserts.getOrElse(throw new IllegalStateException(
+      "mor writer received a staged row on a deletes-only (empty-schema) write")).write(row)
+    stagedCount += 1
+  }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString
     val pos = id.getLong(1)
-    acc.getOrElseUpdate(file, new scala.collection.mutable.ArrayBuilder.ofLong) += pos
+    record(acc, file, pos)
+    pendingFile = file; pendingPos = pos; hasPending = true
   }
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
     throw new IllegalStateException(
       "mor writer received an in-place UPDATE row; updates are represented as delete+insert")
 
-  override def insert(row: InternalRow): Unit =
-    inserts.getOrElse(throw new IllegalStateException(
-      "mor writer received an INSERT row on a deletes-only (empty-schema) write")).write(row)
+  override def insert(row: InternalRow): Unit = {
+    hasPending = false
+    stage(row)
+  }
 
-  override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit = {
+    if (hasPending) {
+      record(updAcc, pendingFile, pendingPos)
+      hasPending = false
+      postRows += stagedCount
+    }
+    stage(row)
+  }
 
   override def commit(): WriterCommitMessage =
     DvDeltaMessage(acc.map { case (f, b) => f -> b.result() }.toMap,
+      updAcc.map { case (f, b) => f -> b.result() }.toMap,
+      partitionId, postRows.result(), stagedCount,
       inserts.map(_.commit()).orNull)
 
   override def abort(): Unit = inserts.foreach(_.abort())

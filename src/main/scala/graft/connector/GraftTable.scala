@@ -94,21 +94,31 @@ class GraftTable(tableName: String, log: TableLog,
 
   private def snapshotDirs: Seq[String] = snapshotEntries.map(_.dir)
 
+  /** Column mapping of THIS handle's schema (empty maps = unmapped table,
+    * every path below identical to the pre-mapping code).
+    */
+  private val nameMap: Map[String, String] = ColumnMapping.nameMap(tableSchema)
+  private val inverseMap: Map[String, String] = nameMap.map(_.swap)
+
   private def delegate(paths: Seq[String]): ParquetTable =
     ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
-      paths, Some(log.schema), classOf[ParquetFileFormat])
+      paths, Some(ColumnMapping.toPhysical(log.schema)), classOf[ParquetFileFormat])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // same delegated parquet table, but reads plan through a file index
     // that prunes whole dirs by manifest stats ([[GraftFileIndex]]) before
-    // the parquet scan's own row-group pruning sees the survivors
+    // the parquet scan's own row-group pruning sees the survivors.
+    // Everything the delegated parquet machinery sees — schema, file
+    // index, pushed filters, pruned columns — speaks PHYSICAL names
+    // (column mapping); everything Spark sees back speaks logical.
     val entries = snapshotEntries
     val hasDvs = entries.exists(_.dv.isDefined)
+    val physSchema = ColumnMapping.toPhysical(tableSchema)
     val readTable = new ParquetTable(tableName, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), entries.map(_.dir), Some(tableSchema),
+      CaseInsensitiveStringMap.empty(), entries.map(_.dir), Some(physSchema),
       classOf[ParquetFileFormat]) {
       override lazy val fileIndex: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =
-        new GraftFileIndex(sparkSession, entries, tableSchema)
+        new GraftFileIndex(sparkSession, entries, physSchema)
     }
     val inner = readTable.newScanBuilder(options)
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
@@ -128,21 +138,30 @@ class GraftTable(tableName: String, log: TableLog,
         val base: Scan =
           if (metaRequested) {
             val dvs = GraftDvRead.dvByDir(entries, log.hadoopConf)
-            new GraftDvScan(ps, requiredFull.get, dvs)
+            new GraftDvScan(ps, requiredFull.get, dvs, nameMap)
           } else if (hasDvs) {
             val dvs = GraftDvRead.dvByDir(entries, log.hadoopConf)
-            new GraftHybridScan(ps, dvs)
+            new GraftHybridScan(ps, dvs,
+              readSchemaOverride =
+                if (nameMap.isEmpty) None
+                else Some(ColumnMapping.rename(ps.readSchema(), inverseMap)))
           } else ps
+        // the outermost scan reports LOGICAL names whatever the inner
+        // parquet scan read under (row data is positional)
         new GraftStreamableScan(base, log, delegate,
-          streamable = pinnedVersion.isEmpty)
+          streamable = pinnedVersion.isEmpty,
+          readSchemaOverride =
+            if (nameMap.isEmpty) None
+            else Some(ColumnMapping.rename(base.readSchema(), inverseMap)))
       },
       metadataColNames = GraftDvRead.MetaColNames,
-      refuseAggregates = hasDvs)
+      refuseAggregates = hasDvs,
+      nameMap = nameMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, s"cannot write to $tableName pinned at VERSION AS OF ${pinnedVersion.get}")
-    new GraftWriteBuilder(log, info, delegate)
+    new GraftWriteBuilder(log, ColumnMapping.physicalWriteInfo(info, log.schema), delegate)
   }
 
   /** Metadata-only DELETE (Delta's optimization): when the committed stats
@@ -154,13 +173,17 @@ class GraftTable(tableName: String, log: TableLog,
     * false and Spark falls back to the row-level rewrite, so this is
     * strictly an optimization, never a semantics change.
     */
-  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+  override def canDeleteWhere(filters0: Array[sources.Filter]): Boolean = {
+    // stats are keyed by PHYSICAL column names (footers)
+    val filters = filters0.map(ColumnMapping.translateV1(_, nameMap))
     pinnedVersion.isEmpty && snapshotEntries.forall { e =>
       DirStats.mustMatchAll(e.stats, filters.toSeq) ||
         !DirStats.mayMatch(e.stats, filters.toSeq)
     }
+  }
 
-  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+  override def deleteWhere(filters0: Array[sources.Filter]): Unit = {
+    val filters = filters0.map(ColumnMapping.translateV1(_, nameMap))
     var done = false
     var attempts = 0
     while (!done) {
@@ -195,8 +218,8 @@ class GraftTable(tableName: String, log: TableLog,
     }
     val mor = tableProps.get(modeProp).contains("merge-on-read")
     () =>
-      if (mor) new GraftMorOperation(log, delegate, snapshotEntries, info.command)
-      else new GraftRowLevelOperation(log, info.command, delegate, snapshotEntries)
+      if (mor) new GraftMorOperation(log, delegate, snapshotEntries, info.command, nameMap)
+      else new GraftRowLevelOperation(log, info.command, delegate, snapshotEntries, nameMap)
   }
 }
 
@@ -304,7 +327,8 @@ private[connector] final case class ReplacePinned(pinned: () => Seq[String],
 private[connector] class GraftRowLevelOperation(log: TableLog,
                                                 cmd: RowLevelOperation.Command,
                                                 delegate: Seq[String] => ParquetTable,
-                                                pinned: Seq[DirEntry])
+                                                pinned: Seq[DirEntry],
+                                                nameMap: Map[String, String] = Map.empty)
     extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -346,8 +370,10 @@ private[connector] class GraftRowLevelOperation(log: TableLog,
       override def pushedFilters(): Array[sources.Filter] = Array.empty
 
       override def build(): Scan = {
-        val kept = pinned.filter(e => DirStats.mayMatch(e.stats, groupFilters.toSeq))
-        new GraftCowScan(log.schema, delegate, kept, onKept, log.hadoopConf)
+        // stats probe by physical names; the scan's output stays logical
+        val phys = groupFilters.toSeq.map(ColumnMapping.translateV1(_, nameMap))
+        val kept = pinned.filter(e => DirStats.mayMatch(e.stats, phys))
+        new GraftCowScan(log.schema, delegate, kept, onKept, log.hadoopConf, nameMap)
       }
     }
 
@@ -355,7 +381,8 @@ private[connector] class GraftRowLevelOperation(log: TableLog,
     new WriteBuilder {
       override def build(): Write = {
         val staging = log.newDataDir()
-        val inner = delegate(Seq(staging)).newWriteBuilder(info).build()
+        val physInfo = ColumnMapping.physicalWriteInfo(info, log.schema)
+        val inner = delegate(Seq(staging)).newWriteBuilder(physInfo).build()
         new GraftWrite(inner, log, staging,
           ReplacePinned(() => readDirs(),
             dir => pinned.find(_.dir == dir).flatMap(_.dv), cmd.toString),

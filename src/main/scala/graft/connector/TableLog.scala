@@ -136,8 +136,48 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
   // ---- versions ------------------------------------------------------------
 
-  /** Highest committed version, or None for a freshly-created empty table. */
+  private val latestHintPath = new Path(tableDir, "_latest")
+
+  /** Highest committed version, or None for a freshly-created empty table.
+    *
+    * Resolution is hint-first: every successful commit overwrites a
+    * `_latest` hint file, so the common case is one small read plus a
+    * couple of existence probes — NOT a `listStatus` over every
+    * `manifest-*` (O(versions) per table load / per CAS attempt; a
+    * 10k-commit table would pay 10k list entries on every loadTable).
+    * The hint is STRICTLY a hint, never the source of truth:
+    *  - stale-LOW (writer crashed between manifest rename and hint update,
+    *    or two committers' hint writes landed out of order) heals by
+    *    probing `manifest-(h+1)`, `(h+2)`, ... forward — bounded by how
+    *    many commits landed since the hint, not by history size;
+    *  - stale-HIGH cannot occur (the hint is written only after its
+    *    manifest is visible, and vacuum never drops the newest manifest);
+    *  - a torn/garbled hint (plain overwrite, deliberately not CAS'd)
+    *    falls back to the full listing.
+    * Correctness therefore never depends on the hint — the commit CAS is
+    * still the manifest rename itself.
+    */
   def latestVersion: Option[Long] = {
+    val hinted: Option[Long] =
+      try {
+        if (!fs.exists(latestHintPath)) None
+        else {
+          val h = slurp(latestHintPath).trim.toLong
+          if (h < 0 || !fs.exists(manifestPath(h))) None
+          else {
+            var v = h
+            while (fs.exists(manifestPath(v + 1))) v += 1
+            Some(v)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted.orElse(listedLatestVersion)
+  }
+
+  /** The listing-based resolution (the hint's fallback, and the probe's
+    * reference implementation).
+    */
+  private[connector] def listedLatestVersion: Option[Long] = {
     val root = new Path(tableDir)
     if (!fs.exists(root)) return None
     val vs = fs.listStatus(root).iterator
@@ -146,6 +186,16 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       .map(_.stripPrefix("manifest-").toLong)
     if (vs.isEmpty) None else Some(vs.max)
   }
+
+  /** Best-effort `_latest` hint refresh after a successful commit: a plain
+    * overwrite (readers tolerate torn content by falling back), and any
+    * failure is swallowed — the commit already succeeded.
+    */
+  private def updateLatestHint(v: Long): Unit =
+    try {
+      val out = fs.create(latestHintPath, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Data directories + their committed column stats at version `v`, in
     * manifest order. Manifest line format: `relDir` alone (no stats — the
@@ -231,6 +281,16 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   def newDvFile(): String =
     new Path(tableDir, s"dv/v-${java.util.UUID.randomUUID().toString.take(12)}").toString
 
+  /** Allocate a fresh PRE-IMAGE vector file name: a mor MERGE commits one
+    * per touched dir holding only THAT COMMIT's update-caused deletions
+    * (referenced by a `#cdcpre` marker line, not by the entry itself), so
+    * the change feed can split the commit's retractions into exact
+    * `update_preimage` rows vs plain deletes. Immutable, `dv/`-housed like
+    * the entry vectors, reclaimed by vacuum under the same liveness rules.
+    */
+  def newPreDvFile(): String =
+    new Path(tableDir, s"dv/p-${java.util.UUID.randomUUID().toString.take(12)}").toString
+
   private def rel(abs: String): String = {
     val prefix = new Path(tableDir).toString + "/"
     val s = new Path(abs).toString
@@ -263,14 +323,26 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     */
   def tryCommitEntriesMeta(expected: Option[Long], entries: Seq[DirEntry],
                            newMeta: Option[(StructType, Map[String, String])],
-                           op: Option[String] = None): Boolean = {
+                           op: Option[String] = None,
+                           cdc: Option[TableLog.CdcMarkers] = None): Boolean = {
     val next = expected.getOrElse(0L) + 1
     if (latestVersion.exists(_ >= next)) return false
     val header: Option[String] = newMeta.map(TableLog.encodeMetaHeader)
       .orElse(expected.flatMap(headerAt))
     op.foreach(o => require(!o.contains("\n") && !o.contains("\t"),
       s"illegal op marker '$o'"))
+    // per-commit CDC row-lineage markers (`#cdcpost`/`#cdcpre` lines):
+    // invisible to entry parsing, never carried forward — like #op
+    val cdcLines: Seq[String] = cdc.toSeq.flatMap { m =>
+      m.postImageDvByDir.toSeq.sortBy(_._1).map { case (d, dv) =>
+        s"${TableLog.CdcPostPrefix}${rel(d)}\t${rel(dv)}"
+      } ++
+        m.preImageDvByDir.toSeq.sortBy(_._1).map { case (d, dv) =>
+          s"${TableLog.CdcPrePrefix}${rel(d)}\t${rel(dv)}"
+        }
+    }
     val body = (header.toSeq ++ op.map(TableLog.OpPrefix + _).toSeq ++
+      cdcLines ++
       entries.map { e =>
         val statsField = e.stats.map(DirStats.encode).getOrElse("")
         e.dv match {
@@ -281,7 +353,9 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
           case None => rel(e.dir)
         }
       }).mkString("", "\n", "\n")
-    writeAtomic(manifestPath(next), body)
+    val won = writeAtomic(manifestPath(next), body)
+    if (won) updateLatestHint(next)
+    won
   }
 
   /** The operation marker of version `v`'s commit (`#op` line), if its
@@ -299,6 +373,36 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     content.linesIterator
       .find(_.startsWith(TableLog.OpPrefix))
       .map(_.stripPrefix(TableLog.OpPrefix))
+
+  /** The CDC row-lineage markers of version `v`'s commit (`#cdcpost` /
+    * `#cdcpre` lines, absolute paths), if its writer recorded any — a mor
+    * MERGE does; every other commit returns None and the change feed keeps
+    * its version-level classification. Memoized like [[opAt]].
+    */
+  def cdcAt(v: Long): Option[TableLog.CdcMarkers] = cdcCache.synchronized {
+    cdcCache.getOrElseUpdate(v, parseCdc(slurp(manifestPath(v))))
+  }
+
+  @transient private lazy val cdcCache =
+    scala.collection.mutable.HashMap[Long, Option[TableLog.CdcMarkers]]()
+
+  private def parseCdc(content: String): Option[TableLog.CdcMarkers] = {
+    val post = Map.newBuilder[String, String]
+    val pre = Map.newBuilder[String, String]
+    def entry(l: String, prefix: String): (String, String) = {
+      val Array(d, dv) = l.stripPrefix(prefix).split("\t", 2)
+      new Path(tableDir, d).toString -> new Path(tableDir, dv).toString
+    }
+    content.linesIterator.foreach {
+      case l if l.startsWith(TableLog.CdcPostPrefix) =>
+        post += entry(l, TableLog.CdcPostPrefix)
+      case l if l.startsWith(TableLog.CdcPrePrefix) =>
+        pre += entry(l, TableLog.CdcPrePrefix)
+      case _ => ()
+    }
+    val m = TableLog.CdcMarkers(post.result(), pre.result())
+    if (m.postImageDvByDir.isEmpty && m.preImageDvByDir.isEmpty) None else Some(m)
+  }
 
   private[connector] def hadoopConf: Configuration = conf
 
@@ -360,12 +464,21 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     // deletion-vector files follow the same liveness rules as data dirs:
     // referenced by a kept manifest = live, referenced only by dropped
     // manifests = superseded history, referenced by nothing = in-flight or
-    // crashed (retention window applies)
+    // crashed (retention window applies). Pre-image vectors (#cdcpre marker
+    // references — the change feed's update-classification input for a mor
+    // MERGE version) count as references too: a kept version's change rows
+    // must stay replayable.
+    def preDvs(vs: Seq[(Long, Path)]): Set[String] =
+      vs.flatMap { case (mv, _) =>
+        cdcAt(mv).toSeq.flatMap(m =>
+          m.preImageDvByDir.values ++ m.postImageDvByDir.values)
+      }.map(p => new Path(p).getName).toSet
     val liveDv: Set[String] =
-      keptEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName).toSet
+      keptEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName).toSet ++
+        preDvs(kept)
     val supersededDv: Set[String] =
-      droppedEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName)
-        .toSet -- liveDv
+      (droppedEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName)
+        .toSet ++ preDvs(dropped)) -- liveDv
     dropped.foreach { case (_, p) => fs.delete(p, false) }
     val now = System.currentTimeMillis()
     def reclaim(subdir: String, keep: Set[String], dead: Set[String]): Int = {
@@ -413,6 +526,23 @@ object TableLog {
     * entry parsing (`#` lines are skipped) and never carried forward.
     */
   private[connector] val OpPrefix = "#op\t"
+
+  /** Per-commit CDC row-lineage marker lines (mor MERGE commits), both of
+    * the form `<prefix><relDir><TAB><relDvFile>`:
+    * `#cdcpre` names the pre-image vector holding the commit's
+    * update-caused deleted positions of one touched dir (a subset of that
+    * dir's vector growth — the rest were WHEN MATCHED DELETEs), and
+    * `#cdcpost` names the post-image vector over the commit's STAGED dir
+    * marking which staged rows are update post-images (the rest are NOT
+    * MATCHED inserts). Invisible to entry parsing, never carried forward,
+    * reclaimed by vacuum with their manifest.
+    */
+  private[connector] val CdcPostPrefix = "#cdcpost\t"
+  private[connector] val CdcPrePrefix = "#cdcpre\t"
+
+  /** Parsed per-commit CDC markers (absolute paths). */
+  final case class CdcMarkers(postImageDvByDir: Map[String, String],
+                              preImageDvByDir: Map[String, String])
 
   private[connector] def encodeMetaHeader(meta: (StructType, Map[String, String])): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -76,9 +76,16 @@ class CatalogMergeStore(spark: SparkSession, stateDir: String,
         // a merge-on-read table hides rows behind deletion vectors; this
         // direct read must subtract them or the fold would resurrect
         // superseded state (caught by the catalog-mor sink spec)
-        graft.connector.DvReads.applyVectors(spark,
-          spark.read.schema(log.schema).parquet(entries.map(_.dir): _*),
-          entries, spark.sparkContext.hadoopConfiguration)
+        // read by PHYSICAL column names, rename to logical AFTER the
+        // vector subtraction (column mapping; applyVectors probes the
+        // hidden `_metadata` struct, which only the raw file-source frame
+        // serves — a projection in between would unresolve it)
+        graft.connector.ColumnMapping.renameDf(
+          graft.connector.DvReads.applyVectors(spark,
+            spark.read.schema(graft.connector.ColumnMapping.toPhysical(log.schema))
+              .parquet(entries.map(_.dir): _*),
+            entries, spark.sparkContext.hadoopConfiguration),
+          graft.connector.ColumnMapping.inverseMap(log.schema))
     Some(touched match {
       // the bucket filter reaches the parquet scan (row-group stats skip
       // untouched data); dedicated bucket dirs stay the bucket stores'

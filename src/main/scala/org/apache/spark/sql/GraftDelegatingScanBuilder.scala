@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.StructType
 class GraftDelegatingScanBuilder(inner: ParquetScanBuilder,
                                  wrap: (Scan, Option[StructType]) => Scan,
                                  metadataColNames: Seq[String] = Nil,
-                                 refuseAggregates: Boolean = false)
+                                 refuseAggregates: Boolean = false,
+                                 nameMap: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
@@ -40,18 +41,33 @@ class GraftDelegatingScanBuilder(inner: ParquetScanBuilder,
 
   /** The last required schema Spark pruned to, INCLUDING any requested
     * metadata columns (None = pruning never ran: full data schema).
+    * LOGICAL names — the wrap sees the caller's world; only the inner
+    * parquet builder sees physical names (`nameMap`, column mapping).
     */
   private var requiredFull: Option[StructType] = None
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    inner.pushFilters(filters)
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    if (nameMap.isEmpty) return inner.pushFilters(filters)
+    // push PHYSICAL-named copies; hand back the ORIGINAL expression for
+    // each residual (Spark re-evaluates residuals against logical output)
+    val pairs = filters.map { f =>
+      (graft.connector.ColumnMapping.translate(f, nameMap), f)
+    }
+    val inverse = nameMap.map(_.swap)
+    inner.pushFilters(pairs.map(_._1)).map { r =>
+      pairs.find(_._1 eq r).map(_._2)
+        .getOrElse(graft.connector.ColumnMapping.translate(r, inverse))
+    }
+  }
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit = {
     requiredFull = Some(requiredSchema)
     val stripped =
       if (metadataColNames.isEmpty) requiredSchema
       else StructType(requiredSchema.fields.filterNot(f => metadataColNames.contains(f.name)))
-    inner.pruneColumns(stripped)
+    // physical names for the parquet builder; field ORDER is preserved, so
+    // rows stay positionally aligned with the logical required schema
+    inner.pruneColumns(graft.connector.ColumnMapping.rename(stripped, nameMap))
   }
   override def pushAggregation(aggregation: Aggregation): Boolean =
     !refuseAggregates && inner.pushAggregation(aggregation)

@@ -56,14 +56,120 @@ class AlterTableSpec extends LakeSpec {
     val nn = intercept[Exception](
       sql("ALTER TABLE altlake.db.r ADD COLUMNS (c STRING NOT NULL)"))
     assert(nn.getMessage.contains("nullable"))
-    val drop = intercept[Exception](sql("ALTER TABLE altlake.db.r DROP COLUMN v"))
-    assert(drop.getMessage.contains("not supported"))
-    val ren = intercept[Exception](
-      sql("ALTER TABLE altlake.db.r RENAME COLUMN v TO w"))
-    assert(ren.getMessage.contains("not supported"))
+    val typ = intercept[Exception](
+      sql("ALTER TABLE altlake.db.r ALTER COLUMN k TYPE INT"))
+    assert(typ.getMessage.contains("not supported"))
     val dup = intercept[Exception](
       sql("ALTER TABLE altlake.db.r ADD COLUMNS (V DOUBLE)"))
     assert(dup.getMessage.contains("already exists"))
+    val lastCol = intercept[Exception] {
+      sql("ALTER TABLE altlake.db.r DROP COLUMN v")
+      sql("ALTER TABLE altlake.db.r DROP COLUMN k")
+    }
+    assert(lastCol.getMessage.contains("last column"))
+  }
+
+  // ---- column mapping: RENAME / DROP without rewriting parquet ------------
+
+  test("RENAME COLUMN: old files read under the new name, pushdown works") {
+    sql("CREATE TABLE altlake.db.rn (k BIGINT, v STRING)")
+    sql("INSERT INTO altlake.db.rn VALUES (1, 'a'), (2, 'b')")   // physical v
+    sql("ALTER TABLE altlake.db.rn RENAME COLUMN v TO label")
+    assert(sql("SELECT * FROM altlake.db.rn").schema.fieldNames ===
+      Array("k", "label"))
+    assert(rows("SELECT k, label FROM altlake.db.rn ORDER BY k") ===
+      Seq(Row(1L, "a"), Row(2L, "b")))
+    // filter pushdown on the renamed column (translated to the physical
+    // name for the parquet scan and the dir-stats pruner)
+    assert(rows("SELECT k FROM altlake.db.rn WHERE label = 'b'") === Seq(Row(2L)))
+    // writes after the rename land under the ORIGINAL physical name and
+    // read back mixed with pre-rename files
+    sql("INSERT INTO altlake.db.rn VALUES (3, 'c')")
+    assert(rows("SELECT label FROM altlake.db.rn WHERE k = 3") === Seq(Row("c")))
+    // the parquet files really do carry the physical name, not the logical
+    val l = log("db/rn")
+    val phys = ColumnMapping.toPhysical(l.schema).fieldNames
+    assert(phys === Array("k", "v"), "physical names unchanged by the rename")
+    // time travel reads the OLD snapshot under the OLD name
+    assert(sql("SELECT * FROM altlake.db.rn VERSION AS OF 1").schema.fieldNames ===
+      Array("k", "v"))
+    assert(rows("SELECT v FROM altlake.db.rn VERSION AS OF 1 ORDER BY k") ===
+      Seq(Row("a"), Row("b")))
+  }
+
+  test("DROP COLUMN hides the data; re-ADD of the name reads NULL, not stale bytes") {
+    sql("CREATE TABLE altlake.db.dr (k BIGINT, v STRING, x BIGINT)")
+    sql("INSERT INTO altlake.db.dr VALUES (1, 'a', 10), (2, 'b', 20)")
+    sql("ALTER TABLE altlake.db.dr DROP COLUMN x")
+    assert(sql("SELECT * FROM altlake.db.dr").schema.fieldNames === Array("k", "v"))
+    assert(rows("SELECT k, v FROM altlake.db.dr ORDER BY k") ===
+      Seq(Row(1L, "a"), Row(2L, "b")))
+    // re-adding the dropped name maps to a FRESH physical column: the old
+    // files' x bytes must read as NULL, never as data
+    sql("ALTER TABLE altlake.db.dr ADD COLUMNS (x BIGINT)")
+    assert(rows("SELECT k, x FROM altlake.db.dr ORDER BY k") ===
+      Seq(Row(1L, null), Row(2L, null)))
+    sql("INSERT INTO altlake.db.dr VALUES (3, 'c', 30)")
+    assert(rows("SELECT k, x FROM altlake.db.dr ORDER BY k") ===
+      Seq(Row(1L, null), Row(2L, null), Row(3L, 30L)))
+    // time travel still serves the dropped column from its snapshot
+    assert(rows("SELECT x FROM altlake.db.dr VERSION AS OF 1 ORDER BY k") ===
+      Seq(Row(10L), Row(20L)))
+  }
+
+  test("row-level commands and CDC work across a rename") {
+    sql("CREATE TABLE altlake.db.rl (k BIGINT, v BIGINT)")
+    sql("INSERT INTO altlake.db.rl SELECT id, 0 FROM range(0, 6)")
+    sql("ALTER TABLE altlake.db.rl RENAME COLUMN v TO score")
+    sql("UPDATE altlake.db.rl SET score = 9 WHERE k = 2")
+    sql("DELETE FROM altlake.db.rl WHERE k = 5")
+    sql("MERGE INTO altlake.db.rl t USING (SELECT id k, 7 score FROM range(4, 8)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET score = s.score " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    // k=5 was deleted, so the MERGE re-inserts it as NOT MATCHED
+    assert(rows("SELECT k, score FROM altlake.db.rl ORDER BY k") ===
+      Seq(Row(0L, 0L), Row(1L, 0L), Row(2L, 9L), Row(3L, 0L), Row(4L, 7L),
+        Row(5L, 7L), Row(6L, 7L), Row(7L, 7L)))
+    // the change feed serves the renamed column too
+    val l = log("db/rl")
+    val cdf = ChangeFeed.between(spark, l, 0, l.latestVersion.get)
+    assert(cdf.schema.fieldNames.take(2) === Array("k", "score"))
+    assert(cdf.where("_change_type = 'insert'").count() >= 6)
+  }
+
+  test("mor row-level commands work on a mapped table") {
+    sql("CREATE TABLE altlake.db.rm (k BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read','graft.update.mode'='merge-on-read')")
+    sql("INSERT INTO altlake.db.rm SELECT id, 0 FROM range(0, 6)")
+    sql("ALTER TABLE altlake.db.rm RENAME COLUMN v TO score")
+    sql("DELETE FROM altlake.db.rm WHERE k = 1")
+    sql("UPDATE altlake.db.rm SET score = 9 WHERE k = 2")
+    assert(rows("SELECT k, score FROM altlake.db.rm ORDER BY k") ===
+      Seq(Row(0L, 0L), Row(2L, 9L), Row(3L, 0L), Row(4L, 0L), Row(5L, 0L)))
+    // exact update pairs still classify on the mapped table (v4 = the
+    // UPDATE; v3 was the DELETE)
+    val l = log("db/rm")
+    val pairs = ChangeFeed.between(spark, l, 3, 4)
+      .select("_change_type", "k", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set(("update_preimage", 2L, 0L), ("update_postimage", 2L, 9L)))
+  }
+
+  test("compaction preserves physical names on a mapped table") {
+    sql("CREATE TABLE altlake.db.cm (k BIGINT, v BIGINT)")
+    sql("INSERT INTO altlake.db.cm VALUES (1, 10)")
+    sql("INSERT INTO altlake.db.cm VALUES (2, 20)")
+    sql("ALTER TABLE altlake.db.cm RENAME COLUMN v TO amount")
+    sql("INSERT INTO altlake.db.cm VALUES (3, 30)")
+    val l = log("db/cm")
+    assert(Compaction.compact(spark, l, smallBytes = 1L << 20, targetBytes = 1L << 20))
+    assert(l.currentDirs().size === 1)
+    assert(rows("SELECT k, amount FROM altlake.db.cm ORDER BY k") ===
+      Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)))
+    // the compacted file carries the PHYSICAL name (v), so later mapped
+    // reads keep resolving
+    sql("INSERT INTO altlake.db.cm VALUES (4, 40)")
+    assert(rows("SELECT amount FROM altlake.db.cm WHERE k = 4") === Seq(Row(40L)))
   }
 
   test("SET TBLPROPERTIES flips delete mode to merge-on-read") {

@@ -14,10 +14,12 @@ class ChangeFeedSpec extends LakeSpec {
   private def feed(table: String, s: Long, e: Long): DataFrame =
     ChangeFeed.between(spark, log(table), s, e)
 
-  /** Net effect of the feed: per distinct row, inserts minus deletes. */
+  /** Net effect of the feed: per distinct row, additions (inserts and
+    * update post-images) minus retractions (deletes and pre-images).
+    */
   private def net(df: DataFrame, keyCols: String*): Seq[Row] =
     df.groupBy(keyCols.map(col): _*)
-      .agg(sum(when(col(ChangeFeed.TypeCol) === "insert", 1)
+      .agg(sum(when(col(ChangeFeed.TypeCol).isin("insert", "update_postimage"), 1)
         .otherwise(-1)).as("n"))
       .where(col("n") =!= 0)
       .orderBy(keyCols.map(col): _*)
@@ -132,18 +134,98 @@ class ChangeFeedSpec extends LakeSpec {
     assert(e.getMessage.contains("no version"))
   }
 
-  test("mor MERGE feeds its exact delta: vector growth plus staged inserts") {
+  test("mor MERGE feeds exact update pairs plus plain inserts") {
     sql("CREATE TABLE cdflake.db.g (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
     sql("INSERT INTO cdflake.db.g SELECT id, 0 FROM range(0, 6)")   // v1
     sql("MERGE INTO cdflake.db.g t USING (SELECT id k, 9 v FROM range(4, 8)) s " +
       "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
       "WHEN NOT MATCHED THEN INSERT *")                             // v2
+    // row lineage through the commit's #cdc markers: updated rows emit as
+    // exact pre/post-image pairs, NOT MATCHED inserts stay plain inserts
     val f = feed("db/g", 1, 2).select("k", "v", "_change_type")
     assert(f.collect().toSet === Set(
-      Row(4L, 0L, "delete"), Row(5L, 0L, "delete"),   // shadowed via vector
-      Row(4L, 9L, "insert"), Row(5L, 9L, "insert"),   // reinserts
+      Row(4L, 0L, "update_preimage"), Row(5L, 0L, "update_preimage"),
+      Row(4L, 9L, "update_postimage"), Row(5L, 9L, "update_postimage"),
       Row(6L, 9L, "insert"), Row(7L, 9L, "insert")))  // new keys
     assert(net(feed("db/g", 0, 2), "k", "v").size === 8)
+  }
+
+  test("mor MERGE splits DELETE-action rows from update pre-images per position") {
+    sql("CREATE TABLE cdflake.db.gm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
+    sql("INSERT INTO cdflake.db.gm SELECT id, 0 FROM range(0, 8)")  // v1
+    // one MERGE mixing all three actions: k in 2,3 updated, k in 4,5
+    // deleted, k in 8,9 inserted — one growth vector, two staged dirs
+    sql("MERGE INTO cdflake.db.gm t USING (SELECT id k, 9 v FROM range(2, 10)) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND t.k < 4 THEN UPDATE SET v = s.v " +
+      "WHEN MATCHED AND t.k < 6 THEN DELETE " +
+      "WHEN NOT MATCHED AND s.k >= 8 THEN INSERT *")                // v2
+    assert(log("db/gm").opAt(2).contains("MERGE (merge-on-read)"))
+    assert(log("db/gm").cdcAt(2).isDefined, "MERGE records #cdc markers")
+    val f = feed("db/gm", 1, 2).select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f === Set(
+      ("update_preimage", 2L, 0L), ("update_preimage", 3L, 0L),
+      ("update_postimage", 2L, 9L), ("update_postimage", 3L, 9L),
+      ("delete", 4L, 0L), ("delete", 5L, 0L),
+      ("insert", 8L, 9L), ("insert", 9L, 9L)))
+    // full replay still reconstructs the live snapshot
+    assert(net(feed("db/gm", 0, 2), "k", "v").map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      sql("SELECT k, v FROM cdflake.db.gm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("mor MERGE classification survives the fully-deleted-dir collapse") {
+    sql("CREATE TABLE cdflake.db.gf (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
+    sql("INSERT INTO cdflake.db.gf SELECT id, 0 FROM range(0, 4)")  // v1: one dir
+    // every row of the dir is touched: k 0,1 updated + k 2,3 deleted ->
+    // the dir collapses out of the manifest; classification must come
+    // from the pre-image vector on the REMOVED dir's then-live rows
+    sql("MERGE INTO cdflake.db.gf t USING (SELECT id k, 9 v FROM range(0, 4)) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND t.k < 2 THEN UPDATE SET v = s.v " +
+      "WHEN MATCHED THEN DELETE")                                   // v2
+    assert(log("db/gf").latestVersion.contains(2L))
+    val f = feed("db/gf", 1, 2).select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f === Set(
+      ("update_preimage", 0L, 0L), ("update_preimage", 1L, 0L),
+      ("update_postimage", 0L, 9L), ("update_postimage", 1L, 9L),
+      ("delete", 2L, 0L), ("delete", 3L, 0L)))
+    assert(sql("SELECT k, v FROM cdflake.db.gf").collect().toSet ===
+      Set(Row(0L, 9L), Row(1L, 9L)))
+  }
+
+  test("vacuum keeps pre-image vectors of kept versions, reclaims dropped ones") {
+    sql("CREATE TABLE cdflake.db.gv (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
+    sql("INSERT INTO cdflake.db.gv SELECT id, 0 FROM range(0, 6)")  // v1
+    sql("INSERT INTO cdflake.db.gv VALUES (100, 0)")                // v2
+    sql("MERGE INTO cdflake.db.gv t USING (SELECT id k, 9 v FROM range(0, 2)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")          // v3: pre vector
+    // keep v2+v3: v3's #cdcpre vector must survive (its change rows are
+    // still replayable), and the (2, 3] replay still classifies
+    log("db/gv").vacuum(keepVersions = 2, orphanRetentionMs = 0)
+    val f = feed("db/gv", 2, 3).select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(f === Set(
+      ("update_preimage", 0L), ("update_preimage", 1L),
+      ("update_postimage", 0L), ("update_postimage", 1L)))
+    // another MERGE + vacuum down to the last version: the OLD pre vector
+    // is referenced only by dropped manifests now and is reclaimed
+    val preOf3 = log("db/gv").cdcAt(3).get.preImageDvByDir.values.head
+    sql("MERGE INTO cdflake.db.gv t USING (SELECT id k, 8 v FROM range(2, 4)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")          // v4
+    log("db/gv").vacuum(keepVersions = 1, orphanRetentionMs = 0)
+    val fs = new org.apache.hadoop.fs.Path(preOf3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(preOf3)),
+      "superseded pre-image vector reclaimed")
+    val preOf4 = log("db/gv").cdcAt(4).get.preImageDvByDir.values.head
+    assert(fs.exists(new org.apache.hadoop.fs.Path(preOf4)),
+      "live pre-image vector kept")
   }
 }

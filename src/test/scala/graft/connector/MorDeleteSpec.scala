@@ -198,7 +198,8 @@ class MorDeleteSpec extends LakeSpec {
     val file = fs.listStatus(new org.apache.hadoop.fs.Path(pinned.head.dir))
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     val ex = intercept[java.util.ConcurrentModificationException](
-      stale.commit(Array(DvDeltaMessage(Map(file.toString -> Array(0L)), null))))
+      stale.commit(Array(DvDeltaMessage(Map(file.toString -> Array(0L)),
+        Map.empty, 0, Array.emptyLongArray, 0L, null))))
     assert(ex.getMessage.contains("deletion vector changed"))
   }
 
