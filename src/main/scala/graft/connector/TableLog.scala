@@ -177,7 +177,7 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   /** The listing-based resolution (the hint's fallback, and the probe's
     * reference implementation).
     */
-  private[connector] def listedLatestVersion: Option[Long] = {
+  def listedLatestVersion: Option[Long] = {
     val root = new Path(tableDir)
     if (!fs.exists(root)) return None
     val vs = fs.listStatus(root).iterator

@@ -83,6 +83,42 @@ class CdcApplySpec extends LakeSpec {
     assert(rows("SELECT v FROM cdclake.db.d3 WHERE k = 1") === Seq(Row(5L)))
   }
 
+  test("a mor MERGE feeds APPLY CHANGES with exact pre/post pairs") {
+    // the upstream table replicates via MERGE (mixed update/delete/insert
+    // in one commit); its row-lineage markers classify the feed into exact
+    // update pairs + plain deletes/inserts, and APPLY CHANGES folds them
+    // into a converged replica through a live stream
+    sql("CREATE TABLE cdclake.db.sm9 (k BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('graft.merge.mode'='merge-on-read')")
+    sql("CREATE TABLE cdclake.db.dm9 (k BIGINT, v BIGINT)")
+    sql("INSERT INTO cdclake.db.sm9 SELECT id, 0 FROM range(0, 8)")
+    val src = spark.readStream.option("startVersion", "0")
+      .table("cdclake.db.sm9.changes")
+    val q = CdcApply.applyChanges(src, "cdclake.db.dm9", Seq("k"),
+      tmp("cdc-merge-ckpt"))
+    try {
+      q.processAllAvailable()
+      sql("MERGE INTO cdclake.db.sm9 t USING (SELECT id k, 9 v FROM range(2, 10)) s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED AND t.k < 4 THEN UPDATE SET v = s.v " +
+        "WHEN MATCHED AND t.k < 6 THEN DELETE " +
+        "WHEN NOT MATCHED AND s.k >= 8 THEN INSERT *")
+      q.processAllAvailable()
+      // the stream saw exact pairs, not the old net-effect mix
+      val v2 = spark.read.option("startVersion", "1").option("endVersion", "2")
+        .table("cdclake.db.sm9.changes")
+        .select("_change_type", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(v2 === Set(
+        ("update_preimage", 2L), ("update_preimage", 3L),
+        ("update_postimage", 2L), ("update_postimage", 3L),
+        ("delete", 4L), ("delete", 5L),
+        ("insert", 8L), ("insert", 9L)))
+      assertReplicaMatches("cdclake.db.sm9", "cdclake.db.dm9")
+      assert(rows("SELECT v FROM cdclake.db.dm9 WHERE k = 2") === Seq(Row(9L)))
+    } finally q.stop()
+  }
+
   // ---- SEQUENCE BY -----------------------------------------------------------
 
   /** A synthetic change frame (no source table needed): rows of
