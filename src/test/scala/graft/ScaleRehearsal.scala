@@ -72,14 +72,24 @@ object ScaleRehearsal {
     if (withRelational) {
       val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
       val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+      val cust = spark.read.parquet(s"$srcDir/customer.parquet")
       (0 until replicas).map(k =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * Off)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      // o_custkey offsets WITH the customer replicas: per-customer order
+      // density stays constant while the key population grows 10x — the
+      // same growth model as the content replicas (the CDC apply scale
+      // probes key on these)
       (0 until replicas).map(k =>
-        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * Off)))
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * Off))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * Off)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      (0 until replicas).map(k =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(k * Off)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     }
   }
 
