@@ -23,19 +23,20 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampT
   * Every emitted row carries `_commit_version` and `_commit_timestamp`
   * (manifest mtime — the rename is the commit).
   *
-  * A merge-on-read UPDATE commit (op marker `#op UPDATE` in its manifest)
-  * emits Delta's update change types instead: its vector growth /
-  * collapsed dirs as `update_preimage` and its staged reinsert dir as
-  * `update_postimage` — exact row-matched pairs, paired by the shared
-  * `_commit_version`, because that writer stages nothing else. Everything
-  * else stays NET-EFFECT retraction: a copy-on-write UPDATE appears as
-  * delete(old dir's live rows) + insert(new dir's rows) (unmatched rows
-  * are re-inserted verbatim — no row lineage to pair), a mor MERGE keeps
-  * insert/delete (its staged dir mixes reinserts with NOT MATCHED
-  * inserts), and a pure-layout compaction appears as equal-volume
-  * delete+insert churn that nets to zero — the documented price of
-  * computing changes from the log instead of writing Delta's
-  * `_change_data` files on every update.
+  * Merge-on-read UPDATE and MERGE commits emit Delta's update change
+  * types instead — exact row-matched `update_preimage`/`update_postimage`
+  * pairs, paired by the shared `_commit_version`: an UPDATE's writer
+  * stages nothing but reinserts (the op marker suffices), and a MERGE
+  * records per-commit row-lineage markers (`#cdcpre`/`#cdcpost` pre/post
+  * vectors, [[TableLog.cdcAt]]) that split its rows per POSITION into
+  * update pairs vs plain WHEN-MATCHED deletes and NOT-MATCHED inserts.
+  * Copy-on-write rewrites stay NET-EFFECT retraction: a cow UPDATE
+  * appears as delete(old dir's live rows) + insert(new dir's rows)
+  * (unmatched rows are re-inserted verbatim — no row lineage to pair),
+  * and a pure-layout compaction appears as equal-volume delete+insert
+  * churn that nets to zero — the documented price of computing changes
+  * from the log instead of writing Delta's `_change_data` files on every
+  * update.
   *
   * There is ONE emit implementation: the DSv2 partition/reader pipeline
   * in [[ChangeTableRead]] (shared with the streaming face of
