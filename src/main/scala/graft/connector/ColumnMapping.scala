@@ -135,11 +135,15 @@ object ColumnMapping {
   }
 
   /** Rename a DataFrame's columns between name domains (used by the V1
-    * read/write paths — compaction, the upsert merge store).
+    * read/write paths — compaction, the upsert merge store). SIMULTANEOUS
+    * (positional toDF), never a sequential fold: chained renames produce
+    * maps like {b->a, c->b}, where renaming one column at a time collides
+    * with a still-unrenamed sibling and yields duplicate columns. Columns
+    * outside the map (e.g. the z-order tile column) pass through.
     */
   def renameDf(df: DataFrame, map: Map[String, String]): DataFrame =
     if (map.isEmpty) df
-    else map.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    else df.toDF(df.columns.map(c => map.getOrElse(c, c)).toIndexedSeq: _*)
 
   /** Inverse of [[nameMap]]: physical -> logical. */
   def inverseMap(schema: StructType): Map[String, String] =

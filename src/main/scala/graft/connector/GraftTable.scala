@@ -135,24 +135,25 @@ class GraftTable(tableName: String, log: TableLog,
         val ps = scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
         val metaRequested =
           requiredFull.exists(_.fieldNames.exists(GraftDvRead.isMetaCol))
-        val base: Scan =
+        // the logical face of the raw parquet scan, translated ONCE: the
+        // wrapper scans below already report logical names themselves, so
+        // re-applying the inverse map to their output would double-translate
+        // (a chained rename makes one field's logical name another's
+        // physical name — the map is not idempotent)
+        val psLogical =
+          if (nameMap.isEmpty) None
+          else Some(ColumnMapping.rename(ps.readSchema(), inverseMap))
+        val (base: Scan, outerOverride: Option[StructType]) =
           if (metaRequested) {
             val dvs = GraftDvRead.dvByDir(entries, log.hadoopConf)
-            new GraftDvScan(ps, requiredFull.get, dvs, nameMap)
+            (new GraftDvScan(ps, requiredFull.get, dvs, nameMap), None)
           } else if (hasDvs) {
             val dvs = GraftDvRead.dvByDir(entries, log.hadoopConf)
-            new GraftHybridScan(ps, dvs,
-              readSchemaOverride =
-                if (nameMap.isEmpty) None
-                else Some(ColumnMapping.rename(ps.readSchema(), inverseMap)))
-          } else ps
-        // the outermost scan reports LOGICAL names whatever the inner
-        // parquet scan read under (row data is positional)
+            (new GraftHybridScan(ps, dvs, readSchemaOverride = psLogical), None)
+          } else (ps, psLogical)
         new GraftStreamableScan(base, log, delegate,
           streamable = pinnedVersion.isEmpty,
-          readSchemaOverride =
-            if (nameMap.isEmpty) None
-            else Some(ColumnMapping.rename(base.readSchema(), inverseMap)))
+          readSchemaOverride = outerOverride)
       },
       metadataColNames = GraftDvRead.MetaColNames,
       refuseAggregates = hasDvs,

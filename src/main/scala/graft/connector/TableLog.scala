@@ -479,7 +479,14 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val supersededDv: Set[String] =
       (droppedEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName)
         .toSet ++ preDvs(dropped)) -- liveDv
-    dropped.foreach { case (_, p) => fs.delete(p, false) }
+    // delete dropped manifests in ASCENDING version order: it keeps the
+    // `_latest` hint's forward probe sound under a concurrent vacuum — a
+    // stale-low hint either finds its own manifest already gone (falls
+    // back to the listing) or every later manifest still present (probes
+    // to the true latest); lexicographic listing order would let
+    // manifest-10 die before manifest-2, stranding the probe mid-history
+    // where a writer could CAS-resurrect a reclaimed version number
+    dropped.sortBy(_._1).foreach { case (_, p) => fs.delete(p, false) }
     val now = System.currentTimeMillis()
     def reclaim(subdir: String, keep: Set[String], dead: Set[String]): Int = {
       val root = new Path(tableDir, subdir)

@@ -144,6 +144,10 @@ object Sampling {
     val supplies = toks.groupBy(col(sourceCol))
       .agg(sum(col("n_tokens")).cast("long").as("__supply"))
       .collect()
+      // a NULL source key or all-NULL token counts contributed no weight
+      // and joined to no cap under the old window plan — keep that drop
+      // semantics instead of NPE-ing on the driver
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.get(0), math.sqrt(r.getLong(1).toDouble)))
       .sortBy(_._1.toString)
     val wsum = supplies.map(_._2).sum

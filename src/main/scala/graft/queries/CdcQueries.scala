@@ -43,6 +43,10 @@ object CdcQueries {
 
   /** One throwaway catalog per invocation (bench re-measure may run a query
     * twice in one session; unique names keep every run self-contained).
+    * Lifecycle: the temp dir lives until the OS reaps /tmp — the same
+    * contract as every bench/spec checkpoint dir — and the per-invocation
+    * catalog conf entry is a few session-map strings; neither grows within
+    * a run beyond the harness's handful of invocations.
     */
   private def tempCatalog(s: SparkSession): String = {
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(10)

@@ -137,6 +137,34 @@ class AlterTableSpec extends LakeSpec {
     assert(cdf.where("_change_type = 'insert'").count() >= 6)
   }
 
+  test("chained renames (freed name reused) translate simultaneously everywhere") {
+    // b -> c, then a -> b: one field's LOGICAL name is now another's
+    // PHYSICAL name, so any sequential rename or double translation
+    // collides — the review-found failure shape for renameDf and the
+    // outer readSchema override
+    sql("CREATE TABLE altlake.db.ch (a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO altlake.db.ch VALUES (1, 10), (2, 20), (3, 30)")
+    sql("ALTER TABLE altlake.db.ch RENAME COLUMN b TO c")
+    sql("ALTER TABLE altlake.db.ch RENAME COLUMN a TO b")
+    assert(sql("SELECT * FROM altlake.db.ch").schema.fieldNames === Array("b", "c"))
+    assert(rows("SELECT b, c FROM altlake.db.ch ORDER BY b") ===
+      Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)))
+    // a deletion vector forces the hybrid scan (the double-translation
+    // path): schema and values must stay correct
+    sql("DELETE FROM altlake.db.ch WHERE b = 2")
+    assert(sql("SELECT * FROM altlake.db.ch").schema.fieldNames === Array("b", "c"))
+    assert(rows("SELECT b, c FROM altlake.db.ch ORDER BY b") ===
+      Seq(Row(1L, 10L), Row(3L, 30L)))
+    assert(rows("SELECT c FROM altlake.db.ch WHERE b = 3") === Seq(Row(30L)))
+    // compaction's V1 read/write rename must be simultaneous too
+    sql("INSERT INTO altlake.db.ch VALUES (4, 40)")
+    val l = log("db/ch")
+    assert(Compaction.compact(spark, l, smallBytes = 1L << 20, targetBytes = 1L << 20))
+    assert(rows("SELECT b, c FROM altlake.db.ch ORDER BY b") ===
+      Seq(Row(1L, 10L), Row(3L, 30L), Row(4L, 40L)))
+  }
+
   test("mor row-level commands work on a mapped table") {
     sql("CREATE TABLE altlake.db.rm (k BIGINT, v BIGINT) TBLPROPERTIES " +
       "('graft.delete.mode'='merge-on-read','graft.update.mode'='merge-on-read')")
