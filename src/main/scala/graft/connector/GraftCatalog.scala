@@ -316,12 +316,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             props = props + (ColumnMapping.ModeProp -> "id")
             patchClusterBy(c => if (c.equalsIgnoreCase(name)) None else Some(c))
           }
+        case u: TableChange.UpdateColumnType =>
+          require(u.fieldNames.length == 1,
+            s"cannot retype nested column ${u.fieldNames.mkString(".")}: top-level only")
+          val name = u.fieldNames.head
+          val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          require(idx >= 0, s"column $name does not exist in ${fullName(ident)}")
+          val f = sch.fields(idx)
+          // WIDENING only — the conversions Spark 4's parquet readers apply
+          // losslessly when the requested type is wider than the file type
+          // (and which the committed stats absorb for free: int32/int64
+          // footers both canonicalize to the "long" stats domain, float and
+          // double to "double", so dir pruning is unaffected). Anything
+          // else would reinterpret already-written bytes.
+          import org.apache.spark.sql.types._
+          val widens = (f.dataType, u.newDataType) match {
+            case (ByteType, ShortType | IntegerType | LongType) => true
+            case (ShortType, IntegerType | LongType) => true
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          require(widens,
+            s"ALTER COLUMN TYPE only widens (byte/short/int -> wider integral, " +
+              s"float -> double): ${f.dataType.simpleString} -> " +
+              s"${u.newDataType.simpleString} would reinterpret written bytes")
+          sch = StructType(sch.fields.updated(idx, f.copy(dataType = u.newDataType)))
         case p: TableChange.SetProperty => props = props + (p.property -> p.value)
         case p: TableChange.RemoveProperty => props = props - p.property
         case other => throw new UnsupportedOperationException(
           s"ALTER TABLE change not supported on graft-lake tables: $other " +
             "(ADD COLUMNS of nullable appended columns, RENAME COLUMN, " +
-            "DROP COLUMN, and SET/UNSET TBLPROPERTIES)")
+            "DROP COLUMN, widening ALTER COLUMN TYPE, and SET/UNSET TBLPROPERTIES)")
       }
       val entries = expected.map(l.entriesAt).getOrElse(Nil)
       done = l.tryCommitEntriesMeta(expected, entries, Some((sch, props)),

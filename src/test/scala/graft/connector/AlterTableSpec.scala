@@ -183,6 +183,44 @@ class AlterTableSpec extends LakeSpec {
     assert(pairs === Set(("update_preimage", 2L, 0L), ("update_postimage", 2L, 9L)))
   }
 
+  test("ALTER COLUMN TYPE widens int->long and float->double in place") {
+    sql("CREATE TABLE altlake.db.w (k INT, x FLOAT, v STRING)")
+    sql("INSERT INTO altlake.db.w VALUES (1, cast(1.5 as float), 'a'), " +
+      "(2147483647, cast(2.5 as float), 'b')")
+    sql("ALTER TABLE altlake.db.w ALTER COLUMN k TYPE BIGINT")
+    sql("ALTER TABLE altlake.db.w ALTER COLUMN x TYPE DOUBLE")
+    assert(sql("SELECT * FROM altlake.db.w").schema.map(_.dataType.simpleString) ===
+      Seq("bigint", "double", "string"))
+    // old int32/float files read under the widened type
+    assert(rows("SELECT k, x FROM altlake.db.w ORDER BY k") ===
+      Seq(Row(1L, 1.5d), Row(2147483647L, 2.5d)))
+    // new writes exceed the old domain; mixed-layout reads and pushdown work
+    sql("INSERT INTO altlake.db.w VALUES (9999999999, 9.5, 'c')")
+    assert(rows("SELECT k FROM altlake.db.w WHERE k > 2147483647") ===
+      Seq(Row(9999999999L)))
+    assert(rows("SELECT v FROM altlake.db.w WHERE x = 2.5") === Seq(Row("b")))
+    // row-level rewrite across mixed layouts
+    sql("UPDATE altlake.db.w SET v = 'z' WHERE k = 1")
+    assert(rows("SELECT v FROM altlake.db.w WHERE k = 1") === Seq(Row("z")))
+    // compaction merges int32 and int64 files under the widened schema
+    assert(Compaction.compact(spark, log("db/w"),
+      smallBytes = 1L << 20, targetBytes = 1L << 20))
+    assert(rows("SELECT sum(k) s FROM altlake.db.w") ===
+      Seq(Row(1L + 2147483647L + 9999999999L)))
+    // narrowing and reinterpretation are refused — Spark's analyzer already
+    // rejects non-up-casts (NOT_SUPPORTED_CHANGE_COLUMN); the catalog guard
+    // covers the up-casts the analyzer would allow but parquet cannot serve
+    // losslessly from written bytes (e.g. int -> double)
+    def refuses(ddl: String): Unit = {
+      val e = intercept[Exception](sql(ddl))
+      assert(e.getMessage.contains("widens") ||
+        e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+    }
+    refuses("ALTER TABLE altlake.db.w ALTER COLUMN k TYPE INT")
+    refuses("ALTER TABLE altlake.db.w ALTER COLUMN v TYPE BIGINT")
+    refuses("ALTER TABLE altlake.db.w ALTER COLUMN k TYPE DOUBLE")
+  }
+
   test("compaction preserves physical names on a mapped table") {
     sql("CREATE TABLE altlake.db.cm (k BIGINT, v BIGINT)")
     sql("INSERT INTO altlake.db.cm VALUES (1, 10)")
