@@ -235,8 +235,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * The new schema/properties commit as a manifest meta header through
     * the same CAS as data commits, so an ALTER serializes with concurrent
     * writes and time travel reads every snapshot under its own schema
-    * (and its own mapping). Type changes are refused — they would
-    * reinterpret already-written bytes.
+    * (and its own mapping). `ALTER COLUMN TYPE` is accepted only for the
+    * lossless parquet WIDENINGS (byte/short/int -> wider integral,
+    * float -> double — the reader upcasts, no bytes rewritten); any other
+    * type change is refused, it would reinterpret already-written bytes.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val l = log(ident)
@@ -331,6 +333,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // else would reinterpret already-written bytes.
           import org.apache.spark.sql.types._
           val widens = (f.dataType, u.newDataType) match {
+            case (a, b) if a == b => true   // identity: replayed DDL no-ops
             case (ByteType, ShortType | IntegerType | LongType) => true
             case (ShortType, IntegerType | LongType) => true
             case (IntegerType, LongType) => true

@@ -167,7 +167,14 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
           else {
             var v = h
             while (fs.exists(manifestPath(v + 1))) v += 1
-            Some(v)
+            // the probe's two observations are not atomic against a
+            // concurrent vacuum: a stale-low hint could pass its own
+            // existence check an instant before vacuum (ascending, see
+            // [[vacuum]]) reclaims it and its successor. Re-checking the
+            // RESOLVED version closes that window — a vanished resolved
+            // manifest means the probe straddled a vacuum and the listing
+            // (whose max is always a vacuum-kept version) must decide.
+            if (fs.exists(manifestPath(v))) Some(v) else None
           }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -479,13 +486,16 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val supersededDv: Set[String] =
       (droppedEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName)
         .toSet ++ preDvs(dropped)) -- liveDv
-    // delete dropped manifests in ASCENDING version order: it keeps the
-    // `_latest` hint's forward probe sound under a concurrent vacuum — a
-    // stale-low hint either finds its own manifest already gone (falls
-    // back to the listing) or every later manifest still present (probes
-    // to the true latest); lexicographic listing order would let
-    // manifest-10 die before manifest-2, stranding the probe mid-history
-    // where a writer could CAS-resurrect a reclaimed version number
+    // delete dropped manifests in ASCENDING version order: at every
+    // instant "manifest-k exists => manifest-(k+1) exists (or k is the
+    // latest)", so the `_latest` hint's forward probe cannot strand
+    // mid-history — a stale-low hint either finds its own manifest gone
+    // (falls back to the listing) or probes to the true latest.
+    // Lexicographic listing order would let manifest-10 die before
+    // manifest-2, breaking that invariant where a writer could then
+    // CAS-resurrect a reclaimed version number. The probe's own
+    // resolved-version re-check (see latestVersion) covers the residual
+    // non-atomic-observation window.
     dropped.sortBy(_._1).foreach { case (_, p) => fs.delete(p, false) }
     val now = System.currentTimeMillis()
     def reclaim(subdir: String, keep: Set[String], dead: Set[String]): Int = {

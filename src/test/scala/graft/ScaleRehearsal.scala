@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *    original), preserving norms and within-replica geometry while
   *    scattering replicas apart in cosine space — same rationale;
   *  - plain key offsets for lineitem/orders (hot keys replicate as 10
-  *    distinct hot keys).
+  *    distinct hot keys), and since round 12 a replicated `customer` with
+  *    `c_custkey`/`o_custkey` offsets (constant per-customer order density,
+  *    10x the key population — what the CDC apply probes key on).
   */
 object ScaleRehearsal {
   private val Off = 1000000L
