@@ -24,7 +24,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *    only a query slower RELATIVE TO THE REST of the suite can fire;
   *  - flagged queries are re-measured once at the end of the run and the
   *    min of the two CPU samples decides — a real regression persists, a
-  *    contention spike usually does not.
+  *    contention spike usually does not;
+  *  - a regression surviving the min-of-two WHILE the suite still reads
+  *    contended gets up to two cooldown-then-full-suite backoff passes
+  *    (30 s, then 120 s — r12's contention outlasted both immediate
+  *    windows): the run only fails on a regression that survives a
+  *    quiet(er) window, or one that persists with the suite reading idle.
   *
   * The RECORD tells the same truth as the gate (round-10 lesson: the
   * driver's BENCH_r10 shipped a 2.76x wall ratio built from contended
@@ -293,16 +298,21 @@ object Bench {
       (n, secs)
     }
 
-    defStream("catalog_cdf") { _ =>
+    defStream("catalog_cdf") { tag =>
       // batch change-data-feed replay rate over the table the changefeed
       // bench just built (8 append versions + its own mor-delete commit).
-      // A re-run reuses the same base table: the repeated DELETE matches
-      // nothing (no new version), so the 44000-row replay is identical.
+      // The ALTER + DELETE run only on the first (empty-tag) pass: a re-run
+      // replays the identical 44000-row feed over the same versions — the
+      // repeated DELETE would match nothing, but the repeated ALTER commits
+      // a meta-only version each time, so the re-measured range would
+      // silently cover one more version than the first pass.
       val log = new graft.connector.TableLog(s"$cfRoot/t",
         spark.sparkContext.hadoopConfiguration)
-      spark.sql("ALTER TABLE benchcf.t " +
-        "SET TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
-      spark.sql("DELETE FROM benchcf.t WHERE k % 10 = 3")
+      if (tag.isEmpty) {
+        spark.sql("ALTER TABLE benchcf.t " +
+          "SET TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+        spark.sql("DELETE FROM benchcf.t WHERE k % 10 = 3")
+      }
       val latest = log.latestVersion.get
       val t0 = System.nanoTime()
       val changes = graft.connector.ChangeFeed
@@ -491,7 +501,6 @@ object Bench {
           System.err.println(s"[bench] re-measuring ${first.size} flagged " +
             s"queries: " + first.mkString(", "))
           first.foreach(remeasure)
-          flagged.foreach { case (k, r) => regressions(k) = r }
         }
         // ---- streaming-rate guard, the same contention treatment the
         // query section has (r11 shipped cdc_apply at 12x below its idle
@@ -510,26 +519,55 @@ object Bench {
             else None
           }
         }
-        val streamFirst = if (sfMatches) streamFlagged else Nil
-        if (streamFirst.nonEmpty) {
-          System.err.println(s"[bench] re-running ${streamFirst.size} flagged " +
-            "stream benches: " + streamFirst.map(_._1).mkString(", "))
-          streamFirst.foreach { case (k, _) =>
-            try {
-              val (rows, secs) = streamBenches(k)("_r2")
-              val rate2 = if (secs > 0) math.rint(rows / secs) else -1.0
-              if (rate2 > streaming(k)) {
-                if (!contended.contains(s"stream_$k"))
-                  contended(s"stream_$k") = (streaming(k), -1.0)
-                streaming(k) = rate2
-              }
-            } catch {
-              case e: Throwable =>   // keep the first sample; re-run noise only
-                System.err.println(s"[bench] stream_$k re-run FAILED " +
-                  s"(first sample kept): ${e.getClass.getName}: " +
-                  String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+        def rerunStream(k: String, tag: String): Unit =
+          try {
+            val (rows, secs) = streamBenches(k)(tag)
+            val rate2 = if (secs > 0) math.rint(rows / secs) else -1.0
+            if (rate2 > streaming(k)) {
+              if (!contended.contains(s"stream_$k"))
+                contended(s"stream_$k") = (streaming(k), -1.0)
+              streaming(k) = rate2
             }
+          } catch {
+            case e: Throwable =>   // keep the first sample; re-run noise only
+              System.err.println(s"[bench] stream_$k re-run FAILED " +
+                s"(first sample kept): ${e.getClass.getName}: " +
+                String.valueOf(e.getMessage).linesIterator.take(1).mkString)
           }
+        if (sfMatches && streamFlagged.nonEmpty) {
+          System.err.println(s"[bench] re-running ${streamFlagged.size} flagged " +
+            "stream benches: " + streamFlagged.map(_._1).mkString(", "))
+          streamFlagged.foreach { case (k, _) => rerunStream(k, "_r2") }
+        }
+        // ---- backoff passes: BENCH_r12 failed rc=1 on machine contention
+        // that outlasted BOTH the first samples and the immediate re-measure
+        // (every window of the run was contended — the record itself said
+        // contention_suspected:true, and the same HEAD idled at 1.06x). A
+        // regression that survives the min-of-two while the WHOLE suite
+        // still reads contended is far more likely that same contention
+        // than a code change, so: cool down (exponential backoff), then
+        // re-measure the FULL suite (per-query min decides, so cr itself
+        // comes back honest) and re-run the flagged streams. Only a
+        // regression that survives a quiet(er) window — cr back under the
+        // suspect ratio, or all backoff passes exhausted — fails the run.
+        var cooldownMs = 30000L
+        var backoffPass = 0
+        while (sfMatches && backoffPass < 2 &&
+               (flagged.nonEmpty || streamFlagged.nonEmpty) &&
+               cr > ContentionSuspectRatio) {
+          backoffPass += 1
+          System.err.println(s"[bench] ${flagged.size} query + " +
+            s"${streamFlagged.size} stream regressions survive re-measure " +
+            s"while the suite reads contended (cpu_ratio $cr); cooling down " +
+            s"${cooldownMs / 1000}s, then full-suite backoff pass $backoffPass")
+          Thread.sleep(cooldownMs)
+          cooldownMs *= 4
+          SparkEntry.queries.keys.toSeq.sorted
+            .filter(k => wall.getOrElse(k, -1.0) >= 0).foreach(remeasure)
+          streamFlagged.foreach { case (k, _) => rerunStream(k, s"_b$backoffPass") }
+        }
+        if (sfMatches) {
+          flagged.foreach { case (k, r) => regressions(k) = r }
           streamFlagged.foreach { case (k, r) => regressions(s"stream_$k") = r }
         }
         // the reported flag reflects the POST-re-measure state: a first
@@ -600,7 +638,7 @@ object Bench {
         s""""n_queries":${wall.size},"queries":${jsonMap(kw)},""" +
         s""""cpu":${jsonMap(kc)},"total_cpu":$totalCpu,""" +
         s""""queries_elided":${wall.size - kw.size},""" +
-        s""""detail":"BENCH_local.json",""" +
+        s""""detail":"BENCH_last_run.json",""" +
         s""""streaming":${jsonMap(streaming)},"baseline":$baselineJson,""" +
         s""""regressions":${jsonMap(regressions)},"errors":$errJson,""" +
         s""""sf":"$sfDir","cpus":"$cpus"}"""
@@ -610,10 +648,14 @@ object Bench {
     println(stdoutLine)
     // working-dir copy of the FULL line (overridable via
     // SPARK_GRAFT_BENCH_OUT) so per-query numbers survive any stdout
-    // truncation between this JVM and the round's BENCH snapshot
+    // truncation between this JVM and the round's BENCH snapshot.
+    // UNTRACKED path (.gitignored): three rounds running, the fixed-path
+    // backup landing on BENCH_local.json dirtied the committed idle record
+    // on every driver/sanity run — BENCH_local.json is now exclusively the
+    // hand-frozen idle record, re-written only via SPARK_GRAFT_BENCH_OUT.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_run.json")),
       line + "\n")
     catch { case _: Throwable => () }
     spark.stop()

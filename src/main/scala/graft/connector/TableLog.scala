@@ -196,13 +196,24 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
   /** Best-effort `_latest` hint refresh after a successful commit: a plain
     * overwrite (readers tolerate torn content by falling back), and any
-    * failure is swallowed — the commit already succeeded.
+    * failure never fails the commit — but the FIRST failure per table logs
+    * one warning: a persistently failing hint write (e.g. permissions on
+    * `_latest`) silently degrades every table load to the stale-hint
+    * forward probe or the full O(versions) listing, and without a signal
+    * nobody would ever notice the optimization is off.
     */
   private def updateLatestHint(v: Long): Unit =
     try {
       val out = fs.create(latestHintPath, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (TableLog.hintWriteWarned.add(tableDir))
+          System.err.println(s"[graft-lake] WARN: _latest hint write failed " +
+            s"for $tableDir (${e.getClass.getName}: ${e.getMessage}); commits " +
+            "are unaffected but latest-version resolution degrades to " +
+            "probing/listing until hint writes succeed (warned once per table)")
+    }
 
   /** Data directories + their committed column stats at version `v`, in
     * manifest order. Manifest line format: `relDir` alone (no stats — the
@@ -519,6 +530,13 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 }
 
 object TableLog {
+
+  /** Tables whose `_latest` hint write has already logged its one warning
+    * (process-wide: the condition is environmental, warning per-instance
+    * would re-spam on every new TableLog handle).
+    */
+  private val hintWriteWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** One row of [[TableLog.history]]. `operation` = the commit's `#op`
     * marker (None on pre-marker history — markers arrived with the CDC
