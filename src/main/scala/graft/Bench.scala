@@ -64,6 +64,21 @@ object Bench {
     */
   final val ContentionSuspectRatio = 1.5
 
+  /** Companion contention signals (BENCH_r13 failed rc=1 at cpu_ratio 1.311
+    * — under the suspect ratio — while 110/130 entries carried contended
+    * provenance and streaming ran at 0.478x; all three surviving flags were
+    * idle-clean at the same HEAD). Min-merging pulls cpu_ratio back toward
+    * idle even when the whole window was hot, so suspicion also fires when
+    * more than this fraction of measured entries re-measured LOWER ...
+    */
+  final val ContendedFractionTrigger = 0.25
+
+  /** ... or when the suite streaming rate (wall-clock-bound, so external
+    * load depresses it and min-merging can't repair it) falls below this
+    * fraction of its idle baseline.
+    */
+  final val StreamingContentionRatio = 0.7
+
   /** Wall-time outlier trigger: a query whose WALL exceeds this multiple of
     * its baseline wall is re-measured even when the cpu-normalized gate
     * stayed quiet — a sub-second query can ship a contended wall sample
@@ -192,9 +207,29 @@ object Bench {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
 
+    // State-partition sizing: the stream benches feed ~5k-row micro-batches,
+    // and a stateful micro-batch pays per-STATE-PARTITION fixed cost every
+    // trigger (one task + one state-store open/commit + checkpoint delta
+    // file per partition per batch). At 32 partitions that fixed cost
+    // dominates — measured on latest_wins (idle box, 40k rows / 8 batches):
+    // 32 parts ~1.1-1.4 s/batch and wildly load-sensitive (414-4,423 rows/s
+    // across identical runs); 8 parts ~0.35 s/batch, 11.9-13.1k rows/s,
+    // stable even under load; 4 parts re-serializes (8.3k). This mirrors
+    // production practice: state partitions are sized to micro-batch
+    // volume, not executor count (the session's 32 stays right for the
+    // batch suite reading sf0.1 parquet). min(8, cpus) so local[4] sanity
+    // runs keep their thread count. Set per stream-bench invocation (and
+    // restored after) because backoff re-runs interleave with batch
+    // re-measures that must keep the session default.
+    val streamParts = math.min(8, cpus.toInt).toString
     val streamBenches = scala.collection.mutable.LinkedHashMap[String, String => (Long, Double)]()
     def defStream(name: String)(run: String => (Long, Double)): Unit =
-      streamBenches(name) = run
+      streamBenches(name) = { tag =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+        try run(tag)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
 
     defStream("latest_wins") { _ =>
       import spark.implicits._
@@ -406,8 +441,9 @@ object Bench {
     var baselineJson = "null"
     val regressions = scala.collection.mutable.LinkedHashMap[String, Double]()
     // first samples superseded by a re-measure min — kept for provenance in
-    // the full (BENCH_local.json) line so a contended run's raw numbers
-    // stay inspectable without ever being mistaken for the record
+    // the full line (untracked BENCH_last_run.json, or wherever
+    // SPARK_GRAFT_BENCH_OUT points) so a contended run's raw numbers stay
+    // inspectable without ever being mistaken for the record
     val contended = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val baseFile = new java.io.File(baselinePath)
     if (baseFile.isFile) {
@@ -441,6 +477,35 @@ object Bench {
         def wr = ratio(okWall, bWall, okWall.keys.filter(bWall.contains))
         def cr = ratio(okCpu, bCpu,
           okCpu.keys.filter(k => bCpu.getOrElse(k, 0.0) > 0))
+        val bStream = sect("streaming")
+        // streaming ratio: current/baseline rate summed over compared
+        // streams — ABOVE 1 is faster (rates, not times)
+        def sr = {
+          val ks = streaming.keys.filter(k =>
+            streaming(k) > 0 && bStream.getOrElse(k, 0.0) > 0).toSeq
+          if (ks.isEmpty) -1.0
+          else r3(ks.map(streaming).sum / ks.map(bStream).sum)
+        }
+        // Contention is MULTI-SIGNAL (BENCH_r13 lesson: the run failed rc=1
+        // with cpu_ratio 1.311 < 1.5 while 110/130 queries carried
+        // contended provenance and streaming ran at 0.478x baseline — every
+        // flag idle-clean at the same HEAD). cpu_ratio alone under-reads
+        // contention because min-merging the re-measure samples pulls it
+        // back toward idle even when the whole window was hot, so the
+        // suspicion predicate also fires on:
+        //  - contended-provenance FRACTION: the share of measured entries
+        //    whose re-measure came back lower — a large fraction means the
+        //    first pass as a whole was inflated, whatever cr now reads;
+        //  - streaming ratio: rates are wall-clock-bound, so external load
+        //    depresses them suite-wide and min-merging can't hide it.
+        def contendedFraction = {
+          val n = okWall.size + streaming.count(_._2 > 0)
+          if (n == 0) 0.0 else r3(contended.size.toDouble / n)
+        }
+        def suiteContended: Boolean =
+          cr > ContentionSuspectRatio ||
+            contendedFraction > ContendedFractionTrigger ||
+            { val s = sr; s >= 0 && s < StreamingContentionRatio }
         /** Min-merge one re-measure sample into the deciding maps. The
           * provenance entry is insert-once: a query re-measured twice
           * (contention pass, then flagged pass) must keep its TRUE first
@@ -460,13 +525,16 @@ object Bench {
             catch { case _: Throwable => false }
           if (ok) decide(k, (System.nanoTime() - t0) / 1e9, processCpuSec() - c0)
         }
-        // a suite-wide CPU ratio far above idle means the MACHINE was busy,
-        // not the code: re-measure everything once and let per-query mins
-        // decide, so the record the driver parses is the honest one
-        if (sfMatches && cr > ContentionSuspectRatio) {
-          System.err.println(s"[bench] suite cpu_ratio $cr > " +
-            s"$ContentionSuspectRatio vs idle baseline — contention " +
-            "suspected; re-measuring the full suite (per-query min decides)")
+        // a suite-wide signal far above idle (CPU ratio, or a depressed
+        // streaming rate — rates see wall-clock contention CPU time hides)
+        // means the MACHINE was busy, not the code: re-measure everything
+        // once and let per-query mins decide, so the record the driver
+        // parses is the honest one
+        if (sfMatches && suiteContended) {
+          System.err.println(s"[bench] contention suspected (cpu_ratio $cr, " +
+            s"streaming_ratio $sr, contended_fraction $contendedFraction) " +
+            "vs idle baseline; re-measuring the full suite " +
+            "(per-query min decides)")
           SparkEntry.queries.keys.toSeq.sorted
             .filter(k => wall.getOrElse(k, -1.0) >= 0).foreach(remeasure)
         }
@@ -509,7 +577,6 @@ object Bench {
         // machine load doesn't fire it — re-runs that bench once, the MAX
         // rate decides (rates invert the min-of-two rule), and a ratio that
         // SURVIVES the re-run regresses the run like a query would ----
-        val bStream = sect("streaming")
         def streamFlagged: Seq[(String, Double)] = {
           val norm = math.max(1.0, cr)
           streaming.toSeq.flatMap { case (k, rate) =>
@@ -554,12 +621,14 @@ object Bench {
         var backoffPass = 0
         while (sfMatches && backoffPass < 2 &&
                (flagged.nonEmpty || streamFlagged.nonEmpty) &&
-               cr > ContentionSuspectRatio) {
+               suiteContended) {
           backoffPass += 1
           System.err.println(s"[bench] ${flagged.size} query + " +
             s"${streamFlagged.size} stream regressions survive re-measure " +
-            s"while the suite reads contended (cpu_ratio $cr); cooling down " +
-            s"${cooldownMs / 1000}s, then full-suite backoff pass $backoffPass")
+            s"while the suite reads contended (cpu_ratio $cr, " +
+            s"streaming_ratio $sr, contended_fraction $contendedFraction); " +
+            s"cooling down ${cooldownMs / 1000}s, then full-suite backoff " +
+            s"pass $backoffPass")
           Thread.sleep(cooldownMs)
           cooldownMs *= 4
           SparkEntry.queries.keys.toSeq.sorted
@@ -570,21 +639,20 @@ object Bench {
           flagged.foreach { case (k, r) => regressions(k) = r }
           streamFlagged.foreach { case (k, r) => regressions(s"stream_$k") = r }
         }
-        // the reported flag reflects the POST-re-measure state: a first
-        // pass that read hot but whose mins came back to ~1x was transient
-        // warm-up/JIT noise the re-measure absorbed; a ratio that SURVIVES
-        // the min-of-two (the r10 driver window) is the real signal
-        val contentionSuspected = sfMatches && cr > ContentionSuspectRatio
-        // streaming ratio: current/baseline rate summed over compared
-        // streams — ABOVE 1 is faster (rates, not times)
-        val srKeys = streaming.keys.filter(k =>
-          streaming(k) > 0 && bStream.getOrElse(k, 0.0) > 0).toSeq
-        val sr =
-          if (srKeys.isEmpty) -1.0
-          else r3(srKeys.map(streaming).sum / srKeys.map(bStream).sum)
+        // the reported flag reflects the POST-re-measure state via the same
+        // multi-signal predicate the backoff uses: contended-provenance
+        // fraction and a depressed streaming ratio keep it honest when
+        // min-merging has pulled cpu_ratio back under the suspect bar (the
+        // r13 record shipped contention_suspected:false at cr 1.311 with
+        // 110/130 contended entries). A first pass that read hot but whose
+        // mins came back clean STILL reports suspected=true through the
+        // fraction signal — that is the truth: the window was contended,
+        // the mins are the code's honest numbers.
+        val contentionSuspected = sfMatches && suiteContended
         baselineJson = s"""{"path":"$baselinePath","wall_ratio":$wr,""" +
           s""""cpu_ratio":$cr,"streaming_ratio":$sr,"compared":${
             okCpu.keys.count(k => bCpu.getOrElse(k, 0.0) > 0)},""" +
+          s""""contended_fraction":$contendedFraction,""" +
           s""""contention_suspected":$contentionSuspected""" +
           (if (sfMatches) "}" else ""","sf_mismatch":true}""")
       } catch {
@@ -626,9 +694,12 @@ object Bench {
     // print a line that FITS the window: all aggregates, the streaming
     // section, the baseline ratios, every error/regression, and the
     // slowest queries that fit a ~1600-char budget (the informative tail —
-    // fast queries carry no signal a total doesn't). The complete
-    // per-query maps live in BENCH_local.json, committed at HEAD.
+    // fast queries carry no signal a total doesn't). The complete per-query
+    // maps land in untracked BENCH_last_run.json (or SPARK_GRAFT_BENCH_OUT);
+    // the committed BENCH_local.json is the hand-frozen idle record only.
     val budget = 1600
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_run.json")
     def compactLine(nTop: Int): String = {
       val keep = (errors.keys.toSeq ++
         okWall.toSeq.sortBy(-_._2).take(nTop).map(_._1)).distinct
@@ -638,7 +709,7 @@ object Bench {
         s""""n_queries":${wall.size},"queries":${jsonMap(kw)},""" +
         s""""cpu":${jsonMap(kc)},"total_cpu":$totalCpu,""" +
         s""""queries_elided":${wall.size - kw.size},""" +
-        s""""detail":"BENCH_last_run.json",""" +
+        s""""detail":"$detailPath",""" +
         s""""streaming":${jsonMap(streaming)},"baseline":$baselineJson,""" +
         s""""regressions":${jsonMap(regressions)},"errors":$errJson,""" +
         s""""sf":"$sfDir","cpus":"$cpus"}"""
@@ -654,9 +725,7 @@ object Bench {
     // on every driver/sanity run — BENCH_local.json is now exclusively the
     // hand-frozen idle record, re-written only via SPARK_GRAFT_BENCH_OUT.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_run.json")),
-      line + "\n")
+      java.nio.file.Paths.get(detailPath), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) {

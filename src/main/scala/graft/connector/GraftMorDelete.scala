@@ -112,6 +112,7 @@ private[connector] final case class DvDeltaMessage(deletes: Map[String, Array[Lo
                                                    partitionId: Int,
                                                    postRows: Array[Long],
                                                    stagedRows: Long,
+                                                   reinserts: Long,
                                                    inserts: WriterCommitMessage)
     extends WriterCommitMessage
 
@@ -136,6 +137,35 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
     val dvMessages = messages.map {
       case m: DvDeltaMessage => m
       case other => throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+    // Exact update-pair attribution rides on an UNSPECIFIED physical-plan
+    // property (MergeRowsExec emits a split update's delete+reinsert halves
+    // consecutively — see DvDeltaWriter's doc). Validate it at commit: under
+    // that property every reinsert claims the delete immediately before it,
+    // so per task paired-count == reinsert-count. A gap means a future plan
+    // shape reordered the halves and pairing would FABRICATE update pairs —
+    // fail loudly (nothing is visible yet; the manifest commit hasn't run)
+    // rather than ship wrong lineage. `graft.cdc.exactPairing=false` is the
+    // escape hatch: it skips pair attribution entirely and the change feed
+    // degrades to net-effect rows (plain delete + insert) — still correct
+    // data, weaker lineage. (A plan that reordered halves while keeping a
+    // strict delete/reinsert alternation would evade the count check — rows
+    // carry no identity to catch that — but every shape Spark can plausibly
+    // shift to (batching per side, an exchange between the halves) breaks
+    // alternation and trips it.)
+    val exactPairing =
+      log.properties.getOrElse("graft.cdc.exactPairing", "true").toBoolean
+    if (exactPairing && cmd == RowLevelOperation.Command.MERGE) {
+      dvMessages.filter(m => m.reinserts != m.postRows.length).foreach { m =>
+        throw new IllegalStateException(
+          s"mor MERGE update-pair attribution broke on task ${m.partitionId} " +
+            s"of ${log.tableDir}: ${m.reinserts} reinserted rows but only " +
+            s"${m.postRows.length} paired with an adjacent delete — the " +
+            "physical plan no longer emits a split update's delete+reinsert " +
+            "halves consecutively. Set TBLPROPERTIES " +
+            "('graft.cdc.exactPairing'='false') to fall back to net-effect " +
+            "change rows (no update_pre/postimage pairing) and re-run.")
+      }
     }
     // finalize any reinserted rows in the staged dir first — files only
     // become visible through the manifest commit below
@@ -186,7 +216,7 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
     // (ALL its deletions are update-caused — the op marker says so);
     // DELETE has no reinserts, so updByDir is empty by construction.
     val preDvByDir: Map[String, String] =
-      if (cmd != RowLevelOperation.Command.MERGE) Map.empty
+      if (cmd != RowLevelOperation.Command.MERGE || !exactPairing) Map.empty
       else groupByDir(updByFile).map { case (qdir, vec) =>
         val p = log.newPreDvFile()
         DeletionVector.write(p, log.hadoopConf, vec)
@@ -202,8 +232,8 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
     // call order into its own `part-<partition>-*` files, split by the
     // file counter; the per-task total is cross-checked loudly.
     val postDv: Option[(String, String)] =
-      if (cmd != RowLevelOperation.Command.MERGE || !stagedRows ||
-          !dvMessages.exists(_.postRows.nonEmpty)) None
+      if (cmd != RowLevelOperation.Command.MERGE || !exactPairing ||
+          !stagedRows || !dvMessages.exists(_.postRows.nonEmpty)) None
       else {
         val counts = DirStats.fileRowCounts(staging.get, log.hadoopConf)
         def partOf(name: String): Int = {
@@ -388,6 +418,7 @@ private[connector] class DvDeltaWriter(partitionId: Int,
   }
 
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit = {
+    reinsertCount += 1
     if (hasPending) {
       record(updAcc, pendingFile, pendingPos)
       hasPending = false
@@ -396,10 +427,16 @@ private[connector] class DvDeltaWriter(partitionId: Int,
     stage(row)
   }
 
+  // total reinsert calls, paired or not — the driver commit validates it
+  // against postRows.length (the PAIRED count): a gap means some reinsert
+  // arrived without its delete half immediately before it, i.e. the
+  // MergeRowsExec adjacency this attribution rides on no longer holds
+  private var reinsertCount = 0L
+
   override def commit(): WriterCommitMessage =
     DvDeltaMessage(acc.map { case (f, b) => f -> b.result() }.toMap,
       updAcc.map { case (f, b) => f -> b.result() }.toMap,
-      partitionId, postRows.result(), stagedCount,
+      partitionId, postRows.result(), stagedCount, reinsertCount,
       inserts.map(_.commit()).orNull)
 
   override def abort(): Unit = inserts.foreach(_.abort())

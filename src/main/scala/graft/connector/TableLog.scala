@@ -210,9 +210,11 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       case scala.util.control.NonFatal(e) =>
         if (TableLog.hintWriteWarned.add(tableDir))
           System.err.println(s"[graft-lake] WARN: _latest hint write failed " +
-            s"for $tableDir (${e.getClass.getName}: ${e.getMessage}); commits " +
-            "are unaffected but latest-version resolution degrades to " +
-            "probing/listing until hint writes succeed (warned once per table)")
+            s"for $tableDir (${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString +
+            "); commits are unaffected but latest-version resolution " +
+            "degrades to probing/listing until hint writes succeed " +
+            "(warned once per table)")
     }
 
   /** Data directories + their committed column stats at version `v`, in

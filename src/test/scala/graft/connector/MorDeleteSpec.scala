@@ -199,7 +199,7 @@ class MorDeleteSpec extends LakeSpec {
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     val ex = intercept[java.util.ConcurrentModificationException](
       stale.commit(Array(DvDeltaMessage(Map(file.toString -> Array(0L)),
-        Map.empty, 0, Array.emptyLongArray, 0L, null))))
+        Map.empty, 0, Array.emptyLongArray, 0L, 0L, null))))
     assert(ex.getMessage.contains("deletion vector changed"))
   }
 
