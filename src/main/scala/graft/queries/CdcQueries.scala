@@ -158,6 +158,44 @@ object CdcQueries {
           FROM ev)
         SELECT k, price_micro, seq AS __start_at, end_at AS __end_at
         FROM shaped WHERE ct <> 'delete'
-        ORDER BY k, __start_at"""))
+        ORDER BY k, __start_at""")),
+
+    // ---- COLUMN MAPPING (ColumnMapping.scala): rename + drop + re-add of
+    // a column over LIVE data, then a write through the evolved schema and
+    // a full read back. What the oracle equality certifies: files written
+    // BEFORE the rename read under the new logical name (physical-name
+    // indirection), the re-added `size` reads NULL on pre-drop files
+    // (fresh physical name — stale bytes must NOT resurrect), and rows
+    // written after the evolution carry their real values. The r12 verdict
+    // carried this as the one spec-only connector face; the 130-query
+    // freeze was lifted for exactly this key. ----
+    "x66_column_mapping" -> Q(
+      (s, dir) => {
+        val cat = tempCatalog(s)
+        s.sql(s"CREATE TABLE $cat.m (k BIGINT, name STRING, size BIGINT)")
+        val p = Tables.part(s, dir)
+        val v = s"x66src${java.util.UUID.randomUUID().toString.take(8)}"
+        p.filter(col("p_partkey") % 2 === 0).select(
+          col("p_partkey").as("k"), col("p_name").as("name"),
+          col("p_size").cast("long").as("size"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $cat.m SELECT * FROM $v")
+        s.sql(s"ALTER TABLE $cat.m RENAME COLUMN name TO label")
+        s.sql(s"ALTER TABLE $cat.m DROP COLUMN size")
+        s.sql(s"ALTER TABLE $cat.m ADD COLUMNS (size BIGINT)")
+        p.filter(col("p_partkey") % 2 === 1).select(
+          col("p_partkey").as("k"), col("p_name").as("label"),
+          (col("p_size").cast("long") * 7).as("size"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $cat.m SELECT * FROM $v")
+        s.catalog.dropTempView(v)
+        s.table(s"$cat.m").orderBy(col("k"))
+      },
+      Some("""SELECT p_partkey AS k, p_name AS label, CAST(NULL AS BIGINT) AS size
+          FROM part WHERE p_partkey % 2 = 0
+        UNION ALL
+          SELECT p_partkey, p_name, CAST(p_size AS BIGINT) * 7
+          FROM part WHERE p_partkey % 2 = 1
+        ORDER BY k"""))
   )
 }
