@@ -29,13 +29,15 @@ private[connector] object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array(Identifier.of(Array(Namespace), "optimize"),
-      Identifier.of(Array(Namespace), "vacuum"))
+      Identifier.of(Array(Namespace), "vacuum"),
+      Identifier.of(Array(Namespace), "restore"))
 
   def load(ident: Identifier, resolve: String => TableLog): Option[UnboundProcedure] = {
     if (ident.namespace.toSeq != Seq(Namespace)) return None
     ident.name match {
       case "optimize" => Some(new OptimizeProcedure(resolve))
       case "vacuum" => Some(new VacuumProcedure(resolve))
+      case "restore" => Some(new RestoreProcedure(resolve))
       case _ => None
     }
   }
@@ -137,6 +139,83 @@ private[connector] final class VacuumProcedure(resolve: String => TableLog)
           StructField("manifests_dropped", IntegerType, nullable = false),
           StructField("paths_reclaimed", IntegerType, nullable = false))),
         Array(stats.manifestsDropped, stats.pathsReclaimed))
+    }
+  }
+}
+
+/** `CALL lake.system.restore(...)` — version rollback as a NEW commit:
+  * reinstates version `version`'s manifest entries AND meta header
+  * (schema + properties — a restore past a bad ALTER undoes the schema
+  * change too) under the normal CAS, stamped `RESTORE (to version N)`.
+  * Nothing is rewritten or deleted: history stays intact (time travel
+  * still reads every version), the change feed sees the rollback as an
+  * ordinary remove/re-add diff, and vacuum keeps the reinstated dirs and
+  * vectors alive because the new head manifest references them.
+  *
+  * Restorable = the target manifest still exists; vacuum reclaims data
+  * only when no kept manifest references it, so a surviving manifest
+  * implies surviving data. A vacuumed version fails loudly up front.
+  * Version 0 (the pre-first-commit empty table) restores to empty under
+  * the CREATE-time schema.
+  */
+private[connector] final class RestoreProcedure(resolve: String => TableLog)
+    extends UnboundProcedure {
+
+  override def name(): String = "restore"
+  override def description(): String =
+    "roll the table back to an earlier version as a new commit (RESTORE); " +
+      "history and time travel keep working, nothing is rewritten"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = RestoreProcedure.this.name()
+    override def description(): String = RestoreProcedure.this.description()
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      GraftProcedures.in("table", StringType),
+      GraftProcedures.in("version", LongType))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = resolve(input.getUTF8String(0).toString)
+      val target = input.getLong(1)
+      val latest = log.latestVersion.getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot restore ${log.tableDir}: the table has no committed versions"))
+      require(target >= 0 && target <= latest,
+        s"restore target $target out of range [0, $latest] for ${log.tableDir}")
+      val (entries, meta) =
+        if (target == 0L) (Seq.empty[DirEntry], log.baseMetaPublic)
+        else
+          try (log.entriesAt(target), log.metaAt(target))
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"cannot restore ${log.tableDir} to version $target: its " +
+                  "manifest no longer exists (vacuumed past keep_versions?) — " +
+                  "only versions still readable by time travel are restorable",
+                e)
+          }
+      // declarative target state -> a lost CAS race just re-reads the head
+      // and retries; the bound guards against a filesystem that never wins
+      var attempts = 0
+      var committed = -1L
+      while (committed < 0) {
+        attempts += 1
+        if (attempts > 100)
+          throw new java.io.IOException(
+            s"restore of ${log.tableDir} failed after $attempts attempts — " +
+              "manifest rename keeps failing (filesystem problem, not contention)")
+        val expected = log.latestVersion
+        if (log.tryCommitEntriesMeta(expected, entries, newMeta = Some(meta),
+            op = Some(s"RESTORE (to version $target)")))
+          committed = expected.getOrElse(0L) + 1
+      }
+      GraftProcedures.oneRowResult(
+        StructType(Seq(
+          StructField("restored_to", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false),
+          StructField("dirs", IntegerType, nullable = false))),
+        Array(target, committed, entries.size))
     }
   }
 }
