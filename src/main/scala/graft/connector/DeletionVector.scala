@@ -43,6 +43,42 @@ final case class DeletionVector(files: Map[String, Array[Long]]) {
       n -> DeletionVector.mergeSorted(a, b)
     }.toMap)
   }
+
+  /** Every position of `other` is also deleted here (superset test). The
+    * commit-conflict probe uses it to verify a dir's current vector still
+    * EXTENDS the pinned one — a shrink or divergence means the dir was
+    * rewritten, not merely deleted-from, and no merge is safe.
+    */
+  def containsAll(other: DeletionVector): Boolean =
+    other.files.forall { case (n, b) =>
+      val a = files.getOrElse(n, Array.emptyLongArray)
+      // both sorted+distinct: one linear sweep
+      var i = 0; var j = 0
+      var diverged = false
+      while (!diverged && i < a.length && j < b.length) {
+        if (a(i) == b(j)) { i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else diverged = true
+      }
+      !diverged && j == b.length
+    }
+
+  /** Some position is deleted by BOTH vectors (sorted-sweep intersection
+    * test) — two rewrites of one dir conflict exactly when this is true of
+    * (their fresh deletions, the other writer's additions).
+    */
+  def intersects(other: DeletionVector): Boolean =
+    other.files.exists { case (n, b) =>
+      val a = files.getOrElse(n, Array.emptyLongArray)
+      var i = 0; var j = 0
+      var hit = false
+      while (!hit && i < a.length && j < b.length) {
+        if (a(i) == b(j)) hit = true
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      hit
+    }
 }
 
 object DeletionVector {

@@ -302,14 +302,47 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
       val kept = current.flatMap { e =>
         replacements.get(e.dir) match {
           case Some(repl) =>
-            // our union was built against the pinned vector: anyone who
-            // changed it (or rewrote the dir) since would be silently undone
-            val pinnedDv = pinnedByQualified(qualify(e.dir)).dv
-            if (e.dv != pinnedDv)
-              throw new ConcurrentModificationException(
-                s"concurrent delete/rewrite on ${e.dir} of ${log.tableDir}: " +
-                  s"deletion vector changed from $pinnedDv to ${e.dv}")
-            repl
+            // our union was built against the pinned vector; if it is still
+            // current, the precomputed replacement stands
+            val qdir = qualify(e.dir)
+            val pinnedDv = pinnedByQualified(qdir).dv
+            if (e.dv == pinnedDv) repl
+            else {
+              // Concurrent change to the same dir's vector. PROVABLY
+              // DISJOINT rewrites merge instead of failing: safe iff the
+              // current vector still EXTENDS the pinned one (pure
+              // deletes-from — a shrink or divergence means the dir was
+              // rewritten and positions no longer mean the same rows) AND
+              // the concurrent additions miss OUR fresh deletions. The
+              // intersection test is fresh ∩ current: fresh ∩ pinned = ∅
+              // by construction (our scan never saw pinned-deleted rows),
+              // so any hit is on the additions. An overlap must fail even
+              // for two DELETEs of the same row: an UPDATE's reinsert of a
+              // row the other writer deleted would resurrect it, and the
+              // committed vector cannot say which command owned the row.
+              val fresh = newByDir(qdir)
+              val currentVec = e.dv
+                .map(DeletionVectorCache.get(_, log.hadoopConf))
+                .getOrElse(DeletionVector.empty)
+              val pinnedVec = pinnedDv
+                .map(DeletionVectorCache.get(_, log.hadoopConf))
+                .getOrElse(DeletionVector.empty)
+              if (!currentVec.containsAll(pinnedVec) ||
+                  currentVec.intersects(fresh))
+                throw new ConcurrentModificationException(
+                  s"concurrent delete/rewrite on ${e.dir} of ${log.tableDir}: " +
+                    s"deletion vector changed from $pinnedDv to ${e.dv} and " +
+                    "the changes overlap ours (disjoint changes would have " +
+                    "been merged)")
+              val merged = currentVec.union(fresh)
+              val fullyDeleted = e.stats.exists(_.rows == merged.cardinality)
+              if (fullyDeleted) None
+              else {
+                val dvPath = log.newDvFile()
+                DeletionVector.write(dvPath, log.hadoopConf, merged)
+                Some(e.copy(dv = Some(dvPath), dvRows = Some(merged.cardinality)))
+              }
+            }
           case None => Some(e)
         }
       }
