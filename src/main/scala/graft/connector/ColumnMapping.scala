@@ -50,6 +50,29 @@ object ColumnMapping {
     if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
     else f.name
 
+  /** A fresh physical name for logical column `logical`, guaranteed outside
+    * `used` (every physical name the table can still read — current AND
+    * historical schemas plus live file footers). The 8-hex tag alone has a
+    * ~2^-32 birthday risk per re-add of the SAME logical name; a silent hit
+    * would make the new column read the dropped column's stale bytes, so
+    * collisions regenerate instead. `gen` is injectable for the forced-
+    * collision spec; the production default is the random tag.
+    */
+  def freshPhysicalName(logical: String, used: Set[String],
+      gen: () => String =
+        () => java.util.UUID.randomUUID().toString.take(8)): String = {
+    var attempts = 0
+    var candidate = s"col-${gen()}-$logical"
+    while (used.contains(candidate)) {
+      attempts += 1
+      require(attempts <= 100,
+        s"could not generate a fresh physical name for column $logical " +
+          s"after $attempts attempts (generator exhausted?)")
+      candidate = s"col-${gen()}-$logical"
+    }
+    candidate
+  }
+
   /** True when any field's physical name differs from its logical name. */
   def needed(schema: StructType): Boolean =
     schema.fields.exists(f => physicalName(f) != f.name)

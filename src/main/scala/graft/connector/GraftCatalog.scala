@@ -282,7 +282,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (!props.get(ColumnMapping.ModeProp).contains("id")) field0
             else field0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
               .putString(ColumnMapping.PhysicalKey,
-                s"col-${java.util.UUID.randomUUID().toString.take(8)}-$name")
+                ColumnMapping.freshPhysicalName(name,
+                  l.usedPhysicalNames() ++
+                    sch.fields.map(ColumnMapping.physicalName)))
               .build())
           sch = org.apache.spark.sql.types.StructType(
             sch.fields :+ Option(a.comment).map(field.withComment).getOrElse(field))

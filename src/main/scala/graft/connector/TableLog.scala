@@ -265,6 +265,27 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   /** Entries of the latest version (empty for an empty table). */
   def currentEntries(): Seq[DirEntry] = latestVersion.map(entriesAt).getOrElse(Nil)
 
+  /** Every physical column name the table can still read: the CREATE-time
+    * schema, each SURVIVING manifest's meta header (historical schemas),
+    * and the footer-stat keys of the current entries — the last covers
+    * live dirs whose writing-era manifest was vacuumed away. ADD COLUMN's
+    * fresh-name generator checks candidates against this set
+    * ([[ColumnMapping.freshPhysicalName]]): an 8-hex birthday collision
+    * with a dropped column of the same logical name would otherwise read
+    * that column's stale bytes as the new column's data.
+    */
+  def usedPhysicalNames(): Set[String] = {
+    val versions = fs.listStatus(new Path(tableDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toLong)
+    val schemas = baseMeta._1 +: versions.map(v => metaAt(v)._1)
+    val fromSchemas =
+      schemas.flatMap(_.fields.map(ColumnMapping.physicalName))
+    val fromFooters = currentEntries().flatMap(_.stats)
+      .flatMap(_.cols.keysIterator)
+    (fromSchemas ++ fromFooters).toSet
+  }
+
   /** Newest version whose manifest was committed at or before `tsMillis`
     * (manifest file mtime — the commit instant, since the rename that
     * creates it is the commit).

@@ -275,4 +275,35 @@ class AlterTableSpec extends LakeSpec {
     assert(rows("SELECT k, v FROM altlake.db.c ORDER BY k") ===
       Seq(Row(1L, null), Row(2L, "b")))
   }
+
+  test("fresh physical names regenerate on collision (forced) and exhaust loudly") {
+    // deterministic generator: first candidate collides, second is free
+    val tags = Iterator("deadbeef", "c0ffee00")
+    val picked = ColumnMapping.freshPhysicalName("x",
+      used = Set("col-deadbeef-x"), gen = () => tags.next())
+    assert(picked === "col-c0ffee00-x")
+    // a generator that can only ever collide fails loudly, not silently
+    val e = intercept[IllegalArgumentException](
+      ColumnMapping.freshPhysicalName("x", used = Set("col-stuck000-x"),
+        gen = () => "stuck000"))
+    assert(e.getMessage.contains("fresh physical name"))
+  }
+
+  test("every drop/re-add cycle's physical name avoids ALL prior ones") {
+    sql("CREATE TABLE altlake.db.pn (k BIGINT, x BIGINT)")
+    sql("INSERT INTO altlake.db.pn VALUES (1, 10)")
+    val physSeen = scala.collection.mutable.ArrayBuffer[String]("x")
+    (0 until 3).foreach { _ =>
+      sql("ALTER TABLE altlake.db.pn DROP COLUMN x")
+      sql("ALTER TABLE altlake.db.pn ADD COLUMNS (x BIGINT)")
+      val f = log("db/pn").schema.fields.find(_.name == "x").get
+      physSeen += ColumnMapping.physicalName(f)
+    }
+    assert(physSeen.distinct.size === physSeen.size,
+      s"physical names must never repeat: $physSeen")
+    // the avoid-set the generator consulted really contains the history:
+    // every prior physical x (including the CREATE-time literal name)
+    val used = log("db/pn").usedPhysicalNames()
+    physSeen.foreach(p => assert(used.contains(p), s"$p missing from $used"))
+  }
 }
