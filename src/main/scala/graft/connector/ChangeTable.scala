@@ -311,12 +311,23 @@ private[connector] object ChangeTableRead {
 
     val opCache = scala.collection.mutable.HashMap[Long, Boolean]()
     def isMorUpdate(v: Long): Boolean =
-      opCache.getOrElseUpdate(v, log.opAt(v).contains("UPDATE (merge-on-read)"))
-    // a mor MERGE classifies only when its commit recorded markers
+      opCache.getOrElseUpdate(v,
+        log.opAt(v).exists(o => o.contains("UPDATE (merge-on-read)") ||
+          o.contains("UPDATE (materialized)")))
+    // a mor MERGE / any materialized command classifies only when its
+    // commit recorded markers
     val cdcCache = scala.collection.mutable.HashMap[Long, Option[TableLog.CdcMarkers]]()
-    def morMergeCdc(v: Long): Option[TableLog.CdcMarkers] =
+    def markerCdc(v: Long): Option[TableLog.CdcMarkers] =
       cdcCache.getOrElseUpdate(v,
-        if (log.opAt(v).contains("MERGE (merge-on-read)")) log.cdcAt(v) else None)
+        if (log.opAt(v).exists(o => o.contains("MERGE (merge-on-read)") ||
+            o.endsWith("(materialized)"))) log.cdcAt(v)
+        else None)
+    // a MATERIALIZED commit (copy-on-write-exact): its adds are mostly
+    // carryover rewrites and its removes mostly moved rows — only the
+    // marker-named dirs/positions are changes
+    def matCdc(v: Long): Option[TableLog.CdcMarkers] =
+      if (log.opAt(v).exists(_.endsWith("(materialized)"))) markerCdc(v)
+      else None
     def addType(v: Long): String =
       if (isMorUpdate(v)) "update_postimage" else "insert"
     def delType(v: Long): String =
@@ -326,11 +337,11 @@ private[connector] object ChangeTableRead {
         .makeQualified(new Path(dir)).toString
     // the commit's pre/post-image vectors for one dir (qualified-dir key)
     def preDvOf(v: Long, qdir: String): Option[String] =
-      morMergeCdc(v).flatMap(_.preImageDvByDir.collectFirst {
+      markerCdc(v).flatMap(_.preImageDvByDir.collectFirst {
         case (d, dv) if qualify(d) == qdir => dv
       })
     def postDvOf(v: Long, qdir: String): Option[String] =
-      morMergeCdc(v).flatMap(_.postImageDvByDir.collectFirst {
+      markerCdc(v).flatMap(_.postImageDvByDir.collectFirst {
         case (d, dv) if qualify(d) == qdir => dv
       })
 
@@ -361,8 +372,19 @@ private[connector] object ChangeTableRead {
     // rare vectored-at-add dir re-splits per file — and so does the staged
     // dir of a marker-carrying mor MERGE, whose rows split per position by
     // the commit's post-image vector into update_postimage vs insert
-    changes.added.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, list) =>
+    changes.added.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, list0) =>
       val ts = log.commitTimestamp(v)
+      // a materialized commit's adds: only the marker-listed dirs (the
+      // staged insert dir) are changes; every other add is a carryover
+      // rewrite of a removed dir — same rows, new layout — and emitting it
+      // would fabricate inserts (exactly the net-effect churn this mode
+      // removes)
+      val list = matCdc(v) match {
+        case Some(m) =>
+          val addSet = m.addDirs.map(qualify).toSet
+          list0.filter(t => addSet.contains(qualify(t._1)))
+        case None => list0
+      }
       val (vectored, clean) = list.partition(_._2.isDefined)
       val (postSplit, cleanPlain) =
         clean.partition(t => postDvOf(v, qualify(t._1)).isDefined)
@@ -387,11 +409,36 @@ private[connector] object ChangeTableRead {
     // when it is a marker-carrying mor MERGE)
     changes.removed.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, list) =>
       val ts = log.commitTimestamp(v)
-      val dvMap = list.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
-      val preMap = list.flatMap(t =>
-        preDvOf(v, qualify(t._1)).map(qualify(t._1) -> _)).toMap
-      out ++= resplit(plan(list.map(_._1)), DeleteLive, delType(v), v, ts,
-        dvMap, Map.empty, preMap)
+      matCdc(v) match {
+        case Some(m) =>
+          // materialized commit: a removed dir's rows mostly MOVED to its
+          // carryover rewrite — the retractions are exactly the positions
+          // of the commit's #cdcdel vector. That is the DeleteNew shape
+          // (rows in new-and-not-old, old = none: fresh never overlaps the
+          // dir's prior vector), with a one-step chain carrying the
+          // per-step pre-image split (update_preimage vs plain delete).
+          val delMap = m.deleteDvByDir.map { case (d, dv) => qualify(d) -> dv }
+          val dirs = list.map(_._1).filter(d => delMap.contains(qualify(d)))
+          out ++= plan(dirs).flatMap[InputPartition] {
+            case fp: FilePartition => fp.files.map { f =>
+              val dir = f.filePath.toPath.getParent.toString
+              val fresh = delMap(dir)
+              ChangeSplitPartition(FilePartition(0, Array(f)),
+                f.filePath.toString, None, Some(fresh), DeleteNew,
+                delType(v), v, ts,
+                growth = Seq(ChainStep(v, ts, fresh, delType(v),
+                  preDv = preDvOf(v, dir))))
+            }
+            case other => throw new IllegalStateException(
+              s"delegated parquet scan planned a non-file partition: $other")
+          }
+        case None =>
+          val dvMap = list.collect { case (d, Some(dv), _) => qualify(d) -> dv }.toMap
+          val preMap = list.flatMap(t =>
+            preDvOf(v, qualify(t._1)).map(qualify(t._1) -> _)).toMap
+          out ++= resplit(plan(list.map(_._1)), DeleteLive, delType(v), v, ts,
+            dvMap, Map.empty, preMap)
+      }
     }
     // vector growth: new-minus-old positions as deletes. Grouped by DIR,
     // not by version: vectors only grow, so a dir's growth steps chain

@@ -41,7 +41,8 @@ private[connector] class GraftMorOperation(log: TableLog,
                                            delegate: Seq[String] => ParquetTable,
                                            pinned: Seq[DirEntry],
                                            cmd: RowLevelOperation.Command,
-                                           nameMap: Map[String, String] = Map.empty)
+                                           nameMap: Map[String, String] = Map.empty,
+                                           materialize: Boolean = false)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -93,7 +94,8 @@ private[connector] class GraftMorOperation(log: TableLog,
           .newWriteBuilder(ColumnMapping.physicalWriteInfo(info, log.schema)).build())
         override def description(): String = s"graft-lake mor $cmd -> ${log.tableDir}"
         override def toBatch: DeltaBatchWrite =
-          new GraftDvBatchWrite(log, pinned, inner.map(_.toBatch), staging, cmd)
+          new GraftDvBatchWrite(log, pinned, inner.map(_.toBatch), staging, cmd,
+            materialize)
       }
     }
 }
@@ -119,7 +121,8 @@ private[connector] final case class DvDeltaMessage(deletes: Map[String, Array[Lo
 private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
                                            innerInserts: Option[BatchWrite],
                                            staging: Option[String],
-                                           cmd: RowLevelOperation.Command)
+                                           cmd: RowLevelOperation.Command,
+                                           materialize: Boolean = false)
     extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -269,6 +272,37 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
         DeletionVector.write(p, log.hadoopConf, vec)
         Some(staging.get -> p)
       }
+    // materialize (copy-on-write-exact) only: persist each touched dir's
+    // FRESH deletions as the commit's `#cdcdel` vector — the change feed's
+    // exact retraction positions over the dir this commit removes
+    val freshDvByDir: Map[String, String] =
+      if (!materialize) Map.empty
+      else newByDir.map { case (qdir, fresh) =>
+        val p = log.newPreDvFile()
+        DeletionVector.write(p, log.hadoopConf, fresh)
+        qdir -> p
+      }
+    /** Materialize path: rewrite the touched dir with its merged vector
+      * APPLIED — the committed snapshot is vector-free like any cow
+      * rewrite, but the lineage came from the delta plan. The merged
+      * vector rides a transient dv file (unreferenced after the rewrite;
+      * vacuum's orphan rule reclaims it). An all-rows-deleted rewrite
+      * (possible only on a statless dir — stats prove it up front
+      * otherwise) commits no dir.
+      */
+    def rewriteApplying(entry: DirEntry, merged: DeletionVector): Option[DirEntry] = {
+      val spark = SparkSession.active
+      val mergedPath = log.newDvFile()
+      DeletionVector.write(mergedPath, log.hadoopConf, merged)
+      val out = log.newDataDir()
+      val df = spark.read.schema(ColumnMapping.toPhysical(log.schema))
+        .parquet(entry.dir)
+      DvReads.applyVectors(spark, df, Seq(entry.copy(dv = Some(mergedPath))),
+        log.hadoopConf)
+        .write.parquet(out)
+      Some(DirEntry(out, DirStats.collect(out, log.hadoopConf)))
+        .filterNot(_.stats.exists(_.rows == 0))
+    }
     val replacements: Map[String, Option[DirEntry]] = newByDir.map { case (qdir, fresh) =>
       val entry = pinnedByQualified.getOrElse(qdir, throw new IllegalStateException(
         s"mor write scanned $qdir which is not in the pinned snapshot of ${log.tableDir}"))
@@ -278,6 +312,7 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
       val fullyDeleted = entry.stats.exists(s => s.rows == merged.cardinality)
       val replacement =
         if (fullyDeleted) None
+        else if (materialize) rewriteApplying(entry, merged)
         else {
           val dvPath = log.newDvFile()
           DeletionVector.write(dvPath, log.hadoopConf, merged)
@@ -307,6 +342,15 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
             val qdir = qualify(e.dir)
             val pinnedDv = pinnedByQualified(qdir).dv
             if (e.dv == pinnedDv) repl
+            else if (materialize)
+              // the rewrite above embedded the pinned+fresh row set into
+              // real files — a concurrent vector change cannot be merged
+              // into them without redoing the rewrite, so fail like any
+              // cow rewrite would
+              throw new ConcurrentModificationException(
+                s"concurrent delete/rewrite on ${e.dir} of ${log.tableDir} " +
+                  s"during a materialized $cmd: deletion vector changed " +
+                  s"from $pinnedDv to ${e.dv}")
             else {
               // Concurrent change to the same dir's vector. PROVABLY
               // DISJOINT rewrites merge instead of failing: safe iff the
@@ -362,7 +406,22 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
       // post-image vector as `#cdcpost` (keyed by the MANIFEST dir
       // string, not the qualified one).
       val cdc =
-        if (cmd != RowLevelOperation.Command.MERGE) None
+        if (materialize) {
+          // full lineage for the feed: retraction positions per removed
+          // dir (#cdcdel; #cdcpre names the update-caused subset) and the
+          // staged dir whose rows are ALL changes (#cdcadd; #cdcpost names
+          // the post-image subset) — every unmarked add/remove of this
+          // version is a carryover rewrite the feed skips
+          val pre = preDvByDir.map { case (qdir, dv) =>
+            pinnedByQualified(qdir).dir -> dv
+          }
+          val del = freshDvByDir.map { case (qdir, dv) =>
+            pinnedByQualified(qdir).dir -> dv
+          }
+          val adds = if (stagedRows) staging.toSeq else Nil
+          if (pre.isEmpty && postDv.isEmpty && del.isEmpty && adds.isEmpty) None
+          else Some(TableLog.CdcMarkers(postDv.toMap, pre, del, adds))
+        } else if (cmd != RowLevelOperation.Command.MERGE) None
         else {
           val pre = preDvByDir.map { case (qdir, dv) =>
             pinnedByQualified(qdir).dir -> dv
@@ -371,8 +430,9 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
           if (pre.isEmpty && post.isEmpty) None
           else Some(TableLog.CdcMarkers(post, pre))
         }
+      val opMode = if (materialize) "materialized" else "merge-on-read"
       done = log.tryCommitEntriesMeta(expected, next, newMeta = None,
-        op = Some(s"$cmd (merge-on-read)"), cdc = cdc)
+        op = Some(s"$cmd ($opMode)"), cdc = cdc)
     }
   }
 

@@ -217,9 +217,21 @@ class GraftTable(tableName: String, log: TableLog,
       case RowLevelOperation.Command.UPDATE => GraftTable.UpdateModeProp
       case RowLevelOperation.Command.MERGE => GraftTable.MergeModeProp
     }
-    val mor = tableProps.get(modeProp).contains("merge-on-read")
+    val mode = tableProps.get(modeProp)
+    val mor = mode.contains("merge-on-read")
+    // `materialize` = copy-on-write storage WITH exact change lineage: the
+    // command runs on the delta-based (merge-on-read) machinery — the only
+    // plan shape that sees per-row (file, position) identity — and the
+    // commit applies the vectors by rewriting the touched dirs, so the
+    // committed snapshot is vector-free like a cow rewrite while the
+    // change feed gets exact retraction/post-image positions instead of
+    // net-effect churn (Delta's materialized change files, re-expressed
+    // as position vectors over the REMOVED dirs).
+    val materialize = mode.contains("materialize")
     () =>
-      if (mor) new GraftMorOperation(log, delegate, snapshotEntries, info.command, nameMap)
+      if (mor || materialize)
+        new GraftMorOperation(log, delegate, snapshotEntries, info.command,
+          nameMap, materialize = materialize)
       else new GraftRowLevelOperation(log, info.command, delegate, snapshotEntries, nameMap)
   }
 }

@@ -380,7 +380,11 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       } ++
         m.preImageDvByDir.toSeq.sortBy(_._1).map { case (d, dv) =>
           s"${TableLog.CdcPrePrefix}${rel(d)}\t${rel(dv)}"
-        }
+        } ++
+        m.deleteDvByDir.toSeq.sortBy(_._1).map { case (d, dv) =>
+          s"${TableLog.CdcDelPrefix}${rel(d)}\t${rel(dv)}"
+        } ++
+        m.addDirs.sorted.map(d => s"${TableLog.CdcAddPrefix}${rel(d)}")
     }
     val body = (header.toSeq ++ op.map(TableLog.OpPrefix + _).toSeq ++
       cdcLines ++
@@ -434,15 +438,24 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       val Array(d, dv) = l.stripPrefix(prefix).split("\t", 2)
       new Path(tableDir, d).toString -> new Path(tableDir, dv).toString
     }
+    val del = Map.newBuilder[String, String]
+    val add = Seq.newBuilder[String]
     content.linesIterator.foreach {
       case l if l.startsWith(TableLog.CdcPostPrefix) =>
         post += entry(l, TableLog.CdcPostPrefix)
       case l if l.startsWith(TableLog.CdcPrePrefix) =>
         pre += entry(l, TableLog.CdcPrePrefix)
+      case l if l.startsWith(TableLog.CdcDelPrefix) =>
+        del += entry(l, TableLog.CdcDelPrefix)
+      case l if l.startsWith(TableLog.CdcAddPrefix) =>
+        add += new Path(tableDir, l.stripPrefix(TableLog.CdcAddPrefix)).toString
       case _ => ()
     }
-    val m = TableLog.CdcMarkers(post.result(), pre.result())
-    if (m.postImageDvByDir.isEmpty && m.preImageDvByDir.isEmpty) None else Some(m)
+    val m = TableLog.CdcMarkers(post.result(), pre.result(), del.result(),
+      add.result())
+    if (m.postImageDvByDir.isEmpty && m.preImageDvByDir.isEmpty &&
+        m.deleteDvByDir.isEmpty && m.addDirs.isEmpty) None
+    else Some(m)
   }
 
   private[connector] def hadoopConf: Configuration = conf
@@ -512,7 +525,8 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     def preDvs(vs: Seq[(Long, Path)]): Set[String] =
       vs.flatMap { case (mv, _) =>
         cdcAt(mv).toSeq.flatMap(m =>
-          m.preImageDvByDir.values ++ m.postImageDvByDir.values)
+          m.preImageDvByDir.values ++ m.postImageDvByDir.values ++
+            m.deleteDvByDir.values)
       }.map(p => new Path(p).getName).toSet
     val liveDv: Set[String] =
       keptEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName).toSet ++
@@ -597,10 +611,18 @@ object TableLog {
     */
   private[connector] val CdcPostPrefix = "#cdcpost\t"
   private[connector] val CdcPrePrefix = "#cdcpre\t"
+  // materialized (copy-on-write-exact) commits only: the retraction
+  // positions of a REMOVED dir (`#cdcdel dir dv`), and the added dirs
+  // whose rows are ALL changes (`#cdcadd dir` — the staged insert dir;
+  // every other add of the version is a carryover rewrite the feed skips)
+  private[connector] val CdcDelPrefix = "#cdcdel\t"
+  private[connector] val CdcAddPrefix = "#cdcadd\t"
 
   /** Parsed per-commit CDC markers (absolute paths). */
   final case class CdcMarkers(postImageDvByDir: Map[String, String],
-                              preImageDvByDir: Map[String, String])
+                              preImageDvByDir: Map[String, String],
+                              deleteDvByDir: Map[String, String] = Map.empty,
+                              addDirs: Seq[String] = Nil)
 
   private[connector] def encodeMetaHeader(meta: (StructType, Map[String, String])): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()

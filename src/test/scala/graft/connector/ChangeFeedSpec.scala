@@ -228,4 +228,77 @@ class ChangeFeedSpec extends LakeSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(preOf4)),
       "live pre-image vector kept")
   }
+
+  // ---- materialized (copy-on-write-exact) commands: cow storage, exact
+  // lineage. The command runs on the delta plan (the only shape with
+  // per-row identity), the commit rewrites touched dirs vector-free, and
+  // #cdcdel/#cdcadd markers give the feed exact positions — no carryover
+  // churn, no net-effect downgrade. ----
+
+  test("materialized MERGE: exact update pairs, carryover silent, snapshot vector-free") {
+    sql("CREATE TABLE cdflake.db.mz (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='materialize')")
+    sql("INSERT INTO cdflake.db.mz SELECT id, 0 FROM range(0, 6)")   // v1
+    sql("MERGE INTO cdflake.db.mz t USING (SELECT id k, 9 v FROM range(4, 8)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")                              // v2
+    assert(log("db/mz").opAt(2).contains("MERGE (materialized)"))
+    // exact pairs AND NOT A SINGLE carryover row (k 0..3 moved dirs but
+    // did not change — a cow rewrite used to emit them as delete+insert)
+    val f = feed("db/mz", 1, 2).select("k", "v", "_change_type")
+    assert(f.collect().toSet === Set(
+      Row(4L, 0L, "update_preimage"), Row(5L, 0L, "update_preimage"),
+      Row(4L, 9L, "update_postimage"), Row(5L, 9L, "update_postimage"),
+      Row(6L, 9L, "insert"), Row(7L, 9L, "insert")))
+    // cow storage: no deletion vector anywhere in the committed snapshot
+    assert(log("db/mz").currentEntries().forall(_.dv.isEmpty),
+      "materialized snapshot must be vector-free")
+    assert(rows("SELECT count(*) c, sum(v) s FROM cdflake.db.mz") ===
+      Seq(Row(8L, 36L)))
+    assert(net(feed("db/mz", 0, 2), "k", "v").size === 8)
+  }
+
+  test("materialized MERGE mixing update, delete, and insert actions") {
+    sql("CREATE TABLE cdflake.db.mzm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='materialize')")
+    sql("INSERT INTO cdflake.db.mzm SELECT id, 0 FROM range(0, 8)")  // v1
+    sql("MERGE INTO cdflake.db.mzm t USING (SELECT id k, 9 v FROM range(2, 10)) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND t.k < 4 THEN UPDATE SET v = s.v " +
+      "WHEN MATCHED AND t.k < 6 THEN DELETE " +
+      "WHEN NOT MATCHED AND s.k >= 8 THEN INSERT *")                 // v2
+    val f = feed("db/mzm", 1, 2).select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f === Set(
+      ("update_preimage", 2L, 0L), ("update_preimage", 3L, 0L),
+      ("update_postimage", 2L, 9L), ("update_postimage", 3L, 9L),
+      ("delete", 4L, 0L), ("delete", 5L, 0L),
+      ("insert", 8L, 9L), ("insert", 9L, 9L)))
+    assert(net(feed("db/mzm", 0, 2), "k", "v").map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      sql("SELECT k, v FROM cdflake.db.mzm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("materialized UPDATE and DELETE: exact rows, vector-free dirs") {
+    sql("CREATE TABLE cdflake.db.mzu (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.update.mode'='materialize', " +
+      "'graft.delete.mode'='materialize')")
+    sql("INSERT INTO cdflake.db.mzu SELECT id, 0 FROM range(0, 6)")  // v1
+    sql("UPDATE cdflake.db.mzu SET v = 9 WHERE k = 2")               // v2
+    assert(log("db/mzu").opAt(2).contains("UPDATE (materialized)"))
+    assert(feed("db/mzu", 1, 2).select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set(("update_preimage", 2L, 0L), ("update_postimage", 2L, 9L)))
+    sql("DELETE FROM cdflake.db.mzu WHERE k = 3")                    // v3
+    assert(log("db/mzu").opAt(3).contains("DELETE (materialized)"))
+    assert(feed("db/mzu", 2, 3).select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set(("delete", 3L, 0L)))
+    assert(log("db/mzu").currentEntries().forall(_.dv.isEmpty))
+    assert(rows("SELECT count(*) FROM cdflake.db.mzu") === Seq(Row(5L)))
+    // full-history net replay reconstructs the live snapshot
+    assert(net(feed("db/mzu", 0, 3), "k", "v").map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      sql("SELECT k, v FROM cdflake.db.mzu").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }

@@ -185,22 +185,30 @@ class MorDeleteSpec extends LakeSpec {
     finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
   }
 
-  test("concurrent mor deletes on the same dir conflict; stale vector loses") {
+  test("concurrent OVERLAPPING mor deletes on the same dir conflict; stale vector loses") {
     mkTable("cc")
     sql("INSERT INTO morlake.db.cc SELECT id, 'x' FROM range(0, 100)")
     val l = log("db/cc")
     val pinned = l.currentEntries()
-    sql("DELETE FROM morlake.db.cc WHERE k = 1")   // vector changes under the pin
-    val stale = new GraftDvBatchWrite(l, pinned, None, None,
-      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
     val fs = new org.apache.hadoop.fs.Path(pinned.head.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val file = fs.listStatus(new org.apache.hadoop.fs.Path(pinned.head.dir))
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-    val ex = intercept[java.util.ConcurrentModificationException](
-      stale.commit(Array(DvDeltaMessage(Map(file.toString -> Array(0L)),
-        Map.empty, 0, Array.emptyLongArray, 0L, 0L, null))))
+    def deleter(pos: Long*) = {
+      val w = new GraftDvBatchWrite(l, pinned, None, None,
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+      () => w.commit(Array(DvDeltaMessage(Map(file.toString -> pos.toArray),
+        Map.empty, 0, Array.emptyLongArray, 0L, 0L, null)))
+    }
+    // vector changes under the pin, AT the position the stale writer also
+    // deletes — position-disjoint stale deletes now auto-merge
+    // (DisjointRewriteSpec), so the conflict contract is about OVERLAP
+    val winner = deleter(0L)
+    val loser = deleter(0L, 2L)
+    winner()
+    val ex = intercept[java.util.ConcurrentModificationException](loser())
     assert(ex.getMessage.contains("deletion vector changed"))
+    assert(ex.getMessage.contains("overlap"))
   }
 
   test("merge-on-read UPDATE: delete+reinsert, original dirs untouched") {
