@@ -79,6 +79,21 @@ object Bench {
     */
   final val StreamingContentionRatio = 0.7
 
+  /** The REPORTED contention flag needs one more condition on the fraction
+    * signal: a fresh JVM's cold first pass min-merges nearly every entry
+    * (JIT + cold page cache — the documented ~1.8x first-pass read), so a
+    * perfectly idle run carries contended_fraction ~0.9. What separates
+    * warm-up from load is where the post-merge cpu ratio LANDS: warm-up
+    * fully absorbs into the mins (cr ~1.0-1.1), external load leaves
+    * residual inflation. The fraction signal therefore only marks the RUN
+    * as contended when post-merge cr stays above this residual bar (r13:
+    * cr 1.311 + fraction 0.85 -> contended; an idle cold start: cr ~1.1 +
+    * fraction 0.9 -> clean). The liberal predicate still drives the
+    * re-measure and backoff passes — extra honesty passes are cheap; a
+    * mislabeled record is not.
+    */
+  final val ResidualCpuRatio = 1.15
+
   /** Wall-time outlier trigger: a query whose WALL exceeds this multiple of
     * its baseline wall is re-measured even when the cpu-normalized gate
     * stayed quiet — a sub-second query can ship a contended wall sample
@@ -445,6 +460,24 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT points) so a contended run's raw numbers stay
     // inspectable without ever being mistaken for the record
     val contended = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // re-run one stream bench, the MAX of the observed rates deciding
+    // (rates invert the query section's min-of-two rule); used by the
+    // flagged-stream guard, the backoff passes, and the baseline freeze
+    def rerunStream(k: String, tag: String): Unit =
+      try {
+        val (rows, secs) = streamBenches(k)(tag)
+        val rate2 = if (secs > 0) math.rint(rows / secs) else -1.0
+        if (rate2 > streaming(k)) {
+          if (!contended.contains(s"stream_$k"))
+            contended(s"stream_$k") = (streaming(k), -1.0)
+          streaming(k) = rate2
+        }
+      } catch {
+        case e: Throwable =>   // keep the first sample; re-run noise only
+          System.err.println(s"[bench] stream_$k re-run FAILED " +
+            s"(first sample kept): ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+      }
     val baseFile = new java.io.File(baselinePath)
     if (baseFile.isFile) {
       try {
@@ -586,21 +619,6 @@ object Bench {
             else None
           }
         }
-        def rerunStream(k: String, tag: String): Unit =
-          try {
-            val (rows, secs) = streamBenches(k)(tag)
-            val rate2 = if (secs > 0) math.rint(rows / secs) else -1.0
-            if (rate2 > streaming(k)) {
-              if (!contended.contains(s"stream_$k"))
-                contended(s"stream_$k") = (streaming(k), -1.0)
-              streaming(k) = rate2
-            }
-          } catch {
-            case e: Throwable =>   // keep the first sample; re-run noise only
-              System.err.println(s"[bench] stream_$k re-run FAILED " +
-                s"(first sample kept): ${e.getClass.getName}: " +
-                String.valueOf(e.getMessage).linesIterator.take(1).mkString)
-          }
         if (sfMatches && streamFlagged.nonEmpty) {
           System.err.println(s"[bench] re-running ${streamFlagged.size} flagged " +
             "stream benches: " + streamFlagged.map(_._1).mkString(", "))
@@ -639,16 +657,17 @@ object Bench {
           flagged.foreach { case (k, r) => regressions(k) = r }
           streamFlagged.foreach { case (k, r) => regressions(s"stream_$k") = r }
         }
-        // the reported flag reflects the POST-re-measure state via the same
-        // multi-signal predicate the backoff uses: contended-provenance
-        // fraction and a depressed streaming ratio keep it honest when
-        // min-merging has pulled cpu_ratio back under the suspect bar (the
-        // r13 record shipped contention_suspected:false at cr 1.311 with
-        // 110/130 contended entries). A first pass that read hot but whose
-        // mins came back clean STILL reports suspected=true through the
-        // fraction signal — that is the truth: the window was contended,
-        // the mins are the code's honest numbers.
-        val contentionSuspected = sfMatches && suiteContended
+        // the reported flag reflects the POST-re-measure state: cpu_ratio
+        // and streaming ratio fire directly, and the contended-provenance
+        // fraction fires only alongside RESIDUAL cpu inflation (see
+        // [[ResidualCpuRatio]] — a cold first pass min-merges ~everything
+        // on an idle box, so fraction alone would mislabel every fresh-JVM
+        // run). r13's miss is covered: cr 1.311 > 1.15 with fraction 0.85.
+        val contentionSuspected = sfMatches &&
+          (cr > ContentionSuspectRatio ||
+            { val s = sr; s >= 0 && s < StreamingContentionRatio } ||
+            (contendedFraction > ContendedFractionTrigger &&
+              cr > ResidualCpuRatio))
         baselineJson = s"""{"path":"$baselinePath","wall_ratio":$wr,""" +
           s""""cpu_ratio":$cr,"streaming_ratio":$sr,"compared":${
             okCpu.keys.count(k => bCpu.getOrElse(k, 0.0) > 0)},""" +
@@ -665,7 +684,18 @@ object Bench {
     val totalCpu = r3(okCpu.values.sum)
     // regenerate the committed baseline from an idle run:
     //   SPARK_GRAFT_BENCH_WRITE_BASELINE=BENCH_BASELINE.json sbt "runMain graft.Bench"
+    // Streams get a SECOND sample first, max deciding: rates are
+    // wall-clock-bound and the first sample of a fresh JVM's streaming
+    // path is warm-up-noisy (measured: dedup 3.3k cold vs 9.4k warm in
+    // one process) — a cold rate frozen as the envelope would bake in
+    // tolerance for real future decay. Queries need no such pass: their
+    // maps are already min-merged by the guards above.
     sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").foreach { p =>
+      System.err.println("[bench] baseline freeze: re-running every stream " +
+        "bench once (max of the two rates decides the envelope)")
+      streamBenches.keys.foreach { k =>
+        if (streaming.getOrElse(k, -1.0) > 0) rerunStream(k, "_bl")
+      }
       val out =
         s"""{"sf":"$sfDir","cpus":"$cpus","total_wall":$total,""" +
           s""""total_cpu":$totalCpu,"wall":${jsonMap(okWall)},""" +
