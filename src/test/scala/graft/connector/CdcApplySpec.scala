@@ -1,6 +1,6 @@
 package graft.connector
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Dataset, Row}
 
 /** APPLY CHANGES INTO ([[CdcApply]]): a replica maintained from the
   * `db.t.changes` stream tracks the source through every commit kind,
@@ -289,5 +289,49 @@ class CdcApplySpec extends LakeSpec {
     // lands un-spliced (its end unknown to this batch)
     assert(h === Seq(Row("a", 10L, 30L), Row("late", 20L, null),
       Row("b", 30L, null)))
+  }
+
+  test("changes STREAM over a materialized source: exact rows, no carryover churn") {
+    sql("CREATE TABLE cdclake.db.ms (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='materialize', " +
+      "'graft.update.mode'='materialize', 'graft.delete.mode'='materialize')")
+    sql("CREATE TABLE cdclake.db.md (k BIGINT, v BIGINT)")
+    sql("INSERT INTO cdclake.db.ms SELECT id, 0 FROM range(0, 10)")   // v1
+    val batchRows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val changes = spark.readStream.option("startVersion", "0")
+      .table("cdclake.db.ms.changes")
+    val q = CdcApply.applyChanges(changes, "cdclake.db.md", Seq("k"),
+      tmp("cdc-mz-ckpt"))
+    // count the raw change rows per batch via a second stream on the same
+    // face (carryover churn would inflate them)
+    val q2 = spark.readStream.option("startVersion", "0")
+      .table("cdclake.db.ms.changes").writeStream
+      .option("checkpointLocation", tmp("cdc-mz-tap"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        batchRows.add(b.count()); ()
+      }
+      .start()
+    q.processAllAvailable(); q2.processAllAvailable()
+    assertReplicaMatches("cdclake.db.ms", "cdclake.db.md")
+    assert(batchRows.toArray.map(_.asInstanceOf[Long]).sum === 10L)   // v1 inserts
+    batchRows.clear()
+    // materialized MERGE touching 4 keys of 10: exactly 6 change rows
+    // (2 pre + 2 post + 2 insert) — a cow rewrite would emit 10+ churn rows
+    sql("MERGE INTO cdclake.db.ms t USING (SELECT id k, 9 v FROM range(8, 12)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")                               // v2
+    q.processAllAvailable(); q2.processAllAvailable()
+    assertReplicaMatches("cdclake.db.ms", "cdclake.db.md")
+    assert(batchRows.toArray.map(_.asInstanceOf[Long]).sum === 6L,
+      s"materialized MERGE must stream exactly its changes: $batchRows")
+    batchRows.clear()
+    // materialized UPDATE + DELETE keep the replica exact too
+    sql("UPDATE cdclake.db.ms SET v = 5 WHERE k = 0")                 // v3
+    sql("DELETE FROM cdclake.db.ms WHERE k = 1")                      // v4
+    q.processAllAvailable(); q2.processAllAvailable()
+    q.stop(); q2.stop()
+    assertReplicaMatches("cdclake.db.ms", "cdclake.db.md")
+    assert(batchRows.toArray.map(_.asInstanceOf[Long]).sum === 3L,
+      s"one update pair + one delete: $batchRows")
   }
 }
