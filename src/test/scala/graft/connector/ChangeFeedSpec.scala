@@ -279,6 +279,52 @@ class ChangeFeedSpec extends LakeSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("vacuum keeps a kept materialized version's #cdcdel vectors and old dirs") {
+    sql("CREATE TABLE cdflake.db.mzv (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='materialize')")
+    sql("INSERT INTO cdflake.db.mzv SELECT id, 0 FROM range(0, 6)")  // v1
+    sql("MERGE INTO cdflake.db.mzv t USING (SELECT id k, 9 v FROM range(0, 2)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")           // v2
+    // keep v1+v2: v2's CDF reads the REMOVED v1 dir at its #cdcdel
+    // positions — both the old dir (reachable through v1's kept manifest)
+    // and the del/pre vectors (marker references of kept v2) must survive
+    log("db/mzv").vacuum(keepVersions = 2, orphanRetentionMs = 0)
+    val f = feed("db/mzv", 1, 2).select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f === Set(
+      ("update_preimage", 0L, 0L), ("update_preimage", 1L, 0L),
+      ("update_postimage", 0L, 9L), ("update_postimage", 1L, 9L)))
+    // vacuum to the head only: the v2 markers' vectors are referenced only
+    // by a dropped-version diff now... but v2 itself is the kept head, so
+    // its marker vectors stay; only v1's superseded dir may go
+    val delOf2 = log("db/mzv").cdcAt(2).get.deleteDvByDir.values.head
+    log("db/mzv").vacuum(keepVersions = 1, orphanRetentionMs = 0)
+    val fs = new org.apache.hadoop.fs.Path(delOf2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(delOf2)),
+      "kept head's #cdcdel vector survives")
+    assert(rows("SELECT count(*) FROM cdflake.db.mzv") === Seq(Row(6L)))
+  }
+
+  test("materialized MERGE works across a column-mapping rename") {
+    sql("CREATE TABLE cdflake.db.mzr (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='materialize')")
+    sql("INSERT INTO cdflake.db.mzr SELECT id, 0 FROM range(0, 6)")  // v1
+    sql("ALTER TABLE cdflake.db.mzr RENAME COLUMN v TO score")       // v2
+    sql("MERGE INTO cdflake.db.mzr t USING (SELECT id k, 9 score FROM range(4, 8)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET score = s.score " +
+      "WHEN NOT MATCHED THEN INSERT *")                              // v3
+    assert(feed("db/mzr", 2, 3).select("_change_type", "k", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet === Set(
+      ("update_preimage", 4L, 0L), ("update_preimage", 5L, 0L),
+      ("update_postimage", 4L, 9L), ("update_postimage", 5L, 9L),
+      ("insert", 6L, 9L), ("insert", 7L, 9L)))
+    // the combined rewrite wrote PHYSICAL names: the snapshot reads whole
+    assert(rows("SELECT count(*) c, sum(score) s FROM cdflake.db.mzr") ===
+      Seq(Row(8L, 36L)))
+    assert(log("db/mzr").currentEntries().forall(_.dv.isEmpty))
+  }
+
   test("materialized UPDATE and DELETE: exact rows, vector-free dirs") {
     sql("CREATE TABLE cdflake.db.mzu (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.update.mode'='materialize', " +
