@@ -637,9 +637,17 @@ object Bench {
         // suspect ratio, or all backoff passes exhausted — fails the run.
         var cooldownMs = 30000L
         var backoffPass = 0
+        // the LOOP gate uses only the DIRECT signals (cpu ratio, streaming
+        // ratio): the contended-provenance fraction is insert-once and
+        // never shrinks, so once the (always-cold) first pass populated it
+        // the loop could never exit through it — a real regression on an
+        // idle box would always burn both cooldowns before failing. cr and
+        // sr both recover as backoff passes min/max-merge, so the exit
+        // "suite reads idle again" is reachable.
         while (sfMatches && backoffPass < 2 &&
                (flagged.nonEmpty || streamFlagged.nonEmpty) &&
-               suiteContended) {
+               (cr > ContentionSuspectRatio ||
+                 { val s = sr; s >= 0 && s < StreamingContentionRatio })) {
           backoffPass += 1
           System.err.println(s"[bench] ${flagged.size} query + " +
             s"${streamFlagged.size} stream regressions survive re-measure " +

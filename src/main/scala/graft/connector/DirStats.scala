@@ -41,6 +41,34 @@ object DirStats {
     * post-image vector; unlike [[collect]], a read failure here must fail
     * LOUDLY (a silently-missing count would misattribute every later row).
     */
+  /** Top-level field names of one dir's parquet schema, from the FIRST
+    * file's footer (a dir is written by one job, so its files share a
+    * schema). Best-effort: the caller ([[TableLog.usedPhysicalNames]])
+    * uses it to widen a collision-avoid set for dirs with no committed
+    * stats — an unreadable footer falls back to the other sources.
+    */
+  def footerFieldNames(dir: String, conf: Configuration): Set[String] =
+    try {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return Set.empty
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).headOption match {
+        case None => Set.empty
+        case Some(st) =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+          try {
+            val names = Set.newBuilder[String]
+            reader.getFooter.getFileMetaData.getSchema.getFields
+              .forEach(f => names += f.getName)
+            names.result()
+          } finally reader.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Set.empty
+    }
+
   def fileRowCounts(dir: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)

@@ -262,6 +262,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (cols.isEmpty) props - GraftTable.WriteClusterByProp
             else props + (GraftTable.WriteClusterByProp -> cols.mkString(","))
         }
+      // one avoid-set per attempt, shared by every AddColumn in the
+      // statement (usedPhysicalNames walks the surviving manifest headers;
+      // per-column recomputation would repeat that walk), lazily so
+      // mapping-inactive ALTERs never pay it
+      lazy val avoid = l.usedPhysicalNames()
       changes.foreach {
         case a: TableChange.AddColumn =>
           require(a.fieldNames.length == 1,
@@ -283,8 +288,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             else field0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
               .putString(ColumnMapping.PhysicalKey,
                 ColumnMapping.freshPhysicalName(name,
-                  l.usedPhysicalNames() ++
-                    sch.fields.map(ColumnMapping.physicalName)))
+                  avoid ++ sch.fields.map(ColumnMapping.physicalName)))
               .build())
           sch = org.apache.spark.sql.types.StructType(
             sch.fields :+ Option(a.comment).map(field.withComment).getOrElse(field))

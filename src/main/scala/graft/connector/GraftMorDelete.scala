@@ -285,19 +285,21 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
     val replacements: Map[String, Option[DirEntry]] = newByDir.map { case (qdir, fresh) =>
       val entry = pinnedByQualified.getOrElse(qdir, throw new IllegalStateException(
         s"mor write scanned $qdir which is not in the pinned snapshot of ${log.tableDir}"))
-      val merged = entry.dv
-        .map(p => DeletionVectorCache.get(p, log.hadoopConf).union(fresh))
-        .getOrElse(fresh)
-      val fullyDeleted = entry.stats.exists(s => s.rows == merged.cardinality)
       val replacement =
-        if (fullyDeleted || materialize) None   // materialize: rewritten below
+        if (materialize) None   // every touched dir is rewritten below
         else {
-          val dvPath = log.newDvFile()
-          DeletionVector.write(dvPath, log.hadoopConf, merged)
-          // cache the cardinality in the manifest line: the count is free
-          // here, and it spares every later metadata query (files table,
-          // history, vacuum sizing) a driver-side vector read
-          Some(entry.copy(dv = Some(dvPath), dvRows = Some(merged.cardinality)))
+          val merged = entry.dv
+            .map(p => DeletionVectorCache.get(p, log.hadoopConf).union(fresh))
+            .getOrElse(fresh)
+          if (entry.stats.exists(s => s.rows == merged.cardinality)) None
+          else {
+            val dvPath = log.newDvFile()
+            DeletionVector.write(dvPath, log.hadoopConf, merged)
+            // cache the cardinality in the manifest line: the count is free
+            // here, and it spares every later metadata query (files table,
+            // history, vacuum sizing) a driver-side vector read
+            Some(entry.copy(dv = Some(dvPath), dvRows = Some(merged.cardinality)))
+          }
         }
       entry.dir -> replacement
     }

@@ -147,10 +147,16 @@ private[connector] final class VacuumProcedure(resolve: String => TableLog)
   * reinstates version `version`'s manifest entries AND meta header
   * (schema + properties — a restore past a bad ALTER undoes the schema
   * change too) under the normal CAS, stamped `RESTORE (to version N)`.
-  * Nothing is rewritten or deleted: history stays intact (time travel
-  * still reads every version), the change feed sees the rollback as an
-  * ordinary remove/re-add diff, and vacuum keeps the reinstated dirs and
-  * vectors alive because the new head manifest references them.
+  * History stays intact (time travel still reads every version), the
+  * change feed sees the rollback as an ordinary remove/re-add diff, and
+  * vacuum keeps the reinstated dirs and vectors alive because the new
+  * head manifest references them. Almost nothing is rewritten — the one
+  * exception is a dir that SURVIVES from the head with a DIFFERENT
+  * deletion vector (only a merge-on-read history can produce this): the
+  * feed's diff invariant says vectors only grow on a surviving dir, so
+  * those dirs are re-committed as fresh vector-applied copies and the
+  * resurrection surfaces as ordinary remove/add churn netting to the
+  * revived rows.
   *
   * Restorable = the target manifest still exists; vacuum reclaims data
   * only when no kept manifest references it, so a surviving manifest
@@ -164,7 +170,8 @@ private[connector] final class RestoreProcedure(resolve: String => TableLog)
   override def name(): String = "restore"
   override def description(): String =
     "roll the table back to an earlier version as a new commit (RESTORE); " +
-      "history and time travel keep working, nothing is rewritten"
+      "history and time travel keep working; only dirs whose deletion " +
+      "vector would shrink are rewritten"
 
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
     override def name(): String = RestoreProcedure.this.name()
@@ -199,6 +206,20 @@ private[connector] final class RestoreProcedure(resolve: String => TableLog)
       // and retries; the bound guards against a filesystem that never wins
       var attempts = 0
       var committed = -1L
+      // A dir that SURVIVES from the head into the restored version with a
+      // DIFFERENT deletion vector would break the change feed's diff
+      // invariant (vectors only grow on a surviving dir — a restore shrinks
+      // or removes them, which diff either rejects or silently replays as
+      // zero rows). Those dirs are REWRITTEN instead: one combined job
+      // applying the TARGET vectors into a fresh dir, so every dir in the
+      // restored manifest is either byte-identical to the head's entry,
+      // newly added, or freshly written — the feed then sees ordinary
+      // remove/add churn whose net effect is exactly the resurrection.
+      // (rewrittenFor, rewritten) memoize across CAS retries: recompute
+      // only when a concurrent commit changed the conflict set.
+      var rewrittenFor: Set[String] = null
+      var rewritten: Option[DirEntry] = None
+      var committedDirs = 0
       while (committed < 0) {
         attempts += 1
         if (attempts > 100)
@@ -206,16 +227,39 @@ private[connector] final class RestoreProcedure(resolve: String => TableLog)
             s"restore of ${log.tableDir} failed after $attempts attempts — " +
               "manifest rename keeps failing (filesystem problem, not contention)")
         val expected = log.latestVersion
-        if (log.tryCommitEntriesMeta(expected, entries, newMeta = Some(meta),
-            op = Some(s"RESTORE (to version $target)")))
+        val headByDir = expected.map(log.entriesAt).getOrElse(Nil)
+          .map(e => e.dir -> e).toMap
+        val (conflicting, passThrough) = entries.partition(e =>
+          headByDir.get(e.dir).exists(_.dv != e.dv))
+        if (rewrittenFor == null || rewrittenFor != conflicting.map(_.dir).toSet) {
+          rewrittenFor = conflicting.map(_.dir).toSet
+          rewritten =
+            if (conflicting.isEmpty) None
+            else {
+              val spark = SparkSession.active
+              val out = log.newDataDir()
+              val df = spark.read
+                .schema(ColumnMapping.toPhysical(meta._1))
+                .parquet(conflicting.map(_.dir): _*)
+              DvReads.applyVectors(spark, df, conflicting, log.hadoopConf)
+                .write.parquet(out)
+              Some(DirEntry(out, DirStats.collect(out, log.hadoopConf)))
+                .filterNot(_.stats.exists(_.rows == 0))
+            }
+        }
+        val next = passThrough ++ rewritten
+        if (log.tryCommitEntriesMeta(expected, next, newMeta = Some(meta),
+            op = Some(s"RESTORE (to version $target)"))) {
           committed = expected.getOrElse(0L) + 1
+          committedDirs = next.size
+        }
       }
       GraftProcedures.oneRowResult(
         StructType(Seq(
           StructField("restored_to", LongType, nullable = false),
           StructField("new_version", LongType, nullable = false),
           StructField("dirs", IntegerType, nullable = false))),
-        Array(target, committed, entries.size))
+        Array(target, committed, committedDirs))
     }
   }
 }

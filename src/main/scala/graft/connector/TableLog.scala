@@ -266,24 +266,33 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   def currentEntries(): Seq[DirEntry] = latestVersion.map(entriesAt).getOrElse(Nil)
 
   /** Every physical column name the table can still read: the CREATE-time
-    * schema, each SURVIVING manifest's meta header (historical schemas),
-    * and the footer-stat keys of the current entries — the last covers
-    * live dirs whose writing-era manifest was vacuumed away. ADD COLUMN's
+    * schema, each SURVIVING manifest's meta header (historical schemas —
+    * read through the cached first-line [[headerAt]], never a full
+    * manifest slurp), the footer-stat keys of the current entries, and —
+    * for current dirs with NO committed stats, where those keys are
+    * absent — one real footer-schema read per dir. ADD COLUMN's
     * fresh-name generator checks candidates against this set
     * ([[ColumnMapping.freshPhysicalName]]): an 8-hex birthday collision
     * with a dropped column of the same logical name would otherwise read
-    * that column's stale bytes as the new column's data.
+    * that column's stale bytes as the new column's data. Residual gap,
+    * accepted: a column DROPPED from stats as unusable, in a dir whose
+    * writing-era manifests were all vacuumed — layered behind the 2^-32
+    * tag collision itself.
     */
   def usedPhysicalNames(): Set[String] = {
     val versions = fs.listStatus(new Path(tableDir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("manifest-"))
       .map(_.stripPrefix("manifest-").toLong)
-    val schemas = baseMeta._1 +: versions.map(v => metaAt(v)._1)
+    val schemas = baseMeta._1 +:
+      versions.flatMap(v => headerAt(v).flatMap(TableLog.parseMetaHeader))
+        .map(_._1)
     val fromSchemas =
       schemas.flatMap(_.fields.map(ColumnMapping.physicalName))
-    val fromFooters = currentEntries().flatMap(_.stats)
-      .flatMap(_.cols.keysIterator)
-    (fromSchemas ++ fromFooters).toSet
+    val entries = currentEntries()
+    val fromStats = entries.flatMap(_.stats).flatMap(_.cols.keysIterator)
+    val fromStatless = entries.filter(_.stats.isEmpty)
+      .flatMap(e => DirStats.footerFieldNames(e.dir, conf))
+    (fromSchemas ++ fromStats ++ fromStatless).toSet
   }
 
   /** Newest version whose manifest was committed at or before `tsMillis`
