@@ -99,6 +99,34 @@ class LakeConcurrencySpec extends LakeSpec {
     assert(finalRow.getLong(1) === expectedSum)
   }
 
+  test("materialized MERGE and concurrent appends converge unaided") {
+    sql("CREATE TABLE conclake.db.mz (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.merge.mode'='materialize')")
+    sql("INSERT INTO conclake.db.mz SELECT id, 'seed' FROM range(0, 100)")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // appends touch no replaced dir, so the materialized commit's CAS loop
+    // must absorb them (re-read, re-merge, commit) — no statement retry
+    val appender = new Thread(() => {
+      try (0 until 6).foreach { i =>
+        sql(s"INSERT INTO conclake.db.mz SELECT id, 'app' FROM " +
+          s"range(${1000 + i * 10}, ${1010 + i * 10})")
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    val merger = new Thread(() => {
+      try sql("MERGE INTO conclake.db.mz t USING " +
+        "(SELECT id k, 'upd' v FROM range(0, 50)) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+      catch { case t: Throwable => failures.add(t) }
+    })
+    Seq(appender, merger).foreach(_.start())
+    Seq(appender, merger).foreach(_.join(120000))
+    assert(failures.isEmpty, s"unexpected: ${failures.toArray.mkString("; ")}")
+    assert(rows("SELECT count(*) FROM conclake.db.mz") === Seq(Row(160L)))
+    assert(rows("SELECT count(*) FROM conclake.db.mz WHERE v = 'upd'") ===
+      Seq(Row(50L)))
+    assert(log("db/mz").currentEntries().forall(_.dv.isEmpty))
+  }
+
   test("history reports versions, rows, and live rows through deletes") {
     sql("CREATE TABLE conclake.db.h (k BIGINT) " +
       "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
