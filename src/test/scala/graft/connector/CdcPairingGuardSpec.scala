@@ -98,4 +98,27 @@ class CdcPairingGuardSpec extends LakeSpec {
     // the snapshot itself is unaffected by the lineage downgrade
     assert(sql("SELECT count(*) FROM pairlake.db.net").head().getLong(0) === 8L)
   }
+
+  test("materialize + exactPairing=false: net-effect types, still churn-free") {
+    sql("CREATE TABLE pairlake.db.mznet (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.merge.mode'='materialize', " +
+      "'graft.cdc.exactPairing'='false')")
+    sql("INSERT INTO pairlake.db.mznet SELECT id, 0 FROM range(0, 6)")   // v1
+    sql("MERGE INTO pairlake.db.mznet t USING (SELECT id k, 9 v FROM range(4, 8)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")                                  // v2
+    // pairing off drops only the pre/post SPLIT; the #cdcdel/#cdcadd
+    // markers still carry exact positions, so the feed emits the 6 real
+    // changes as plain delete+insert — never the 4 carryover rows
+    val m = log("db/mznet").cdcAt(2).get
+    assert(m.preImageDvByDir.isEmpty && m.postImageDvByDir.isEmpty)
+    assert(m.deleteDvByDir.nonEmpty && m.addDirs.nonEmpty)
+    val f = ChangeFeed.between(spark, log("db/mznet"), 1, 2)
+      .select("k", "v", ChangeFeed.TypeCol)
+    assert(f.collect().toSet === Set(
+      Row(4L, 0L, "delete"), Row(5L, 0L, "delete"),
+      Row(4L, 9L, "insert"), Row(5L, 9L, "insert"),
+      Row(6L, 9L, "insert"), Row(7L, 9L, "insert")))
+    assert(log("db/mznet").currentEntries().forall(_.dv.isEmpty))
+  }
 }
