@@ -637,17 +637,22 @@ object Bench {
         // suspect ratio, or all backoff passes exhausted — fails the run.
         var cooldownMs = 30000L
         var backoffPass = 0
-        // the LOOP gate uses only the DIRECT signals (cpu ratio, streaming
-        // ratio): the contended-provenance fraction is insert-once and
-        // never shrinks, so once the (always-cold) first pass populated it
-        // the loop could never exit through it — a real regression on an
-        // idle box would always burn both cooldowns before failing. cr and
-        // sr both recover as backoff passes min/max-merge, so the exit
-        // "suite reads idle again" is reachable.
+        // the LOOP gate = the REPORTED-flag predicate: direct signals (cpu
+        // ratio, streaming ratio) plus the contended-fraction signal GATED
+        // ON residual cpu inflation. Fraction alone could never serve as
+        // an exit (insert-once, never shrinks — a cold idle first pass
+        // populates it and a real regression would burn both cooldowns),
+        // but fraction && cr > ResidualCpuRatio stays exitable: backoff
+        // re-measures min-merge cr downward on a recovered box, and the
+        // 1.2-1.5 cr band with heavy contended provenance — exactly the
+        // r13 shape — still gets its backoff passes instead of failing
+        // rc=2 while the record says contention_suspected:true.
         while (sfMatches && backoffPass < 2 &&
                (flagged.nonEmpty || streamFlagged.nonEmpty) &&
                (cr > ContentionSuspectRatio ||
-                 { val s = sr; s >= 0 && s < StreamingContentionRatio })) {
+                 { val s = sr; s >= 0 && s < StreamingContentionRatio } ||
+                 (contendedFraction > ContendedFractionTrigger &&
+                   cr > ResidualCpuRatio))) {
           backoffPass += 1
           System.err.println(s"[bench] ${flagged.size} query + " +
             s"${streamFlagged.size} stream regressions survive re-measure " +

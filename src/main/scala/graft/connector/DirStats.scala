@@ -35,12 +35,6 @@ object DirStats {
 
   // ---- collection from parquet footers ------------------------------------
 
-  /** Per-file physical row counts of a dir's parquet files, (file name,
-    * rows) sorted by name — footer reads only. The mor MERGE commit
-    * resolves task-local staged-row indexes against these to build its
-    * post-image vector; unlike [[collect]], a read failure here must fail
-    * LOUDLY (a silently-missing count would misattribute every later row).
-    */
   /** Top-level field names of one dir's parquet schema, from the FIRST
     * file's footer (a dir is written by one job, so its files share a
     * schema). Best-effort: the caller ([[TableLog.usedPhysicalNames]])
@@ -69,6 +63,12 @@ object DirStats {
       case scala.util.control.NonFatal(_) => Set.empty
     }
 
+  /** Per-file physical row counts of a dir's parquet files, (file name,
+    * rows) sorted by name — footer reads only. The mor MERGE commit
+    * resolves task-local staged-row indexes against these to build its
+    * post-image vector; unlike [[collect]], a read failure here must fail
+    * LOUDLY (a silently-missing count would misattribute every later row).
+    */
   def fileRowCounts(dir: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)

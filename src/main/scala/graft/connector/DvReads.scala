@@ -69,4 +69,26 @@ object DvReads {
     if (dvPathByDir.isEmpty) return df
     df.where(not(deletedAt(dvPathByDir, conf)))
   }
+
+  /** Rewrite `entries`' dirs with their vectors APPLIED into one fresh dir
+    * of `log`, returning its stats-carrying entry — None when every row
+    * was vector-deleted (committing an empty dir would be dead weight; the
+    * unreferenced output is vacuum's to reclaim, like any aborted staging
+    * dir). One combined Spark job regardless of dir count — the shared
+    * recipe of the materialized row-level commit and RESTORE's
+    * conflicting-dir rewrite. `schema` is the LOGICAL schema whose
+    * physical projection to read (pass the snapshot's own schema: the
+    * output must carry the same physical column names the manifest's
+    * stats and readers expect).
+    */
+  def rewriteApplied(spark: SparkSession, log: TableLog, entries: Seq[DirEntry],
+                     schema: org.apache.spark.sql.types.StructType): Option[DirEntry] = {
+    val out = log.newDataDir()
+    val df = spark.read.schema(ColumnMapping.toPhysical(schema))
+      .parquet(entries.map(_.dir): _*)
+    applyVectors(spark, df, entries, log.hadoopConf)
+      .write.parquet(out)
+    Some(DirEntry(out, DirStats.collect(out, log.hadoopConf)))
+      .filterNot(_.stats.exists(_.rows == 0))
+  }
 }

@@ -329,16 +329,7 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
           }
         }
         if (toRewrite.isEmpty) None
-        else {
-          val spark = SparkSession.active
-          val out = log.newDataDir()
-          val df = spark.read.schema(ColumnMapping.toPhysical(log.schema))
-            .parquet(toRewrite.map(_.dir): _*)
-          DvReads.applyVectors(spark, df, toRewrite, log.hadoopConf)
-            .write.parquet(out)
-          Some(DirEntry(out, DirStats.collect(out, log.hadoopConf)))
-            .filterNot(_.stats.exists(_.rows == 0))
-        }
+        else DvReads.rewriteApplied(SparkSession.active, log, toRewrite, log.schema)
       }
 
     var done = false

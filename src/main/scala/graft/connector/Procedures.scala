@@ -235,17 +235,8 @@ private[connector] final class RestoreProcedure(resolve: String => TableLog)
           rewrittenFor = conflicting.map(_.dir).toSet
           rewritten =
             if (conflicting.isEmpty) None
-            else {
-              val spark = SparkSession.active
-              val out = log.newDataDir()
-              val df = spark.read
-                .schema(ColumnMapping.toPhysical(meta._1))
-                .parquet(conflicting.map(_.dir): _*)
-              DvReads.applyVectors(spark, df, conflicting, log.hadoopConf)
-                .write.parquet(out)
-              Some(DirEntry(out, DirStats.collect(out, log.hadoopConf)))
-                .filterNot(_.stats.exists(_.rows == 0))
-            }
+            else DvReads.rewriteApplied(SparkSession.active, log, conflicting,
+              meta._1)   // the TARGET version's schema: its physical names
         }
         val next = passThrough ++ rewritten
         if (log.tryCommitEntriesMeta(expected, next, newMeta = Some(meta),
