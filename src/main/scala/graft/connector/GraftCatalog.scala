@@ -216,6 +216,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (l.exists) throw new TableAlreadyExistsException(catalogName +: ident.namespace.toSeq :+ ident.name)
     val props = properties.asScala.toMap -- Seq(TableCatalog.PROP_OWNER,
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION)
+    GraftTable.validateProps(props, fullName(ident))
     l.create(schema, props)
     new GraftTable(fullName(ident), l)
   }
@@ -358,6 +359,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(ADD COLUMNS of nullable appended columns, RENAME COLUMN, " +
             "DROP COLUMN, widening ALTER COLUMN TYPE, and SET/UNSET TBLPROPERTIES)")
       }
+      GraftTable.validateProps(props, fullName(ident))
       val entries = expected.map(l.entriesAt).getOrElse(Nil)
       done = l.tryCommitEntriesMeta(expected, entries, Some((sch, props)),
         op = Some("ALTER TABLE"))

@@ -157,7 +157,7 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
     // shift to (batching per side, an exchange between the halves) breaks
     // alternation and trips it.)
     val exactPairing =
-      log.properties.getOrElse("graft.cdc.exactPairing", "true").toBoolean
+      log.properties.getOrElse(GraftTable.CdcExactPairingProp, "true").toBoolean
     if (exactPairing && cmd == RowLevelOperation.Command.MERGE) {
       dvMessages.filter(m => m.reinserts != m.postRows.length).foreach { m =>
         throw new IllegalStateException(

@@ -249,6 +249,33 @@ object GraftTable {
     * writing (tight parquet row-group stats from the first write).
     */
   val WriteClusterByProp = "graft.write.clusterBy"
+
+  /** Gate on mor MERGE's exact update-pair attribution (default true);
+    * false = net-effect change rows. See GraftDvBatchWrite.
+    */
+  val CdcExactPairingProp = "graft.cdc.exactPairing"
+
+  /** Legal values of the per-command mode properties. */
+  val Modes: Set[String] = Set("copy-on-write", "merge-on-read", "materialize")
+
+  /** Fail-loudly validation of graft.* table properties at CREATE / ALTER
+    * SET: the mode routing matches on exact strings, so a typo
+    * ('materialise', 'mor') would otherwise SILENTLY mean copy-on-write,
+    * and a non-boolean exactPairing would explode at write time with a
+    * bare NumberFormat-style message.
+    */
+  def validateProps(props: Map[String, String], table: String): Unit = {
+    Seq(DeleteModeProp, UpdateModeProp, MergeModeProp).foreach { k =>
+      props.get(k).foreach(v => require(Modes.contains(v),
+        s"$table: $k must be one of ${Modes.toSeq.sorted.mkString(", ")}; got '$v'"))
+    }
+    props.get(CdcExactPairingProp).foreach(v =>
+      require(v == "true" || v == "false",
+        s"$table: $CdcExactPairingProp must be true or false; got '$v'"))
+    props.get(ColumnMapping.ModeProp).foreach(v => require(v == "id",
+      s"$table: ${ColumnMapping.ModeProp} supports only 'id' (set " +
+        s"automatically by RENAME/DROP COLUMN); got '$v'"))
+  }
 }
 
 /** Plain-write builder: `INSERT INTO` appends a new data dir; `INSERT

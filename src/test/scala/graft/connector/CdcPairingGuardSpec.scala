@@ -121,4 +121,28 @@ class CdcPairingGuardSpec extends LakeSpec {
       Row(6L, 9L, "insert"), Row(7L, 9L, "insert")))
     assert(log("db/mznet").currentEntries().forall(_.dv.isEmpty))
   }
+
+  test("mode and pairing property values are validated loudly, not routed to cow") {
+    // CREATE: a typo'd mode would silently mean copy-on-write — refuse it
+    val e1 = intercept[Exception](
+      sql("CREATE TABLE pairlake.db.badmode (k BIGINT) " +
+        "TBLPROPERTIES ('graft.merge.mode'='materialise')"))
+    assert(e1.getMessage.contains("graft.merge.mode"), e1.getMessage)
+    val e2 = intercept[Exception](
+      sql("CREATE TABLE pairlake.db.badpair (k BIGINT) " +
+        "TBLPROPERTIES ('graft.cdc.exactPairing'='yes')"))
+    assert(e2.getMessage.contains("exactPairing"), e2.getMessage)
+    // ALTER SET gets the same gate
+    sql("CREATE TABLE pairlake.db.okmode (k BIGINT)")
+    val e3 = intercept[Exception](
+      sql("ALTER TABLE pairlake.db.okmode SET TBLPROPERTIES " +
+        "('graft.delete.mode'='mor')"))
+    assert(e3.getMessage.contains("graft.delete.mode"), e3.getMessage)
+    // every legal spelling passes
+    sql("ALTER TABLE pairlake.db.okmode SET TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read', " +
+      "'graft.update.mode'='materialize', " +
+      "'graft.merge.mode'='copy-on-write', " +
+      "'graft.cdc.exactPairing'='false')")
+  }
 }
