@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses graft.Bench's one-line JSON record from the
+// command's output tail. Two sbt default behaviors have broken that parse
+// in every round so far (BENCH_r{1..14} all carry `parsed: null`):
+// LoggedOutput prefixes the forked JVM's stdout with "[info] ", and sbt
+// appends "[success] Total time: ..." AFTER the record. Pass the forked
+// output through raw and drop the epilogue so the JSON line is the last
+// parseable line the driver sees.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

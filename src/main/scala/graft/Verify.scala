@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — trailing names (dev-only)
+    // restrict the run to a subset; the driver always passes exactly two
+    // args, so its full-registry manifest contract is unchanged.
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     // local[4] is the measured-optimal thread count for this suite's data
     // sizes (see Bench.scala thread-count sweep note); results are
     // partition-count invariant — the full 128-query oracle sweep was
@@ -20,7 +24,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,13 +47,15 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Full registry manifest + per-query failures, so tools/oracle_check.py
     // can detect survivorship: a correctness report that silently omits a
     // registered query (round-6: 21 of them) must be flagged, not trusted.
     Files.writeString(Paths.get(s"$outDir/registry_keys.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(k => only.isEmpty || only(k)).map(q).mkString("[", ",", "]"))
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (failed.nonEmpty)

@@ -196,6 +196,107 @@ object CdcQueries {
         UNION ALL
           SELECT p_partkey, p_name, CAST(p_size AS BIGINT) * 7
           FROM part WHERE p_partkey % 2 = 1
-        ORDER BY k"""))
+        ORDER BY k""")),
+
+    // ---- RESTORE (Procedures.scala RestoreProcedure): the operational
+    // headline — roll back a bad MERGE — through the HARDEST restore path:
+    // the table is merge-on-read, so at restore time the seed dir SURVIVES
+    // at the head with a vector GROWN past the target version's (target
+    // {k%3=0} vs head {k%3=0}∪{matched evens}), forcing the rewriteApplied
+    // conflict arm (a shrinking vector would break the change feed's
+    // diff invariant, so the dir is rewritten vector-free). What the
+    // oracle equality certifies: not one merge-written row survives the
+    // rollback (no zeroed price, no -1 insert), the LEGITIMATE pre-merge
+    // deletes stay deleted through the rewrite, and the table keeps
+    // accepting writes after the restore (the v5 insert lands). ----
+    "x67_restore" -> Q(
+      (s, dir) => {
+        val cat = tempCatalog(s)
+        s.sql(s"CREATE TABLE $cat.r (k BIGINT, price_micro BIGINT) " +
+          "TBLPROPERTIES ('graft.delete.mode'='merge-on-read', " +
+          "'graft.merge.mode'='merge-on-read')")
+        val o = Tables.orders(s, dir)
+        val v = s"x67src${java.util.UUID.randomUUID().toString.take(8)}"
+        o.filter(col("o_orderkey") % 7 =!= 0).select(
+          col("o_orderkey").as("k"), micro(col("o_totalprice")).as("price_micro"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $cat.r SELECT * FROM $v")             // v1: seed
+        s.sql(s"DELETE FROM $cat.r WHERE k % 3 = 0")              // v2: mor vector
+        // v3, the bad MERGE: zeroes every even key and inserts sentinel
+        // rows for keys the seed never held — all of it must vanish
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k")).createOrReplaceTempView(v)
+        s.sql(s"MERGE INTO $cat.r t USING (SELECT k FROM $v) s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET price_micro = 0 " +
+          "WHEN NOT MATCHED THEN INSERT (k, price_micro) VALUES (s.k, -1)")
+        s.sql(s"CALL $cat.system.restore(`table` => 'r', version => 2)")  // v4
+        o.filter(col("o_orderkey") % 7 === 0).select(
+          col("o_orderkey").as("k"),
+          (micro(col("o_totalprice")) * 3).as("price_micro"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $cat.r SELECT * FROM $v")             // v5: post-restore
+        s.catalog.dropTempView(v)
+        s.table(s"$cat.r").orderBy(col("k"))
+      },
+      Some("""SELECT o_orderkey AS k,
+                 cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro
+          FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0
+        UNION ALL
+          SELECT o_orderkey,
+                 cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) * 3
+          FROM orders WHERE o_orderkey % 7 = 0
+        ORDER BY k""")),
+
+    // ---- MATERIALIZED CDF (GraftMorDelete materialize mode +
+    // ChangeTable): a `graft.merge.mode='materialize'` MERGE mixing all
+    // three actions over a seeded table, read back through the catalog's
+    // `db.t.changes` face over (v1, v2]. What the oracle equality
+    // certifies: EXACT per-row update pairs (pre at the old price, post at
+    // the new — net-effect churn or a missing #cdcdel/#cdcadd marker
+    // would add carryover rows for the untouched keys and hash-mismatch),
+    // exact WHEN-MATCHED deletes, exact NOT-MATCHED inserts, and nothing
+    // else — the cow storage's rewrite of untouched rows is silent. ----
+    "x68_materialized_changes" -> Q(
+      (s, dir) => {
+        val cat = tempCatalog(s)
+        s.sql(s"CREATE TABLE $cat.mz (k BIGINT, price_micro BIGINT) " +
+          "TBLPROPERTIES ('graft.merge.mode'='materialize')")
+        val o = Tables.orders(s, dir)
+        val v = s"x68src${java.util.UUID.randomUUID().toString.take(8)}"
+        o.filter(col("o_orderkey") % 7 =!= 0).select(
+          col("o_orderkey").as("k"), micro(col("o_totalprice")).as("price_micro"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $cat.mz SELECT * FROM $v")            // v1: seed
+        o.filter(col("o_orderkey") % 5 === 0).select(
+          col("o_orderkey").as("k"),
+          (micro(col("o_totalprice")) * 2).as("m")).createOrReplaceTempView(v)
+        s.sql(s"MERGE INTO $cat.mz t USING (SELECT k, m FROM $v) s ON t.k = s.k " +
+          "WHEN MATCHED AND t.k % 3 = 0 THEN UPDATE SET price_micro = s.m " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED THEN INSERT (k, price_micro) VALUES (s.k, s.m)")  // v2
+        s.catalog.dropTempView(v)
+        s.read.option("startVersion", "1").option("endVersion", "2")
+          .table(s"$cat.mz.changes")
+          .select(col("k"), col("price_micro"),
+            col(ChangeFeed.TypeCol), col(ChangeFeed.VersionCol))
+          .orderBy(col("k"), col(ChangeFeed.TypeCol))
+      },
+      Some("""WITH p AS (
+          SELECT o_orderkey AS k,
+                 cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS m
+          FROM orders)
+        SELECT k, m AS price_micro, 'update_preimage' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version
+          FROM p WHERE k % 7 <> 0 AND k % 5 = 0 AND k % 3 = 0
+        UNION ALL
+          SELECT k, m * 2, 'update_postimage', 2 FROM p
+          WHERE k % 7 <> 0 AND k % 5 = 0 AND k % 3 = 0
+        UNION ALL
+          SELECT k, m, 'delete', 2 FROM p
+          WHERE k % 7 <> 0 AND k % 5 = 0 AND k % 3 <> 0
+        UNION ALL
+          SELECT k, m * 2, 'insert', 2 FROM p
+          WHERE k % 7 = 0 AND k % 5 = 0
+        ORDER BY k, _change_type"""))
   )
 }
