@@ -21,6 +21,9 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
 Global / showTiming := false
+// showSuccess/showTiming are read by sbt's command engine, not by a task —
+// exclude them from the unused-key lint
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

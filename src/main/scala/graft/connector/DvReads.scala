@@ -88,7 +88,18 @@ object DvReads {
       .parquet(entries.map(_.dir): _*)
     applyVectors(spark, df, entries, log.hadoopConf)
       .write.parquet(out)
-    Some(DirEntry(out, DirStats.collect(out, log.hadoopConf)))
-      .filterNot(_.stats.exists(_.rows == 0))
+    val stats = DirStats.collect(out, log.hadoopConf)
+    // "empty" must not depend on stats being readable: collect returns
+    // None on unreadable footers, and committing a stats-less dir that
+    // holds zero parquet files would add dead weight the doc above says
+    // is omitted — fall back to listing the dir in that case
+    val empty = stats match {
+      case Some(s) => s.rows == 0
+      case None =>
+        val fs = new Path(out).getFileSystem(log.hadoopConf)
+        !fs.listStatus(new Path(out))
+          .exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    if (empty) None else Some(DirEntry(out, stats))
   }
 }

@@ -254,6 +254,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val (sch0, props0) = expected.map(l.metaAt).getOrElse(l.baseMetaPublic)
       var sch = sch0
       var props = props0
+      // graft.* validation scope: only the keys THIS statement sets — an
+      // unrelated ALTER (e.g. ADD COLUMNS) on a table carrying a pre-gate
+      // invalid property value must not fail until someone touches that
+      // property (legacy values are correctable via SET TBLPROPERTIES)
+      val touchedProps = scala.collection.mutable.Set[String]()
       // rewrite column references inside the clusterBy property so layout
       // maintenance keeps working across renames/drops
       def patchClusterBy(f: String => Option[String]): Unit =
@@ -352,14 +357,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"float -> double): ${f.dataType.simpleString} -> " +
               s"${u.newDataType.simpleString} would reinterpret written bytes")
           sch = StructType(sch.fields.updated(idx, f.copy(dataType = u.newDataType)))
-        case p: TableChange.SetProperty => props = props + (p.property -> p.value)
+        case p: TableChange.SetProperty =>
+          props = props + (p.property -> p.value)
+          touchedProps += p.property
         case p: TableChange.RemoveProperty => props = props - p.property
         case other => throw new UnsupportedOperationException(
           s"ALTER TABLE change not supported on graft-lake tables: $other " +
             "(ADD COLUMNS of nullable appended columns, RENAME COLUMN, " +
             "DROP COLUMN, widening ALTER COLUMN TYPE, and SET/UNSET TBLPROPERTIES)")
       }
-      GraftTable.validateProps(props, fullName(ident))
+      GraftTable.validateProps(
+        props.view.filterKeys(touchedProps).toMap, fullName(ident))
       val entries = expected.map(l.entriesAt).getOrElse(Nil)
       done = l.tryCommitEntriesMeta(expected, entries, Some((sch, props)),
         op = Some("ALTER TABLE"))

@@ -365,7 +365,14 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
               // current vector still EXTENDS the pinned one (pure
               // deletes-from — a shrink or divergence means the dir was
               // rewritten and positions no longer mean the same rows) AND
-              // the concurrent additions miss OUR fresh deletions. The
+              // the concurrent additions miss OUR fresh deletions.
+              // ISOLATION LEVEL: this makes same-dir commits SNAPSHOT-
+              // isolated, matching the pre-existing cross-dir behavior —
+              // a MERGE whose NOT-MATCHED/no-action decisions read rows a
+              // concurrent position-disjoint writer deleted still commits
+              // (write skew), which serializability would forbid. Row-
+              // position overlap always conflicts loudly. Documented in
+              // README ("concurrent position-disjoint mor rewrites"). The
               // intersection test is fresh ∩ current: fresh ∩ pinned = ∅
               // by construction (our scan never saw pinned-deleted rows),
               // so any hit is on the additions. An overlap must fail even

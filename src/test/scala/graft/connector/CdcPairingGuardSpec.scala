@@ -145,4 +145,28 @@ class CdcPairingGuardSpec extends LakeSpec {
       "'graft.merge.mode'='copy-on-write', " +
       "'graft.cdc.exactPairing'='false')")
   }
+
+  test("unrelated ALTER succeeds on a table carrying a legacy invalid property") {
+    // validation scope is the keys THE STATEMENT sets: a pre-gate manifest
+    // (committed before the validators existed) may carry an invalid
+    // graft.* value, and an unrelated ADD COLUMNS must not be held hostage
+    // to it — only touching that property re-validates it
+    sql("CREATE TABLE pairlake.db.legacy (k BIGINT)")
+    val l = log("db/legacy")
+    val (sch, props) = l.latestVersion.map(l.metaAt).getOrElse(l.baseMetaPublic)
+    assert(l.tryCommitEntriesMeta(l.latestVersion, l.currentEntries(),
+      Some((sch, props + ("graft.merge.mode" -> "mor"))),
+      op = Some("legacy prop injection")))
+    sql("ALTER TABLE pairlake.db.legacy ADD COLUMNS (v STRING)")   // must pass
+    assert(sql("SELECT * FROM pairlake.db.legacy").schema.fieldNames.toSeq ===
+      Seq("k", "v"))
+    // touching the bad key re-validates it...
+    val e = intercept[Exception](
+      sql("ALTER TABLE pairlake.db.legacy SET TBLPROPERTIES " +
+        "('graft.merge.mode'='also-bad')"))
+    assert(e.getMessage.contains("graft.merge.mode"), e.getMessage)
+    // ...and a valid SET repairs the legacy value
+    sql("ALTER TABLE pairlake.db.legacy SET TBLPROPERTIES " +
+      "('graft.merge.mode'='merge-on-read')")
+  }
 }
