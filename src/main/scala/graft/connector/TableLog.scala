@@ -13,20 +13,22 @@ import scala.collection.immutable.ListMap
   *
   * Commit protocol (the same shape Delta's `_delta_log` uses, minus the jar):
   *   1. stage the full manifest content into a uniquely-named temp file,
-  *   2. rename it to `manifest-(v+1)` — fail-if-exists, so two committers
-  *      racing for the same version CAS on the rename and the loser retries
+  *   2. publish it as `manifest-(v+1)` — fail-if-exists, so two committers
+  *      racing for the same version CAS on the publish and the loser retries
   *      (appends) or aborts (rewrites, see [[GraftBatchWrite]]).
-  * A torn write is impossible at the commit point because the rename is the
+  * A torn write is impossible at the commit point because the publish is the
   * only mutation of a visible name; a crash anywhere earlier leaves one
   * orphan temp/staging dir for [[vacuum]]. Readers resolve "latest" by
   * listing `manifest-*` and taking the max version — no mutable pointer file
   * exists, so there is nothing to heal on recovery.
   *
-  * On HDFS/POSIX the non-overwriting rename is atomic; on an object store
-  * whose rename is copy+delete the CAS narrows to best-effort and a
-  * multi-writer deployment needs an external lock per table — the identical
-  * caveat Delta documents for S3 without a LogStore. Single-writer-per-table
-  * is the hard guarantee; reads are snapshot-isolated regardless because
+  * The publish primitive is scheme-dependent (see [[writeAtomic]]): HDFS
+  * rename is atomically non-overwriting; the local filesystem uses link(2)
+  * because POSIX rename(2) silently replaces (CasRaceTwoJvmSpec races two
+  * JVMs over one table dir to pin this). On an object store whose rename is
+  * copy+delete the CAS narrows to best-effort and a multi-writer deployment
+  * needs an external lock per table — the identical caveat Delta documents
+  * for S3 without a LogStore. Reads are snapshot-isolated regardless because
   * every name a manifest references is immutable.
   *
   * Reference durability contract this backs: the engine's per-block
@@ -76,10 +78,29 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val tmp = new Path(tableDir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    // the CAS: Hadoop rename does not overwrite an existing file — if the
-    // destination version was claimed first, rename returns false and the
-    // temp file is discarded
+    // the CAS: publish tmp under dst's name, failing if dst exists.
+    // HDFS rename is atomically non-overwriting, but the LOCAL filesystem's
+    // rename maps to POSIX rename(2), which silently REPLACES an existing
+    // destination — the exists() pre-check below narrows but cannot close
+    // that window across processes (two JVMs both observing "absent" would
+    // both rename, the second silently destroying the first's commit). On
+    // a file: scheme the publish therefore uses link(2) instead
+    // (Files.createLink), which atomically fails with EEXIST — making the
+    // local CAS exactly as strong as the HDFS one. (Object stores without
+    // atomic rename remain the documented single-writer caveat.)
     if (fs.exists(dst)) { fs.delete(tmp, false); false }
+    else if ("file" == fs.getScheme) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+      }
+    }
     else if (fs.rename(tmp, dst)) true
     else { fs.delete(tmp, false); false }
   }
