@@ -799,7 +799,6 @@ object Bench {
     }
     val stdoutLine = (20 to 0 by -4).map(compactLine).find(_.length <= budget)
       .getOrElse(compactLine(0))
-    println(stdoutLine)
     // working-dir copy of the FULL line (overridable via
     // SPARK_GRAFT_BENCH_OUT) so per-query numbers survive any stdout
     // truncation between this JVM and the round's BENCH snapshot.
@@ -810,7 +809,11 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), line + "\n")
     catch { case _: Throwable => () }
+    // stop Spark BEFORE printing the record: stop() can emit WARN lines
+    // (job-group cancels and the like) and the driver parses the record
+    // from the output TAIL — nothing may print after this line
     spark.stop()
+    println(stdoutLine)
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
