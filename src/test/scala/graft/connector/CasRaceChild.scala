@@ -10,13 +10,13 @@ package graft.connector
 object CasRaceChild {
   def main(args: Array[String]): Unit = {
     val Array(tableDir, writerId, nStr) = args
-    val n = nStr.toInt
+    val n = nStr.toInt   // n < 0: commit forever (KillMidCommitSpec SIGKILLs us)
     val log = new TableLog(tableDir, new org.apache.hadoop.conf.Configuration())
     var committed = 0
     var attempts = 0
-    while (committed < n) {
+    while (n < 0 || committed < n) {
       attempts += 1
-      require(attempts < n * 1000, s"CAS starvation in $writerId")
+      require(n < 0 || attempts < n * 1000, s"CAS starvation in $writerId")
       val expected = log.latestVersion
       val entries = log.currentEntries() :+
         DirEntry(s"$tableDir/data/$writerId-$committed", None)
