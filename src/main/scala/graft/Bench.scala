@@ -126,14 +126,10 @@ object Bench {
     * (SPARK_GRAFT_BENCH_OUT, baseline path, sf dir): a quote or backslash
     * in a path would otherwise make the one-line record the round driver
     * parses invalid JSON. Query names and error strings are builder-
-    * controlled and already sanitized at their sites.
+    * controlled and already sanitized at their sites. One escape table,
+    * shared with Verify's dumps ([[Jsons]]).
     */
-  private def jstr(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def jstr(s: String): String = Jsons.escape(s)
 
   /** Row type for the streamed-ANN throughput probe (needs a stable encoder,
     * so it lives at object level, not inside main).

@@ -88,8 +88,11 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     // (Files.createLink), which atomically fails with EEXIST — making the
     // local CAS exactly as strong as the HDFS one. (Object stores without
     // atomic rename remain the documented single-writer caveat.)
+    // getUri.getScheme, not getScheme: Hadoop's base FileSystem.getScheme
+    // throws UnsupportedOperationException for implementations that never
+    // overrode it, and this probe runs on EVERY commit of every scheme
     if (fs.exists(dst)) { fs.delete(tmp, false); false }
-    else if ("file" == fs.getScheme) {
+    else if ("file" == fs.getUri.getScheme && !TableLog.linkUnsupported.get()) {
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(dst.toUri.getPath),
@@ -98,7 +101,22 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the CAS — the normal racing-committer outcome
           fs.delete(tmp, false); false
+        case _: java.nio.file.NoSuchFileException =>
+          // our tmp vanished (a concurrent vacuum reclaimed an expired
+          // staging file under a stalled writer): report a lost CAS — the
+          // caller re-reads the head and restages
+          false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // a local mount without hardlinks (zipfs throws UOE; Linux maps
+          // EPERM/EOPNOTSUPP to a plain FileSystemException — the two
+          // subclasses above are caught first): degrade to the rename CAS
+          // (exists-check narrowed, single-writer safe) for the rest of
+          // the process rather than failing every commit
+          TableLog.linkUnsupported.set(true)
+          if (fs.exists(tmp) && fs.rename(tmp, dst)) true
+          else { fs.delete(tmp, false); false }
       }
     }
     else if (fs.rename(tmp, dst)) true
@@ -597,6 +615,12 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 }
 
 object TableLog {
+
+  /** Process-wide flag: the local filesystem refused link(2) (mount
+    * without hardlink support) — the CAS publish falls back to rename for
+    * the rest of the process. See [[TableLog.writeAtomic]].
+    */
+  private val linkUnsupported = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Tables whose `_latest` hint write has already logged its one warning
     * (process-wide: the condition is environmental, warning per-instance

@@ -49,9 +49,14 @@ class CasRaceTwoJvmSpec extends LakeSpec {
       if (l.tryCommitEntries(expected, entries)) committed += 1
     }
 
+    // waitFor BEFORE draining stdout: readAllBytes blocks until process
+    // exit, so the hung-child timeout below would otherwise be unreachable
+    // (the one-line output cannot fill the pipe buffer, so not draining
+    // first cannot deadlock the child)
+    val finished = child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) child.destroyForcibly()
     val out = new String(child.getInputStream.readAllBytes(), "UTF-8")
-    assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
-      s"child JVM hung; output so far: $out")
+    assert(finished, s"child JVM hung; output so far: $out")
     assert(child.exitValue() === 0, s"child JVM failed: $out")
     assert(out.contains(s"committed=$N"), s"child under-committed: $out")
 

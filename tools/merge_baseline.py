@@ -20,8 +20,11 @@ def main():
     with open(fresh_path) as f:
         b = json.load(f)
     for k in ("sf", "cpus"):
-        if a.get(k) != b.get(k):
-            sys.exit(f"refusing to merge: {k} differs ({a.get(k)} vs {b.get(k)})")
+        if k not in a or k not in b:
+            sys.exit(f"refusing to merge: '{k}' missing from "
+                     f"{committed_path if k not in a else fresh_path}")
+        if a[k] != b[k]:
+            sys.exit(f"refusing to merge: {k} differs ({a[k]} vs {b[k]})")
     out = {"sf": a["sf"], "cpus": a["cpus"]}
     for sect, pick in (("wall", min), ("cpu", min), ("streaming", max)):
         ma, mb = a.get(sect, {}), b.get(sect, {})
