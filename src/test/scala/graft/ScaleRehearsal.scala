@@ -92,6 +92,13 @@ object ScaleRehearsal {
         cust.withColumn("c_custkey", col("c_custkey") + lit(k * Off)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+      // part: plain key offsets (x66's column-mapping replay keys on
+      // p_partkey parity, which the multiple-of-20 offset preserves)
+      val part = spark.read.parquet(s"$srcDir/part.parquet")
+      (0 until replicas).map(k =>
+        part.withColumn("p_partkey", col("p_partkey") + lit(k * Off)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
     }
   }
 
