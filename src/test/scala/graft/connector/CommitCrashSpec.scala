@@ -159,6 +159,36 @@ class CommitCrashSpec extends LakeSpec {
       java.nio.file.Paths.get(s"$root/db/ch/_latest")), "UTF-8").trim === "3")
   }
 
+  test("vacuum racing live appends never loses a commit or a referenced dir") {
+    sql("CREATE TABLE crashlake.db.vw (k BIGINT)")
+    sql("INSERT INTO crashlake.db.vw VALUES (-1)")   // v1 so vacuum has work
+    val l = log("db/vw")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // maintenance thread: aggressive version retention, but the orphan
+    // window open (in-flight staging of the racing writer must survive)
+    val vac = new Thread(() => {
+      while (!stop.get()) {
+        try l.vacuum(keepVersions = 2, orphanRetentionMs = 60L * 60 * 1000)
+        catch { case t: Throwable => vacuumErr.compareAndSet(null, t) }
+        Thread.sleep(5)
+      }
+    })
+    vac.start()
+    val n = 25
+    try (0 until n).foreach(i =>
+      sql(s"INSERT INTO crashlake.db.vw VALUES ($i)"))
+    finally { stop.set(true); vac.join() }
+    assert(vacuumErr.get() === null,
+      s"vacuum must tolerate live writers: ${vacuumErr.get()}")
+    // every commit survived: the seed row plus all n appends
+    assert(rows("SELECT count(*) FROM crashlake.db.vw") === Seq(Row(n + 1L)))
+    assert(snapshot("vw").map(_.getLong(0)) === (-1L until n.toLong))
+    // the kept tail of history still reads (vacuum kept >= 2 versions)
+    val latest = l.latestVersion.get
+    assert(l.entriesAt(latest).nonEmpty && l.entriesAt(latest - 1).nonEmpty)
+  }
+
   test("combined mid-MERGE crash litter does not block or corrupt later commits") {
     sql("CREATE TABLE crashlake.db.cm (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
