@@ -71,4 +71,41 @@ class KillMidCommitSpec extends LakeSpec {
       (1L to latest + 1).foreach(v => l.entriesAt(v))
     }
   }
+
+  test("cross-process vacuum races a committing JVM, then a SIGKILL lands") {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes",
+      "/opt/spark/jars/*").mkString(":")
+    val dir = s"${tmp("vac-race")}/t"
+    val l = new TableLog(dir, spark.sparkContext.hadoopConfiguration)
+    l.create(StructType(Seq(StructField("k", LongType))), Map.empty)
+
+    val child = new ProcessBuilder(javaBin, "-cp", cp,
+      "graft.connector.CasRaceChild", dir, "w", "-1")
+      .redirectErrorStream(true).start()
+    // parent = the maintenance process: aggressive manifest retention
+    // against a live writer in ANOTHER JVM, then the writer dies cold
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var vacuums = 0
+    while (l.latestVersion.forall(_ < 8) && System.nanoTime() < deadline) {
+      l.vacuum(keepVersions = 2, orphanRetentionMs = 60L * 60 * 1000)
+      vacuums += 1
+      Thread.sleep(10)
+    }
+    child.destroyForcibly()
+    assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(vacuums > 0)
+
+    val latest = l.latestVersion.getOrElse(fail("no commit landed"))
+    // the kept tail reads; each version's entry count equals its version
+    // (one append per commit), proving no vacuum-window commit vanished
+    val oldestKept = (1L to latest).find(v =>
+      try { l.entriesAt(v); true } catch { case _: Exception => false }).get
+    (oldestKept to latest).foreach(v =>
+      assert(l.entriesAt(v).size === v.toInt,
+        s"version $v holds ${l.entriesAt(v).size} entries"))
+    // survivor writer commits past both the vacuum churn and the corpse
+    assert(l.tryCommitEntries(Some(latest),
+      l.entriesAt(latest) :+ DirEntry(s"$dir/data/survivor", None)))
+  }
 }
