@@ -807,8 +807,16 @@ object Bench {
     catch { case _: Throwable => () }
     // stop Spark BEFORE printing the record: stop() can emit WARN lines
     // (job-group cancels and the like) and the driver parses the record
-    // from the output TAIL — nothing may print after this line
-    spark.stop()
+    // from the output TAIL — nothing may print after this line. A FAILING
+    // stop must not eat the record either (the measurements above are
+    // done and valid), so the print is unconditional.
+    try spark.stop()
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] spark.stop() failed (record unaffected): " +
+          s"${e.getClass.getName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+    }
     println(stdoutLine)
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +

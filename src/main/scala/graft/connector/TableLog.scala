@@ -92,31 +92,54 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     // throws UnsupportedOperationException for implementations that never
     // overrode it, and this probe runs on EVERY commit of every scheme
     if (fs.exists(dst)) { fs.delete(tmp, false); false }
-    else if ("file" == fs.getUri.getScheme && !TableLog.linkUnsupported.get()) {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        fs.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // lost the CAS — the normal racing-committer outcome
-          fs.delete(tmp, false); false
-        case _: java.nio.file.NoSuchFileException =>
-          // our tmp vanished (a concurrent vacuum reclaimed an expired
-          // staging file under a stalled writer): report a lost CAS — the
-          // caller re-reads the head and restages
+    else if ("file" == fs.getUri.getScheme &&
+             !TableLog.linkUnsupportedDirs.contains(tableDir)) {
+      // ONLY createLink inside the try: a failure of the post-publish tmp
+      // cleanup must never be mistaken for a failed publish
+      val published =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          Some(true)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // lost the CAS — the normal racing-committer outcome
+            Some(false)
+          case _: java.nio.file.NoSuchFileException =>
+            // our tmp vanished (a concurrent vacuum reclaimed an expired
+            // staging file under a stalled writer): a lost CAS — the
+            // caller re-reads the head and restages
+            Some(false)
+          case e @ (_: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException) =>
+            // Either this mount has no hardlinks (zipfs throws UOE; Linux
+            // maps EPERM/EOPNOTSUPP to a plain FileSystemException) or the
+            // error is TRANSIENT (EIO, ENOSPC — also plain
+            // FileSystemException). Distinguish by probing link support in
+            // this table dir: unsupported latches the rename fallback for
+            // THIS DIR ONLY (another table on a link-capable mount keeps
+            // the safe CAS) with one loud warning, since the fallback's
+            // exists+rename narrows but cannot close the cross-process
+            // race; a transient error just reports a lost CAS and the
+            // caller's bounded retry loop either clears it or fails loudly.
+            if (!TableLog.probeLinkSupport(tableDir)) {
+              if (TableLog.linkUnsupportedDirs.add(tableDir))
+                System.err.println(s"[graft-lake] WARN: hardlinks unsupported " +
+                  s"under $tableDir (${e.getClass.getName}); manifest commits " +
+                  "fall back to rename, which is NOT atomic against writers " +
+                  "in other processes on a local mount — use a single writer " +
+                  "per table here (warned once per table)")
+            }
+            None
+        }
+      published match {
+        case Some(true) =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          true
+        case _ =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
           false
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          // a local mount without hardlinks (zipfs throws UOE; Linux maps
-          // EPERM/EOPNOTSUPP to a plain FileSystemException — the two
-          // subclasses above are caught first): degrade to the rename CAS
-          // (exists-check narrowed, single-writer safe) for the rest of
-          // the process rather than failing every commit
-          TableLog.linkUnsupported.set(true)
-          if (fs.exists(tmp) && fs.rename(tmp, dst)) true
-          else { fs.delete(tmp, false); false }
       }
     }
     else if (fs.rename(tmp, dst)) true
@@ -616,11 +639,39 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
 object TableLog {
 
-  /** Process-wide flag: the local filesystem refused link(2) (mount
-    * without hardlink support) — the CAS publish falls back to rename for
-    * the rest of the process. See [[TableLog.writeAtomic]].
+  /** Table dirs whose local mount refused link(2) (no hardlink support) —
+    * commits there fall back to the rename CAS for the rest of the
+    * process. Keyed PER TABLE DIR, not process-wide: one hardlink-less
+    * mount must not disable the safe cross-process CAS for tables on
+    * link-capable mounts. See [[TableLog.writeAtomic]].
     */
-  private val linkUnsupported = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val linkUnsupportedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Does link(2) work under `tableDir`? Two throwaway files, one link
+    * attempt — run only when a commit's createLink failed ambiguously
+    * (plain FileSystemException covers both "no hardlinks on this mount"
+    * and transient EIO/ENOSPC; the probe separates them).
+    */
+  private def probeLinkSupport(tableDir: String): Boolean = {
+    val a = java.nio.file.Paths.get(tableDir,
+      s".tmp-probe-${java.util.UUID.randomUUID()}")
+    val b = java.nio.file.Paths.get(tableDir,
+      s".tmp-probe-${java.util.UUID.randomUUID()}")
+    try {
+      // a failed probe WRITE is ambient trouble (ENOSPC, permissions), not
+      // evidence about links — report "supported" so nothing latches and
+      // the caller's bounded retries decide
+      try java.nio.file.Files.write(a, Array[Byte](1))
+      catch { case _: Exception => return true }
+      java.nio.file.Files.createLink(b, a)
+      true
+    } catch { case _: Exception => false }
+    finally {
+      try java.nio.file.Files.deleteIfExists(b) catch { case _: Exception => () }
+      try java.nio.file.Files.deleteIfExists(a) catch { case _: Exception => () }
+    }
+  }
 
   /** Tables whose `_latest` hint write has already logged its one warning
     * (process-wide: the condition is environmental, warning per-instance

@@ -30,9 +30,8 @@ class CasRaceTwoJvmSpec extends LakeSpec {
 
     // child JVM: plain java, no Spark — main classes + test classes +
     // the Spark jar dir (for hadoop-client) are all it needs
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes",
-      "/opt/spark/jars/*").mkString(":")
+    val javaBin = ChildJvm.javaBin
+    val cp = ChildJvm.classpath
     val child = new ProcessBuilder(javaBin, "-cp", cp,
       "graft.connector.CasRaceChild", dir, "w2", N.toString)
       .redirectErrorStream(true).start()

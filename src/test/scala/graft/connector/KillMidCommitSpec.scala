@@ -22,9 +22,8 @@ class KillMidCommitSpec extends LakeSpec {
   protected def catalogName = "killlake"
 
   test("SIGKILL during a commit loop never corrupts the table") {
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes",
-      "/opt/spark/jars/*").mkString(":")
+    val javaBin = ChildJvm.javaBin
+    val cp = ChildJvm.classpath
 
     (1 to 3).foreach { round =>
       val dir = s"${tmp(s"kill-commit-$round")}/t"
@@ -73,9 +72,8 @@ class KillMidCommitSpec extends LakeSpec {
   }
 
   test("cross-process vacuum races a committing JVM, then a SIGKILL lands") {
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes",
-      "/opt/spark/jars/*").mkString(":")
+    val javaBin = ChildJvm.javaBin
+    val cp = ChildJvm.classpath
     val dir = s"${tmp("vac-race")}/t"
     val l = new TableLog(dir, spark.sparkContext.hadoopConfiguration)
     l.create(StructType(Seq(StructField("k", LongType))), Map.empty)
