@@ -116,6 +116,46 @@ class RestoreSpec extends LakeSpec {
     assert(f2.count() > 0)   // replay spans both restores without the require trip
   }
 
+  test("restore racing concurrent appends converges without losing either side") {
+    // RESTORE commits through the normal CAS with a retry loop that
+    // re-diffs the conflict set against the moving head (Procedures.scala
+    // rewrittenFor memoization) — race it against a live appender: the
+    // restore must land, and every append committed AFTER the restore's
+    // winning version must survive in the final state (appends the restore
+    // raced past are legitimately rolled back — that is what restore is).
+    sql("CREATE TABLE rstlake.db.race (k BIGINT)")
+    sql("INSERT INTO rstlake.db.race VALUES (-1)")                       // v1
+    sql("INSERT INTO rstlake.db.race VALUES (-2)")                       // v2
+    val l = log("db/race")
+    val appenderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appender = new Thread(() => {
+      var i = 0
+      try while (!stop.get() && i < 200) {
+        sql(s"INSERT INTO rstlake.db.race VALUES ($i)")
+        i += 1
+      } catch { case t: Throwable => appenderErr.set(t) }
+    })
+    appender.start()
+    try {
+      Thread.sleep(100)   // let some appends land so the restore races real traffic
+      val r = rows("CALL rstlake.system.restore(`table` => 'db.race', version => 1)")
+      val restoredVersion = r.head.getLong(1)
+      stop.set(true); appender.join()
+      assert(appenderErr.get() === null, s"appender died: ${appenderErr.get()}")
+      // invariant: the final state = v1's row plus exactly the appends
+      // whose commit version is AFTER the restore's
+      val latest = l.latestVersion.get
+      val after = (restoredVersion + 1 to latest).map(v =>
+        l.entriesAt(v).size - l.entriesAt(v - 1).size).sum
+      val ks = rows("SELECT k FROM rstlake.db.race ORDER BY k").map(_.getLong(0))
+      assert(ks.contains(-1L), "the restored version's row vanished")
+      assert(!ks.contains(-2L), "a rolled-back pre-restore append survived")
+      assert(ks.size === 1 + after,
+        s"final rows $ks vs restored-base 1 + $after post-restore appends")
+    } finally { stop.set(true); appender.join() }
+  }
+
   test("restored mor version keeps its deletion vector") {
     sql("CREATE TABLE rstlake.db.mor (k BIGINT) " +
       "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
