@@ -189,6 +189,41 @@ class CommitCrashSpec extends LakeSpec {
     assert(l.entriesAt(latest).nonEmpty && l.entriesAt(latest - 1).nonEmpty)
   }
 
+  test("schema-evolving ALTERs racing live appends serialize through the CAS") {
+    // ALTER commits its meta header through the same manifest CAS as data
+    // writes; racing the two must (a) never lose an append, (b) leave one
+    // coherent head schema, and (c) read pre-ALTER files as NULL for the
+    // added column — whichever side of each ALTER an append's files landed.
+    sql("CREATE TABLE crashlake.db.ar (k BIGINT)")
+    val appenderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appender = new Thread(() => {
+      var i = 0
+      try while (!stop.get() && i < 200) {
+        sql(s"INSERT INTO crashlake.db.ar(k) VALUES ($i)")
+        i += 1
+      } catch { case t: Throwable => appenderErr.set(t) }
+    })
+    appender.start()
+    try {
+      Thread.sleep(50)
+      sql("ALTER TABLE crashlake.db.ar ADD COLUMNS (tag STRING)")
+      Thread.sleep(50)
+      sql("ALTER TABLE crashlake.db.ar RENAME COLUMN tag TO label")
+      Thread.sleep(50)
+    } finally { stop.set(true); appender.join() }
+    assert(appenderErr.get() === null, s"appender died: ${appenderErr.get()}")
+    assert(sql("SELECT * FROM crashlake.db.ar").schema.fieldNames.toSeq ===
+      Seq("k", "label"))
+    // no append lost: k values are the contiguous prefix the appender got to
+    val ks = rows("SELECT k FROM crashlake.db.ar ORDER BY k").map(_.getLong(0))
+    assert(ks === (0L until ks.size.toLong), s"lost or duplicated appends: $ks")
+    assert(ks.nonEmpty)
+    // the added-then-renamed column reads NULL everywhere (no file has it)
+    assert(rows("SELECT count(*) FROM crashlake.db.ar WHERE label IS NOT NULL")
+      === Seq(Row(0L)))
+  }
+
   test("combined mid-MERGE crash litter does not block or corrupt later commits") {
     sql("CREATE TABLE crashlake.db.cm (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
