@@ -817,18 +817,19 @@ object Bench {
           s"${e.getClass.getName}: " +
           String.valueOf(e.getMessage).linesIterator.take(1).mkString)
     }
-    println(stdoutLine)
-    if (errors.nonEmpty) {
+    // failure summaries go BEFORE the record, not after: on a failing run
+    // the stderr lines would otherwise land past the JSON in the driver's
+    // merged-stream tail and break its last-line parse
+    if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
-      sys.exit(1)
-    }
-    if (regressions.nonEmpty) {
+    if (regressions.nonEmpty)
       System.err.println(s"[bench] ${regressions.size} CPU regressions " +
         s">${GateRatio}x baseline: " + regressions.map {
           case (k, r) => s"$k(${r}x)"
         }.mkString(", "))
-      sys.exit(2)
-    }
+    println(stdoutLine)
+    if (errors.nonEmpty) sys.exit(1)
+    if (regressions.nonEmpty) sys.exit(2)
   }
 }
