@@ -75,6 +75,16 @@ object Bench {
     */
   final val ContendedFractionTrigger = 0.25
 
+  /** A provenance entry counts toward `contended_fraction` only when its
+    * first sample exceeded the deciding sample by this ratio (wall OR cpu
+    * for queries; deciding-over-first rate for streams). The provenance map
+    * is insert-once over ANY min-of-two improvement, so the raw count reads
+    * ~0.9 even on an idle box (JIT + cold page cache make nearly every
+    * first sample the loser by a hair) — filtered, an idle run reads ~0 and
+    * the fraction actually measures contention.
+    */
+  final val ContendedMarginRatio = 1.3
+
   /** ... or when the suite streaming rate (wall-clock-bound, so external
     * load depresses it and min-merging can't repair it) falls below this
     * fraction of its idle baseline.
@@ -82,17 +92,17 @@ object Bench {
   final val StreamingContentionRatio = 0.7
 
   /** The REPORTED contention flag needs one more condition on the fraction
-    * signal: a fresh JVM's cold first pass min-merges nearly every entry
-    * (JIT + cold page cache — the documented ~1.8x first-pass read), so a
-    * perfectly idle run carries contended_fraction ~0.9. What separates
-    * warm-up from load is where the post-merge cpu ratio LANDS: warm-up
-    * fully absorbs into the mins (cr ~1.0-1.1), external load leaves
-    * residual inflation. The fraction signal therefore only marks the RUN
-    * as contended when post-merge cr stays above this residual bar (r13:
-    * cr 1.311 + fraction 0.85 -> contended; an idle cold start: cr ~1.1 +
-    * fraction 0.9 -> clean). The liberal predicate still drives the
-    * re-measure and backoff passes — extra honesty passes are cheap; a
-    * mislabeled record is not.
+    * signal: even with the [[ContendedMarginRatio]] filter, a cold first
+    * pass can put a handful of short queries past the margin (JIT + cold
+    * page cache — the documented ~1.8x first-pass read hits sub-second
+    * entries hardest). What separates warm-up from load is where the
+    * post-merge cpu ratio LANDS: warm-up fully absorbs into the mins
+    * (cr ~1.0-1.1), external load leaves residual inflation. The fraction
+    * signal therefore only marks the RUN as contended when post-merge cr
+    * stays above this residual bar (r13: cr 1.311 + heavy contended
+    * provenance -> contended; an idle cold start: cr ~1.1 -> clean). The
+    * liberal predicate still drives the re-measure and backoff passes —
+    * extra honesty passes are cheap; a mislabeled record is not.
     */
   final val ResidualCpuRatio = 1.15
 
@@ -546,9 +556,28 @@ object Bench {
         //    first pass as a whole was inflated, whatever cr now reads;
         //  - streaming ratio: rates are wall-clock-bound, so external load
         //    depresses them suite-wide and min-merging can't hide it.
+        // Only entries whose FIRST sample exceeded the deciding sample by a
+        // real margin count toward the fraction: insert-once provenance
+        // records every min-of-two improvement however tiny, and a fresh
+        // JVM's warm-up min-merges nearly everything — a raw count read
+        // ~0.9 on a provably idle box, i.e. carried no information. With
+        // the >ContendedMarginRatio filter an idle run reads ~0 and the
+        // fraction means what its name says. (The provenance map itself is
+        // unchanged — the full line still records every superseded first
+        // sample for inspection.)
         def contendedFraction = {
           val n = okWall.size + streaming.count(_._2 > 0)
-          if (n == 0) 0.0 else r3(contended.size.toDouble / n)
+          if (n == 0) 0.0
+          else r3(contended.count { case (k, (w0, c0)) =>
+            if (k.startsWith("stream_")) {
+              // rates invert: the deciding (max) rate dwarfing the first
+              // sample is the contended shape
+              val cur = streaming.getOrElse(k.stripPrefix("stream_"), -1.0)
+              w0 > 0 && cur > ContendedMarginRatio * w0
+            } else
+              w0 > ContendedMarginRatio * wall.getOrElse(k, Double.PositiveInfinity) ||
+                c0 > ContendedMarginRatio * cpu.getOrElse(k, Double.PositiveInfinity)
+          }.toDouble / n)
         }
         def suiteContended: Boolean =
           cr > ContentionSuspectRatio ||
@@ -807,15 +836,26 @@ object Bench {
     catch { case _: Throwable => () }
     // stop Spark BEFORE printing the record: stop() can emit WARN lines
     // (job-group cancels and the like) and the driver parses the record
-    // from the output TAIL — nothing may print after this line. A FAILING
-    // stop must not eat the record either (the measurements above are
-    // done and valid), so the print is unconditional.
-    try spark.stop()
-    catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] spark.stop() failed (record unaffected): " +
-          s"${e.getClass.getName}: " +
-          String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+    // from the output TAIL — nothing may print after this line. Neither a
+    // FAILING stop nor a HANGING one may eat the record (the measurements
+    // above are done and valid), so stop runs on a daemon thread joined
+    // with a bounded wait and the print is unconditional; the sys.exit
+    // below guarantees JVM exit even with the stop thread still wedged.
+    locally {
+      val stopper = new Thread(() =>
+        try spark.stop()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] spark.stop() failed " +
+              s"(record unaffected): ${e.getClass.getName}: " +
+              String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+        }, "bench-spark-stop")
+      stopper.setDaemon(true)
+      stopper.start()
+      stopper.join(60000)
+      if (stopper.isAlive)
+        System.err.println("[bench] spark.stop() still running after 60s " +
+          "(abandoned on a daemon thread; record unaffected)")
     }
     // failure summaries go BEFORE the record, not after: on a failing run
     // the stderr lines would otherwise land past the JSON in the driver's
@@ -831,5 +871,9 @@ object Bench {
     println(stdoutLine)
     if (errors.nonEmpty) sys.exit(1)
     if (regressions.nonEmpty) sys.exit(2)
+    // explicit success exit: a wedged spark.stop() can leave non-daemon
+    // threads alive, and falling off main would then hang the JVM (and the
+    // driver's command) after the record already printed
+    sys.exit(0)
   }
 }

@@ -49,9 +49,18 @@ object Verify {
     // Full registry manifest + per-query failures, so tools/oracle_check.py
     // can detect survivorship: a correctness report that silently omits a
     // registered query (round-6: 21 of them) must be flagged, not trusted.
+    // ALWAYS the full registry — a dev subset run must not shrink the
+    // manifest to its own subset, or the survivorship guard would certify
+    // exactly the omissions it exists to catch. Subset runs additionally
+    // write a subset_run.json marker so oracle_check refuses to certify
+    // them (it restricts its reconcile to the subset and exits nonzero).
     Files.writeString(Paths.get(s"$outDir/registry_keys.json"),
-      SparkEntry.queries.keys.toSeq.sorted
-        .filter(k => only.isEmpty || only(k)).map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    if (only.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/subset_run.json"),
+        only.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    else // a reused dev outDir must not carry a stale marker into a full run
+      Files.deleteIfExists(Paths.get(s"$outDir/subset_run.json"))
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (failed.nonEmpty)

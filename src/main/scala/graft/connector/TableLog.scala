@@ -93,7 +93,7 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     // overrode it, and this probe runs on EVERY commit of every scheme
     if (fs.exists(dst)) { fs.delete(tmp, false); false }
     else if ("file" == fs.getUri.getScheme &&
-             !TableLog.linkUnsupportedDirs.contains(tableDir)) {
+             !TableLog.linkUnsupportedDirs.contains(TableLog.dirKey(tableDir))) {
       // ONLY createLink inside the try: a failure of the post-publish tmp
       // cleanup must never be mistaken for a failed publish
       val published =
@@ -117,20 +117,32 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
             // maps EPERM/EOPNOTSUPP to a plain FileSystemException) or the
             // error is TRANSIENT (EIO, ENOSPC — also plain
             // FileSystemException). Distinguish by probing link support in
-            // this table dir: unsupported latches the rename fallback for
-            // THIS DIR ONLY (another table on a link-capable mount keeps
-            // the safe CAS) with one loud warning, since the fallback's
+            // this table dir: a genuinely hardlink-less mount fails the
+            // probe on EVERY attempt, so the rename fallback latches only
+            // after [[TableLog.LinkProbeLatchThreshold]] CONSECUTIVE probe
+            // failures (a transient blip — EIO/ENOSPC hitting both the
+            // commit's createLink and the one-shot probe — must not
+            // permanently downgrade the cross-process CAS; a later
+            // successful probe resets the count). The latch is PER TABLE
+            // DIR (another table on a link-capable mount keeps the safe
+            // CAS) with one loud warning, since the fallback's
             // exists+rename narrows but cannot close the cross-process
-            // race; a transient error just reports a lost CAS and the
-            // caller's bounded retry loop either clears it or fails loudly.
+            // race; until the latch trips, the failure just reports a lost
+            // CAS and the caller's bounded retry loop either clears it or
+            // fails loudly.
+            val key = TableLog.dirKey(tableDir)
             if (!TableLog.probeLinkSupport(tableDir)) {
-              if (TableLog.linkUnsupportedDirs.add(tableDir))
+              val fails: Int = TableLog.linkProbeFailures.merge(key, Int.box(1),
+                (a: Integer, b: Integer) => Int.box(a + b))
+              if (fails >= TableLog.LinkProbeLatchThreshold &&
+                  TableLog.linkUnsupportedDirs.add(key))
                 System.err.println(s"[graft-lake] WARN: hardlinks unsupported " +
-                  s"under $tableDir (${e.getClass.getName}); manifest commits " +
+                  s"under $tableDir ($fails consecutive probe failures, last " +
+                  s"commit error ${e.getClass.getName}); manifest commits " +
                   "fall back to rename, which is NOT atomic against writers " +
                   "in other processes on a local mount — use a single writer " +
                   "per table here (warned once per table)")
-            }
+            } else TableLog.linkProbeFailures.remove(key)
             None
         }
       published match {
@@ -641,12 +653,39 @@ object TableLog {
 
   /** Table dirs whose local mount refused link(2) (no hardlink support) —
     * commits there fall back to the rename CAS for the rest of the
-    * process. Keyed PER TABLE DIR, not process-wide: one hardlink-less
-    * mount must not disable the safe cross-process CAS for tables on
-    * link-capable mounts. See [[TableLog.writeAtomic]].
+    * process. Keyed PER TABLE DIR (normalized, see [[dirKey]]), not
+    * process-wide: one hardlink-less mount must not disable the safe
+    * cross-process CAS for tables on link-capable mounts. See
+    * [[TableLog.writeAtomic]].
     */
   private val linkUnsupportedDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Consecutive link-probe failures per table dir (normalized key). The
+    * rename fallback latches only at [[LinkProbeLatchThreshold]] — one
+    * transient EIO/ENOSPC window that fails both a commit's createLink and
+    * the probe must not permanently disable the link-based CAS. A
+    * successful probe clears the dir's count.
+    */
+  private val linkProbeFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[connector] val LinkProbeLatchThreshold = 3
+
+  /** Canonical latch key for a table dir: alternate spellings of the same
+    * directory (trailing slash, relative vs absolute, `file:` URI vs bare
+    * path, symlinked parent) must hit the SAME latch entry, not re-probe
+    * and re-warn per spelling. Resolves symlinks when the dir exists
+    * (commit-time callers — it does), else falls back to lexical
+    * normalization; any resolution failure degrades to the raw string.
+    */
+  private[connector] def dirKey(tableDir: String): String =
+    try {
+      val local = Option(new Path(tableDir).toUri.getPath)
+        .filter(_.nonEmpty).getOrElse(tableDir)
+      val p = java.nio.file.Paths.get(local).toAbsolutePath.normalize
+      try p.toRealPath().toString
+      catch { case _: Exception => p.toString }
+    } catch { case _: Exception => tableDir }
 
   /** Does link(2) work under `tableDir`? Two throwaway files, one link
     * attempt — run only when a commit's createLink failed ambiguously

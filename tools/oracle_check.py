@@ -56,6 +56,11 @@ def load_json(path):
     with open(path) as f:
         return json.load(f)
 
+def read_subset(out_dir):
+    """The subset marker Verify writes for dev subset runs (None = full)."""
+    p = os.path.join(out_dir, "subset_run.json")
+    return set(load_json(p)) if os.path.exists(p) else None
+
 def reconcile(correctness_path, keys_path):
     """Diff a correctness report's query set against the registry manifest."""
     reported = set(load_json(correctness_path))
@@ -73,12 +78,21 @@ def reconcile(correctness_path, keys_path):
     return len(missing) + len(extra)
 
 def check_coverage(out_dir):
-    """Every registered query must have an output dir or an explicit error."""
+    """Every registered query must have an output dir or an explicit error.
+
+    A dev subset run (Verify invoked with trailing query names) writes
+    subset_run.json; the registry manifest stays FULL either way, so the
+    reconcile here restricts itself to the subset but the run is never
+    certifiable — main() forces a nonzero exit on the marker.
+    """
     keys_path = os.path.join(out_dir, "registry_keys.json")
     if not os.path.exists(keys_path):
         print(f"WARN no {keys_path}; cannot reconcile against registry")
         return 0
     registry = load_json(keys_path)
+    subset = read_subset(out_dir)
+    if subset is not None:
+        registry = [k for k in registry if k in subset]
     err_path = os.path.join(out_dir, "verify_errors.json")
     errors = load_json(err_path) if os.path.exists(err_path) else {}
     n_bad = 0
@@ -147,6 +161,12 @@ def main():
     # queries without oracle: rows-only
     print(f"== {n_pass} pass / {n_fail} fail / {lint_fail} type-lint"
           f" / {n_missing} missing-or-errored ==")
+    subset = read_subset(out_dir)
+    if subset is not None:
+        print(f"SUBSET RUN ({len(subset)} of registry: "
+              f"{', '.join(sorted(subset))}) — dev output, NOT certifiable; "
+              "re-run Verify with no query-name args for a full run")
+        sys.exit(1)
     sys.exit(1 if (n_fail or lint_fail or n_missing) else 0)
 
 if __name__ == "__main__":
