@@ -204,20 +204,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(fullName(ident), l, pinnedVersion = Some(v))
   }
 
+  /** `PARTITIONED BY` takes IDENTITY (plain-column) transforms only, and
+    * maps them onto this catalog's native layout rather than hive-style
+    * value directories: partition columns become the leading write-cluster
+    * keys (every append sorts on them within tasks, so parquet row groups
+    * carry tight min/max from the first write) and the committed per-dir
+    * [[DirStats]] prune whole dirs on partition-column predicates exactly
+    * as they already do for every other column. Dir-per-value layout is
+    * deliberately NOT created — at high key cardinality it is the
+    * small-files/manifest-bloat anti-pattern the stats design exists to
+    * avoid (PLANS.md round-16 records the decision). Derived transforms
+    * (bucket/days/...) are refused loudly: their layout role is served by
+    * clusterBy/z-order.
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-lake tables do not take PARTITIONED BY: the manifest's immutable " +
-        "data dirs are the replacement unit (bucket/partition keys stay data columns)")
+    val idParts: Seq[String] = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"graft-lake PARTITIONED BY takes only plain top-level columns " +
+          s"(identity transforms); got '$t'. Derived layout (bucket/days/" +
+          s"truncate) is spelled as clustering instead: the " +
+          s"'${GraftTable.WriteClusterByProp}' table property, or CALL " +
+          "compact(..., zorder_by)")
+      t.references.head.fieldNames.head
+    }
     schema.fieldNames.foreach(checkColumnName)
     checkNotNestedUnderTable(ident.namespace.toSeq :+ ident.name)
     val l = log(ident)
     if (l.exists) throw new TableAlreadyExistsException(catalogName +: ident.namespace.toSeq :+ ident.name)
     val props = properties.asScala.toMap -- Seq(TableCatalog.PROP_OWNER,
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION)
-    GraftTable.validateProps(props, fullName(ident))
-    l.create(schema, props)
+    require(!props.contains(GraftTable.PartitionByProp),
+      s"${GraftTable.PartitionByProp} is derived from PARTITIONED BY; " +
+        "spell the partitioning there instead of setting the property")
+    // canonicalize to the schema's declared spelling; refuse unknown or
+    // non-atomic columns up front (a map-typed partition key would only
+    // explode later, at write planning)
+    val partCols = idParts.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY column $c is not a column of ${fullName(ident)}"))
+      val atomic = f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             org.apache.spark.sql.types.BinaryType => false
+        case _ => true
+      }
+      require(atomic,
+        s"PARTITIONED BY column $c has unsupported type ${f.dataType.simpleString}")
+      f.name
+    }
+    require(partCols.map(_.toLowerCase).distinct.size == partCols.size,
+      s"duplicate PARTITIONED BY column in ${fullName(ident)}")
+    val propsAll =
+      if (partCols.isEmpty) props
+      else props + (GraftTable.PartitionByProp -> partCols.mkString(","))
+    GraftTable.validateProps(propsAll, fullName(ident))
+    l.create(schema, propsAll)
     new GraftTable(fullName(ident), l)
   }
 
@@ -259,15 +305,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // invalid property value must not fail until someone touches that
       // property (legacy values are correctable via SET TBLPROPERTIES)
       val touchedProps = scala.collection.mutable.Set[String]()
-      // rewrite column references inside the clusterBy property so layout
-      // maintenance keeps working across renames/drops
-      def patchClusterBy(f: String => Option[String]): Unit =
-        props.get(GraftTable.WriteClusterByProp).foreach { v =>
+      // rewrite column references inside the column-list properties
+      // (clusterBy, partitionBy) so layout maintenance keeps working
+      // across renames/drops
+      def patchColsProp(prop: String)(f: String => Option[String]): Unit =
+        props.get(prop).foreach { v =>
           val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap(c => f(c))
           props =
-            if (cols.isEmpty) props - GraftTable.WriteClusterByProp
-            else props + (GraftTable.WriteClusterByProp -> cols.mkString(","))
+            if (cols.isEmpty) props - prop
+            else props + (prop -> cols.mkString(","))
         }
+      def patchClusterBy(f: String => Option[String]): Unit =
+        patchColsProp(GraftTable.WriteClusterByProp)(f)
+      def isPartitionCol(name: String): Boolean =
+        GraftTable.partitionColumns(props).exists(_.equalsIgnoreCase(name))
       // one avoid-set per attempt, shared by every AddColumn in the
       // statement (usedPhysicalNames walks the surviving manifest headers;
       // per-column recomputation would repeat that walk), lazily so
@@ -316,6 +367,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .putString(ColumnMapping.PhysicalKey, phys).build())))
           props = props + (ColumnMapping.ModeProp -> "id")
           patchClusterBy(c => Some(if (c.equalsIgnoreCase(from)) to else c))
+          patchColsProp(GraftTable.PartitionByProp)(c =>
+            Some(if (c.equalsIgnoreCase(from)) to else c))
         case d: TableChange.DeleteColumn =>
           require(d.fieldNames.length == 1,
             s"cannot drop nested column ${d.fieldNames.mkString(".")}: top-level drops only")
@@ -326,6 +379,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (idx >= 0) {
             require(sch.length > 1,
               s"cannot drop $name: it is the last column of ${fullName(ident)}")
+            require(!isPartitionCol(name),
+              s"cannot drop $name: it is a PARTITIONED BY column of ${fullName(ident)}")
             sch = org.apache.spark.sql.types.StructType(sch.fields.patch(idx, Nil, 1))
             props = props + (ColumnMapping.ModeProp -> "id")
             patchClusterBy(c => if (c.equalsIgnoreCase(name)) None else Some(c))
@@ -358,9 +413,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"${u.newDataType.simpleString} would reinterpret written bytes")
           sch = StructType(sch.fields.updated(idx, f.copy(dataType = u.newDataType)))
         case p: TableChange.SetProperty =>
+          require(p.property != GraftTable.PartitionByProp,
+            s"${GraftTable.PartitionByProp} is fixed by CREATE TABLE's " +
+              "PARTITIONED BY and cannot be altered (existing dirs were " +
+              "laid out under it)")
           props = props + (p.property -> p.value)
           touchedProps += p.property
-        case p: TableChange.RemoveProperty => props = props - p.property
+        case p: TableChange.RemoveProperty =>
+          require(p.property != GraftTable.PartitionByProp,
+            s"${GraftTable.PartitionByProp} is fixed by CREATE TABLE's " +
+              "PARTITIONED BY and cannot be unset")
+          props = props - p.property
         case other => throw new UnsupportedOperationException(
           s"ALTER TABLE change not supported on graft-lake tables: $other " +
             "(ADD COLUMNS of nullable appended columns, RENAME COLUMN, " +

@@ -53,7 +53,16 @@ class GraftTable(tableName: String, log: TableLog,
 
   override def schema(): StructType = tableSchema
 
-  override def partitioning(): Array[Transform] = Array.empty
+  /** Identity PARTITIONED BY columns, reported back as the transforms
+    * CREATE accepted (DESCRIBE, writeTo().partitionedBy round trips,
+    * static `INSERT ... PARTITION (p = v)` resolution). Physically they
+    * are the leading write-cluster keys + stats-pruned like every column —
+    * see [[GraftCatalog.createTable]].
+    */
+  override def partitioning(): Array[Transform] =
+    GraftTable.partitionColumns(tableProps)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   override def properties(): util.Map[String, String] = tableProps.asJava
 
@@ -250,6 +259,17 @@ object GraftTable {
     */
   val WriteClusterByProp = "graft.write.clusterBy"
 
+  /** Comma-separated identity PARTITIONED BY columns (set by CREATE TABLE,
+    * immutable afterwards). They lead the write-cluster ordering and prune
+    * through [[DirStats]] like any column; no hive-style value dirs exist.
+    */
+  val PartitionByProp = "graft.partitionBy"
+
+  /** Declared partition columns of a property map (Nil when unpartitioned). */
+  def partitionColumns(props: Map[String, String]): Seq[String] =
+    props.get(PartitionByProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   /** Gate on mor MERGE's exact update-pair attribution (default true);
     * false = net-effect change rows. See GraftDvBatchWrite.
     */
@@ -302,9 +322,16 @@ private[connector] class GraftWriteBuilder(log: TableLog, info: LogicalWriteInfo
     val mode = if (replace) Replace else Append
     val clusterBy = log.properties.get(GraftTable.WriteClusterByProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    if (clusterBy.isEmpty) new GraftWrite(inner, log, staging, mode)
+    // identity partition columns lead the ordering: a partitioned table's
+    // appends segregate partition values into contiguous row groups even
+    // with no explicit clusterBy, so partition-predicate scans prune at
+    // both granularities (manifest dir stats, then parquet row groups)
+    val partitionBy = GraftTable.partitionColumns(log.properties)
+    val orderCols = partitionBy ++
+      clusterBy.filterNot(c => partitionBy.exists(_.equalsIgnoreCase(c)))
+    if (orderCols.isEmpty) new GraftWrite(inner, log, staging, mode)
     else {
-      val missing = clusterBy.filterNot(c =>
+      val missing = orderCols.filterNot(c =>
         log.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
       require(missing.isEmpty,
         s"${GraftTable.WriteClusterByProp} references unknown columns: " +
@@ -314,7 +341,7 @@ private[connector] class GraftWriteBuilder(log: TableLog, info: LogicalWriteInfo
         override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          clusterBy.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          orderCols.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
             org.apache.spark.sql.connector.expressions.Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       }

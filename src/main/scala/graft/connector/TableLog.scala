@@ -78,6 +78,31 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val tmp = new Path(tableDir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    // External-lock seam (LogStore-shaped — the same seam Delta uses for
+    // S3 multi-writer): when a CommitLock is registered, the whole
+    // exists+publish sequence serializes through it, which makes the CAS
+    // correct even on a store whose rename is copy+delete (non-atomic,
+    // overwriting). Without one, a scheme whose rename atomicity this
+    // layer cannot vouch for gets ONE loud per-table warning that
+    // multi-writer deployments there can lose commits
+    // (ObjectStoreRenameSpec pins exactly that failure mode).
+    TableLog.commitLock match {
+      case Some(lock) => lock.withLock(tableDir)(publish(tmp, dst))
+      case None =>
+        val scheme = Option(fs.getUri.getScheme).getOrElse("")
+        if (!TableLog.AtomicRenameSchemes.contains(scheme) &&
+            TableLog.nonAtomicSchemeWarned.add(TableLog.dirKey(tableDir)))
+          System.err.println(s"[graft-lake] WARN: filesystem scheme " +
+            s"'$scheme' for $tableDir is not known to rename atomically " +
+            "without overwriting; two writers racing a commit can SILENTLY " +
+            "LOSE one (copy+delete rename lets both publishes succeed). " +
+            "Use a single writer per table here, or register an external " +
+            "lock via TableLog.setCommitLock (warned once per table)")
+        publish(tmp, dst)
+    }
+  }
+
+  private def publish(tmp: Path, dst: Path): Boolean = {
     // the CAS: publish tmp under dst's name, failing if dst exists.
     // HDFS rename is atomically non-overwriting, but the LOCAL filesystem's
     // rename maps to POSIX rename(2), which silently REPLACES an existing
@@ -163,6 +188,9 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   def exists: Boolean = fs.exists(schemaPath)
 
   def create(schema: StructType, properties: Map[String, String]): Unit = {
+    // a table re-created where one was dropped restarts version numbers:
+    // nothing cached under this dir may survive into the new history
+    TableLog.invalidateCache(tableDir)
     fs.mkdirs(new Path(tableDir))
     if (!writeAtomic(schemaPath, TableLog.encodeMeta(schema, properties)))
       throw new IllegalStateException(s"table already exists: $tableDir")
@@ -206,7 +234,10 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   def schema: StructType = metaCache._1
   def properties: Map[String, String] = metaCache._2
 
-  def drop(): Boolean = fs.delete(new Path(tableDir), true)
+  def drop(): Boolean = {
+    TableLog.invalidateCache(tableDir)
+    fs.delete(new Path(tableDir), true)
+  }
 
   // ---- versions ------------------------------------------------------------
 
@@ -300,11 +331,84 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     * vector's cached cardinality. Unparseable stats degrade to None (the
     * dir is simply never pruned), so old manifests read unchanged.
     */
-  def entriesAt(v: Long): Seq[DirEntry] = {
+  def entriesAt(v: Long): Seq[DirEntry] =
+    try resolveCached(v)
+    catch {
+      // one retry: a delta-chain walk racing a concurrent vacuum can see a
+      // mid-chain manifest vanish an instant before vacuum's checkpoint at
+      // the oldest kept version becomes its replacement root — the second
+      // pass finds that checkpoint. A version that is GENUINELY vacuumed
+      // still fails here, with the same exception as always.
+      case _: TableLog.MissingVersion => resolveCached(v)
+    }
+
+  /** Resolved-state cache: manifests are immutable, so version `v`'s entry
+    * list never changes once computed. Access-ordered and bounded — the
+    * change feed walks versions ascending, so each step resolves as one
+    * delta applied to the cached predecessor; entries are shared across
+    * versions (applyPatch reuses unchanged [[DirEntry]] instances), so the
+    * cache holds little beyond one full state.
+    */
+  @transient private lazy val entriesCache =
+    new java.util.LinkedHashMap[Long, Seq[DirEntry]](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, Seq[DirEntry]]): Boolean =
+        size > 8
+    }
+
+  private def resolveCached(v: Long): Seq[DirEntry] = {
+    val hit = entriesCache.synchronized(entriesCache.get(v))
+    if (hit != null) return hit
+    val key = (TableLog.dirKey(tableDir), v)
+    val shared = TableLog.cachedState(key)
+    val resolved = if (shared != null) shared else resolveEntries(v)
+    entriesCache.synchronized(entriesCache.put(v, resolved))
+    if (shared == null) TableLog.cacheState(key, resolved)
+    resolved
+  }
+
+  /** State resolution for one version. A FULL manifest (every manifest of a
+    * table at or under [[TableLog.FullManifestMaxEntries]] dirs — and every
+    * pre-delta manifest, unchanged on disk) is the state. A DELTA manifest
+    * (`#delta` marker: only the commit's removed/changed/added entries) is
+    * applied over its predecessor's state — unless a `checkpoint-v` file
+    * (the full state, written by every [[TableLog.CheckpointInterval]]-th
+    * delta commit and by vacuum at the oldest kept version) short-circuits
+    * the walk, which bounds every chain. See PLANS.md §manifest-scale: an
+    * 8k-dir table's append used to rewrite a 5.4 MB manifest per commit.
+    */
+  private def resolveEntries(v: Long): Seq[DirEntry] = {
     val mp = manifestPath(v)
-    if (!fs.exists(mp))
-      throw new IllegalArgumentException(s"no version $v of table $tableDir")
-    parseEntries(slurp(mp))
+    val cp = checkpointPath(v)
+    if (!fs.exists(mp)) {
+      // manifest vacuumed but the version kept alive as a checkpoint root
+      if (fs.exists(cp)) return parseEntries(slurp(cp))
+      throw new TableLog.MissingVersion(v, tableDir)
+    }
+    val content = slurp(mp)
+    if (!TableLog.isDelta(content)) parseEntries(content)
+    else if (fs.exists(cp)) parseEntries(slurp(cp))
+    else applyPatch(resolveCached(v - 1), parseRemoves(content), parseEntries(content))
+  }
+
+  private def checkpointPath(v: Long) = new Path(tableDir, s"checkpoint-$v")
+
+  private def parseRemoves(content: String): Set[String] =
+    content.linesIterator.filter(_.startsWith(TableLog.RemovePrefix))
+      .map(l => new Path(tableDir, l.stripPrefix(TableLog.RemovePrefix)).toString)
+      .toSet
+
+  /** The one definition of delta-application semantics — the commit path
+    * simulates THIS function against the caller's entry list and falls back
+    * to a full manifest on any mismatch, so writer and reader cannot drift:
+    * base order kept with same-dir replacements in place, removed dirs
+    * dropped, new dirs appended in patch order.
+    */
+  private def applyPatch(base: Seq[DirEntry], removed: Set[String],
+                         patch: Seq[DirEntry]): Seq[DirEntry] = {
+    val byDir = patch.map(e => e.dir -> e).toMap
+    val baseDirs = base.map(_.dir).toSet
+    base.collect { case e if !removed.contains(e.dir) => byDir.getOrElse(e.dir, e) } ++
+      patch.filterNot(e => baseDirs.contains(e.dir))
   }
 
   private def parseEntries(content: String): Seq[DirEntry] =
@@ -469,22 +573,77 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
         } ++
         m.addDirs.sorted.map(d => s"${TableLog.CdcAddPrefix}${rel(d)}")
     }
+    // Delta-vs-full decision: a table past FullManifestMaxEntries dirs
+    // commits only its CHANGES (a `#delta`-marked manifest: `#remove`
+    // lines + changed/added entry lines) instead of rewriting the whole
+    // O(dirs) list — the write-amplification ceiling ManifestScaleProbe
+    // measured (680 ms / 5.4 MB per append at 8k dirs). Small tables keep
+    // full manifests: their rewrite is trivial and their loads then never
+    // pay a chain walk. The delta is used only when replaying it over the
+    // predecessor's state reproduces the caller's list EXACTLY (order
+    // included) — a reordering caller (compaction layouts) gets a full
+    // manifest, so readers always observe precisely the committed order.
+    val prevEntries: Seq[DirEntry] =
+      if (expected.isEmpty || entries.size <= TableLog.FullManifestMaxEntries) Nil
+      else entriesAt(expected.get)
+    val deltaLines: Option[Seq[String]] =
+      if (expected.isEmpty || entries.size <= TableLog.FullManifestMaxEntries) None
+      else {
+        val nextDirs = entries.map(_.dir).toSet
+        val prevByDir = prevEntries.map(e => e.dir -> e).toMap
+        val removes = prevEntries.map(_.dir).filterNot(nextDirs.contains)
+        val patch = entries.filter(e => !prevByDir.get(e.dir).contains(e))
+        if (applyPatch(prevEntries, removes.toSet, patch) == entries)
+          Some(TableLog.DeltaMarker +:
+            (removes.map(d => TableLog.RemovePrefix + rel(d)) ++ entryLines(patch)))
+        else None
+      }
     val body = (header.toSeq ++ op.map(TableLog.OpPrefix + _).toSeq ++
-      cdcLines ++
-      entries.map { e =>
-        val statsField = e.stats.map(DirStats.encode).getOrElse("")
-        e.dv match {
-          case Some(dvPath) =>
-            val base = s"${rel(e.dir)}\t$statsField\t${rel(dvPath)}"
-            e.dvRows.fold(base)(c => s"$base\t$c")
-          case None if statsField.nonEmpty => s"${rel(e.dir)}\t$statsField"
-          case None => rel(e.dir)
-        }
-      }).mkString("", "\n", "\n")
+      cdcLines ++ deltaLines.getOrElse(entryLines(entries)))
+      .mkString("", "\n", "\n")
     val won = writeAtomic(manifestPath(next), body)
-    if (won) updateLatestHint(next)
+    if (won) {
+      updateLatestHint(next)
+      // bound every delta chain: each CheckpointInterval-th commit of a
+      // delta-writing table also publishes the FULL state as a checkpoint
+      // file (Delta's checkpoint.parquet role). Best-effort like the hint:
+      // a failed write only lengthens chains until the next one lands.
+      if (deltaLines.isDefined && next % TableLog.CheckpointInterval == 0)
+        writeCheckpoint(next, entries)
+    }
     won
   }
+
+  private def entryLines(entries: Seq[DirEntry]): Seq[String] =
+    entries.map { e =>
+      val statsField = e.stats.map(DirStats.encode).getOrElse("")
+      e.dv match {
+        case Some(dvPath) =>
+          val base = s"${rel(e.dir)}\t$statsField\t${rel(dvPath)}"
+          e.dvRows.fold(base)(c => s"$base\t$c")
+        case None if statsField.nonEmpty => s"${rel(e.dir)}\t$statsField"
+        case None => rel(e.dir)
+      }
+    }
+
+  /** Publish version `v`'s full state as `checkpoint-v` (atomic, idempotent
+    * — a racing duplicate writer simply loses the fail-if-exists publish).
+    * Failures never fail the commit that triggered it, but warn once per
+    * table: persistently-failing checkpoints silently degrade every later
+    * load to longer delta-chain walks.
+    */
+  private def writeCheckpoint(v: Long, entries: Seq[DirEntry]): Unit =
+    try {
+      writeAtomic(checkpointPath(v), entryLines(entries).mkString("", "\n", "\n"))
+      ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (TableLog.checkpointWriteWarned.add(tableDir))
+          System.err.println(s"[graft-lake] WARN: checkpoint write failed " +
+            s"for $tableDir version $v (${e.getClass.getName}); commits are " +
+            "unaffected but snapshot resolution walks longer delta chains " +
+            "until a checkpoint lands (warned once per table)")
+    }
 
   /** The operation marker of version `v`'s commit (`#op` line), if its
     * writer recorded one. Memoized per instance (manifests are immutable)
@@ -552,22 +711,30 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
   def history(): Seq[TableLog.TableVersion] = {
     val root = new Path(tableDir)
     if (!fs.exists(root)) return Nil
-    fs.listStatus(root).toSeq
+    val asc = fs.listStatus(root).toSeq
       .filter(_.getPath.getName.startsWith("manifest-"))
       .map(st => st.getPath.getName.stripPrefix("manifest-").toLong -> st.getModificationTime)
-      .sortBy(-_._1)
-      .map { case (v, ts) =>
-        // ONE slurp serves both the entries and the op marker (opAt would
-        // re-read the same small file — 2N roundtrips on object storage)
-        val content = slurp(manifestPath(v))
-        val entries = parseEntries(content)
-        val rows =
-          if (entries.forall(_.stats.isDefined)) Some(entries.flatMap(_.stats).map(_.rows).sum)
-          else None
-        val deleted = entries.map(deletedRows).sum
-        TableLog.TableVersion(v, ts, entries.size, rows, rows.map(_ - deleted),
-          parseOp(content))
-      }
+      .sortBy(_._1)
+    // resolve oldest→newest, applying each delta to the running state —
+    // one slurp per version (serving entries AND the op marker) instead of
+    // a chain walk per version; the oldest kept version alone may need the
+    // checkpoint-rooted resolution
+    var state: Seq[DirEntry] = null
+    asc.map { case (v, ts) =>
+      val content = slurp(manifestPath(v))
+      val entries =
+        if (!TableLog.isDelta(content)) parseEntries(content)
+        else if (state != null)
+          applyPatch(state, parseRemoves(content), parseEntries(content))
+        else entriesAt(v)
+      state = entries
+      val rows =
+        if (entries.forall(_.stats.isDefined)) Some(entries.flatMap(_.stats).map(_.rows).sum)
+        else None
+      val deleted = entries.map(deletedRows).sum
+      TableLog.TableVersion(v, ts, entries.size, rows, rows.map(_ - deleted),
+        parseOp(content))
+    }.reverse
   }
 
   /** Drop all but the newest `keepVersions` manifests and delete the data
@@ -617,6 +784,26 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val supersededDv: Set[String] =
       (droppedEntries.flatten.flatMap(_.dv).map(p => new Path(p).getName)
         .toSet ++ preDvs(dropped)) -- liveDv
+    // Before any manifest drops: the OLDEST KEPT version must stay
+    // resolvable once the chain below it is gone. A kept delta manifest
+    // resolves through its predecessors — so when manifest-O is a delta,
+    // vacuum publishes `checkpoint-O` (the full state, resolved while the
+    // chain is still intact) as the new resolution root; every kept
+    // version ≥ O then chains down at most to O and stops there. A full
+    // manifest at O is its own root and needs nothing. Checkpoint
+    // publication is a hard precondition of dropping — a failure aborts
+    // the vacuum with history intact.
+    if (dropped.nonEmpty) {
+      val o = kept.map(_._1).min
+      if (TableLog.isDelta(slurp(manifestPath(o))) && !fs.exists(checkpointPath(o))) {
+        val state = entriesAt(o)
+        if (!writeAtomic(checkpointPath(o), entryLines(state).mkString("", "\n", "\n"))
+            && !fs.exists(checkpointPath(o)))
+          throw new java.io.IOException(
+            s"vacuum of $tableDir aborted: could not publish checkpoint-$o " +
+              "(the oldest kept version would become unresolvable)")
+      }
+    }
     // delete dropped manifests in ASCENDING version order: at every
     // instant "manifest-k exists => manifest-(k+1) exists (or k is the
     // latest)", so the `_latest` hint's forward probe cannot strand
@@ -626,8 +813,22 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     // manifest-2, breaking that invariant where a writer could then
     // CAS-resurrect a reclaimed version number. The probe's own
     // resolved-version re-check (see latestVersion) covers the residual
-    // non-atomic-observation window.
+    // non-atomic-observation window. (Checkpoint files are named outside
+    // the manifest-* sequence, so they are invisible to the hint probe and
+    // the listing — keeping an old checkpoint root never breaks the
+    // contiguity invariant.)
     dropped.sortBy(_._1).foreach { case (_, p) => fs.delete(p, false) }
+    // checkpoints strictly below the oldest kept version can no longer be
+    // any kept version's resolution root (resolution stops at the FIRST
+    // checkpoint on the walk down, and the oldest kept version now carries
+    // its own root when it needs one)
+    if (dropped.nonEmpty) {
+      val o = kept.map(_._1).min
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("checkpoint-"))
+        .filter(_.getName.stripPrefix("checkpoint-").toLong < o)
+        .foreach(p => fs.delete(p, false))
+    }
     val now = System.currentTimeMillis()
     def reclaim(subdir: String, keep: Set[String], dead: Set[String]): Int = {
       val root = new Path(tableDir, subdir)
@@ -645,6 +846,13 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       .filter(st => st.getPath.getName.startsWith(".tmp-") &&
         now - st.getModificationTime > orphanRetentionMs)
       .foreach(st => fs.delete(st.getPath, false))
+    // reclaimed versions must stop resolving for FRESH handles ("fails on
+    // a vacuumed-away version"); kept versions simply re-resolve through
+    // the new checkpoint root on next access
+    if (dropped.nonEmpty) {
+      TableLog.invalidateCache(tableDir)
+      entriesCache.synchronized(entriesCache.clear())
+    }
     TableLog.VacuumStats(dropped.size, reclaimed)
   }
 }
@@ -718,6 +926,133 @@ object TableLog {
     */
   private val hintWriteWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Tables whose checkpoint write has already logged its one warning. */
+  private val checkpointWriteWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Table dirs already warned that their filesystem scheme's rename is not
+    * known to be atomically non-overwriting (multi-writer can lose commits
+    * there without an external [[CommitLock]]).
+    */
+  private val nonAtomicSchemeWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Schemes whose publish primitive is a true CAS without external help:
+    * `file` via link(2) (EEXIST-atomic; see [[TableLog.writeAtomic]]) and
+    * HDFS-family renames (atomically non-overwriting per the FileSystem
+    * contract). Anything else — object stores whose rename is copy+delete,
+    * FUSE mounts of unknown semantics — warns once per table and is safe
+    * only single-writer or under a registered [[CommitLock]];
+    * ObjectStoreRenameSpec pins the silent-lost-commit failure mode the
+    * warning describes.
+    */
+  private[connector] val AtomicRenameSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs")
+
+  /** LogStore-shaped external-lock seam (the role Delta's LogStore plays
+    * for S3 multi-writer): when registered, every manifest/checkpoint
+    * publish — the exists-probe plus the rename/link — runs inside
+    * `withLock(tableDir)`, which restores CAS semantics on stores whose
+    * rename is non-atomic or overwriting. Implementations coordinate
+    * across WRITERS (a DynamoDB/ZooKeeper/advisory-file lock per table
+    * dir); readers never take the lock (manifests are immutable once
+    * visible).
+    */
+  trait CommitLock {
+    def withLock[T](tableDir: String)(body: => T): T
+  }
+
+  @volatile private var commitLockProvider: Option[CommitLock] = None
+  private def commitLock: Option[CommitLock] = commitLockProvider
+  /** Register (or, with null, clear) the process-wide commit lock. */
+  def setCommitLock(lock: CommitLock): Unit =
+    commitLockProvider = Option(lock)
+
+  /** Thrown (and caught once for a vacuum-race retry) when a version's
+    * manifest and checkpoint are both absent mid-resolution.
+    */
+  private[connector] final class MissingVersion(v: Long, tableDir: String)
+    extends IllegalArgumentException(s"no version $v of table $tableDir")
+
+  /** Process-wide resolved-state cache, keyed (normalized table dir,
+    * version) — the role Delta's snapshot cache plays. Committed versions
+    * are immutable, so entries never go stale from WRITES; the only
+    * invalidations are a table DROPPED or re-CREATED at the same path and
+    * a VACUUM reclaiming history (each purges its dir's keys). Every new
+    * TableLog handle — one per query load — hits this instead of
+    * re-parsing an O(dirs) manifest or re-walking a delta chain; resolving
+    * the next version after a commit is then one delta applied to the
+    * cached predecessor. Bounded by TOTAL cached DirEntry count (states
+    * share unchanged entry instances across versions of one table, so the
+    * budget overcounts; it is a ceiling, not a working-set estimate),
+    * evicting whole states LRU.
+    */
+  private val sharedStates =
+    new java.util.LinkedHashMap[(String, Long), Seq[DirEntry]](64, 0.75f, true)
+  private var sharedStateEntries = 0L
+  private val SharedStateEntryBudget = 262144L
+
+  private def cachedState(key: (String, Long)): Seq[DirEntry] =
+    sharedStates.synchronized(sharedStates.get(key))
+
+  private def cacheState(key: (String, Long), state: Seq[DirEntry]): Unit =
+    sharedStates.synchronized {
+      if (sharedStates.containsKey(key)) return
+      sharedStates.put(key, state)
+      sharedStateEntries += math.max(1, state.size)
+      val it = sharedStates.entrySet().iterator()   // access order: eldest first
+      while (sharedStateEntries > SharedStateEntryBudget && sharedStates.size > 1 &&
+             it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          sharedStateEntries -= math.max(1, e.getValue.size)
+          it.remove()
+        }
+      }
+    }
+
+  /** Purge every cached state of one table dir (drop, re-create, vacuum;
+    * also the seam specs and probes use to force cold resolution).
+    */
+  private[graft] def invalidateCache(tableDir: String): Unit =
+    sharedStates.synchronized {
+      val key = dirKey(tableDir)
+      val it = sharedStates.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == key) {
+          sharedStateEntries -= math.max(1, e.getValue.size)
+          it.remove()
+        }
+      }
+    }
+
+  /** Marker line of a delta manifest (entries = changes vs the previous
+    * version, not the full state). Sits below the meta header (which must
+    * stay line 1 for [[parseMetaHeader]]); `#`-prefixed, so entry parsing
+    * skips it and pre-delta readers of FULL manifests are unaffected.
+    */
+  private[connector] val DeltaMarker = "#delta\t1"
+  private val DeltaPrefix = "#delta\t"
+
+  /** Removed-dir line of a delta manifest: `#remove<TAB><relDir>`. */
+  private[connector] val RemovePrefix = "#remove\t"
+
+  private[connector] def isDelta(manifestContent: String): Boolean =
+    manifestContent.linesIterator.exists(_.startsWith(DeltaPrefix))
+
+  /** Every Nth commit of a delta-writing table publishes a full-state
+    * checkpoint file, bounding resolution chains to N reads (PLANS.md
+    * §manifest-scale holds the measured trade-off).
+    */
+  private[connector] val CheckpointInterval = 16L
+
+  /** Tables at or under this many dirs always commit FULL manifests: the
+    * rewrite is trivially cheap there, and their loads never pay a chain
+    * walk — only genuinely wide tables take the delta path.
+    */
+  private[connector] val FullManifestMaxEntries = 64
 
   /** One row of [[TableLog.history]]. `operation` = the commit's `#op`
     * marker (None on pre-marker history — markers arrived with the CDC
