@@ -718,16 +718,22 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     // resolve oldest→newest, applying each delta to the running state —
     // one slurp per version (serving entries AND the op marker) instead of
     // a chain walk per version; the oldest kept version alone may need the
-    // checkpoint-rooted resolution
+    // checkpoint-rooted resolution. A delta is applied to the running
+    // state ONLY when it is the direct successor (vacuum keeps a
+    // contiguous suffix, but a mid-history gap — manual deletion, a
+    // half-finished external copy — must re-root through entriesAt, not
+    // silently apply against the wrong predecessor).
     var state: Seq[DirEntry] = null
+    var stateV: Long = -1L
     asc.map { case (v, ts) =>
       val content = slurp(manifestPath(v))
       val entries =
         if (!TableLog.isDelta(content)) parseEntries(content)
-        else if (state != null)
+        else if (state != null && stateV == v - 1)
           applyPatch(state, parseRemoves(content), parseEntries(content))
         else entriesAt(v)
       state = entries
+      stateV = v
       val rows =
         if (entries.forall(_.stats.isDefined)) Some(entries.flatMap(_.stats).map(_.rows).sum)
         else None
