@@ -112,7 +112,9 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     // a file: scheme the publish therefore uses link(2) instead
     // (Files.createLink), which atomically fails with EEXIST — making the
     // local CAS exactly as strong as the HDFS one. (Object stores without
-    // atomic rename remain the documented single-writer caveat.)
+    // atomic rename: single-writer, or the CommitLock seam wrapped around
+    // this whole sequence by writeAtomic — ObjectStoreRenameSpec pins
+    // both the unlocked failure mode and the locked fix.)
     // getUri.getScheme, not getScheme: Hadoop's base FileSystem.getScheme
     // throws UnsupportedOperationException for implementations that never
     // overrode it, and this probe runs on EVERY commit of every scheme
