@@ -999,7 +999,9 @@ object TableLog {
   private val sharedStates =
     new java.util.LinkedHashMap[(String, Long), Seq[DirEntry]](64, 0.75f, true)
   private var sharedStateEntries = 0L
-  private val SharedStateEntryBudget = 262144L
+  // ~64k DirEntry refs ≈ tens of MB retained at stats-heavy width — enough
+  // for several 8k-dir tables' hot versions, small next to executor memory
+  private val SharedStateEntryBudget = 65536L
 
   private def cachedState(key: (String, Long)): Seq[DirEntry] =
     sharedStates.synchronized(sharedStates.get(key))

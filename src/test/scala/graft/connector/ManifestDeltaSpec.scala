@@ -108,6 +108,24 @@ class ManifestDeltaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](fresh(log).entriesAt(cv - 1))
   }
 
+  test("a missing checkpoint only lengthens the walk — resolution falls back to the chain") {
+    val log = newLog("graft-delta-nockpt")
+    val wide = TableLog.FullManifestMaxEntries + 8
+    var state = (0 until wide).map(entry(log, _))
+    assert(log.tryCommitEntries(None, state))
+    (2L to TableLog.CheckpointInterval + 2).foreach { v =>
+      state = state :+ entry(log, 5000 + v.toInt)
+      assert(log.tryCommitEntries(Some(v - 1), state))
+    }
+    val cv = TableLog.CheckpointInterval
+    Files.delete(Paths.get(log.tableDir, s"checkpoint-$cv"))
+    TableLog.invalidateCache(log.tableDir)
+    // every version still resolves — the chain just walks to the v1 full
+    // manifest instead of stopping at the (now missing) checkpoint
+    assert(fresh(log).entriesAt(cv + 2) === state)
+    assert(fresh(log).entriesAt(cv).size === wide + cv.toInt - 1)
+  }
+
   test("a reordering commit falls back to a full manifest") {
     val log = newLog("graft-delta-reorder")
     val wide = TableLog.FullManifestMaxEntries + 10
@@ -148,6 +166,49 @@ class ManifestDeltaSpec extends AnyFunSuite {
     assert(checkpointExists(log, 9))
     assert(fresh(log).entriesAt(9) === states(9L))
     assert(fresh(log).entriesAt(10) === states(10L))
+  }
+
+  test("two writers racing appends on a wide table: every commit survives the delta path") {
+    val log = newLog("graft-delta-race")
+    val wide = TableLog.FullManifestMaxEntries + 16
+    assert(log.tryCommitEntries(None, (0 until wide).map(entry(log, _))))
+    val perWriter = 24
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def writer(tag: Int): Thread = new Thread(() => {
+      try {
+        val l = fresh(log)
+        var committed = 0
+        var attempts = 0
+        while (committed < perWriter) {
+          attempts += 1
+          require(attempts < perWriter * 1000, "CAS starvation in the race spec")
+          val expected = l.latestVersion
+          val cur = expected.map(l.entriesAt).getOrElse(Nil)
+          if (l.tryCommitEntries(expected,
+              cur :+ entry(log, 9000 + tag * 1000 + committed)))
+            committed += 1
+        }
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    }, s"delta-race-$tag")
+    val ts = Seq(writer(1), writer(2))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(ts.forall(!_.isAlive), "a racing writer hung")
+    assert(failure.get() === null, s"racing writer failed: ${failure.get()}")
+    TableLog.invalidateCache(log.tableDir)
+    val f = fresh(log)
+    assert(f.latestVersion === Some(1L + 2 * perWriter))
+    val dirs = f.currentEntries().map(_.dir)
+    assert(dirs.size === wide + 2 * perWriter)
+    (1 to 2).foreach { tag =>
+      (0 until perWriter).foreach { i =>
+        assert(dirs.count(_.endsWith(s"/d-${9000 + tag * 1000 + i}")) === 1,
+          s"writer $tag commit $i lost or duplicated")
+      }
+    }
+    // periodic checkpoints landed under contention (single winner per version)
+    assert(Files.exists(Paths.get(log.tableDir, s"checkpoint-${TableLog.CheckpointInterval}")) ||
+      Files.exists(Paths.get(log.tableDir, s"checkpoint-${2 * TableLog.CheckpointInterval}")),
+      "no checkpoint landed during the race")
   }
 
   test("history() walks delta chains forward with correct per-version accounting") {
