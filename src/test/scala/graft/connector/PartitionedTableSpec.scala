@@ -117,6 +117,21 @@ class PartitionedTableSpec extends LakeSpec {
       s"rename not reflected in $desc")
   }
 
+  test("partition-scoped INSERT OVERWRITE fails loudly; full-table overwrite works") {
+    sql("CREATE TABLE ptlake.db.ow (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    sql("INSERT INTO ptlake.db.ow VALUES (1, 'en')")
+    // dirs-not-values layout: a partition-scoped overwrite would need
+    // filter-overwrite semantics the dir-granular commit cannot express
+    // without a rewrite — refuse at analysis, never overwrite too much
+    // or too little silently
+    intercept[Exception](
+      sql("INSERT OVERWRITE ptlake.db.ow PARTITION (lang = 'en') VALUES (2)"))
+    assert(rows("SELECT id FROM ptlake.db.ow") === Seq(Row(1L)),
+      "the refused overwrite must not have changed the table")
+    sql("INSERT OVERWRITE ptlake.db.ow VALUES (3, 'fr')")
+    assert(rows("SELECT id, lang FROM ptlake.db.ow") === Seq(Row(3L, "fr")))
+  }
+
   test("setting the property directly at CREATE is refused (one spelling)") {
     val e = intercept[Exception](
       sql("CREATE TABLE ptlake.db.sprop (id BIGINT, lang STRING) " +
