@@ -412,8 +412,14 @@ object DirStats {
 
   // ---- JSON codec (Jackson, already on the Spark classpath) ---------------
 
+  /** One shared mapper for the per-manifest-line JSON: ObjectMapper is
+    * thread-safe once constructed, and a fresh instance per entry was the
+    * dominant cost of parsing a wide manifest (32k entries paid ~0.5 s of
+    * mapper construction per cold table load — ManifestScaleProbe).
+    */
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def encode(s: DirStats): String = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("rows", s.rows)
     val cols = root.putObject("cols")
@@ -443,7 +449,6 @@ object DirStats {
 
   def decode(json: String): Option[DirStats] =
     try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(json)
       val cols = scala.collection.mutable.LinkedHashMap[String, ColStats]()
       val co = root.get("cols")
