@@ -96,6 +96,22 @@ class WideTableSpec extends LakeSpec {
     assert(ch === Seq(Row(999999L, "insert")))
   }
 
+  test("compaction collapses the wide table through a full-manifest commit") {
+    val l = seeded
+    assert(Compaction.compact(spark, l, targetBytes = 512L << 20))
+    val after = l.currentEntries()
+    assert(after.size < 10, s"expected few merged dirs, got ${after.size}")
+    // a compaction reorders/replaces entries wholesale — the replay
+    // simulation must have fallen back to a FULL manifest
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(l.tableDir, s"manifest-${l.latestVersion.get}")), "UTF-8")
+    assert(!TableLog.isDelta(manifest))
+    // vectors were applied and purged; the two mor-deleted rows stay gone
+    assert(after.forall(_.dv.isEmpty))
+    TableLog.invalidateCache(l.tableDir)
+    assert(rows("SELECT count(*) FROM wlake.db.w") === Seq(Row(Dirs * 100L - 2 + 1)))
+  }
+
   test("vacuum on the wide table keeps every live dir readable") {
     val l = seeded
     val stats = l.vacuum(keepVersions = 2, orphanRetentionMs = 0L)
