@@ -58,6 +58,13 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
 
   private def fs: FileSystem = new Path(tableDir).getFileSystem(conf)
 
+  /** The built-in commit lock used when the table's scheme lacks an atomic
+    * non-overwriting rename and no user lock is registered (see
+    * [[writeAtomic]]); in-process stripes live in the companion, so every
+    * handle of one table shares the same layer-1 monitor.
+    */
+  @transient private lazy val defaultLeaseLock = new LeaseFileCommitLock(conf)
+
   private val schemaPath = new Path(tableDir, "table.json")
   private def manifestPath(v: Long) = new Path(tableDir, s"manifest-$v")
 
@@ -82,23 +89,37 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     // S3 multi-writer): when a CommitLock is registered, the whole
     // exists+publish sequence serializes through it, which makes the CAS
     // correct even on a store whose rename is copy+delete (non-atomic,
-    // overwriting). Without one, a scheme whose rename atomicity this
-    // layer cannot vouch for gets ONE loud per-table warning that
-    // multi-writer deployments there can lose commits
-    // (ObjectStoreRenameSpec pins exactly that failure mode).
+    // overwriting). Without a user-registered lock, a scheme whose rename
+    // atomicity this layer cannot vouch for gets the in-tree
+    // [[LeaseFileCommitLock]] BY DEFAULT (create-no-overwrite lease file +
+    // TTL + fencing token — the public S3DynamoDBLogStore shape without
+    // the DynamoDB dependency), so object-store deployments get
+    // exactly-one-winner commits out of the box; ObjectStoreRenameSpec
+    // pins both the locked fix and (with the default disabled) the bare
+    // failure mode the old warning described.
     TableLog.commitLock match {
       case Some(lock) => lock.withLock(tableDir)(publish(tmp, dst))
       case None =>
         val scheme = Option(fs.getUri.getScheme).getOrElse("")
-        if (!TableLog.AtomicRenameSchemes.contains(scheme) &&
-            TableLog.nonAtomicSchemeWarned.add(TableLog.dirKey(tableDir)))
-          System.err.println(s"[graft-lake] WARN: filesystem scheme " +
-            s"'$scheme' for $tableDir is not known to rename atomically " +
-            "without overwriting; two writers racing a commit can SILENTLY " +
-            "LOSE one (copy+delete rename lets both publishes succeed). " +
-            "Use a single writer per table here, or register an external " +
-            "lock via TableLog.setCommitLock (warned once per table)")
-        publish(tmp, dst)
+        if (TableLog.AtomicRenameSchemes.contains(scheme)) publish(tmp, dst)
+        else if (TableLog.defaultLeaseLockEnabled) {
+          if (TableLog.leaseLockNoted.add(TableLog.dirKey(tableDir)))
+            System.err.println(s"[graft-lake] INFO: filesystem scheme " +
+              s"'$scheme' for $tableDir has no atomic non-overwriting " +
+              "rename; commits serialize through the built-in lease-file " +
+              "lock (_commitlock, TTL 60s). Register a store-native lock " +
+              "via TableLog.setCommitLock to replace it (noted once per table)")
+          defaultLeaseLock.withLock(tableDir)(publish(tmp, dst))
+        } else {
+          if (TableLog.nonAtomicSchemeWarned.add(TableLog.dirKey(tableDir)))
+            System.err.println(s"[graft-lake] WARN: filesystem scheme " +
+              s"'$scheme' for $tableDir is not known to rename atomically " +
+              "without overwriting; two writers racing a commit can SILENTLY " +
+              "LOSE one (copy+delete rename lets both publishes succeed). " +
+              "Use a single writer per table here, or register an external " +
+              "lock via TableLog.setCommitLock (warned once per table)")
+          publish(tmp, dst)
+        }
     }
   }
 
@@ -340,8 +361,12 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
       // mid-chain manifest vanish an instant before vacuum's checkpoint at
       // the oldest kept version becomes its replacement root — the second
       // pass finds that checkpoint. A version that is GENUINELY vacuumed
-      // still fails here, with the same exception as always.
+      // still fails here, with the same exception as always. The race can
+      // surface as FileNotFoundException too (resolution slurps
+      // optimistically, and nested reads — a predecessor's manifest, a
+      // stats footer — can hit the same window), so both are retried once.
       case _: TableLog.MissingVersion => resolveCached(v)
+      case _: java.io.FileNotFoundException => resolveCached(v)
     }
 
   /** Resolved-state cache: manifests are immutable, so version `v`'s entry
@@ -361,11 +386,45 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     val hit = entriesCache.synchronized(entriesCache.get(v))
     if (hit != null) return hit
     val key = (TableLog.dirKey(tableDir), v)
-    val shared = TableLog.cachedState(key)
-    val resolved = if (shared != null) shared else resolveEntries(v)
+    // A shared-cache hit is trusted only if the on-disk resolution root
+    // still has the identity recorded when the state was cached: in-process
+    // invalidation (drop, re-create, vacuum) cannot reach OTHER JVMs'
+    // caches, so a table dropped and re-created by another writer restarts
+    // version numbers and (path, version) alone would serve the dropped
+    // history's dirs indefinitely. One getFileStatus per cold handle is the
+    // whole validation cost; a mismatch purges the dir's keys and resolves
+    // fresh.
+    val resolved = TableLog.cachedState(key) match {
+      case Some((entries, id)) if manifestIdentity(v).contains(id) => entries
+      case shared =>
+        if (shared.isDefined) TableLog.invalidateCache(tableDir)
+        // identity is captured BEFORE and re-checked AFTER the read: cache
+        // only a state whose root file provably did not change underneath
+        // the resolution (a drop+re-create mid-read must not pair the old
+        // entries with the new file's identity)
+        val idBefore = manifestIdentity(v)
+        val entries = resolveEntries(v)
+        if (idBefore.isDefined && manifestIdentity(v) == idBefore)
+          TableLog.cacheState(key, entries, idBefore.get)
+        entries
+    }
     entriesCache.synchronized(entriesCache.put(v, resolved))
-    if (shared == null) TableLog.cacheState(key, resolved)
     resolved
+  }
+
+  /** On-disk identity of version `v`'s resolution root — the manifest, or
+    * the checkpoint standing in for a vacuumed manifest — as (which file,
+    * mtime, length). None when neither exists. Committed files are
+    * immutable, so a changed identity can only mean drop/re-create or
+    * vacuum in another process.
+    */
+  private def manifestIdentity(v: Long): Option[TableLog.ManifestId] = {
+    def stat(p: Path, cp: Boolean): Option[TableLog.ManifestId] =
+      try {
+        val st = fs.getFileStatus(p)
+        Some(TableLog.ManifestId(cp, st.getModificationTime, st.getLen))
+      } catch { case _: java.io.FileNotFoundException => None }
+    stat(manifestPath(v), cp = false).orElse(stat(checkpointPath(v), cp = true))
   }
 
   /** State resolution for one version. A FULL manifest (every manifest of a
@@ -379,18 +438,31 @@ class TableLog(val tableDir: String, conf: Configuration) extends Serializable {
     * 8k-dir table's append used to rewrite a 5.4 MB manifest per commit.
     */
   private def resolveEntries(v: Long): Seq[DirEntry] = {
-    val mp = manifestPath(v)
-    val cp = checkpointPath(v)
-    if (!fs.exists(mp)) {
-      // manifest vacuumed but the version kept alive as a checkpoint root
-      if (fs.exists(cp)) return parseEntries(slurp(cp))
-      throw new TableLog.MissingVersion(v, tableDir)
+    // optimistic reads: exists-then-slurp leaves a window where a
+    // concurrent vacuum deletes the file between the two calls (surfacing
+    // as FileNotFoundException instead of MissingVersion, dodging the
+    // retry) — so each file is read directly, with "missing" derived from
+    // the read itself
+    slurpIfExists(manifestPath(v)) match {
+      case None =>
+        // manifest vacuumed but the version kept alive as a checkpoint root
+        slurpIfExists(checkpointPath(v)) match {
+          case Some(c) => parseEntries(c)
+          case None => throw new TableLog.MissingVersion(v, tableDir)
+        }
+      case Some(content) if !TableLog.isDelta(content) => parseEntries(content)
+      case Some(content) =>
+        slurpIfExists(checkpointPath(v)) match {
+          case Some(c) => parseEntries(c)
+          case None =>
+            applyPatch(resolveCached(v - 1), parseRemoves(content), parseEntries(content))
+        }
     }
-    val content = slurp(mp)
-    if (!TableLog.isDelta(content)) parseEntries(content)
-    else if (fs.exists(cp)) parseEntries(slurp(cp))
-    else applyPatch(resolveCached(v - 1), parseRemoves(content), parseEntries(content))
   }
+
+  private def slurpIfExists(p: Path): Option[String] =
+    try Some(slurp(p))
+    catch { case _: java.io.FileNotFoundException => None }
 
   private def checkpointPath(v: Long) = new Path(tableDir, s"checkpoint-$v")
 
@@ -887,20 +959,37 @@ object TableLog {
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private[connector] val LinkProbeLatchThreshold = 3
 
-  /** Canonical latch key for a table dir: alternate spellings of the same
-    * directory (trailing slash, relative vs absolute, `file:` URI vs bare
-    * path, symlinked parent) must hit the SAME latch entry, not re-probe
-    * and re-warn per spelling. Resolves symlinks when the dir exists
-    * (commit-time callers — it does), else falls back to lexical
-    * normalization; any resolution failure degrades to the raw string.
+  /** Canonical latch/cache key for a table dir: alternate spellings of the
+    * same directory (trailing slash, relative vs absolute, `file:` URI vs
+    * bare path, symlinked parent) must hit the SAME entry, not re-probe
+    * and re-warn per spelling.
+    *
+    * The local-path normalization (`Paths.get` + `toRealPath`) applies ONLY
+    * to the `file`/empty schemes it is valid for. A non-local URI keeps its
+    * FULL identity — scheme + authority + lexically-normalized path —
+    * because stripping scheme/authority would collide two distinct tables
+    * whose paths merely coincide (`s3a://bucketA/warehouse/t` vs
+    * `s3a://bucketB/warehouse/t`, or `hdfs://nn/x/t` vs `file:/x/t`), and
+    * the process-wide snapshot cache keyed on this would then silently
+    * serve one table's entry list for the other; `toRealPath` could even
+    * resolve a non-local path against a coincidentally-existing local one.
+    * Any resolution failure degrades to the raw string.
     */
   private[connector] def dirKey(tableDir: String): String =
     try {
-      val local = Option(new Path(tableDir).toUri.getPath)
-        .filter(_.nonEmpty).getOrElse(tableDir)
-      val p = java.nio.file.Paths.get(local).toAbsolutePath.normalize
-      try p.toRealPath().toString
-      catch { case _: Exception => p.toString }
+      val uri = new Path(tableDir).toUri
+      val scheme = Option(uri.getScheme).getOrElse("")
+      if (scheme.isEmpty || scheme == "file") {
+        val local = Option(uri.getPath).filter(_.nonEmpty).getOrElse(tableDir)
+        val p = java.nio.file.Paths.get(local).toAbsolutePath.normalize
+        try p.toRealPath().toString
+        catch { case _: Exception => p.toString }
+      } else {
+        val n = uri.normalize()
+        val auth = Option(n.getAuthority).getOrElse("")
+        val path = Option(n.getPath).getOrElse("").stripSuffix("/")
+        s"$scheme://$auth$path"
+      }
     } catch { case _: Exception => tableDir }
 
   /** Does link(2) work under `tableDir`? Two throwaway files, one link
@@ -945,6 +1034,19 @@ object TableLog {
     */
   private val nonAtomicSchemeWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Table dirs that already logged the one-time note that commits run
+    * under the built-in lease-file lock.
+    */
+  private val leaseLockNoted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Whether non-atomic-rename schemes fall back to the built-in
+    * [[LeaseFileCommitLock]] (default) instead of bare best-effort publish
+    * + warning. Test seam: ObjectStoreRenameSpec disables it to pin the
+    * unlocked failure mode the lock exists to prevent.
+    */
+  @volatile private[connector] var defaultLeaseLockEnabled: Boolean = true
 
   /** Schemes whose publish primitive is a true CAS without external help:
     * `file` via link(2) (EEXIST-atomic; see [[TableLog.writeAtomic]]) and
@@ -996,27 +1098,38 @@ object TableLog {
     * budget overcounts; it is a ceiling, not a working-set estimate),
     * evicting whole states LRU.
     */
+  /** Identity of the file a cached state was resolved from (`checkpoint`
+    * distinguishes manifest-vs-checkpoint roots — a manifest vacuumed into
+    * a checkpoint of identical size/mtime must still read as a change).
+    * Compared against a fresh getFileStatus on every shared-cache hit, so
+    * another JVM's drop/re-create/vacuum — invisible to this process's
+    * invalidation hooks — cannot serve the old history's dirs.
+    */
+  private[connector] final case class ManifestId(checkpoint: Boolean,
+                                                 mtime: Long, length: Long)
+
   private val sharedStates =
-    new java.util.LinkedHashMap[(String, Long), Seq[DirEntry]](64, 0.75f, true)
+    new java.util.LinkedHashMap[(String, Long), (Seq[DirEntry], ManifestId)](64, 0.75f, true)
   private var sharedStateEntries = 0L
   // ~64k DirEntry refs ≈ tens of MB retained at stats-heavy width — enough
   // for several 8k-dir tables' hot versions, small next to executor memory
   private val SharedStateEntryBudget = 65536L
 
-  private def cachedState(key: (String, Long)): Seq[DirEntry] =
-    sharedStates.synchronized(sharedStates.get(key))
+  private def cachedState(key: (String, Long)): Option[(Seq[DirEntry], ManifestId)] =
+    sharedStates.synchronized(Option(sharedStates.get(key)))
 
-  private def cacheState(key: (String, Long), state: Seq[DirEntry]): Unit =
+  private def cacheState(key: (String, Long), state: Seq[DirEntry],
+                         id: ManifestId): Unit =
     sharedStates.synchronized {
       if (sharedStates.containsKey(key)) return
-      sharedStates.put(key, state)
+      sharedStates.put(key, (state, id))
       sharedStateEntries += math.max(1, state.size)
       val it = sharedStates.entrySet().iterator()   // access order: eldest first
       while (sharedStateEntries > SharedStateEntryBudget && sharedStates.size > 1 &&
              it.hasNext) {
         val e = it.next()
         if (e.getKey != key) {
-          sharedStateEntries -= math.max(1, e.getValue.size)
+          sharedStateEntries -= math.max(1, e.getValue._1.size)
           it.remove()
         }
       }
@@ -1032,7 +1145,7 @@ object TableLog {
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey._1 == key) {
-          sharedStateEntries -= math.max(1, e.getValue.size)
+          sharedStateEntries -= math.max(1, e.getValue._1.size)
           it.remove()
         }
       }

@@ -103,21 +103,60 @@ class ObjectStoreRenameSpec extends AnyFunSuite {
     finally System.setErr(orig)
   }
 
-  test("copy+delete rename: two racing committers silently lose a commit, and the scheme warns") {
+  test("copy+delete rename: with the default lease lock disabled, two racing " +
+    "committers silently lose a commit, and the scheme warns") {
     val conf = newConf()
-    val (tableDir, err) = captureStderr(newTable(conf))
-    assert(err.contains("not known to rename atomically"),
-      s"expected the non-atomic-scheme warning at first commit; got: $err")
-    CopyDeleteRenameFileSystem.manifestBarrier = Some(new CyclicBarrier(2))
+    // disable the in-tree default lock to pin the BARE failure mode the
+    // lock exists to prevent (the round-16 caveat, kept executable)
+    TableLog.defaultLeaseLockEnabled = false
     try {
-      val (a, b) = race(tableDir, conf)
-      // the pinned failure mode: both publishes "succeed"...
-      assert(a && b, "both committers must believe they won on an overwriting rename")
-      // ...but version 1 holds only ONE writer's commit — the other is gone
-      val dirs = committedDirs(tableDir, conf)
-      assert(dirs.size === 1)
-      assert(dirs.head === "d-A" || dirs.head === "d-B")
-    } finally CopyDeleteRenameFileSystem.manifestBarrier = None
+      val (tableDir, err) = captureStderr(newTable(conf))
+      assert(err.contains("not known to rename atomically"),
+        s"expected the non-atomic-scheme warning at first commit; got: $err")
+      CopyDeleteRenameFileSystem.manifestBarrier = Some(new CyclicBarrier(2))
+      try {
+        val (a, b) = race(tableDir, conf)
+        // the pinned failure mode: both publishes "succeed"...
+        assert(a && b, "both committers must believe they won on an overwriting rename")
+        // ...but version 1 holds only ONE writer's commit — the other is gone
+        val dirs = committedDirs(tableDir, conf)
+        assert(dirs.size === 1)
+        assert(dirs.head === "d-A" || dirs.head === "d-B")
+      } finally CopyDeleteRenameFileSystem.manifestBarrier = None
+    } finally TableLog.defaultLeaseLockEnabled = true
+  }
+
+  test("the DEFAULT in-tree lease lock restores the CAS with no user-supplied lock") {
+    val conf = newConf()
+    CopyDeleteRenameFileSystem.manifestRenameDelayMs = 25L
+    try {
+      (1 to 8).foreach { round =>
+        val (tableDir, err) = captureStderr(newTable(conf))
+        assert(!err.contains("not known to rename atomically"),
+          "the default lease lock must replace the lost-commit warning")
+        assert(err.contains("lease-file lock"),
+          s"expected the one-time lease-lock note; got: $err")
+        val (a, b) = race(tableDir, conf)
+        assert(a ^ b, s"round $round: exactly one committer must win under " +
+          s"the default lease lock (got $a/$b)")
+        assert(committedDirs(tableDir, conf).size === 1)
+      }
+    } finally CopyDeleteRenameFileSystem.manifestRenameDelayMs = 0L
+  }
+
+  test("an expired lease (crashed holder) is reclaimed, not waited on forever") {
+    val conf = newConf()
+    val tableDir = newTable(conf)
+    // plant an abandoned lease whose mtime is far past the TTL
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val lease = new Path(tableDir, "_commitlock")
+    val out = fs.create(lease, false)
+    out.write("dead-holder-token".getBytes("UTF-8")); out.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+    val log = new TableLog(tableDir, conf)
+    assert(log.tryCommit(None, Seq(s"$tableDir/data/d-after-crash")),
+      "a commit must steal a TTL-expired lease and proceed")
+    assert(committedDirs(tableDir, conf) === Seq("d-after-crash"))
   }
 
   test("a registered CommitLock restores the CAS: exactly one winner, no warning") {
