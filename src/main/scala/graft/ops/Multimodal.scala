@@ -241,4 +241,117 @@ object Multimodal {
           1, maxFrames)))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
+
+  // ---- perceptual image hashing (dHash) and image near-dup dedup -----------
+
+  /** A 24-bit BMP whose LOGICAL pixel (x, y) — x right, y down — is the
+    * grayscale value `gray(x, y)` (0..255, written to all three channels).
+    * Rows are stored bottom-up per the BMP spec, which [[dHashGray]]
+    * inverts back.
+    */
+  private[ops] def bmpGrayBytes(width: Int, height: Int,
+                                gray: (Int, Int) => Int): Array[Byte] = {
+    val out = bmpBytes(width, height)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val g = (gray(x, y) & 0xff).toByte
+        out(rowOff + x * 3) = g; out(rowOff + x * 3 + 1) = g
+        out(rowOff + x * 3 + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The closed-form grayscale of the synthetic image corpus: docs come in
+    * GROUPS of 4 (`doc_id / 4`) sharing a base pattern; variants 1..3
+    * perturb ONE cell each, so intra-group dHash Hamming distance is <= 2
+    * per variant-vs-base pair (a one-cell change flips at most the two
+    * comparisons that touch it) while unrelated groups differ in ~half the
+    * bits. All integer arithmetic — the x70 oracle replays it literally.
+    */
+  private[ops] def synthGray(docId: Long)(x: Int, y: Int): Int = {
+    val grp = docId / 4
+    val v = (docId % 4).toInt
+    val a = grp % 7 + 1
+    val b = grp % 11 + 3
+    val c = grp % 251
+    val base = a * (x + 1) * (x + 2) + b * (y + 1) * (x + 3) + c * (y + 1) + 7 * grp
+    val pert = if (v > 0 && x == 2 * v && y == v) 101L else 0L
+    ((base + pert) % 256).toInt
+  }
+
+  /** Deterministic image corpus with planted near-duplicates: one 9x8 BMP
+    * per doc from [[synthGray]] (9x8 = the dHash grid itself, so the
+    * oracle needs no resampling arithmetic). Test fixture, like
+    * [[syntheticMedia]].
+    */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) => bmpGrayBytes(9, 8, synthGray(id)))
+    df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
+  }
+
+  /** 64-bit difference hash of a BMP payload: nearest-neighbor-sample the
+    * image onto the standard 9x8 dHash grid (identity when the image IS
+    * 9x8), then bit i = [cell(i%8+1, i/8) brighter than cell(i%8, i/8)] —
+    * the published dHash scheme with floor-sampling as the downscale (the
+    * resize kernel is a fidelity knob, not a correctness one: any
+    * deterministic downscale yields a valid perceptual hash, and this one
+    * is exactly replayable in SQL). None for payloads that are not 24-bit
+    * BMPs — a pHash pipeline for JPEG/PNG plugs a real decoder into the
+    * same seam; this container has none (the decode itself is the stubbed
+    * step, per the multimodal ground rules).
+    */
+  private[ops] def dHashGray(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    if (le16(bytes, 28) != 24) return None
+    val dataOff = le32(bytes, 10)
+    val w = le32(bytes, 18)
+    val h = le32(bytes, 22)
+    if (w < 9 || h < 8) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (bytes.length < dataOff + rowSize * h) return None
+    def gray(gx: Int, gy: Int): Int = {
+      val sx = gx * w / 9
+      val sy = gy * h / 8
+      bytes(dataOff + (h - 1 - sy) * rowSize + sx * 3) & 0xff
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (gray(i % 8 + 1, i / 8) > gray(i % 8, i / 8)) hash |= (1L << i)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** (id, simhash) difference-hash frame over a `(doc_id, media)` corpus —
+    * per-partition decode (no driver involvement), non-BMP payloads
+    * dropped. The column is named `simhash` so [[Dedup.simhashPairs]]'s
+    * banded-Hamming machinery consumes it unchanged.
+    */
+  def dHash64(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        dHashGray(bytes).map(h => (id, h))
+      })
+      .toDF("id", "simhash")
+  }
+
+  /** Image near-duplicate pairs: dHash each payload, then the SAME banded
+    * 64-bit Hamming blocking text SimHash uses ([[Dedup.simhashPairs]]) —
+    * with `maxHamming <= numChunks - 1` the pigeonhole guarantees total
+    * recall, so the result is exactly {pairs : hamming <= maxHamming},
+    * never a probabilistic candidate set. One equi-join on chunk values;
+    * no all-pairs stage at any scale.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3, numChunks: Int = 4): DataFrame =
+    Dedup.simhashPairs(dHash64(spark, media), maxHamming, numChunks)
 }

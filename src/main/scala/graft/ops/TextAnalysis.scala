@@ -22,6 +22,51 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
+  /** Tokenizer-REAL token count: a byte-pair-encoding merge walk over a
+    * broadcast merge table (see [[graft.expressions.BpeVocab]] for the
+    * exact semantics and the well-formedness precondition it validates).
+    * This is the count a training-data pipeline budgets in —
+    * `Sampling.packSequences` and `Sampling.budgetMix` take it directly as
+    * their token-count column. Codegen'd expression; the table rides the
+    * serialized plan once per executor, never per row.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.BpeTokenCountExpression.bpeTokenCount(text, merges)
+
+  /** A small well-formed demo merge table over the synthetic corpus's
+    * vocabulary — each side is a single character or an earlier merge's
+    * output (validated). Real deployments load a trained tokenizer's merge
+    * list instead; the walk is identical.
+    */
+  val demoBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "r", "o" -> "r",
+    "s" -> "p", "ar" -> "k", "sp" -> "ark", "l" -> "e", "t" -> "a",
+    "ta" -> "b", "tab" -> "le", "r" -> "o", "ro" -> "w", "d" -> "a",
+    "j" -> "o", "jo" -> "in", "q" -> "u", "s" -> "m", "a" -> "l",
+    "sm" -> "al", "smal" -> "l", "f" -> "i", "l" -> "t", "fi" -> "lt",
+    "filt" -> "er", "o" -> "n", "a" -> "t", "s" -> "t", "b" -> "at",
+    "c" -> "h", "bat" -> "ch", "w" -> "in", "d" -> "o", "win" -> "do",
+    "windo" -> "w")
+
+  /** The DuckDB replay of [[bpeTokenCount]] for ONE whitespace-free word
+    * expression: the word spelled as space-separated code points, each
+    * merge applied as a string replace in rank order (twice — a replace
+    * consumes the shared delimiter between adjacent occurrences, and one
+    * repeat provably reaches the fixpoint since merged occurrences
+    * separate the survivors), then the surviving token count. Exposed so
+    * the oracle SQL is generated from the SAME merge list the Spark plan
+    * uses — the two sides cannot drift.
+    */
+  def bpeOracleCountSql(wordExpr: String, merges: Seq[(String, String)]): String = {
+    val spaced = s"' ' || array_to_string(string_split($wordExpr, ''), ' ') || ' '"
+    val walked = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      val pat = s"' $a $b '"
+      val rep = s"' $a$b '"
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
+    s"len(string_split(trim($walked), ' '))"
+  }
+
   /** Crude chars-per-token estimate of token inflation (quality signal). */
   def avgWordLen(text: Column): Column =
     (length(regexp_replace(text, "\\s+", "")).cast("double") /

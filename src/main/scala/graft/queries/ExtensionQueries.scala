@@ -762,6 +762,73 @@ object ExtensionQueries {
           count(DISTINCT source) AS exact_sources, 1 AS approx_within_5pct
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // ---- tokenizer-REAL token counts: the BPE merge walk (codegen'd
+    // expression over a validated merge table) feeding sequence packing —
+    // the exact count/budget pipeline a pretraining mix is built with.
+    // The oracle replays the merge walk LITERALLY (rank-order string
+    // replaces generated from the same merge list) and the packing window,
+    // so both the tokenizer and its downstream consumer are hash-gated. ----
+    "x69_bpe_counts" -> Q(
+      (s, dir) => Sampling.packSequences(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+          groupCol = "source", idCol = "doc_id",
+          tokenCountCol = TextAnalysis.bpeTokenCount(col("text"),
+            TextAnalysis.demoBpeMerges),
+          budget = 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH w AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+          FROM documents),
+        wt AS (
+          SELECT doc_id, sum(${TextAnalysis.bpeOracleCountSql("word", TextAnalysis.demoBpeMerges)}) AS toks
+          FROM w GROUP BY 1),
+        d AS (
+          SELECT doc_id, source, cast(coalesce(wt.toks, 0) AS BIGINT) AS n_tokens
+          FROM documents LEFT JOIN wt USING (doc_id))
+        SELECT doc_id, source, n_tokens,
+          cast(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
+        FROM d ORDER BY doc_id""")),
+
+    // ---- multimodal: perceptual-hash (dHash) image near-dup detection —
+    // the image counterpart of text/embedding dedup. The synthetic corpus
+    // plants near-duplicates (groups of 4 sharing a base pattern, variants
+    // perturbing one cell); dHash + banded 64-bit Hamming (4 chunks,
+    // maxHamming 3 => pigeonhole-total recall) finds exactly
+    // {pairs : hamming <= 3}. The oracle replays the BMP pixel closed form,
+    // the dHash bit packing (two's complement via the i=63 term), and the
+    // exact popcount filter — the whole chain, hash-gated. ----
+    "x70_image_neardup" -> Q(
+      (s, dir) => Multimodal.imageNearDupPairs(s,
+          Multimodal.syntheticImages(
+            Tables.documents(s, dir).filter(col("doc_id") < 400), "doc_id"),
+          maxHamming = 3, numChunks = 4)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH params AS (
+          SELECT doc_id, doc_id % 4 AS v, (doc_id // 4) % 7 + 1 AS a,
+                 (doc_id // 4) % 11 + 3 AS b, (doc_id // 4) % 251 AS c,
+                 doc_id // 4 AS grp
+          FROM documents WHERE doc_id < 400),
+        bits AS (
+          SELECT doc_id, i,
+            CASE WHEN
+              (a*((i%8+1)+1)*((i%8+1)+2) + b*((i//8)+1)*((i%8+1)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8+1) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+              >
+              (a*((i%8)+1)*((i%8)+2) + b*((i//8)+1)*((i%8)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+            THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << cast(i AS INT)) END
+            ELSE 0 END AS bit
+          FROM params, LATERAL (SELECT unnest(range(64)) AS i)),
+        hashes AS (SELECT doc_id, cast(sum(bit) AS BIGINT) AS h FROM bits GROUP BY 1)
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               cast(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+        FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.h, y.h)) <= 3
+        ORDER BY 1, 2""")),
+
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(
       (s, dir) => Multimodal.frameSample(

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal}
+
+/** Incremental perceptual-hash image dedup — the streaming increment of
+  * [[Multimodal.imageNearDupPairs]], with the same state architecture as
+  * the text [[NearDupSink]]: each micro-batch of `(doc_id, media)` rows is
+  * dHashed, checked against every previously KEPT image and against
+  * itself; near-dup-free survivors pass and only their hash chunks enter
+  * the state.
+  *
+  * Scale shape (identical to NearDupSink's, argued there): an APPEND-ONLY
+  * parquet chunk index `(chunk, chunk_val, id, hash)` hash-partitioned by
+  * `__bucket`; batches probe only the partitions their own chunk values
+  * fall in; candidates are popcount-scored from stored 8-byte hashes — no
+  * pixels in state, probe cost |candidates| not |corpus|. With
+  * `maxHamming <= numChunks - 1` the chunk blocking has pigeonhole-total
+  * recall, so stream-kept equals the batch first-wins fold exactly
+  * (ImageNearDupSinkSpec pins stream == batch).
+  *
+  * First-wins like the text sink: an earlier batch's kept image beats a
+  * later near-duplicate; within a batch the smaller id wins, and a doc
+  * whose only near-dups were themselves dropped still drops (its chain
+  * leads to a kept doc).
+  */
+class ImageNearDupSink(spark: SparkSession, stateDir: String,
+                       maxHamming: Int = 3, numChunks: Int = 4,
+                       numBuckets: Int = 16)
+    extends Serializable {
+
+  require(64 % numChunks == 0, s"numChunks $numChunks must divide 64")
+  require(maxHamming <= numChunks - 1,
+    s"maxHamming $maxHamming > numChunks - 1 = ${numChunks - 1} breaks the " +
+      "pigeonhole recall guarantee (stream and batch would diverge)")
+
+  private val index = s"$stateDir/chunk_index"
+  private val bits = 64 / numChunks
+
+  private def hasState: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(index)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** (chunk, chunk_val, id, hash) rows — the same slicing simhashPairs
+    * blocks on, so stream and batch propose identical candidates.
+    */
+  private def chunked(hashes: DataFrame): DataFrame =
+    hashes.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(numChunks - 1))).as("chunk"))
+      .withColumn("chunk_val",
+        expr(s"(simhash >> (chunk * $bits)) & ${(1L << bits) - 1}"))
+
+  /** Process one micro-batch of `(doc_id, media)` rows: returns the kept
+    * (near-dup-free) ids, appends their chunk-index entries. Index rows
+    * carry the batch id and the probe sees strictly earlier batches only,
+    * so checkpoint replay reproduces the original kept set (same fencing
+    * as NearDupSink).
+    */
+  def process(batch: DataFrame, batchId: Long): DataFrame = {
+    val hashes = Multimodal.dHash64(spark, batch).persist()
+    val batchChunks = chunked(hashes)
+      .withColumn("__bucket", pmod(col("chunk_val"), lit(numBuckets.toLong)))
+      .persist()
+    try {
+      val histDupIds =
+        if (hasState) {
+          val touched = batchChunks.select("__bucket").distinct()
+            .collect().map(_.getLong(0))
+          spark.read.parquet(index)
+            .filter(col("__bucket").isin(touched.map(Long.box).toSeq: _*))
+            .filter(col("__batch") < batchId)
+            .select(col("chunk"), col("chunk_val"), col("hash").as("prior_hash"))
+            .join(batchChunks, Seq("chunk", "chunk_val"))
+            .filter(bit_count(expr("simhash ^ prior_hash")) <= maxHamming)
+            .select(col("id")).distinct()
+        } else hashes.select(col("id")).limit(0)
+      // intra-batch: smaller id wins; chain losers drop with their winner
+      val intraDupIds = Dedup.simhashPairs(hashes, maxHamming, numChunks)
+        .select(col("id_b").as("id")).distinct()
+      val dupIds = histDupIds.unionByName(intraDupIds).distinct()
+      // kept starts from the BATCH ids: a non-decodable payload yields no
+      // hash row, is no duplicate of anything, and must survive the gate
+      val kept = batch.select(col("doc_id").as("id")).distinct()
+        .join(dupIds, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      batchChunks.join(kept, Seq("id"), "left_semi")
+        .select(col("__bucket"), col("chunk"), col("chunk_val"), col("id"),
+          col("simhash").as("hash"), lit(batchId).as("__batch"))
+        .write.partitionBy("__bucket").mode("append").parquet(index)
+      kept
+    } finally {
+      batchChunks.unpersist(blocking = false)
+      hashes.unpersist(blocking = false)
+    }
+  }
+
+  /** Attach as a foreachBatch sink over a `(doc_id, media)` stream. */
+  def attach[T](ds: Dataset[T])
+               (onKept: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    ds.writeStream.foreachBatch { (batch: Dataset[T], id: Long) =>
+      onKept(process(batch.toDF(), id), id)
+      ()
+    }
+}

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dHash decoder's grid sampling and input gating (the package-private
+  * halves [[ImageNearDupSinkSpec]] cannot reach).
+  */
+class DHashSpec extends AnyFunSuite {
+
+  test("dHash resamples larger images onto the 9x8 grid") {
+    // a 36x16 image whose 9x8 floor-sample reproduces a known 9x8 pattern:
+    // pixel(x, y) = base(x / 4, y / 2) makes sampling exact
+    def base(gx: Int, gy: Int): Int = (gx * 31 + gy * 17 + 5) % 256
+    val big = Multimodal.bmpGrayBytes(36, 16, (x, y) => base(x / 4, y / 2))
+    val small = Multimodal.bmpGrayBytes(9, 8, base)
+    assert(Multimodal.dHashGray(big).isDefined)
+    assert(Multimodal.dHashGray(big) === Multimodal.dHashGray(small))
+    // too-small and non-BMP payloads yield no hash
+    assert(Multimodal.dHashGray(Multimodal.bmpGrayBytes(4, 4, base)).isEmpty)
+    assert(Multimodal.dHashGray("xx".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("the written BMP inverts to the logical pixel function") {
+    def g(x: Int, y: Int): Int = (x * 7 + y * 13 + 1) % 256
+    val bytes = Multimodal.bmpGrayBytes(9, 8, g)
+    // dHash over identity sampling must equal the direct bit computation
+    val expected = (0 until 64).foldLeft(0L) { (h, i) =>
+      if (g(i % 8 + 1, i / 8) > g(i % 8, i / 8)) h | (1L << i) else h
+    }
+    assert(Multimodal.dHashGray(bytes) === Some(expected))
+  }
+}
