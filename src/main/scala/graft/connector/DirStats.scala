@@ -329,6 +329,12 @@ object DirStats {
     case AlwaysTrue() => true
     case EqualTo(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c =>
       !c.empty && c.minC == 0 && c.maxC == 0)
+    // null-safe equality (what a static PARTITION (col = v) spec compiles
+    // to): provable exactly like EqualTo for a non-null constant, and like
+    // IsNull for the null literal
+    case EqualNullSafe(a, null) => s.cols.get(a).exists(_.nulls == s.rows)
+    case EqualNullSafe(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c =>
+      !c.empty && c.minC == 0 && c.maxC == 0)
     case GreaterThan(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c => !c.empty && c.minC > 0)
     case GreaterThanOrEqual(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c => !c.empty && c.minC >= 0)
     case LessThan(a, v) => noNulls(s, a) && cmp(s, a, v).exists(c => !c.empty && c.maxC < 0)

@@ -125,11 +125,21 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
                                            materialize: Boolean = false)
     extends DeltaBatchWrite {
 
+  // driver-memory envelope for the matched-position funnel (see
+  // GraftTable.MorMaxDeleteRowsProp); resolved once driver-side and
+  // serialized into the task writers
+  private val maxDeleteRows: Long =
+    log.properties.get(GraftTable.MorMaxDeleteRowsProp).map(_.toLong)
+      .getOrElse(GraftTable.MorMaxDeleteRowsDefault)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val innerFactory = innerInserts.map(_.createBatchWriterFactory(info))
+    val budget = maxDeleteRows
+    val dir = log.tableDir
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-        new DvDeltaWriter(partitionId, innerFactory.map(_.createWriter(partitionId, taskId)))
+        new DvDeltaWriter(partitionId, innerFactory.map(_.createWriter(partitionId, taskId)),
+          budget, dir)
     }
   }
 
@@ -141,6 +151,13 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
       case m: DvDeltaMessage => m
       case other => throw new IllegalStateException(s"unexpected commit message: $other")
     }
+    // merged-total half of the position-funnel budget (the task-side check
+    // in DvDeltaWriter.delete catches any SINGLE task over it): fail loudly
+    // before the vector writes, nothing is visible yet
+    val totalMatched = dvMessages.iterator
+      .map(_.deletes.valuesIterator.map(_.length.toLong).sum).sum
+    if (totalMatched > maxDeleteRows)
+      throw GraftDvBatchWrite.overDeleteBudget(log.tableDir, totalMatched, maxDeleteRows)
     // Exact update-pair attribution rides on an UNSPECIFIED physical-plan
     // property (MergeRowsExec emits a split update's delete+reinsert halves
     // consecutively — see DvDeltaWriter's doc). Validate it at commit: under
@@ -463,6 +480,26 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
   }
 }
 
+private[connector] object GraftDvBatchWrite {
+  /** The loud past-envelope failure (round-17 verdict item 4): raised
+    * task-side the moment one task's matched positions exceed the budget,
+    * and driver-side on the merged total — never a quiet driver balloon.
+    */
+  def overDeleteBudget(tableDir: String, matched: Long,
+                       budget: Long): IllegalStateException =
+    new IllegalStateException(
+      s"merge-on-read row-level command on $tableDir matched >= $matched " +
+        s"rows, over the ${GraftTable.MorMaxDeleteRowsProp} budget of " +
+        s"$budget: matched positions funnel through commit messages to the " +
+        "driver (~9 B/row), so a large-fraction delete/update here would " +
+        "balloon driver memory. Run it as copy-on-write instead (ALTER " +
+        s"TABLE ... SET TBLPROPERTIES ('${GraftTable.DeleteModeProp}'=" +
+        "'copy-on-write') — distributed dir rewrites, no position funnel), " +
+        "use a predicate DirStats can prove against whole dirs (the " +
+        "metadata-only delete path), or raise the budget if the driver is " +
+        "sized for it.")
+}
+
 /** Executor-side delta writer: DELETE rows contribute (file, position)
   * pairs; REINSERT rows (the post-image half of a split update) flow into
   * the post-image staged dir; INSERT rows flow into the separate new-rows
@@ -485,11 +522,14 @@ private[connector] class GraftDvBatchWrite(log: TableLog, pinned: Seq[DirEntry],
   * than silently mislabeling.
   */
 private[connector] class DvDeltaWriter(partitionId: Int,
-                                       inserts: Option[DataWriter[InternalRow]])
+                                       inserts: Option[DataWriter[InternalRow]],
+                                       maxDeleteRows: Long = Long.MaxValue,
+                                       tableDir: String = "")
     extends DeltaWriter[InternalRow] {
 
   private val acc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
   private val updAcc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+  private var deleteCount = 0L
 
   private def record(into: scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong],
                      file: String, pos: Long): Unit =
@@ -511,6 +551,14 @@ private[connector] class DvDeltaWriter(partitionId: Int,
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    // the matched-position driver-funnel budget, enforced at the earliest
+    // point that can see it grow: one task past the WHOLE budget proves
+    // the command is over it, and failing here aborts the job before the
+    // positions ever ship to the driver (the driver commit re-checks the
+    // merged total for the many-small-tasks case)
+    deleteCount += 1
+    if (deleteCount > maxDeleteRows)
+      throw GraftDvBatchWrite.overDeleteBudget(tableDir, deleteCount, maxDeleteRows)
     val file = id.getUTF8String(0).toString
     val pos = id.getLong(1)
     record(acc, file, pos)

@@ -91,7 +91,8 @@ class GraftTable(tableName: String, log: TableLog,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ)
 
   /** The version this Table handle reads — resolved eagerly when the
     * catalog loads the table (query analysis time), so every scan the query
@@ -254,6 +255,19 @@ object GraftTable {
   val UpdateModeProp = "graft.update.mode"
   val MergeModeProp = "graft.merge.mode"
 
+  /** Row budget for one merge-on-read row-level command's matched
+    * positions (DELETE/UPDATE/MERGE): matched (file, position) pairs
+    * funnel through commit messages to the driver at ~9 B/row, so the
+    * envelope is driver memory, not data size. Past the budget the
+    * command FAILS LOUDLY (task-side as soon as one task exceeds it,
+    * driver-side on the merged total) pointing at copy-on-write — which
+    * rewrites dirs distributedly and has no such funnel — instead of
+    * quietly ballooning the driver. Default 20M rows ≈ 180 MB of
+    * positions.
+    */
+  val MorMaxDeleteRowsProp = "graft.mor.maxDeleteRows"
+  val MorMaxDeleteRowsDefault = 20000000L
+
   /** Comma-separated columns appends sort WITHIN partitions before
     * writing (tight parquet row-group stats from the first write).
     */
@@ -311,15 +325,36 @@ object GraftTable {
   */
 private[connector] class GraftWriteBuilder(log: TableLog, info: LogicalWriteInfo,
                                            delegate: Seq[String] => ParquetTable)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var replace = false
+  private var overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None
   override def truncate(): WriteBuilder = { replace = true; this }
+
+  /** Filter-scoped `INSERT OVERWRITE` (static `PARTITION (p = v)` specs and
+    * `REPLACE WHERE`-shaped writes): committed dir-granularly — every live
+    * dir must be PROVABLY all-in (stats show every row matches, dropped) or
+    * all-out (stats show no row can match, kept); a dir the stats cannot
+    * decide fails the command loudly at commit with the rewrite recipe,
+    * never overwriting more or less than asked. On a table whose writes are
+    * aligned with its `PARTITIONED BY` columns (identity partitioning leads
+    * the write-cluster sort, so per-dir min == max on partition columns),
+    * every dir is decidable and partition overwrite just works — the
+    * metadata-only-delete proof ([[DirStats.mustMatchAll]]) run in reverse.
+    */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)) replace = true
+    else overwriteFilters = Some(filters.toSeq)
+    this
+  }
 
   override def build(): Write = {
     val staging = log.newDataDir()
     val inner = delegate(Seq(staging)).newWriteBuilder(info).build()
-    val mode = if (replace) Replace else Append
+    val mode: CommitMode =
+      if (replace) Replace
+      else overwriteFilters.map(OverwriteByFilter(_)).getOrElse(Append)
     val clusterBy = log.properties.get(GraftTable.WriteClusterByProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // identity partition columns lead the ordering: a partitioned table's
@@ -352,6 +387,14 @@ private[connector] class GraftWriteBuilder(log: TableLog, info: LogicalWriteInfo
 private[connector] sealed trait CommitMode
 private[connector] case object Append extends CommitMode
 private[connector] case object Replace extends CommitMode
+/** Filter-scoped overwrite: drop exactly the dirs whose rows all satisfy
+  * `filters` (stats-proven), keep the dirs no row can satisfy, fail loudly
+  * on any dir the stats cannot decide (see
+  * [[GraftWriteBuilder.overwrite]]). Filters carry LOGICAL names; the
+  * commit translates to physical before consulting stats.
+  */
+private[connector] final case class OverwriteByFilter(
+    filters: Seq[org.apache.spark.sql.sources.Filter]) extends CommitMode
 /** Replace exactly the dirs the row-level scan READ (copy-on-write). The
   * set is resolved through a thunk at commit time because group pruning
   * fixes it only when the rewrite's scan is built during optimization.
@@ -516,6 +559,27 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
       val next = mode match {
         case Append => if (stagedEmpty) current else current :+ stagingEntry
         case Replace => if (stagedEmpty) Nil else Seq(stagingEntry)
+        case OverwriteByFilter(filters) =>
+          // stats key PHYSICAL names; the overwrite condition arrives logical
+          val phys = filters.map(
+            ColumnMapping.translateV1(_, ColumnMapping.nameMap(log.schema)))
+          val undecidable = current.filter(e =>
+            DirStats.mayMatch(e.stats, phys) && !DirStats.mustMatchAll(e.stats, phys))
+          if (undecidable.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"filter-scoped INSERT OVERWRITE on ${log.tableDir}: " +
+                s"${undecidable.size} of ${current.size} data dirs are not " +
+                s"PROVABLY inside or outside the overwrite condition " +
+                s"(${filters.mkString(" AND ")}), and a dir-granular commit " +
+                "cannot split a dir. Either (a) align writes with the " +
+                "condition columns — CREATE TABLE ... PARTITIONED BY them, " +
+                "so every dir's stats decide — or (b) rewrite explicitly: " +
+                "INSERT OVERWRITE the whole table with the kept rows " +
+                "(SELECT ... WHERE NOT(<condition>)) unioned with the new " +
+                "data, or (c) DELETE WHERE <condition> then INSERT INTO. " +
+                "Refusing rather than overwriting more or less than asked.")
+          val kept = current.filterNot(e => DirStats.mustMatchAll(e.stats, phys))
+          if (stagedEmpty) kept else kept :+ stagingEntry
         case ReplacePinned(pinnedFn, dvOf, _) =>
           // a dir we read that is no longer listed was replaced by a
           // concurrent rewrite — our copy-on-write output is based on stale
@@ -543,6 +607,7 @@ private[connector] class GraftBatchWrite(inner: BatchWrite, log: TableLog,
       val op = mode match {
         case Append => "WRITE"
         case Replace => "OVERWRITE"
+        case _: OverwriteByFilter => "OVERWRITE"
         case rp: ReplacePinned => rp.op
       }
       done = log.tryCommitEntriesMeta(expected, next, newMeta = None, op = Some(op))

@@ -276,6 +276,33 @@ class MorDeleteSpec extends LakeSpec {
     assert(rows("SELECT v FROM morlake.db.smj WHERE k = 10") === Seq(Row("old")))
   }
 
+  test("a past-envelope mor DELETE fails loudly instead of ballooning the driver") {
+    sql("CREATE NAMESPACE IF NOT EXISTS morlake.db")
+    sql("CREATE TABLE morlake.db.budget (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read', 'graft.mor.maxDeleteRows'='100')")
+    sql("INSERT INTO morlake.db.budget SELECT id, 'x' FROM range(0, 500)")
+
+    // 250 matched rows > budget 100: the command must raise the funnel
+    // guard (task- or driver-side depending on partitioning), naming the
+    // budget property and the copy-on-write escape
+    val e = intercept[Exception](sql("DELETE FROM morlake.db.budget WHERE k % 2 = 0"))
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("graft.mor.maxDeleteRows"), s"got: $msg")
+    assert(msg.contains("copy-on-write"), s"got: $msg")
+
+    // nothing committed: the table still reads its full pre-delete state
+    assert(rows("SELECT count(*) c FROM morlake.db.budget") === Seq(Row(500L)))
+
+    // under-budget commands still work; raising the budget unblocks
+    sql("DELETE FROM morlake.db.budget WHERE k < 50")
+    assert(rows("SELECT count(*) c FROM morlake.db.budget") === Seq(Row(450L)))
+    sql("ALTER TABLE morlake.db.budget SET TBLPROPERTIES " +
+      "('graft.mor.maxDeleteRows'='1000000')")
+    sql("DELETE FROM morlake.db.budget WHERE k % 2 = 0")
+    assert(rows("SELECT count(*) c FROM morlake.db.budget") === Seq(Row(225L)))
+  }
+
   test("mor UPDATE then mor DELETE then compaction converge") {
     sql("CREATE TABLE morlake.db.mx (k BIGINT, v STRING) TBLPROPERTIES " +
       "('graft.update.mode'='merge-on-read', 'graft.delete.mode'='merge-on-read')")

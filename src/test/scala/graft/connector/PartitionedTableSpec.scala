@@ -117,19 +117,39 @@ class PartitionedTableSpec extends LakeSpec {
       s"rename not reflected in $desc")
   }
 
-  test("partition-scoped INSERT OVERWRITE fails loudly; full-table overwrite works") {
+  test("partition-scoped INSERT OVERWRITE works on partition-aligned dirs") {
     sql("CREATE TABLE ptlake.db.ow (id BIGINT, lang STRING) PARTITIONED BY (lang)")
     sql("INSERT INTO ptlake.db.ow VALUES (1, 'en')")
-    // dirs-not-values layout: a partition-scoped overwrite would need
-    // filter-overwrite semantics the dir-granular commit cannot express
-    // without a rewrite — refuse at analysis, never overwrite too much
-    // or too little silently
-    intercept[Exception](
-      sql("INSERT OVERWRITE ptlake.db.ow PARTITION (lang = 'en') VALUES (2)"))
-    assert(rows("SELECT id FROM ptlake.db.ow") === Seq(Row(1L)),
+    sql("INSERT INTO ptlake.db.ow VALUES (2, 'fr')")
+    // every dir is single-partition (one INSERT each), so stats prove each
+    // dir all-in or all-out of lang='en': drop the en dir, keep fr, commit
+    // the replacement — the round-16 refusal upgraded to dir-granular
+    // filter overwrite
+    sql("INSERT OVERWRITE ptlake.db.ow PARTITION (lang = 'en') VALUES (10)")
+    assert(rows("SELECT id, lang FROM ptlake.db.ow ORDER BY id") ===
+      Seq(Row(2L, "fr"), Row(10L, "en")))
+    // overwriting a partition with NO new rows just drops it
+    sql("INSERT OVERWRITE ptlake.db.ow PARTITION (lang = 'en') " +
+      "SELECT id FROM range(0) ")
+    assert(rows("SELECT id, lang FROM ptlake.db.ow") === Seq(Row(2L, "fr")))
+    sql("INSERT OVERWRITE ptlake.db.ow VALUES (3, 'de')")
+    assert(rows("SELECT id, lang FROM ptlake.db.ow") === Seq(Row(3L, "de")))
+  }
+
+  test("filter overwrite over an UNDECIDABLE dir fails loudly with the recipe") {
+    sql("CREATE TABLE ptlake.db.owmix (id BIGINT, lang STRING)")   // unpartitioned
+    sql("INSERT INTO ptlake.db.owmix VALUES (1, 'en'), (2, 'fr')") // one MIXED dir
+    val e = intercept[Exception](
+      sql("INSERT INTO ptlake.db.owmix REPLACE WHERE lang = 'en' " +
+        "SELECT 10, 'en'"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    // Spark may route the V2 overwrite differently per shape; accept either
+    // our loud dir-granularity error or Spark's own unsupported-overwrite
+    assert(msgs(e).contains("PROVABLY") || msgs(e).contains("overwrite"),
+      s"got: ${msgs(e)}")
+    assert(rows("SELECT count(*) c FROM ptlake.db.owmix") === Seq(Row(2L)),
       "the refused overwrite must not have changed the table")
-    sql("INSERT OVERWRITE ptlake.db.ow VALUES (3, 'fr')")
-    assert(rows("SELECT id, lang FROM ptlake.db.ow") === Seq(Row(3L, "fr")))
   }
 
   test("setting the property directly at CREATE is refused (one spelling)") {
