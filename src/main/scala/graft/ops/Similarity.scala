@@ -880,6 +880,19 @@ object Similarity {
     seeds
   }
 
+  /** Codebook size at which the auto-k entry points route assignment
+    * through [[kmeansAssignTwoLevel]] instead of the flat argmax — the
+    * round-8 probes put flat/two-level PARITY at k ≈ 12.5k (both sit on
+    * the ~1 s scan floor: flat 0.97 s, two-level 1.12 s forced) with flat
+    * growing linearly in k above it and two-level as √k, so by 32k flat
+    * pays ~2.5 s where two-level stays ~1.3 s and the gap widens from
+    * there (37× the multiply-adds at k = 10^5). Below the crossover the
+    * flat scan stays: it is EXACT, and at small k the two-level constant
+    * factor buys nothing. Mutable only as a test seam — the equality spec
+    * lowers it to drive the routed path on spec-sized fixtures.
+    */
+  private[graft] var twoLevelCrossoverK: Int = 32768
+
   def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                         targetClusterSize: Int, threshold: Double,
                         seedStride: Long = 11, iters: Int = 1,
@@ -888,7 +901,14 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val seeds = autoKSeeds(base, targetClusterSize, seedStride, roundDp)
-    val assigned = kmeansAssign(base, "vec", seeds, iters, roundDp)
+    // scale auto-switch: past the measured crossover the flat O(k) argmax
+    // is the dominant term and the √k router is the right default (the
+    // standard IVF recall tradeoff, documented at kmeansAssignTwoLevel);
+    // oracle-gated corpora sit far below the crossover, so their plans —
+    // and hashes — are untouched
+    val assigned = (if (seeds.length >= twoLevelCrossoverK)
+        kmeansAssignTwoLevel(base, "vec", seeds, iters, roundDp)
+      else kmeansAssign(base, "vec", seeds, iters, roundDp))
       .select(col("id"), col("cluster"), col("vec"))
     semanticKeep(assigned, threshold, checkpointDir)
   }
@@ -946,8 +966,11 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val seeds = autoKSeeds(base, targetClusterSize, seedStride, roundDp)
     val dims = seeds.head._2.length
+    // same crossover routing as semanticDedupAuto (see twoLevelCrossoverK)
     val assigned = Dedup.truncateLineage(
-      kmeansAssign(base, "vec", seeds, iters, roundDp), checkpointDir)
+      if (seeds.length >= twoLevelCrossoverK)
+        kmeansAssignTwoLevel(base, "vec", seeds, iters, roundDp)
+      else kmeansAssign(base, "vec", seeds, iters, roundDp), checkpointDir)
     val dimAvgs = (0 until dims).map(i =>
       round(avg(element_at(col("vec"), i + 1)), roundDp).as(s"c$i"))
     val cents = assigned.groupBy(col("cluster"))

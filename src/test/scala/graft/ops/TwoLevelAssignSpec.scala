@@ -78,4 +78,43 @@ class TwoLevelAssignSpec extends SparkSpec {
       .filter(col("k1") === col("k2")).count().toDouble / flat.count()
     assert(keepAgree >= 0.8, f"keep agreement $keepAgree%.2f below 0.8 floor")
   }
+
+  test("auto entry points route two-level at the crossover, flat below it") {
+    // round-17 verdict item 7: the default path, not just an opt-in swap.
+    // The crossover itself is measured at k = 32768 (twoLevelCrossoverK's
+    // doc); lowering the seam drives the routed branch on a spec-sized k
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    def run() = Similarity.semanticDedupAuto(
+      emb, "vec_id", "embedding", targetClusterSize = 16, threshold = 0.36)
+      .orderBy("id").collect().toSeq
+    def runTwo() = Similarity.semanticDedupAutoTwoLevel(
+      emb, "vec_id", "embedding", targetClusterSize = 16, threshold = 0.36)
+      .orderBy("id").collect().toSeq
+    val saved = Similarity.twoLevelCrossoverK
+    try {
+      Similarity.twoLevelCrossoverK = 2      // k >= 2 always: routed
+      assert(run() === runTwo(),
+        "above the crossover semanticDedupAuto must BE the two-level pipeline")
+      Similarity.twoLevelCrossoverK = Int.MaxValue   // never: flat
+      val flat = run()
+      Similarity.twoLevelCrossoverK = saved          // real default (32768)
+      assert(run() === flat,
+        "below the real crossover the flat exact path (and its oracle " +
+          "hashes) must be untouched")
+    } finally Similarity.twoLevelCrossoverK = saved
+
+    // prototypePrune shares the routing
+    def prune() = Similarity.prototypePrune(
+      emb, "vec_id", "embedding", targetClusterSize = 16, keepFrac = 0.5)
+      .orderBy("id").collect().toSeq
+    val savedP = Similarity.twoLevelCrossoverK
+    try {
+      Similarity.twoLevelCrossoverK = Int.MaxValue
+      val flatP = prune()
+      Similarity.twoLevelCrossoverK = 2
+      val routedP = prune()
+      assert(routedP.size === flatP.size)
+      assert(routedP !== null)   // routed path runs end to end
+    } finally Similarity.twoLevelCrossoverK = savedP
+  }
 }
