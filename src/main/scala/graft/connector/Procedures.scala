@@ -30,7 +30,8 @@ private[connector] object GraftProcedures {
   def list(): Array[Identifier] =
     Array(Identifier.of(Array(Namespace), "optimize"),
       Identifier.of(Array(Namespace), "vacuum"),
-      Identifier.of(Array(Namespace), "restore"))
+      Identifier.of(Array(Namespace), "restore"),
+      Identifier.of(Array(Namespace), "export_delta"))
 
   def load(ident: Identifier, resolve: String => TableLog): Option[UnboundProcedure] = {
     if (ident.namespace.toSeq != Seq(Namespace)) return None
@@ -38,6 +39,7 @@ private[connector] object GraftProcedures {
       case "optimize" => Some(new OptimizeProcedure(resolve))
       case "vacuum" => Some(new VacuumProcedure(resolve))
       case "restore" => Some(new RestoreProcedure(resolve))
+      case "export_delta" => Some(new ExportDeltaProcedure(resolve))
       case _ => None
     }
   }
@@ -251,6 +253,49 @@ private[connector] final class RestoreProcedure(resolve: String => TableLog)
           StructField("new_version", LongType, nullable = false),
           StructField("dirs", IntegerType, nullable = false))),
         Array(target, committed, committedDirs))
+    }
+  }
+}
+
+/** `CALL lake.system.export_delta(...)` — [[DeltaExport.exportSnapshot]]
+  * as SQL: materialize one snapshot (latest, or `version`) as a Delta
+  * Lake table at `location`, readable by any engine speaking the open
+  * Delta protocol. Returns (files, rows, bytes, location).
+  */
+private[connector] final class ExportDeltaProcedure(resolve: String => TableLog)
+    extends UnboundProcedure {
+
+  override def name(): String = "export_delta"
+  override def description(): String =
+    "materialize a snapshot (vectors applied, logical column names) as a " +
+      "Delta Lake table at `location` for external engines; `version` " +
+      "defaults to latest. The export is an immutable snapshot copy."
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = ExportDeltaProcedure.this.name()
+    override def description(): String = ExportDeltaProcedure.this.description()
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      GraftProcedures.in("table", StringType),
+      GraftProcedures.in("location", StringType),
+      GraftProcedures.in("version", LongType, "-1"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = resolve(input.getUTF8String(0).toString)
+      val dest = input.getUTF8String(1).toString
+      val version = input.getLong(2) match {
+        case -1L => None
+        case v => Some(v)
+      }
+      val stats = DeltaExport.exportSnapshot(SparkSession.active, log, dest, version)
+      GraftProcedures.oneRowResult(
+        StructType(Seq(
+          StructField("files", IntegerType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("bytes", LongType, nullable = false),
+          StructField("location", StringType, nullable = false))),
+        Array(stats.files, stats.rows, stats.bytes, UTF8String.fromString(stats.location)))
     }
   }
 }

@@ -1,0 +1,117 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta Lake snapshot export (the interop waiver, closed structurally):
+  * the written `_delta_log` must match the published Delta protocol shape
+  * line for line — commitInfo, protocol (1, 2), metaData with the logical
+  * schemaString, one add per part file with real sizes and numRecords —
+  * and the materialized parquet must equal the source snapshot's LIVE rows
+  * (vectors applied, logical column names). No Delta reader ships in this
+  * container (zero egress), so the gate is protocol-structural plus a
+  * plain-parquet data diff; any engine that reads Delta reads this.
+  */
+class DeltaExportSpec extends LakeSpec {
+  protected def catalogName = "explake"
+
+  private def readLog(dest: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val om = new ObjectMapper()
+    val logFile = new java.io.File(s"$dest/_delta_log/${"0" * 20}.json")
+    assert(logFile.isFile, s"missing Delta commit file at $logFile")
+    scala.io.Source.fromFile(logFile, "UTF-8").getLines().toSeq
+      .filter(_.nonEmpty).map(om.readTree)
+  }
+
+  test("export writes a protocol-shaped log and the snapshot's exact rows") {
+    sql("CREATE NAMESPACE IF NOT EXISTS explake.db")
+    sql("CREATE TABLE explake.db.t (k BIGINT, v STRING)")
+    sql("INSERT INTO explake.db.t SELECT id, concat('v', id) FROM range(0, 100)")
+    sql("INSERT INTO explake.db.t SELECT id, concat('v', id) FROM range(100, 150)")
+    val dest = s"${tmp("delta-export")}/t"
+    val out = rows(s"CALL explake.system.export_delta(`table` => 'db.t', " +
+      s"location => '$dest')")
+    assert(out.size === 1)
+    val (files, nRows) = (out.head.getInt(0), out.head.getLong(1))
+    assert(nRows === 150L)
+    assert(out.head.getString(3) === dest)
+
+    val actions = readLog(dest)
+    // line order and action shape per the protocol
+    assert(actions.head.has("commitInfo"))
+    val protocol = actions(1).get("protocol")
+    assert(protocol.get("minReaderVersion").asInt === 1)
+    assert(protocol.get("minWriterVersion").asInt === 2)
+    val meta = actions(2).get("metaData")
+    assert(meta.get("format").get("provider").asText === "parquet")
+    assert(meta.get("partitionColumns").size === 0)
+    assert(meta.has("id") && meta.has("configuration"))
+    val schema = DataType.fromJson(meta.get("schemaString").asText)
+      .asInstanceOf[StructType]
+    assert(schema.fieldNames.toSeq === Seq("k", "v"))
+    val adds = actions.drop(3).map(_.get("add"))
+    assert(adds.size === files)
+    assert(adds.forall(_ != null), "every action past metaData must be an add")
+    adds.foreach { a =>
+      val f = new java.io.File(s"$dest/${a.get("path").asText}")
+      assert(f.isFile, s"add references missing file ${a.get("path").asText}")
+      assert(f.length === a.get("size").asLong, "add.size must match the file")
+      assert(a.get("dataChange").asBoolean)
+    }
+    val statRows = adds.map(a =>
+      new ObjectMapper().readTree(a.get("stats").asText).get("numRecords").asLong).sum
+    assert(statRows === 150L, "stats.numRecords must sum to the row count")
+
+    // the materialized parquet IS the snapshot
+    val exported = spark.read.parquet(dest)
+      .orderBy("k").collect().toSeq
+    val source = rows("SELECT k, v FROM explake.db.t ORDER BY k")
+    assert(exported === source)
+  }
+
+  test("merge-on-read deletions and renamed columns export materialized") {
+    sql("CREATE TABLE explake.db.m (k BIGINT, val STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO explake.db.m SELECT id, 'x' FROM range(0, 100)")
+    sql("DELETE FROM explake.db.m WHERE k % 2 = 0")
+    sql("ALTER TABLE explake.db.m RENAME COLUMN val TO renamed")
+    val dest = s"${tmp("delta-export-mor")}/m"
+    rows(s"CALL explake.system.export_delta(`table` => 'db.m', location => '$dest')")
+
+    val exported = spark.read.parquet(dest)
+    // logical (renamed) column names, not the physical parquet names
+    assert(exported.columns.toSeq === Seq("k", "renamed"))
+    // deleted rows are NOT in the export (a raw dir copy would resurrect them)
+    assert(exported.count() === 50L)
+    assert(exported.filter("k % 2 = 0").count() === 0L)
+    val meta = readLog(dest)(2).get("metaData")
+    val schema = DataType.fromJson(meta.get("schemaString").asText)
+      .asInstanceOf[StructType]
+    assert(schema.fieldNames.toSeq === Seq("k", "renamed"))
+    assert(schema.forall(_.metadata.json == "{}"),
+      "internal physical-name metadata must not leak into the export")
+  }
+
+  test("version export time-travels; refusals are loud") {
+    sql("CREATE TABLE explake.db.v (k BIGINT)")
+    sql("INSERT INTO explake.db.v SELECT id FROM range(0, 10)")   // v1
+    sql("INSERT INTO explake.db.v SELECT id FROM range(10, 30)")  // v2
+    val dest1 = s"${tmp("delta-export-v")}/v1"
+    val out = rows(s"CALL explake.system.export_delta(`table` => 'db.v', " +
+      s"location => '$dest1', version => 1)")
+    assert(out.head.getLong(1) === 10L)
+    assert(spark.read.parquet(dest1).count() === 10L)
+
+    // non-empty destination refuses (exports are immutable snapshots)
+    val e = intercept[Exception](rows(s"CALL explake.system.export_delta(" +
+      s"`table` => 'db.v', location => '$dest1')"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // vacuumed/never-committed version refuses
+    val e2 = intercept[Exception](rows(s"CALL explake.system.export_delta(" +
+      s"`table` => 'db.v', location => '${tmp("delta-export-bad")}/x', version => 99)"))
+    assert(e2.getMessage.contains("out of range"), e2.getMessage)
+  }
+}
