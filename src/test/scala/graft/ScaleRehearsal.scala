@@ -172,6 +172,38 @@ object ScaleRehearsal {
           embBase(s, dir), "vec", embSeeds(s, dir), iters = 0)
         s.range(1).toDF("ok")
       }),
+      // round-17 operators at corpus scale (the registry faces cap their
+      // inputs for the pair-oracle, like x2/x11 — these probes run the
+      // OPERATORS over the whole slice):
+      // dHash + banded-Hamming pairs over every doc's synthetic image —
+      // groups of 4 stay disjoint across replicas (1M id offsets), so the
+      // true pair count grows linearly with the corpus
+      "x70_full" -> ((s, dir) => graft.ops.Multimodal.imageNearDupPairs(s,
+        graft.ops.Multimodal.syntheticImages(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id"))),
+      // the x69 registry face under count() gets its computed columns
+      // PRUNED (window + expression eliminated — the count()-prunes trap
+      // this file's doc warns about); force the whole pipeline with sums
+      "x69_forced" -> ((s, dir) => SparkEntry.queries("x69_bpe_counts")(s, dir)
+        .agg(sum(col("n_tokens")), sum(col("bin_id")))),
+      // BPE counting with a GPT-2-CLASS table: 50k random well-formed
+      // merges (seeded; each side a known token, so construction preserves
+      // the validated precondition) — measures the memoized walk + the
+      // ~1 MB table riding the plan, not the toy demo vocab
+      "x69_bigvocab" -> ((s, dir) => {
+        val rnd = new scala.util.Random(17)
+        val known = scala.collection.mutable.ArrayBuffer[String]()
+        known ++= ('a' to 'z').map(_.toString)
+        val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        while (merges.size < 50000) {
+          val x = known(rnd.nextInt(known.size))
+          val y = known(rnd.nextInt(known.size))
+          if ((x + y).length <= 12) { merges += ((x, y)); known += (x + y) }
+        }
+        Tables.documents(s, dir).agg(sum(
+          graft.ops.TextAnalysis.bpeTokenCount(col("text"), merges.toSeq))
+          .as("total_tokens"))
+      }),
       // cluster-size distribution under the flat auto-k assignment: the
       // SemDeDup tail's pair volume is sum(size^2), so imbalance here is
       // what the x50-family wall time actually scales with
