@@ -55,14 +55,18 @@ object DeltaExport {
     val (schema, _) = v.map(log.metaAt).getOrElse(log.baseMetaPublic)
     val entries = v.map(log.entriesAt).getOrElse(Nil)
 
-    // materialize: vector-subtracted, logically-named plain parquet
+    // materialize: vector-subtracted, logically-named plain parquet.
+    // mode overwrite, NOT the default ErrorIfExists: the require above
+    // already admitted an existing-but-EMPTY destination (a pre-created
+    // dir or object-store prefix), which ErrorIfExists would then reject
+    // — on an empty dir the two modes write identical results
     if (entries.nonEmpty) {
       val df0 = spark.read.schema(ColumnMapping.toPhysical(schema))
         .parquet(entries.map(_.dir): _*)
       val df = ColumnMapping.renameDf(
         DvReads.applyVectors(spark, df0, entries, log.hadoopConf),
         ColumnMapping.inverseMap(schema))
-      df.write.parquet(dest)
+      df.write.mode("overwrite").parquet(dest)
     } else fs.mkdirs(destPath)
 
     val parts = if (!fs.exists(destPath)) Array.empty[org.apache.hadoop.fs.FileStatus]

@@ -551,11 +551,17 @@ private[connector] class DvDeltaWriter(partitionId: Int,
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
-    // the matched-position driver-funnel budget, enforced at the earliest
-    // point that can see it grow: one task past the WHOLE budget proves
-    // the command is over it, and failing here aborts the job before the
-    // positions ever ship to the driver (the driver commit re-checks the
-    // merged total for the many-small-tasks case)
+    // the matched-position driver-funnel budget, task-side half: one task
+    // past the WHOLE budget proves the command is over it, and failing
+    // here aborts the job before THIS task's positions ship. The driver
+    // commit re-checks the merged total — but by then every under-budget
+    // task's message has already been materialized on the driver, so a
+    // many-small-tasks command can still accumulate up to
+    // tasks x budget bytes before the loud failure (Spark collects commit
+    // messages before commit() runs; there is no earlier cross-task
+    // vantage point). Size the budget for the DRIVER, not per task, and
+    // route genuinely large-fraction deletes to copy-on-write — the
+    // failure message says exactly that.
     deleteCount += 1
     if (deleteCount > maxDeleteRows)
       throw GraftDvBatchWrite.overDeleteBudget(tableDir, deleteCount, maxDeleteRows)

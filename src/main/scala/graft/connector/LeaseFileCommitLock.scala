@@ -87,11 +87,24 @@ final class LeaseFileCommitLock(conf: Configuration,
         if (mine) return token
       } else {
         // lease exists (or the store refused the conditional create):
-        // abandoned-holder check via store mtime, one clock for everyone
+        // abandoned-holder check via store mtime, one clock for everyone.
+        // The steal re-stats IMMEDIATELY before deleting and only deletes
+        // the exact lease it judged expired (same mtime): two waiters that
+        // both observed the dead lease would otherwise race the delete,
+        // and the slower one — delayed between its stat and its delete —
+        // could destroy the faster one's FRESH lease, re-opening the
+        // two-holders hole the lock exists to close. With the re-check,
+        // deleting a live lease requires the delay to fit between two
+        // adjacent calls (microseconds), the same envelope class as the
+        // documented GC-pause-past-TTL caveat rather than a plain
+        // scheduling hiccup.
         try {
           val st = f.getFileStatus(lease)
-          if (System.currentTimeMillis() - st.getModificationTime > ttlMs)
-            f.delete(lease, false)   // expired: reclaim and re-race
+          if (System.currentTimeMillis() - st.getModificationTime > ttlMs) {
+            val st2 = f.getFileStatus(lease)
+            if (st2.getModificationTime == st.getModificationTime)
+              f.delete(lease, false)   // expired: reclaim and re-race
+          }
         } catch { case _: java.io.FileNotFoundException => () }  // freed: re-race
       }
       Thread.sleep(pollMs)
@@ -114,9 +127,14 @@ final class LeaseFileCommitLock(conf: Configuration,
     try {
       val in = fs(tableDir).open(leasePath(tableDir))
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8"))
+        // read to EOF: a single read() may legally return a short chunk
+        // (object-store streams often do), and a prefix of our own token
+        // would make release() strand the lease for a full TTL
+        val buf = new java.io.ByteArrayOutputStream(64)
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        if (buf.size == 0) None else Some(buf.toString("UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 }

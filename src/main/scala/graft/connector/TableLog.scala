@@ -1104,6 +1104,14 @@ object TableLog {
     * Compared against a fresh getFileStatus on every shared-cache hit, so
     * another JVM's drop/re-create/vacuum — invisible to this process's
     * invalidation hooks — cannot serve the old history's dirs.
+    *
+    * Residual envelope, accepted: the identity is (mtime, length), so a
+    * cross-JVM drop+re-create whose replacement manifest-v has the SAME
+    * byte length AND lands inside the store's mtime granularity tick
+    * (1 ms local, up to 1 s on some object stores) is indistinguishable —
+    * closing it would cost a content read per validation where this costs
+    * one stat. Same trade Delta makes for its log-segment caching; the
+    * in-process invalidation hooks cover every same-JVM path exactly.
     */
   private[connector] final case class ManifestId(checkpoint: Boolean,
                                                  mtime: Long, length: Long)

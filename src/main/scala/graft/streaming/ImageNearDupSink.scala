@@ -17,13 +17,18 @@ import graft.ops.{Dedup, Multimodal}
   * fall in; candidates are popcount-scored from stored 8-byte hashes — no
   * pixels in state, probe cost |candidates| not |corpus|. With
   * `maxHamming <= numChunks - 1` the chunk blocking has pigeonhole-total
-  * recall, so stream-kept equals the batch first-wins fold exactly
-  * (ImageNearDupSinkSpec pins stream == batch).
+  * recall: the candidate PAIRS are exact, never probabilistic.
   *
-  * First-wins like the text sink: an earlier batch's kept image beats a
-  * later near-duplicate; within a batch the smaller id wins, and a doc
-  * whose only near-dups were themselves dropped still drops (its chain
-  * leads to a kept doc).
+  * Keep semantics, first-wins like the text sink: a doc drops when it
+  * near-duplicates an earlier batch's KEPT image, or when it is the
+  * larger id of ANY intra-batch pair — including a pair whose smaller id
+  * was itself dropped (the batch keep-one-per-pair-chain convention
+  * NearDupSink documents). On an intra-batch chain a~b, b~c with a !~ c,
+  * that drops c where per-doc arrival (batch size 1) would keep it — so
+  * the kept set can depend on batch boundaries along chains, exactly as
+  * in the text sink; the spec pins stream == the fold with THESE
+  * semantics, and equals-the-ideal-fold whenever every pair chain leads
+  * through its smallest id (the planted-group fixtures' shape).
   */
 class ImageNearDupSink(spark: SparkSession, stateDir: String,
                        maxHamming: Int = 3, numChunks: Int = 4,
@@ -38,10 +43,15 @@ class ImageNearDupSink(spark: SparkSession, stateDir: String,
   private val index = s"$stateDir/chunk_index"
   private val bits = 64 / numChunks
 
+  // state exists only when a partition DIRECTORY does: a batch whose
+  // payloads all failed to decode appends zero rows, which leaves just a
+  // _SUCCESS marker — listStatus.nonEmpty would then read a schema-less
+  // parquet dir and kill the stream on its next batch
   private def hasState: Boolean = {
     val p = new org.apache.hadoop.fs.Path(index)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory || st.getPath.getName.endsWith(".parquet"))
   }
 
   /** (chunk, chunk_val, id, hash) rows — the same slicing simhashPairs

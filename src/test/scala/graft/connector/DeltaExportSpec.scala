@@ -99,6 +99,13 @@ class DeltaExportSpec extends LakeSpec {
     sql("CREATE TABLE explake.db.v (k BIGINT)")
     sql("INSERT INTO explake.db.v SELECT id FROM range(0, 10)")   // v1
     sql("INSERT INTO explake.db.v SELECT id FROM range(10, 30)")  // v2
+    // a PRE-CREATED empty destination (mkdir'd dir / object-store prefix)
+    // is valid — the write must not trip SaveMode.ErrorIfExists on it
+    val preCreated = tmp("delta-export-pre")
+    rows(s"CALL explake.system.export_delta(`table` => 'db.v', " +
+      s"location => '$preCreated')")
+    assert(spark.read.parquet(preCreated).count() === 30L)
+
     val dest1 = s"${tmp("delta-export-v")}/v1"
     val out = rows(s"CALL explake.system.export_delta(`table` => 'db.v', " +
       s"location => '$dest1', version => 1)")

@@ -60,25 +60,63 @@ class ImageNearDupSinkSpec extends SparkSpec {
     assert(replay === first, "replay must fence out its own first append")
   }
 
-  test("stream-kept equals the batch first-wins fold (arrival = id order)") {
+  test("stream-kept equals the batch fold with the sink's semantics (arrival = id order)") {
     val ids = (0L until 48L)
     val dir = Files.createTempDirectory("graft-imgdup-eq").toString
     val sink = new ImageNearDupSink(spark, dir)
-    val streamKept = ids.grouped(12).zipWithIndex.flatMap { case (chunk, bi) =>
+    val batches = ids.grouped(12).toSeq
+    val streamKept = batches.zipWithIndex.flatMap { case (chunk, bi) =>
       sink.process(images(chunk), batchId = bi.toLong)
         .collect().map(_.getLong(0))
     }.toSet
 
-    // batch reference: the same first-wins greedy fold over the exact pair
-    // set (total recall at maxHamming <= numChunks - 1 makes it exact)
+    // reference fold with the SINK'S documented semantics: a doc drops
+    // when it pairs with an earlier-batch KEPT doc, or when it is the
+    // larger id of ANY pair inside its own batch (kept or not — the
+    // keep-one-per-pair-chain convention). Pairs are exact (total recall
+    // at maxHamming <= numChunks - 1).
     val pairs = Multimodal.imageNearDupPairs(spark, images(ids))
       .select("id_a", "id_b").as[(Long, Long)].collect()
-      .groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
-    val batchKept = ids.foldLeft(Set.empty[Long]) { (kept, id) =>
-      val dupOfKept = pairs.getOrElse(id, Set.empty).exists(kept.contains)
-      if (dupOfKept) kept else kept + id
+    val smallerPeers: Map[Long, Set[Long]] =
+      pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
+    var kept = Set.empty[Long]
+    batches.foreach { batch =>
+      val inBatch = batch.toSet
+      val dropped = batch.filter { id =>
+        val peers = smallerPeers.getOrElse(id, Set.empty)
+        peers.exists(kept.contains) || peers.exists(inBatch.contains)
+      }.toSet
+      kept ++= (inBatch -- dropped)
     }
-    assert(streamKept === batchKept)
+    assert(streamKept === kept)
+
+    // per-doc arrival (batch size 1) reduces to the ideal greedy fold:
+    // only kept docs can veto
+    val dir1 = Files.createTempDirectory("graft-imgdup-eq1").toString
+    val sink1 = new ImageNearDupSink(spark, dir1)
+    val oneByOne = ids.zipWithIndex.flatMap { case (id, bi) =>
+      sink1.process(images(Seq(id)), batchId = bi.toLong)
+        .collect().map(_.getLong(0))
+    }.toSet
+    val ideal = ids.foldLeft(Set.empty[Long]) { (k, id) =>
+      if (smallerPeers.getOrElse(id, Set.empty).exists(k.contains)) k else k + id
+    }
+    assert(oneByOne === ideal)
+  }
+
+  test("an all-undecodable first batch does not poison the chunk index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-imgdup-nohash").toString
+    val sink = new ImageNearDupSink(spark, dir)
+    val rawOnly = Seq((1L, "jpeg-ish".getBytes("UTF-8")),
+      (2L, "png-ish".getBytes("UTF-8"))).toDF("doc_id", "media")
+    assert(sink.process(rawOnly, batchId = 0L)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the zero-row append must not make the NEXT batch read a schema-less
+    // parquet dir (the _SUCCESS-only state trap)
+    val kept1 = sink.process(images(Seq(0L, 1L)), batchId = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 === Set(0L))
   }
 
   test("planted variants sit within hamming 2 of base; other groups far") {
