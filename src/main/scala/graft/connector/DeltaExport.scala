@@ -76,11 +76,28 @@ object DeltaExport {
         .sortBy(_.getPath.getName)
 
     // per-file row counts from the parquet footers (stats.numRecords lets
-    // Delta readers serve count(*) log-only) — one footer read per file,
-    // same cost class as the manifest stats collection
-    val rowsByFile: Map[String, Long] = parts.map { st =>
-      st.getPath.getName -> footerRows(st.getPath, log)
-    }.toMap
+    // Delta readers serve count(*) log-only). Small exports read footers
+    // driver-side (cheap, no job); a wide export distributes the footer
+    // reads as one Spark job — at 100k files on an object store, serial
+    // driver reads would be the export's slowest step, and the collected
+    // result is just (name, count) pairs, bounded by the file count like
+    // the manifest itself
+    val rowsByFile: Map[String, Long] =
+      if (parts.length <= 64)
+        parts.map(st => st.getPath.getName -> footerRows(st.getPath, log)).toMap
+      else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(log.hadoopConf)
+        spark.sparkContext
+          .parallelize(parts.map(_.getPath.toString).toSeq,
+            math.min(parts.length, 256))
+          .map { p =>
+            val path = new Path(p)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf.value))
+            try path.getName -> reader.getRecordCount finally reader.close()
+          }
+          .collect().toMap
+      }
 
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def obj() = om.createObjectNode()
