@@ -112,6 +112,12 @@ final class BpeVocab(val merges: Seq[(String, String)]) extends Serializable {
     count
   }
 
+  /** Deserialization funnels through the intern pool: the vocab rides the
+    * serialized plan, which every TASK deserializes — without this, each
+    * task would carry its own rank map and cold word memo.
+    */
+  private def readResolve(): Object = BpeVocab.interned(merges)
+
   /** Token count of a document: sum over whitespace-split words. */
   def countTokens(text: String): Long = {
     var total = 0L
@@ -136,7 +142,12 @@ case class BpeTokenCountExpression(child: Expression,
                                    merges: Seq[(String, String)])
     extends UnaryExpression {
 
-  @transient private lazy val vocab = new BpeVocab(merges)
+  // interned per JVM, not built per expression copy: every TASK
+  // deserializes its own plan (and with it this expression), and a
+  // per-task vocab would rebuild the 50k-entry rank map and restart the
+  // word memo on every partition — the interned instance pays both once
+  // per executor and lets the memo amortize across the whole job
+  @transient private lazy val vocab = BpeVocab.interned(merges)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -159,6 +170,19 @@ case class BpeTokenCountExpression(child: Expression,
     copy(child = newChild)
 
   override def prettyName: String = "bpe_token_count"
+}
+
+object BpeVocab {
+  // per-JVM intern pool keyed by the merge list itself (tables are a few
+  // hundred KB of strings; a handful of distinct tables live per job).
+  // Bounded crudely like the word memo: clearing just re-interns.
+  private val pool =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], BpeVocab]()
+
+  def interned(merges: Seq[(String, String)]): BpeVocab = {
+    if (pool.size > 64) pool.clear()
+    pool.computeIfAbsent(merges, m => new BpeVocab(m))
+  }
 }
 
 object BpeTokenCountExpression {
