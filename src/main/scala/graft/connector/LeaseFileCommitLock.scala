@@ -29,12 +29,17 @@ import org.apache.hadoop.fs.Path
   *
   * Liveness: a holder that dies leaves the lease in place; waiters treat a
   * lease older than `ttlMs` (store mtime, so one clock for all writers) as
-  * abandoned, delete it, and re-race. `ttlMs` must exceed the longest
-  * publish (a few small-file ops — seconds, not minutes); a GC pause
-  * longer than the TTL can let a steal overlap the stalled holder, the
-  * same documented envelope every TTL-based lock has. Release deletes the
-  * lease only while it still carries this acquisition's token, so a
-  * post-steal release never destroys the stealer's lease.
+  * abandoned, delete it, and re-race. While held, a daemon HEARTBEAT
+  * renews the lease mtime every `ttlMs / 3`, so a publish slower than the
+  * TTL (a stalled object-store PUT, a wide rewrite) is not stolen
+  * mid-flight — only a holder whose whole PROCESS stops renewing (crash,
+  * or a GC pause past the TTL, the envelope every TTL lock documents)
+  * loses the lease to a steal. Release deletes the lease only while it
+  * still carries this acquisition's token — re-checked immediately before
+  * the delete, mirroring the steal path's re-stat — so a post-steal
+  * release destroying the stealer's fresh lease requires the steal to
+  * land between two adjacent calls (microseconds), the same envelope
+  * class as the steal path's own residual, not a plain scheduling hiccup.
   *
   * Registered automatically by [[TableLog]] for schemes outside its
   * atomic-rename set, and usable explicitly via
@@ -61,7 +66,7 @@ final class LeaseFileCommitLock(conf: Configuration,
   private def fs(tableDir: String) =
     new Path(tableDir).getFileSystem(conf)
 
-  private def acquire(tableDir: String): String = {
+  private[connector] def acquire(tableDir: String): String = {
     val f = fs(tableDir)
     val lease = leasePath(tableDir)
     val deadline = System.currentTimeMillis() + acquireTimeoutMs
@@ -78,13 +83,24 @@ final class LeaseFileCommitLock(conf: Configuration,
         // be ours at two instants a settle apart, or a last-write-wins
         // double-create happened and this racer lost
         var mine = true
+        var foreign = false
         var i = 0
         while (mine && i < 2) {
           Thread.sleep(settleMs)
-          mine = readToken(tableDir).contains(token)
+          val t = readToken(tableDir)
+          mine = t.contains(token)
+          foreign = t.exists(_ != token)
           i += 1
         }
-        if (mine) return token
+        if (mine) { startHeartbeat(tableDir, token); return token }
+        // a FOREIGN token means a double-create happened and we lost —
+        // the lease is the winner's, leave it. But a read-back that
+        // merely FAILED (None: transient IO blip) after our own create
+        // succeeded most likely left OUR token stranded on disk; without
+        // this best-effort delete every writer (including us) would
+        // block a full TTL before reclaiming it. release()'s
+        // check-then-delete pattern keeps a racer's lease safe.
+        if (!foreign) release(tableDir, token)
       } else {
         // lease exists (or the store refused the conditional create):
         // abandoned-holder check via store mtime, one clock for everyone.
@@ -115,13 +131,49 @@ final class LeaseFileCommitLock(conf: Configuration,
         s"than ttl=${ttlMs} ms); commit aborted rather than risking a lost write")
   }
 
-  private def release(tableDir: String, token: String): Unit =
+  private[connector] def release(tableDir: String, token: String): Unit = {
+    stopHeartbeat(tableDir)
     try {
       // only delete a lease that is still OURS — after a TTL steal the
-      // file carries the stealer's token and must survive this release
-      if (readToken(tableDir).contains(token))
+      // file carries the stealer's token and must survive this release.
+      // Checked TWICE, the second immediately before the delete (the
+      // steal path's re-stat pattern): with a single read, a steal
+      // landing in the read→delete gap would have our release destroy
+      // the stealer's fresh lease; with the paired reads that requires
+      // the steal to fit between two adjacent calls (see class doc).
+      if (readToken(tableDir).contains(token) &&
+          readToken(tableDir).contains(token))
         fs(tableDir).delete(leasePath(tableDir), false)
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  // ---- heartbeat: renew the lease mtime while held ------------------------
+
+  private val heartbeats =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ScheduledFuture[_]]()
+
+  private def startHeartbeat(tableDir: String, token: String): Unit = {
+    val period = math.max(25L, ttlMs / 3)
+    val task: Runnable = () =>
+      try {
+        // renew only while the lease still carries OUR token: after a
+        // steal (GC pause past the TTL) the file is the stealer's and a
+        // blind touch would extend a lease we no longer hold
+        if (readToken(tableDir).contains(token))
+          fs(tableDir).setTimes(leasePath(tableDir),
+            System.currentTimeMillis(), -1L)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    val f = LeaseFileCommitLock.scheduler
+      .scheduleAtFixedRate(task, period, period,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    Option(heartbeats.put(TableLog.dirKey(tableDir), f))
+      .foreach(_.cancel(false))
+  }
+
+  private def stopHeartbeat(tableDir: String): Unit =
+    Option(heartbeats.remove(TableLog.dirKey(tableDir)))
+      .foreach(_.cancel(false))
 
   private def readToken(tableDir: String): Option[String] =
     try {
@@ -143,4 +195,18 @@ private[connector] object LeaseFileCommitLock {
   /** Process-wide per-table-dir monitors (layer 1 of acquisition). */
   private val stripes =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** One shared daemon scheduler for every lock's heartbeats: leases held
+    * at any instant are few (one per in-flight table publish), and the
+    * task body is two small-file ops.
+    */
+  private val scheduler = {
+    val s = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+    s.setRemoveOnCancelPolicy(true)
+    s
+  }
 }

@@ -32,22 +32,37 @@ object BpeTrainer {
     * the best pair's weighted count falls below it (merging a pair that
     * occurs once compresses nothing); `maxVocabWords` caps driver state,
     * keeping the most frequent words (deterministic count-then-word
-    * order).
+    * order). A BINDING cap is never silent: the histogram fetch takes one
+    * extra row, so truncation is detected in the same aggregate — it
+    * either warns (default: the dropped words are the rarest, the usual
+    * BPE practice) or raises when `failOnTruncatedVocab` is set.
     */
   def learnBpe(df: DataFrame, textCol: String, numMerges: Int,
                minPairCount: Long = 2L,
                minWordCount: Long = 1L,
-               maxVocabWords: Int = 1000000): Seq[(String, String)] = {
+               maxVocabWords: Int = 1000000,
+               failOnTruncatedVocab: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val hist: Array[(String, Long)] = df
+    val fetched: Array[(String, Long)] = df
       .select(explode(array_remove(split(col(textCol), "\\s+"), "")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minWordCount)
       .orderBy(col("n").desc, col("word").asc)
-      .limit(maxVocabWords)
+      .limit(maxVocabWords + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainOnHistogram(hist, numMerges, minPairCount)
+    if (fetched.length > maxVocabWords) {
+      val msg = s"BPE vocab histogram truncated: the corpus has more than " +
+        s"$maxVocabWords distinct words passing minWordCount=$minWordCount; " +
+        "training proceeds on the most frequent ones (pair statistics from " +
+        "the dropped tail are lost). Raise maxVocabWords or minWordCount " +
+        "to silence this."
+      if (failOnTruncatedVocab) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
+    trainOnHistogram(fetched.take(maxVocabWords), numMerges, minPairCount)
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** The driver-side trainer, exposed for specs (and for callers that
     * already hold a histogram — a re-train over a saved word table).

@@ -51,17 +51,38 @@ object TextAnalysis {
   /** The DuckDB replay of [[bpeTokenCount]] for ONE whitespace-free word
     * expression: the word spelled as space-separated code points, each
     * merge applied as a string replace in rank order (twice — a replace
-    * consumes the shared delimiter between adjacent occurrences, and one
-    * repeat provably reaches the fixpoint since merged occurrences
-    * separate the survivors), then the surviving token count. Exposed so
+    * consumes the shared delimiter between adjacent occurrences, and for
+    * a merge with DISTINCT sides one repeat provably reaches the fixpoint
+    * since merged occurrences separate the survivors; equal-sided merges
+    * are refused, see the guard), then the surviving token count. Exposed so
     * the oracle SQL is generated from the SAME merge list the Spark plan
     * uses — the two sides cannot drift.
     */
   def bpeOracleCountSql(wordExpr: String, merges: Seq[(String, String)]): String = {
+    // the apply-each-replace-TWICE trick below reaches the fixpoint only
+    // when a merge's two sides differ: for a merge (a, a), 'aaaa' needs
+    // log(n) passes ('a a a a' -> 'aa aa' needs pass 1 AND 2 just for the
+    // pairs, and 'a a a a a a' still holds an unmerged 'a a' after two) —
+    // static replace nesting cannot replay that, so such tables are
+    // refused HERE, at oracle-generation time (BpeVocab's lowest-rank
+    // walk handles them fine; they just cannot be hash-gated this way).
+    // Sides are also embedded in SQL string literals with space
+    // delimiters: quotes are escaped, whitespace-bearing sides refused
+    // (training can never produce one — words are whitespace-split).
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      require(a != b,
+        s"BPE merge #$i ('$a','$a') has equal sides: the rank-order " +
+          "double-replace SQL replay does not reach its fixpoint, so this " +
+          "table cannot be oracle-gated (the engine-side count is fine)")
+      require(!(a + b).exists(_.isWhitespace),
+        s"BPE merge #$i ('$a','$b') contains whitespace: the SQL replay's " +
+          "space-delimited token spelling cannot represent it")
+    }
+    def q(s: String) = s.replace("'", "''")
     val spaced = s"' ' || array_to_string(string_split($wordExpr, ''), ' ') || ' '"
     val walked = merges.foldLeft(spaced) { case (acc, (a, b)) =>
-      val pat = s"' $a $b '"
-      val rep = s"' $a$b '"
+      val pat = s"' ${q(a)} ${q(b)} '"
+      val rep = s"' ${q(a)}${q(b)} '"
       s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
     s"len(string_split(trim($walked), ' '))"

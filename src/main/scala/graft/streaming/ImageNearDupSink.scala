@@ -43,16 +43,10 @@ class ImageNearDupSink(spark: SparkSession, stateDir: String,
   private val index = s"$stateDir/chunk_index"
   private val bits = 64 / numChunks
 
-  // state exists only when a partition DIRECTORY does: a batch whose
-  // payloads all failed to decode appends zero rows, which leaves just a
-  // _SUCCESS marker — listStatus.nonEmpty would then read a schema-less
-  // parquet dir and kill the stream on its next batch
-  private def hasState: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(index)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory || st.getPath.getName.endsWith(".parquet"))
-  }
+  // state exists only when actual parquet data does: `_SUCCESS`-only
+  // (zero-row append) and `_temporary`-only (crashed append) leftovers
+  // must not count — see IndexDirs.hasData
+  private def hasState: Boolean = IndexDirs.hasData(spark, index)
 
   /** (chunk, chunk_val, id, hash) rows — the same slicing simhashPairs
     * blocks on, so stream and batch propose identical candidates.

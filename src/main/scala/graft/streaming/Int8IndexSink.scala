@@ -27,15 +27,9 @@ class Int8IndexSink(spark: SparkSession, stateDir: String)
 
   // Hadoop FS probe, not java.io.File (cf. NearDupSink: a local-file probe
   // on an HDFS/object-store stateDir silently reports "no state"); data
-  // presence means an actual parquet FILE — a zero-row append can leave
-  // only a _SUCCESS marker, which a bare nonEmpty would misread as state
-  // and then crash the schema-less read
-  private def hasState: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(codesDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory || st.getPath.getName.endsWith(".parquet"))
-  }
+  // presence means actual parquet data — `_SUCCESS`-only and
+  // `_temporary`-only leftovers must not count (see IndexDirs.hasData)
+  private def hasState: Boolean = IndexDirs.hasData(spark, codesDir)
 
   /** Encode one micro-batch and append it — one scan, no join: the encoder
     * carries the source vector through (`keepVec`), so a duplicated id in a

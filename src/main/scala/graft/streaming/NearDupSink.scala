@@ -39,16 +39,10 @@ class NearDupSink(spark: SparkSession, stateDir: String,
   // Hadoop FS probe, not java.io.File: on an HDFS/object-store stateDir a
   // local-file probe is always false, silently disabling every historical
   // near-dup check (cf. UpsertSink.fs)
-  // state exists only when a partition DIRECTORY does: a batch of
-  // signature-less docs (all empty/whitespace text) appends zero rows,
-  // leaving just a _SUCCESS marker — listStatus.nonEmpty would then read
-  // a schema-less parquet dir and kill the stream on its next batch
-  private def hasState: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(index)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory || st.getPath.getName.endsWith(".parquet"))
-  }
+  // state exists only when actual parquet data does: `_SUCCESS`-only
+  // (zero-row append) and `_temporary`-only (crashed append) leftovers
+  // must not count — see IndexDirs.hasData
+  private def hasState: Boolean = IndexDirs.hasData(spark, index)
 
   /** (band_hash, id, sig) rows for a signature frame — the SAME banding
     * layout as batch LSH (`Dedup.bandHashes`), so stream and batch propose

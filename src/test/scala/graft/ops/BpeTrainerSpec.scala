@@ -70,4 +70,39 @@ class BpeTrainerSpec extends SparkSpec {
       assert(c >= 1 && c <= w.length, s"'$w' -> $c")
     }
   }
+
+  test("a binding vocab cap is loud; a non-binding one is silent") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    // the corpus has far more than 8 distinct words: the cap binds
+    val ex = intercept[IllegalStateException] {
+      BpeTrainer.learnBpe(docs, "text", numMerges = 5, maxVocabWords = 8,
+        failOnTruncatedVocab = true)
+    }
+    assert(ex.getMessage.contains("truncated"))
+    // default mode proceeds (warns) on the same binding cap …
+    assert(BpeTrainer.learnBpe(docs, "text", numMerges = 5,
+      maxVocabWords = 8).nonEmpty)
+    // … and a non-binding cap trains identically with the flag up
+    val loud = BpeTrainer.learnBpe(docs, "text", numMerges = 5,
+      maxVocabWords = 1000000, failOnTruncatedVocab = true)
+    val quiet = BpeTrainer.learnBpe(docs, "text", numMerges = 5)
+    assert(loud === quiet)
+  }
+
+  test("oracle SQL generation refuses equal-sided merges and escapes quotes") {
+    // ('a','a') over 'aaaaaa': the engine walk gives 3 tokens, a static
+    // double-replace replay gives 4 — the drift the guard exists to stop
+    assert(new BpeVocab(Seq("a" -> "a")).countWord("aaaaaa") === 3L)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeOracleCountSql("word", Seq("a" -> "a"))
+    }
+    assert(ex.getMessage.contains("equal sides"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeOracleCountSql("word", Seq("a" -> " "))
+    }
+    // a single quote in a merge side must be doubled in the SQL literal
+    val sql = TextAnalysis.bpeOracleCountSql("word", Seq("'" -> "s"))
+    assert(sql.contains("' '' s '") && sql.contains("' ''s '"),
+      s"quote not escaped in: $sql")
+  }
 }
