@@ -69,6 +69,16 @@ final class BpeVocab(val merges: Seq[(String, String)]) extends Serializable {
   def countWord(word: String): Long = {
     val hit = memo.get(word)
     if (hit != null) return hit.longValue()
+    val count = tokenizeWord(word).length.toLong
+    if (memo.size >= MemoCap) memo.clear()
+    memo.put(word, count)
+    count
+  }
+
+  /** The surviving token STRINGS of one whitespace-free word — the walk
+    * [[countWord]] counts, exposed for id assignment.
+    */
+  def tokenizeWord(word: String): Array[String] = {
     var toks = new Array[String](word.codePointCount(0, word.length))
     var ci = 0
     var ti = 0
@@ -106,10 +116,55 @@ final class BpeVocab(val merges: Seq[(String, String)]) extends Serializable {
         toks = java.util.Arrays.copyOf(out, n)
       }
     }
-    val count = toks.length.toLong
-    if (memo.size >= MemoCap) memo.clear()
-    memo.put(word, count)
-    count
+    toks
+  }
+
+  // token -> id: a single-code-point token is its code point (0..0x10FFFF);
+  // a merged token (always >= 2 code points, so the ranges cannot collide)
+  // is 0x110000 + the rank of the FIRST merge producing it
+  @transient private lazy val tokenIds: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + b, java.lang.Long.valueOf(BpeVocab.MergedIdBase + i))
+    }
+    m
+  }
+
+  @transient private lazy val idMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** Merge-rank ids of one whitespace-free word's tokens. */
+  def encodeWord(word: String): Array[Long] = {
+    val hit = idMemo.get(word)
+    if (hit != null) return hit
+    val toks = tokenizeWord(word)
+    val ids = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val mid = tokenIds.get(toks(i))
+      ids(i) = if (mid != null) mid.longValue() else toks(i).codePointAt(0).toLong
+      i += 1
+    }
+    if (idMemo.size >= MemoCap) idMemo.clear()
+    idMemo.put(word, ids)
+    ids
+  }
+
+  /** Token ids of a document: concatenation over whitespace-split words,
+    * in order — `encodeTokens(text).length == countTokens(text)` always.
+    */
+  def encodeTokens(text: String): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      math.min(text.length, 1 << 12))
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) out ++= encodeWord(text.substring(start, i))
+    }
+    out.toArray
   }
 
   /** Deserialization funnels through the intern pool: the vocab rides the
@@ -173,6 +228,13 @@ case class BpeTokenCountExpression(child: Expression,
 }
 
 object BpeVocab {
+  /** First id assigned to a MERGED token: one past the Unicode code-point
+    * space, so single-code-point tokens (id = their code point) and merge
+    * outputs (id = MergedIdBase + rank) can never collide — a merge output
+    * always has >= 2 code points.
+    */
+  val MergedIdBase: Long = 0x110000L
+
   // per-JVM intern pool keyed by the merge list itself (tables are a few
   // hundred KB of strings; a handful of distinct tables live per job).
   // Bounded crudely like the word memo: clearing just re-interns.
@@ -185,6 +247,47 @@ object BpeVocab {
   }
 }
 
+/** `bpe_encode(text)` over a fixed [[BpeVocab]] — the id-emitting sibling
+  * of [[BpeTokenCountExpression]] (same walk, same interned vocab):
+  * returns `array<long>` token ids — code points for unmerged single
+  * characters, `MergedIdBase + rank` for merge outputs — so
+  * `size(bpe_encode(t)) == bpe_token_count(t)` by construction and
+  * sequence packing can consume real ids. Codegen'd; the array is built
+  * as an UnsafeArrayData straight from the primitive longs.
+  */
+case class BpeEncodeExpression(child: Expression,
+                               merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val vocab = BpeVocab.interned(merges)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode needs a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(vocab.encodeTokens(input.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocab", vocab, classOf[BpeVocab].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray($vocabRef.encodeTokens($c.toString()));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
+}
+
 object BpeTokenCountExpression {
   /** Column-API entry point; validates the merge table eagerly (driver-
     * side, analysis time) so a malformed table fails before any job runs.
@@ -192,6 +295,13 @@ object BpeTokenCountExpression {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
     new BpeVocab(merges)   // fail loudly now, not on an executor
     GraftSqlBridge.toColumn(BpeTokenCountExpression(
+      GraftSqlBridge.toExpr(text.cast("string")), merges))
+  }
+
+  /** Column-API entry point for [[BpeEncodeExpression]]. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    new BpeVocab(merges)   // fail loudly now, not on an executor
+    GraftSqlBridge.toColumn(BpeEncodeExpression(
       GraftSqlBridge.toExpr(text.cast("string")), merges))
   }
 }

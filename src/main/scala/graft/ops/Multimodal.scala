@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * The decode path is REAL for the header-parseable formats: BMP and PNG
+  * The decode path is REAL at two depths. Header features: BMP and PNG
   * dimensions, JPEG dimensions via a marker-segment walk to the SOF frame
   * header (compressed payload untouched — SOF is plain byte math), GIF
   * logical-screen dimensions, and canonical RIFF/WAVE audio params
   * (channels, sample rate, bit depth, sample count) — all parsed from
-  * bytes, pure JVM, no codec libraries. Anything unrecognized falls back
-  * to utf8-text byte statistics. A production deployment adds full
-  * pixel/sample decode (H.264, JPEG entropy decode, …) via JNI/FFI inside
-  * the same `mapPartitions` contract (decoder amortized per partition, no
-  * driver collect, columnar-friendly output).
+  * bytes, pure JVM, no codec libraries. Pixel decode (the perceptual-hash
+  * path): 24-bit BMP by byte math, PNG/GIF/JPEG through the JDK's own
+  * `javax.imageio` decoders — still zero external dependencies. Anything
+  * unrecognized falls back to utf8-text byte statistics. A production
+  * deployment adds the remaining codecs (H.264 frames, audio samples, …)
+  * via JNI/FFI inside the same `mapPartitions` contract (decoder
+  * amortized per partition, no driver collect, columnar-friendly output).
   */
 object Multimodal {
 
@@ -296,44 +298,130 @@ object Multimodal {
     df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
   }
 
-  /** 64-bit difference hash of a BMP payload: nearest-neighbor-sample the
-    * image onto the standard 9x8 dHash grid (identity when the image IS
-    * 9x8), then bit i = [cell(i%8+1, i/8) brighter than cell(i%8, i/8)] —
-    * the published dHash scheme with floor-sampling as the downscale (the
-    * resize kernel is a fidelity knob, not a correctness one: any
-    * deterministic downscale yields a valid perceptual hash, and this one
-    * is exactly replayable in SQL). None for payloads that are not 24-bit
-    * BMPs — a pHash pipeline for JPEG/PNG plugs a real decoder into the
-    * same seam; this container has none (the decode itself is the stubbed
-    * step, per the multimodal ground rules).
+  /** Encode a grayscale grid through the JDK's own ImageIO writers.
+    * `"png"` uses TYPE_INT_RGB (lossless RGB); `"gif"` uses
+    * TYPE_BYTE_INDEXED with an explicit 256-entry gray palette (the GIF
+    * writer preserves an indexed image's palette exactly — handing it RGB
+    * would invite quantization); `"jpg"` is the deliberately LOSSY case
+    * for the tolerance spec. Achromatic pixels + the exact-luma decode in
+    * [[decodeGrayImage]] make the lossless two round-trip bit-exact.
     */
-  private[ops] def dHashGray(bytes: Array[Byte]): Option[Long] = {
-    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
-    if (le16(bytes, 28) != 24) return None
-    val dataOff = le32(bytes, 10)
-    val w = le32(bytes, 18)
-    val h = le32(bytes, 22)
-    if (w < 9 || h < 8) return None
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (bytes.length < dataOff + rowSize * h) return None
-    def gray(gx: Int, gy: Int): Int = {
-      val sx = gx * w / 9
-      val sy = gy * h / 8
-      bytes(dataOff + (h - 1 - sy) * rowSize + sx * 3) & 0xff
+  private[ops] def imageIoBytes(format: String, width: Int, height: Int,
+                                gray: (Int, Int) => Int): Array[Byte] = {
+    val img = format match {
+      case "gif" =>
+        val ramp = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      case _ =>
+        new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
     }
-    var hash = 0L
-    var i = 0
-    while (i < 64) {
-      if (gray(i % 8 + 1, i / 8) > gray(i % 8, i / 8)) hash |= (1L << i)
-      i += 1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = gray(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
     }
-    Some(hash)
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"no ImageIO writer for format '$format'")
+    baos.toByteArray
   }
 
+  /** The [[syntheticImages]] corpus re-encoded through REAL compressed
+    * formats: the same 9x8 [[synthGray]] grids, alternating PNG / GIF by
+    * doc id — both lossless, so the decode→luma→dHash chain stays exactly
+    * replayable from the closed-form pixels (the x71 oracle). JPEG is
+    * excluded here by design: its loss is real, so it is spec-gated with
+    * a Hamming tolerance instead of hash-gated.
+    */
+  def syntheticLosslessImages(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) =>
+      imageIoBytes(if (id % 2 == 0) "png" else "gif", 9, 8, synthGray(id)))
+    df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
+  }
+
+  // ImageIO's default decode path spools through a DISK cache file per
+  // image — at corpus scale that is a hidden temp-file write per row, so
+  // it is disabled once per JVM before the first decode
+  @transient private lazy val imageIoReady: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Decode a payload to its grayscale pixel accessor `(w, h, gray(x, y))`.
+    * 24-bit BMPs take a pure byte-math fast path (no buffer allocation, no
+    * codec); everything else goes through the JDK's own `javax.imageio`
+    * decoders (PNG, GIF, JPEG, and the BMP depths the fast path skips) —
+    * no external codec dependency. Grayscale is the BT.601 integer luma
+    * with weights summing to 256 (`(77r + 150g + 29b) >> 8`), which is
+    * EXACT pass-through on achromatic pixels (r == g == b) — that identity
+    * is what lets a lossless PNG/GIF gray image replay closed-form in the
+    * oracle. None when no decoder recognizes the bytes.
+    */
+  private[ops] def decodeGrayImage(bytes: Array[Byte])
+      : Option[(Int, Int, (Int, Int) => Int)] = {
+    if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M' &&
+        le16(bytes, 28) == 24) {
+      val dataOff = le32(bytes, 10)
+      val w = le32(bytes, 18)
+      val h = le32(bytes, 22)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (w > 0 && h > 0 && bytes.length >= dataOff + rowSize * h)
+        return Some((w, h,
+          (x, y) => bytes(dataOff + (h - 1 - y) * rowSize + x * 3) & 0xff))
+    }
+    if (!imageIoReady) return None   // never: forces the one-time init
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else Some((img.getWidth, img.getHeight, (x, y) => {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      (77 * r + 150 * g + 29 * b) >> 8
+    }))
+  }
+
+  /** 64-bit difference hash of an image payload: decode
+    * ([[decodeGrayImage]] — BMP byte math or JDK ImageIO for PNG/GIF/
+    * JPEG), nearest-neighbor-sample onto the standard 9x8 dHash grid
+    * (identity when the image IS 9x8), then bit i = [cell(i%8+1, i/8)
+    * brighter than cell(i%8, i/8)] — the published dHash scheme with
+    * floor-sampling as the downscale (the resize kernel is a fidelity
+    * knob, not a correctness one: any deterministic downscale yields a
+    * valid perceptual hash, and this one is exactly replayable in SQL
+    * for lossless gray sources). None for undecodable payloads or images
+    * smaller than the 9x8 grid.
+    */
+  private[ops] def dHashGray(bytes: Array[Byte]): Option[Long] =
+    decodeGrayImage(bytes).flatMap { case (w, h, gray) =>
+      if (w < 9 || h < 8) None
+      else {
+        def cell(gx: Int, gy: Int): Int = gray(gx * w / 9, gy * h / 8)
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (cell(i % 8 + 1, i / 8) > cell(i % 8, i / 8)) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    }
+
   /** (id, simhash) difference-hash frame over a `(doc_id, media)` corpus —
-    * per-partition decode (no driver involvement), non-BMP payloads
-    * dropped. The column is named `simhash` so [[Dedup.simhashPairs]]'s
-    * banded-Hamming machinery consumes it unchanged.
+    * per-partition decode (no driver involvement; BMP byte math or JDK
+    * ImageIO for PNG/GIF/JPEG), undecodable payloads dropped. The column
+    * is named `simhash` so [[Dedup.simhashPairs]]'s banded-Hamming
+    * machinery consumes it unchanged.
     */
   def dHash64(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._

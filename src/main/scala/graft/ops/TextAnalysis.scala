@@ -33,6 +33,15 @@ object TextAnalysis {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     graft.expressions.BpeTokenCountExpression.bpeTokenCount(text, merges)
 
+  /** Tokenizer-real ENCODE: `array<long>` token ids from the same walk —
+    * code points for unmerged single characters,
+    * `BpeVocab.MergedIdBase + rank` for merge outputs (see
+    * [[graft.expressions.BpeEncodeExpression]]).
+    * `size(bpeEncode(t, m)) === bpeTokenCount(t, m)` by construction.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.BpeTokenCountExpression.bpeEncode(text, merges)
+
   /** A small well-formed demo merge table over the synthetic corpus's
     * vocabulary — each side is a single character or an earlier merge's
     * output (validated). Real deployments load a trained tokenizer's merge
@@ -78,14 +87,40 @@ object TextAnalysis {
         s"BPE merge #$i ('$a','$b') contains whitespace: the SQL replay's " +
           "space-delimited token spelling cannot represent it")
     }
-    def q(s: String) = s.replace("'", "''")
+    s"len(${bpeOracleTokensSql(wordExpr, merges)})"
+  }
+
+  private def sqlQuote(s: String) = s.replace("'", "''")
+
+  /** The walked token LIST (shared by count and encode replays). */
+  private def bpeOracleTokensSql(wordExpr: String,
+                                 merges: Seq[(String, String)]): String = {
     val spaced = s"' ' || array_to_string(string_split($wordExpr, ''), ' ') || ' '"
     val walked = merges.foldLeft(spaced) { case (acc, (a, b)) =>
-      val pat = s"' ${q(a)} ${q(b)} '"
-      val rep = s"' ${q(a)}${q(b)} '"
+      val pat = s"' ${sqlQuote(a)} ${sqlQuote(b)} '"
+      val rep = s"' ${sqlQuote(a)}${sqlQuote(b)} '"
       s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
-    s"len(string_split(trim($walked), ' '))"
+    s"string_split(trim($walked), ' ')"
+  }
+
+  /** The DuckDB replay of [[bpeEncode]] for ONE whitespace-free word
+    * expression: the SAME rank-order replace walk as [[bpeOracleCountSql]]
+    * (and its guards), but yielding the token id LIST instead of the
+    * count — each surviving token mapped through a generated CASE: merge
+    * outputs to `MergedIdBase + rank` (first producing merge wins, the
+    * engine's putIfAbsent), single code points to `unicode(token)`.
+    */
+  def bpeOracleEncodeSql(wordExpr: String, merges: Seq[(String, String)]): String = {
+    bpeOracleCountSql(wordExpr, merges)   // runs the shared guards
+    val seen = scala.collection.mutable.HashSet[String]()
+    val whens = merges.zipWithIndex.flatMap { case ((a, b), i) =>
+      if (seen.add(a + b))
+        Some(s"WHEN '${sqlQuote(a + b)}' THEN ${graft.expressions.BpeVocab.MergedIdBase + i}")
+      else None
+    }.mkString(" ")
+    s"list_transform(${bpeOracleTokensSql(wordExpr, merges)}, " +
+      s"t -> cast(CASE t $whens ELSE unicode(t) END AS BIGINT))"
   }
 
   /** Crude chars-per-token estimate of token inflation (quality signal). */

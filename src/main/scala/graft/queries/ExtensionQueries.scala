@@ -791,6 +791,27 @@ object ExtensionQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
         FROM d ORDER BY doc_id""")),
 
+    // ---- tokenizer-real ENCODE: the same BPE walk emitting token IDS
+    // (array<long>: code points for unmerged chars, MergedIdBase + rank
+    // for merge outputs), exploded to (doc_id, pos, token_id) rows so the
+    // hash gate covers every id at every position. The oracle replays the
+    // walk AND the id assignment (a generated CASE over the merge list —
+    // one source of truth for both sides). ----
+    "x72_bpe_encode" -> Q(
+      (s, dir) => Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.bpeEncode(col("text"), TextAnalysis.demoBpeMerges)))
+        .select(col("doc_id"), col("pos"), col("col").as("token_id"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some(s"""WITH w AS (
+          SELECT doc_id, flatten(list_transform(
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+            w -> ${TextAnalysis.bpeOracleEncodeSql("w", TextAnalysis.demoBpeMerges)})) AS ids
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id, cast(unnest(range(len(ids))) AS INT) AS pos,
+               unnest(ids) AS token_id
+        FROM w ORDER BY doc_id, pos""")),
+
     // ---- multimodal: perceptual-hash (dHash) image near-dup detection —
     // the image counterpart of text/embedding dedup. The synthetic corpus
     // plants near-duplicates (groups of 4 sharing a base pattern, variants
@@ -828,6 +849,39 @@ object ExtensionQueries {
         FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id
         WHERE bit_count(xor(x.h, y.h)) <= 3
         ORDER BY 1, 2""")),
+
+    // ---- multimodal: REAL compressed-image decode (JDK ImageIO) feeding
+    // the same dHash. The corpus is the x70 pixel closed form re-encoded
+    // as actual PNG and GIF files (both lossless; achromatic pixels make
+    // the BT.601 integer luma an exact pass-through), so the engine runs
+    // bytes -> ImageIO decode -> luma -> dHash while the oracle replays
+    // the pixels arithmetically — the whole real-decoder chain hash-gated.
+    // JPEG (genuinely lossy) is spec-gated with a Hamming tolerance in
+    // DHashSpec instead. ----
+    "x71_image_dhash_decode" -> Q(
+      (s, dir) => Multimodal.dHash64(s,
+          Multimodal.syntheticLosslessImages(
+            Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id"))
+        .orderBy(col("id")),
+      Some("""WITH params AS (
+          SELECT doc_id, doc_id % 4 AS v, (doc_id // 4) % 7 + 1 AS a,
+                 (doc_id // 4) % 11 + 3 AS b, (doc_id // 4) % 251 AS c,
+                 doc_id // 4 AS grp
+          FROM documents WHERE doc_id < 300),
+        bits AS (
+          SELECT doc_id, i,
+            CASE WHEN
+              (a*((i%8+1)+1)*((i%8+1)+2) + b*((i//8)+1)*((i%8+1)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8+1) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+              >
+              (a*((i%8)+1)*((i%8)+2) + b*((i//8)+1)*((i%8)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+            THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << cast(i AS INT)) END
+            ELSE 0 END AS bit
+          FROM params, LATERAL (SELECT unnest(range(64)) AS i)),
+        hashes AS (SELECT doc_id, cast(sum(bit) AS BIGINT) AS h FROM bits GROUP BY 1)
+        SELECT doc_id AS id, h AS simhash FROM hashes ORDER BY 1""")),
 
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(

@@ -89,6 +89,38 @@ class BpeTrainerSpec extends SparkSpec {
     assert(loud === quiet)
   }
 
+  test("bpe_encode: ids agree with the count walk and with the id scheme") {
+    val demo = TextAnalysis.demoBpeMerges
+    // id scheme driver-side: merge outputs >= MergedIdBase + first rank,
+    // unmerged single characters their code point
+    val v = BpeVocab.interned(demo)
+    assert(v.encodeWord("the").toSeq === Seq(BpeVocab.MergedIdBase + 1),
+      "'the' is the output of merge rank 1 (th+e)")
+    assert(v.encodeWord("z").toSeq === Seq('z'.toLong))
+    assert(v.encodeWord("thez").toSeq === Seq(BpeVocab.MergedIdBase + 1, 'z'.toLong))
+    // distributed: size(encode) == count on every corpus row
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val drift = docs.select(
+        size(TextAnalysis.bpeEncode(col("text"), demo)).cast("long").as("sz"),
+        TextAnalysis.bpeTokenCount(col("text"), demo).as("cnt"))
+      .filter(col("sz") =!= col("cnt")).count()
+    assert(drift === 0L, "encode length must equal the token count everywhere")
+  }
+
+  test("sequence packing consumes real encoded ids identically to the count") {
+    val demo = TextAnalysis.demoBpeMerges
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), col("text"))
+    def packed(cnt: org.apache.spark.sql.Column) =
+      Sampling.packSequences(docs, "source", "doc_id", cnt, budget = 512L)
+        .select("doc_id", "n_tokens", "bin_id").orderBy("doc_id")
+        .collect().toSeq
+    val viaCount = packed(TextAnalysis.bpeTokenCount(col("text"), demo))
+    val viaIds = packed(size(TextAnalysis.bpeEncode(col("text"), demo)).cast("long"))
+    assert(viaCount === viaIds)
+    assert(viaCount.nonEmpty)
+  }
+
   test("oracle SQL generation refuses equal-sided merges and escapes quotes") {
     // ('a','a') over 'aaaaaa': the engine walk gives 3 tokens, a static
     // double-replace replay gives 4 — the drift the guard exists to stop

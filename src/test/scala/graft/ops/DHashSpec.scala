@@ -29,4 +29,37 @@ class DHashSpec extends AnyFunSuite {
     }
     assert(Multimodal.dHashGray(bytes) === Some(expected))
   }
+
+  test("lossless PNG and GIF decode to the exact BMP hash (real ImageIO decode)") {
+    def g(x: Int, y: Int): Int = (x * 29 + y * 41 + 3) % 256
+    val viaBmp = Multimodal.dHashGray(Multimodal.bmpGrayBytes(9, 8, g))
+    assert(viaBmp.isDefined)
+    for (fmt <- Seq("png", "gif")) {
+      val bytes = Multimodal.imageIoBytes(fmt, 9, 8, g)
+      assert(Multimodal.dHashGray(bytes) === viaBmp,
+        s"$fmt round trip must be bit-exact on achromatic pixels")
+    }
+    // and not just at grid size: a larger lossless image resamples the same
+    def base(gx: Int, gy: Int): Int = (gx * 31 + gy * 17 + 5) % 256
+    val bigPng = Multimodal.imageIoBytes("png", 36, 16, (x, y) => base(x / 4, y / 2))
+    assert(Multimodal.dHashGray(bigPng) ===
+      Multimodal.dHashGray(Multimodal.bmpGrayBytes(9, 8, base)))
+  }
+
+  test("JPEG round trip stays within a small Hamming tolerance (lossy by design)") {
+    // a smooth ramp with large inter-cell steps: sampled dHash cells differ
+    // by ~24 gray levels, far above default-quality JPEG error, so the
+    // perceptual hash should survive the compression nearly unchanged
+    def ramp(x: Int, y: Int): Int = math.min(255, x * 3 + y)
+    val exact = Multimodal.dHashGray(Multimodal.bmpGrayBytes(72, 64, ramp)).get
+    val jpeg = Multimodal.dHashGray(Multimodal.imageIoBytes("jpg", 72, 64, ramp))
+    assert(jpeg.isDefined, "JPEG payload must decode through ImageIO")
+    val hamming = java.lang.Long.bitCount(jpeg.get ^ exact)
+    assert(hamming <= 4, s"JPEG perturbed the perceptual hash too far: $hamming bits")
+  }
+
+  test("undecodable bytes still yield no hash") {
+    assert(Multimodal.dHashGray("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHashGray(Array[Byte]()).isEmpty)
+  }
 }
