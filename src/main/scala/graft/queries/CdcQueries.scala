@@ -297,6 +297,37 @@ object CdcQueries {
         UNION ALL
           SELECT k, m * 2, 'insert', 2 FROM p
           WHERE k % 7 = 0 AND k % 5 = 0
-        ORDER BY k, _change_type"""))
+        ORDER BY k, _change_type""")),
+
+    // ---- the full Delta interop LOOP: a mor table with a deletion vector
+    // and a renamed column is exported as a Delta Lake table (vectors
+    // applied, logical names — CALL lake.system.export_delta), then read
+    // BACK through the from-scratch protocol replay (DeltaImport: JSON
+    // commits + checkpoint resolution). The oracle recomputes the live
+    // snapshot from `orders` directly, so a bug in either half of the
+    // loop (an export that leaks deleted rows / physical names, an import
+    // that drops or duplicates an add) hash-mismatches. ----
+    "x73_delta_roundtrip" -> Q(
+      (s, dir) => {
+        val cat = tempCatalog(s)
+        s.sql(s"CREATE TABLE $cat.iop (k BIGINT, price_micro BIGINT) " +
+          "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+        val v = s"x73src${java.util.UUID.randomUUID().toString.take(8)}"
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+            micro(col("o_totalprice")).as("price_micro"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $cat.iop SELECT * FROM $v")            // v1: seed
+        s.sql(s"DELETE FROM $cat.iop WHERE k % 3 = 0")             // v2: vector
+        s.sql(s"ALTER TABLE $cat.iop RENAME COLUMN price_micro TO price_out")
+        s.catalog.dropTempView(v)
+        val dest = java.nio.file.Files
+          .createTempDirectory("graft-x73").toString + "/t"
+        s.sql(s"CALL $cat.system.export_delta(`table` => 'iop', " +
+          s"location => '$dest')").collect()
+        graft.connector.DeltaImport.readSnapshot(s, dest).orderBy(col("k"))
+      },
+      Some("""SELECT o_orderkey AS k,
+                 cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_out
+        FROM orders WHERE o_orderkey % 3 <> 0 ORDER BY k"""))
   )
 }

@@ -83,6 +83,14 @@ class AnnIndexSink(spark: SparkSession, stateDir: String,
       qPage, k, shortlist, model)
   }
 
+  /** Fold the per-batch code-table files down to a few, preserving
+    * `__batch` and the replay-duplicate rows (dropDuplicates still
+    * collapses them on read) — run between micro-batches (see
+    * [[IndexDirs.compact]]).
+    */
+  def compact(targetFiles: Int = 4): Unit =
+    IndexDirs.compact(spark, codesDir, None, targetFiles)
+
   /** Attach as a foreachBatch sink on a stream of embedding rows. */
   def attach[T](ds: Dataset[T], idCol: String, vecCol: String): org.apache.spark.sql.streaming.DataStreamWriter[T] =
     ds.writeStream.foreachBatch { (batch: Dataset[T], id: Long) =>

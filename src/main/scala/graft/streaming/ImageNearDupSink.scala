@@ -101,6 +101,13 @@ class ImageNearDupSink(spark: SparkSession, stateDir: String,
     }
   }
 
+  /** Fold the per-batch chunk-index files to ~one per `__bucket`,
+    * preserving the `__batch` replay fence — run between micro-batches
+    * (see [[IndexDirs.compact]] for the contract). Probe results and
+    * replay fencing are identical before and after.
+    */
+  def compact(): Unit = IndexDirs.compact(spark, index, Some("__bucket"))
+
   /** Attach as a foreachBatch sink over a `(doc_id, media)` stream. */
   def attach[T](ds: Dataset[T])
                (onKept: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[T] =

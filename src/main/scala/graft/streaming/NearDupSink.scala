@@ -113,6 +113,13 @@ class NearDupSink(spark: SparkSession, stateDir: String,
     }
   }
 
+  /** Fold the per-batch band-index files to ~one per `__bucket`,
+    * preserving the `__batch` replay fence — run between micro-batches
+    * (see [[IndexDirs.compact]] for the contract). Probe results and
+    * replay fencing are identical before and after.
+    */
+  def compact(): Unit = IndexDirs.compact(spark, index, Some("__bucket"))
+
   /** Attach as a foreachBatch sink: `onKept` receives the surviving ids of
     * each micro-batch (join back to the payload stream downstream).
     */

@@ -1,0 +1,211 @@
+package graft.connector
+
+import org.apache.hadoop.fs.Path
+
+/** The inbound half of the Delta interop loop (round-17 verdict item 3):
+  *
+  *  1. ROUND TRIP — export a graft snapshot (incl. one with deletion
+  *     vectors applied and renamed columns, which the export
+  *     materializes) and read it back through [[DeltaImport]]: rows and
+  *     schema must equal the source snapshot.
+  *  2. EXTERNAL LOGS — a hand-written multi-commit log (the protocol
+  *     shapes a real Delta writer produces: add + remove churn,
+  *     partitionValues, a checkpoint parquet + _last_checkpoint) replays
+  *     to exactly the live file set.
+  *  3. CAPABILITY GATE — reader features we do not implement (column
+  *     mapping, deletion vectors, named readerFeatures) and log gaps are
+  *     refused LOUDLY, never mis-read.
+  */
+class DeltaImportSpec extends LakeSpec {
+  protected def catalogName = "implake"
+
+  private def writeText(dir: String, name: String, text: String): Unit = {
+    val p = new Path(s"$dir/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private val schemaJson =
+    """{"type":"struct","fields":[
+      |{"name":"k","type":"long","nullable":true,"metadata":{}},
+      |{"name":"v","type":"string","nullable":true,"metadata":{}}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def metaLine(partitionCols: Seq[String] = Nil,
+                       config: String = "{}",
+                       schema: String = schemaJson): String =
+    s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000000",
+       |"format":{"provider":"parquet","options":{}},
+       |"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+          .build().writeValueAsString(schema)},
+       |"partitionColumns":[${partitionCols.map(c => s""""$c"""").mkString(",")}],
+       |"configuration":$config,"createdTime":0}}""".stripMargin.replace("\n", "")
+
+  private val protocolLine =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  test("export -> import round trip: plain, and materialized mor + rename") {
+    sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
+    sql("CREATE TABLE implake.db.t (k BIGINT, v STRING)")
+    sql("INSERT INTO implake.db.t SELECT id, concat('v', id) FROM range(0, 120)")
+    sql("INSERT INTO implake.db.t SELECT id, concat('v', id) FROM range(120, 150)")
+    val dest = s"${tmp("delta-rt")}/t"
+    DeltaExport.exportSnapshot(spark, log("db/t"), dest)
+    val back = DeltaImport.readSnapshot(spark, dest)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(back.orderBy("k").collect().toSeq ===
+      rows("SELECT k, v FROM implake.db.t ORDER BY k"))
+    assert(DeltaImport.snapshot(spark, dest).version === 0L)
+
+    // vectors + logical renames materialize on export; the import must
+    // see exactly the live rows under the renamed schema
+    sql("CREATE TABLE implake.db.m (k BIGINT, val STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO implake.db.m SELECT id, concat('x', id) FROM range(0, 100)")
+    sql("DELETE FROM implake.db.m WHERE k % 3 = 0")
+    sql("ALTER TABLE implake.db.m RENAME COLUMN val TO renamed")
+    val dest2 = s"${tmp("delta-rt2")}/m"
+    DeltaExport.exportSnapshot(spark, log("db/m"), dest2)
+    val back2 = DeltaImport.readSnapshot(spark, dest2)
+    assert(back2.schema.fieldNames.toSeq === Seq("k", "renamed"))
+    assert(back2.orderBy("k").collect().toSeq ===
+      rows("SELECT k, renamed FROM implake.db.m ORDER BY k"))
+  }
+
+  test("external multi-commit log: add/remove churn and partition values replay") {
+    import spark.implicits._
+    val dir = tmp("delta-ext")
+    // three data files; b.parquet gets removed at v2. Files carry only
+    // the data column — `k` comes back from partitionValues.
+    Seq(("p1", "a"), ("p1", "b"), ("p2", "c")).foreach { case (part, name) =>
+      Seq.tabulate(5)(i => s"$part-$name-$i").toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/stage-$name")
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val f = fs.listStatus(new Path(s"$dir/stage-$name"))
+        .filter(st => st.getPath.getName.endsWith(".parquet")).head.getPath
+      fs.mkdirs(new Path(s"$dir/k=$part"))
+      fs.rename(f, new Path(s"$dir/k=$part/$name.parquet"))
+    }
+    val dataOnlySchema =
+      """{"type":"struct","fields":[
+        |{"name":"v","type":"string","nullable":true,"metadata":{}},
+        |{"name":"k","type":"string","nullable":true,"metadata":{}}]}"""
+        .stripMargin.replace("\n", "")
+    def add(path: String, part: String) =
+      s"""{"add":{"path":"$path","partitionValues":{"k":"$part"},"size":1,
+         |"modificationTime":0,"dataChange":true}}""".stripMargin.replace("\n", "")
+    writeText(s"$dir/_delta_log", f"${0}%020d.json",
+      Seq(protocolLine, metaLine(Seq("k"), schema = dataOnlySchema),
+        add("k=p1/a.parquet", "p1"), add("k=p1/b.parquet", "p1")).mkString("\n"))
+    writeText(s"$dir/_delta_log", f"${1}%020d.json",
+      Seq(add("k=p2/c.parquet", "p2")).mkString("\n"))
+    writeText(s"$dir/_delta_log", f"${2}%020d.json",
+      """{"remove":{"path":"k=p1/b.parquet","dataChange":true}}""")
+
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 2L)
+    assert(snap.partitionColumns === Seq("k"))
+    assert(snap.files.map(_.path).toSet ===
+      Set("k=p1/a.parquet", "k=p2/c.parquet"))
+    val back = DeltaImport.readSnapshot(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("v", "k"))
+    val got = back.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = (0 until 5).flatMap(i =>
+      Seq((s"p1-a-$i", "p1"), (s"p2-c-$i", "p2"))).toSet
+    assert(got === want)
+  }
+
+  test("checkpoint + _last_checkpoint: replay starts from the checkpoint") {
+    import spark.implicits._
+    val dir = tmp("delta-ckpt")
+    Seq.tabulate(7)(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stage")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new Path(s"$dir/stage"))
+      .filter(st => st.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(staged, new Path(s"$dir/data.parquet"))
+
+    // checkpoint at v5 carrying protocol + metaData + the single add —
+    // NO JSON commits 0..5 exist (vacuumed), so resolution MUST start
+    // from the checkpoint; v6 is an empty follow-up commit
+    val ckpt = spark.sql(
+      s"""SELECT named_struct('minReaderVersion', 1, 'minWriterVersion', 2) AS protocol,
+            cast(null AS struct<id:string, format:struct<provider:string>,
+              schemaString:string, partitionColumns:array<string>,
+              configuration:map<string,string>>) AS metaData,
+            cast(null AS struct<path:string, partitionValues:map<string,string>,
+              size:bigint>) AS add
+          UNION ALL
+          SELECT null, named_struct('id', 'x', 'format',
+              named_struct('provider', 'parquet'), 'schemaString', '${schemaJson
+                .replace("'", "''")}',
+              'partitionColumns', array(), 'configuration',
+              map_from_arrays(array(), array())), null
+          UNION ALL
+          SELECT null, null, named_struct('path', 'data.parquet',
+            'partitionValues', map_from_arrays(array(), array()), 'size', 1L)""")
+    ckpt.coalesce(1).write.mode("overwrite").parquet(s"$dir/ckpt-stage")
+    val ckptFile = fs.listStatus(new Path(s"$dir/ckpt-stage"))
+      .filter(st => st.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.mkdirs(new Path(s"$dir/_delta_log"))
+    fs.rename(ckptFile, new Path(s"$dir/_delta_log/${f"${5L}%020d"}.checkpoint.parquet"))
+    writeText(s"$dir/_delta_log", "_last_checkpoint", """{"version":5,"size":3}""")
+    writeText(s"$dir/_delta_log", f"${6L}%020d.json",
+      """{"commitInfo":{"operation":"NOOP"}}""")
+
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 6L)
+    assert(snap.files.map(_.path) === Seq("data.parquet"))
+    val back = DeltaImport.readSnapshot(spark, dir)
+    assert(back.orderBy("k").collect().map(_.getString(1)).toSeq ===
+      (0 until 7).map(i => s"v$i"))
+  }
+
+  test("capability gate: unsupported features and log gaps refuse loudly") {
+    def freshLog(lines: Seq[String], name: String): String = {
+      val dir = tmp(name)
+      writeText(s"$dir/_delta_log", f"${0}%020d.json", lines.mkString("\n"))
+      dir
+    }
+    // minReaderVersion 2 (column mapping era)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, freshLog(Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        metaLine()), "delta-gate1"))
+    }
+    assert(e1.getMessage.contains("minReaderVersion=2"))
+    // v3 with a reader feature we do not implement
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, freshLog(Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+        metaLine()), "delta-gate2"))
+    }
+    assert(e2.getMessage.contains("deletionVectors"))
+    // column mapping via table configuration
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, freshLog(Seq(protocolLine,
+        metaLine(config = """{"delta.columnMapping.mode":"name"}""")), "delta-gate3"))
+    }
+    assert(e3.getMessage.contains("column mapping"))
+    // an add carrying a deletion vector
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, freshLog(Seq(protocolLine, metaLine(),
+        """{"add":{"path":"a.parquet","partitionValues":{},"size":1,
+          |"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,
+          |"sizeInBytes":40,"cardinality":2}}}""".stripMargin.replace("\n", "")),
+        "delta-gate4"))
+    }
+    assert(e4.getMessage.contains("deletion vector"))
+    // version gap: commit 0 and 2, no 1
+    val dir = tmp("delta-gap")
+    writeText(s"$dir/_delta_log", f"${0}%020d.json",
+      Seq(protocolLine, metaLine()).mkString("\n"))
+    writeText(s"$dir/_delta_log", f"${2}%020d.json",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1}}""")
+    val e5 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir)
+    }
+    assert(e5.getMessage.contains("no commit 1"))
+  }
+}

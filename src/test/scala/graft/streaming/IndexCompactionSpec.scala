@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Amortized compaction for the append-only index sinks (round-17 verdict
+  * item 2): folding per-batch file sets must change the FILE layout only —
+  * probe results, the `__batch < batchId` replay fence, and search results
+  * are identical before and after; a compact that died between its two
+  * publish renames is healed by the next one.
+  */
+class IndexCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def images(ids: Seq[Long]): DataFrame =
+    Multimodal.syntheticImages(ids.toDF("doc_id"), "doc_id")
+
+  private def parquetFiles(dir: String): Int = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    if (root.exists()) walk(root) else 0
+  }
+
+  test("image sink: compaction midway changes nothing but the file count") {
+    val dirA = Files.createTempDirectory("graft-cmp-a").toString
+    val dirB = Files.createTempDirectory("graft-cmp-b").toString
+    val a = new ImageNearDupSink(spark, dirA)   // compacted midway
+    val b = new ImageNearDupSink(spark, dirB)   // never compacted
+    // 8 batches: fresh group bases, planted variants, repeats
+    val batches = Seq(
+      Seq(0L, 40L), Seq(1L, 80L), Seq(41L, 120L), Seq(2L, 160L),
+      Seq(81L, 200L), Seq(3L, 42L), Seq(121L, 161L), Seq(201L, 240L))
+    batches.zipWithIndex.foreach { case (ids, i) =>
+      val ka = a.process(images(ids), i.toLong).collect().map(_.getLong(0)).toSet
+      val kb = b.process(images(ids), i.toLong).collect().map(_.getLong(0)).toSet
+      assert(ka === kb, s"batch $i diverged before any compaction effect")
+      if (i == 3) {
+        val before = parquetFiles(s"$dirA/chunk_index")
+        a.compact()
+        val after = parquetFiles(s"$dirA/chunk_index")
+        assert(after < before,
+          s"compaction must shrink the file count ($before -> $after)")
+        // every row (incl. __batch) survives the fold
+        val rowsA = spark.read.parquet(s"$dirA/chunk_index")
+          .collect().map(_.toSeq).toSet
+        val rowsB = spark.read.parquet(s"$dirB/chunk_index")
+          .collect().map(_.toSeq).toSet
+        assert(rowsA === rowsB)
+      }
+    }
+    // final states agree row-for-row
+    val rowsA = spark.read.parquet(s"$dirA/chunk_index").collect().map(_.toSeq).toSet
+    val rowsB = spark.read.parquet(s"$dirB/chunk_index").collect().map(_.toSeq).toSet
+    assert(rowsA === rowsB)
+  }
+
+  test("image sink: the replay fence survives compaction") {
+    val dir = Files.createTempDirectory("graft-cmp-replay").toString
+    val sink = new ImageNearDupSink(spark, dir)
+    val kept0 = sink.process(images(Seq(0L, 1L)), 0L).collect().map(_.getLong(0)).toSet
+    val kept1 = sink.process(images(Seq(2L, 80L)), 1L).collect().map(_.getLong(0)).toSet
+    sink.compact()
+    // replaying batch 1 after compaction must reproduce its kept set: the
+    // compacted rows still carry __batch, so the probe sees only batch 0
+    val replay = sink.process(images(Seq(2L, 80L)), 1L).collect().map(_.getLong(0)).toSet
+    assert(replay === kept1, s"replay diverged post-compaction: $replay vs $kept1")
+    assert(kept0 === Set(0L))
+  }
+
+  test("int8 sink: topK identical across compaction; crashed swap heals") {
+    val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 90)
+    val dir = Files.createTempDirectory("graft-cmp-sq8").toString
+    val sink = new Int8IndexSink(spark, dir)
+    (0 until 3).foreach { i =>
+      sink.process(
+        corpus.filter(col("vec_id") >= i * 30L && col("vec_id") < (i + 1) * 30L)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", i.toLong)
+    }
+    def page() = sink.topK(Seq(0L, 50L), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toList
+    val before = page()
+    val filesBefore = parquetFiles(s"$dir/sq8_index")
+    sink.compact(targetFiles = 1)
+    assert(parquetFiles(s"$dir/sq8_index") < filesBefore)
+    assert(page() === before, "search results changed across compaction")
+
+    // simulate a compact that died between its two renames: live data
+    // sits under __compact_old, the index dir is gone
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/sq8_index")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/sq8_index__compact_old")
+    assert(fs.rename(p, old))
+    sink.compact(targetFiles = 1)   // recovery + re-compact
+    assert(page() === before, "recovery lost rows")
+  }
+}
