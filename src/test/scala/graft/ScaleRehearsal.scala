@@ -204,6 +204,19 @@ object ScaleRehearsal {
           graft.ops.TextAnalysis.bpeTokenCount(col("text"), merges.toSeq))
           .as("total_tokens"))
       }),
+      // round-18 operators over the whole slice (registry faces cap their
+      // inputs for the oracle): real PNG/GIF ENCODE + ImageIO DECODE +
+      // dHash per doc — mapPartitions is opaque to pruning, so count()
+      // runs the full chain
+      "x71_full" -> ((s, dir) => graft.ops.Multimodal.dHash64(s,
+        graft.ops.Multimodal.syntheticLosslessImages(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id"))),
+      // BPE encode-to-ids over every doc, exploded and aggregated so the
+      // id arrays are materialized element-by-element (not just counted)
+      "x72_full" -> ((s, dir) => Tables.documents(s, dir)
+        .select(posexplode(graft.ops.TextAnalysis.bpeEncode(col("text"),
+          graft.ops.TextAnalysis.demoBpeMerges)))
+        .agg(sum(col("col")).as("id_sum"), count(lit(1)).as("n"))),
       // cluster-size distribution under the flat auto-k assignment: the
       // SemDeDup tail's pair volume is sum(size^2), so imbalance here is
       // what the x50-family wall time actually scales with
