@@ -140,7 +140,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // failure: throw Spark's ROUTINE_NOT_FOUND condition (sqlState 42883) so
   // analyzer paths / tooling that distinguish the two see the right kind
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident, resolveTableArg).getOrElse(
+    GraftProcedures.load(ident, resolveTableArg, resolveNewTableArg).getOrElse(
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "ROUTINE_NOT_FOUND",
         messageParameters = Map("routineName" ->
@@ -160,6 +160,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val l = log(Identifier.of(parts.init.toArray, parts.last))
     require(l.exists, s"no such table $catalogName.$name")
     l
+  }
+
+  /** Like [[resolveTableArg]] but for procedures that CREATE the table
+    * (import_delta): the log handle is built without the existence check.
+    */
+  private def resolveNewTableArg(name: String): TableLog = {
+    val parts = name.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table argument '$name': expected 'namespace.table'")
+    log(Identifier.of(parts.init.toArray, parts.last))
   }
 
   /** Iceberg-style derived metadata tables, addressed by an extra

@@ -31,15 +31,18 @@ private[connector] object GraftProcedures {
     Array(Identifier.of(Array(Namespace), "optimize"),
       Identifier.of(Array(Namespace), "vacuum"),
       Identifier.of(Array(Namespace), "restore"),
-      Identifier.of(Array(Namespace), "export_delta"))
+      Identifier.of(Array(Namespace), "export_delta"),
+      Identifier.of(Array(Namespace), "import_delta"))
 
-  def load(ident: Identifier, resolve: String => TableLog): Option[UnboundProcedure] = {
+  def load(ident: Identifier, resolve: String => TableLog,
+           resolveNew: String => TableLog): Option[UnboundProcedure] = {
     if (ident.namespace.toSeq != Seq(Namespace)) return None
     ident.name match {
       case "optimize" => Some(new OptimizeProcedure(resolve))
       case "vacuum" => Some(new VacuumProcedure(resolve))
       case "restore" => Some(new RestoreProcedure(resolve))
       case "export_delta" => Some(new ExportDeltaProcedure(resolve))
+      case "import_delta" => Some(new ImportDeltaProcedure(resolveNew))
       case _ => None
     }
   }
@@ -296,6 +299,74 @@ private[connector] final class ExportDeltaProcedure(resolve: String => TableLog)
           StructField("bytes", LongType, nullable = false),
           StructField("location", StringType, nullable = false))),
         Array(stats.files, stats.rows, stats.bytes, UTF8String.fromString(stats.location)))
+    }
+  }
+}
+
+/** `CALL lake.system.import_delta(...)` — [[DeltaImport.readSnapshot]] as
+  * SQL, the inbound half of the interop loop: materialize an EXTERNAL
+  * Delta Lake table's current snapshot as a NEW graft table at `table`.
+  * The snapshot is copied (one distributed scan + write), not referenced
+  * — later Delta commits do not appear (re-import for a newer snapshot).
+  * Hive-partitioned Delta layouts materialize their partition columns as
+  * ordinary columns (graft's layout is stats-pruned dirs, not value
+  * paths). Tables demanding reader features the import does not implement
+  * (column mapping, deletion vectors, …) are refused loudly — see
+  * [[DeltaImport]]. Returns (files, rows, source_version, table_dir).
+  */
+private[connector] final class ImportDeltaProcedure(resolveNew: String => TableLog)
+    extends UnboundProcedure {
+
+  override def name(): String = "import_delta"
+  override def description(): String =
+    "copy an external Delta Lake table's current snapshot into a NEW " +
+      "graft table; partition columns materialize inline; unsupported " +
+      "reader features are refused loudly"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = ImportDeltaProcedure.this.name()
+    override def description(): String = ImportDeltaProcedure.this.description()
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      GraftProcedures.in("table", StringType),
+      GraftProcedures.in("location", StringType))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = resolveNew(input.getUTF8String(0).toString)
+      val location = input.getUTF8String(1).toString
+      val spark = SparkSession.active
+      require(!log.exists,
+        s"target table already exists at ${log.tableDir} — import_delta " +
+          "creates a NEW table; drop it first or import elsewhere")
+      val dir = new org.apache.hadoop.fs.Path(log.tableDir)
+      val fs = dir.getFileSystem(log.hadoopConf)
+      require(fs.exists(dir.getParent),
+        s"namespace of ${log.tableDir} does not exist — create it first " +
+          "(a silent mkdirs would invent namespaces, cf. RENAME TO)")
+      val snap = DeltaImport.snapshot(spark, location)
+      log.create(snap.schema, Map.empty)
+      var rows = 0L
+      var files = 0
+      if (snap.files.nonEmpty) {
+        val staged = s"${log.tableDir}/data/import-" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        DeltaImport.readSnapshot(spark, location).write.parquet(staged)
+        val stats = DirStats.collect(staged, log.hadoopConf)
+        rows = stats.map(_.rows).getOrElse(0L)
+        files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        require(log.tryCommitEntries(None, Seq(DirEntry(staged, stats))),
+          s"first commit of the imported table ${log.tableDir} lost a race " +
+            "— a concurrent writer appeared under a table that did not exist")
+      }
+      GraftProcedures.oneRowResult(
+        StructType(Seq(
+          StructField("files", IntegerType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("source_version", LongType, nullable = false),
+          StructField("table_dir", StringType, nullable = false))),
+        Array(files, rows, snap.version, UTF8String.fromString(log.tableDir)))
     }
   }
 }

@@ -162,6 +162,38 @@ class DeltaImportSpec extends LakeSpec {
       (0 until 7).map(i => s"v$i"))
   }
 
+  test("CALL import_delta materializes an external snapshot as a real graft table") {
+    sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
+    sql("CREATE TABLE implake.db.src (k BIGINT, v STRING)")
+    sql("INSERT INTO implake.db.src SELECT id, concat('v', id) FROM range(0, 80)")
+    val dest = s"${tmp("delta-proc")}/t"
+    DeltaExport.exportSnapshot(spark, log("db/src"), dest)
+
+    val out = rows(s"CALL implake.system.import_delta(`table` => 'db.imported', " +
+      s"location => '$dest')")
+    assert(out.size === 1)
+    assert(out.head.getLong(1) === 80L, "reported row count")
+    assert(out.head.getLong(2) === 0L, "source Delta version")
+
+    // the import IS a normal graft table: queryable, and later writes work
+    assert(rows("SELECT k, v FROM implake.db.imported ORDER BY k") ===
+      rows("SELECT k, v FROM implake.db.src ORDER BY k"))
+    sql("DELETE FROM implake.db.imported WHERE k >= 40")
+    assert(rows("SELECT count(*) FROM implake.db.imported").head.getLong(0) === 40L)
+
+    // refusals: existing target; missing namespace (no silent mkdirs)
+    val e1 = intercept[Exception] {
+      rows(s"CALL implake.system.import_delta(`table` => 'db.imported', " +
+        s"location => '$dest')")
+    }
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[Exception] {
+      rows(s"CALL implake.system.import_delta(`table` => 'nodb.x', " +
+        s"location => '$dest')")
+    }
+    assert(e2.getMessage.contains("namespace"))
+  }
+
   test("capability gate: unsupported features and log gaps refuse loudly") {
     def freshLog(lines: Seq[String], name: String): String = {
       val dir = tmp(name)
