@@ -442,4 +442,135 @@ object Multimodal {
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 3, numChunks: Int = 4): DataFrame =
     Dedup.simhashPairs(dHash64(spark, media), maxHamming, numChunks)
+
+  // ---- audio fingerprinting (energy-difference hash over PCM) --------------
+
+  /** A canonical 16-bit PCM WAV with REAL sample values:
+    * `sample(frame, channel)` (signed 16-bit). [[wavBytes]] with the data
+    * chunk filled in.
+    */
+  private[ops] def wavPcmBytes(channels: Int, sampleRate: Int, nFrames: Int,
+                               sample: (Int, Int) => Int): Array[Byte] = {
+    val out = wavBytes(channels, sampleRate, nFrames.toLong)
+    var t = 0
+    while (t < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = sample(t, c)
+        val off = 44 + (t * channels + c) * 2
+        out(off) = v.toByte
+        out(off + 1) = (v >> 8).toByte
+        c += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  /** 64-bit energy-difference fingerprint of a 16-bit PCM WAV — the audio
+    * analogue of [[dHashGray]]: frames map onto 65 equal windows by
+    * `wnd = frame * 65 / nFrames` (floor — exactly replayable in SQL),
+    * each window's energy is the integer sum of |sample| over its frames
+    * and channels, and bit i = [energy(i+1) > energy(i)]. Pitch/volume
+    * CHANGES register; uniform scaling and frame-duplication (the trivial
+    * resample) do not — the published perceptual-fingerprint shape
+    * (Haitsma-Kalper energy-band signs) reduced to exact integer
+    * arithmetic an external engine can replay bit-for-bit. None for
+    * non-PCM-16 payloads or clips shorter than 65 frames.
+    */
+  private[ops] def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.length < 44 || bytes(0) != 'R' || bytes(1) != 'I' ||
+        bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+        bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    if (le16(bytes, 20) != 1 || le16(bytes, 34) != 16) return None  // PCM-16 only
+    val channels = le16(bytes, 22)
+    if (channels < 1) return None
+    // data chunk via the same long-offset walk decodeOne uses
+    var off = 12L
+    var dataOff = -1L
+    var dataSize = -1L
+    while (dataSize < 0 && off + 8 <= bytes.length) {
+      val o = off.toInt
+      val sz = le32(bytes, o + 4).toLong & 0xffffffffL
+      if (bytes(o) == 'd' && bytes(o + 1) == 'a' && bytes(o + 2) == 't' && bytes(o + 3) == 'a') {
+        dataOff = o + 8L; dataSize = sz
+      } else off += 8L + sz + (sz & 1L)
+    }
+    if (dataOff < 0) return None
+    val avail = math.min(dataSize, bytes.length - dataOff)
+    val nFrames = (avail / (channels * 2)).toInt
+    if (nFrames < 65) return None
+    val energy = new Array[Long](65)
+    var t = 0
+    while (t < nFrames) {
+      val wnd = (t.toLong * 65 / nFrames).toInt
+      var c = 0
+      var frameAbs = 0L
+      while (c < channels) {
+        val o = (dataOff + (t.toLong * channels + c) * 2).toInt
+        val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+        frameAbs += math.abs(v)
+        c += 1
+      }
+      energy(wnd) += frameAbs
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (energy(i + 1) > energy(i)) fp |= (1L << i)
+      i += 1
+    }
+    Some(fp)
+  }
+
+  /** The closed-form mono waveform of the synthetic audio corpus: docs in
+    * GROUPS of 4 (`doc_id / 4`) share a base signal; variants 1..3 spike
+    * ONE sample each, which changes at most one window's energy and so
+    * flips at most the two fingerprint bits comparing it — intra-group
+    * Hamming <= 2, unrelated groups ~half the bits apart. All positive
+    * integer arithmetic before the centering subtraction, so `%` agrees
+    * across engines.
+    */
+  private[ops] def synthPcm(docId: Long)(t: Int): Int = {
+    val grp = docId / 4
+    val v = (docId % 4).toInt
+    val a = grp % 7 + 1
+    val b = grp % 11 + 3
+    val base = a * (t + 1) * (t + 2) + b * (t + 1) + 13 * grp
+    val pert = if (v > 0 && t == 2 * v) 5000L else 0L
+    ((base + pert) % 30000).toInt - 15000
+  }
+
+  /** Deterministic audio corpus with planted near-duplicates: one mono
+    * 16-bit 130-frame WAV per doc from [[synthPcm]] (130 = 2 frames per
+    * fingerprint window, so the oracle's window arithmetic is exact).
+    * Test fixture, like [[syntheticImages]].
+    */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) =>
+      wavPcmBytes(1, 8000, 130, (t, _) => synthPcm(id)(t)))
+    df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
+  }
+
+  /** (id, simhash) fingerprint frame over a `(doc_id, media)` audio corpus
+    * — per-partition decode, non-PCM payloads dropped; named `simhash` so
+    * [[Dedup.simhashPairs]] consumes it unchanged (same as [[dHash64]]).
+    */
+  def audioFingerprint64(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioFingerprint(bytes).map(fp => (id, fp))
+      })
+      .toDF("id", "simhash")
+  }
+
+  /** Audio near-duplicate pairs: fingerprint + the same banded 64-bit
+    * Hamming blocking as [[imageNearDupPairs]] — total recall at
+    * `maxHamming <= numChunks - 1`, one equi-join, no all-pairs stage.
+    */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3, numChunks: Int = 4): DataFrame =
+    Dedup.simhashPairs(audioFingerprint64(spark, media), maxHamming, numChunks)
 }

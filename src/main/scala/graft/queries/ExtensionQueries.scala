@@ -883,6 +883,43 @@ object ExtensionQueries {
         hashes AS (SELECT doc_id, cast(sum(bit) AS BIGINT) AS h FROM bits GROUP BY 1)
         SELECT doc_id AS id, h AS simhash FROM hashes ORDER BY 1""")),
 
+    // ---- multimodal: AUDIO perceptual fingerprinting — 16-bit PCM WAV
+    // parsed from bytes, frames windowed (65 equal windows, floor
+    // arithmetic), per-window |sample| energy, bit i = [e(i+1) > e(i)]
+    // (the Haitsma-Kalper energy-sign shape in exact integer math). The
+    // synthetic corpus plants near-duplicates exactly like the image one;
+    // the oracle replays sample generation, windowing, energies, and the
+    // bit packing — the full bytes -> PCM -> fingerprint chain hash-gated.
+    // Near-dup pairs ride the same banded-Hamming join as x70 (spec-gated
+    // in AudioFingerprintSpec; the hash equality here subsumes it). ----
+    "x74_audio_fingerprint" -> Q(
+      (s, dir) => Multimodal.audioFingerprint64(s,
+          Multimodal.syntheticAudio(
+            Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id"))
+        .orderBy(col("id")),
+      Some("""WITH params AS (
+          SELECT doc_id, doc_id % 4 AS v, (doc_id // 4) % 7 + 1 AS a,
+                 (doc_id // 4) % 11 + 3 AS b, doc_id // 4 AS grp
+          FROM documents WHERE doc_id < 300),
+        samples AS (
+          SELECT doc_id, t,
+            ((a*(t+1)*(t+2) + b*(t+1) + 13*grp
+              + CASE WHEN v > 0 AND t = 2*v THEN 5000 ELSE 0 END) % 30000) - 15000 AS s,
+            (t * 65) // 130 AS wnd
+          FROM params, LATERAL (SELECT unnest(range(130)) AS t)),
+        energies AS (SELECT doc_id, wnd, sum(abs(s)) AS e FROM samples GROUP BY 1, 2),
+        bits AS (
+          SELECT lo.doc_id, lo.wnd AS i,
+            CASE WHEN hi.e > lo.e THEN
+              CASE WHEN lo.wnd = 63 THEN -9223372036854775807 - 1
+                   ELSE (1::BIGINT << cast(lo.wnd AS INT)) END
+            ELSE 0 END AS bit
+          FROM energies lo JOIN energies hi
+            ON lo.doc_id = hi.doc_id AND hi.wnd = lo.wnd + 1
+          WHERE lo.wnd < 64)
+        SELECT doc_id AS id, cast(sum(bit) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1 ORDER BY 1""")),
+
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(
       (s, dir) => Multimodal.frameSample(
