@@ -374,6 +374,36 @@ object Bench {
       (n.toLong, secs)
     }
 
+    defStream("audio_dedup") { _ =>
+      import spark.implicits._
+      // planted near-dup waveform groups of 4 (syntheticAudio), streamed
+      // through the PCM-fingerprint face of the shared chunk-index sink
+      val n = 8000; val batches = 8
+      val clips = graft.ops.Multimodal.syntheticAudio(
+          spark.range(n).toDF("doc_id"), "doc_id")
+        .as[BenchImg].collect().toSeq
+      val sink = new graft.streaming.AudioNearDupSink(spark, tmp("bench-auddup"))
+      val kept = new java.util.concurrent.atomic.AtomicLong()
+      val mem = MemoryStream[BenchImg](spark)
+      val q = sink.attach(mem.toDS()) { (k, _) => kept.addAndGet(k.count()); () }
+        .outputMode("append")
+        .option("checkpointLocation", tmp("bench-auddup-ckpt"))
+        .start()
+      val t0 = System.nanoTime()
+      clips.grouped(n / batches).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      // the hashed-coefficient waveforms decorrelate almost perfectly:
+      // the ideal first-wins fold keeps 1999 of 2000 groups (replayed in
+      // python), and every chain leads through its base id, so the stream
+      // matches the fold — envelope with a little slack
+      require(kept.get() > n / 4 - 50 && kept.get() <= n / 4,
+        s"audio dedup kept ${kept.get()}, outside (${n / 4 - 50}, ${n / 4}]")
+      (n.toLong, secs)
+    }
+
     val cfRoot = tmp("bench-cf")
     defStream("catalog_changefeed") { tag =>
       // end-to-end lakehouse append -> manifest-tailing stream drain rate

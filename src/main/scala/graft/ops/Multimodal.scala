@@ -528,16 +528,19 @@ object Multimodal {
     * GROUPS of 4 (`doc_id / 4`) share a base signal; variants 1..3 spike
     * ONE sample each, which changes at most one window's energy and so
     * flips at most the two fingerprint bits comparing it — intra-group
-    * Hamming <= 2, unrelated groups ~half the bits apart. All positive
-    * integer arithmetic before the centering subtraction, so `%` agrees
-    * across engines.
+    * Hamming <= 2. The per-group quadratic COEFFICIENT comes through a
+    * Knuth multiplicative hash, so unrelated groups wrap mod 30000 at
+    * unrelated frequencies and their energy-sign fingerprints decorrelate
+    * (measured: 1999 of 2000 groups survive the first-wins fold at
+    * hamming <= 3 — a plain `grp % k` coefficient left only 60). All
+    * positive integer arithmetic before the centering subtraction, so `%`
+    * agrees across engines.
     */
   private[ops] def synthPcm(docId: Long)(t: Int): Int = {
     val grp = docId / 4
     val v = (docId % 4).toInt
-    val a = grp % 7 + 1
-    val b = grp % 11 + 3
-    val base = a * (t + 1) * (t + 2) + b * (t + 1) + 13 * grp
+    val f = (grp * 2654435761L) % 9973 + 17
+    val base = f * (t + 1) * (t + 2) + (grp % 97) * (t + 1) + 13 * grp
     val pert = if (v > 0 && t == 2 * v) 5000L else 0L
     ((base + pert) % 30000).toInt - 15000
   }

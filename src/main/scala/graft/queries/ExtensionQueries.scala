@@ -898,12 +898,13 @@ object ExtensionQueries {
             Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id"))
         .orderBy(col("id")),
       Some("""WITH params AS (
-          SELECT doc_id, doc_id % 4 AS v, (doc_id // 4) % 7 + 1 AS a,
-                 (doc_id // 4) % 11 + 3 AS b, doc_id // 4 AS grp
+          SELECT doc_id, doc_id % 4 AS v,
+                 (doc_id // 4) * 2654435761 % 9973 + 17 AS f,
+                 (doc_id // 4) % 97 AS c, doc_id // 4 AS grp
           FROM documents WHERE doc_id < 300),
         samples AS (
           SELECT doc_id, t,
-            ((a*(t+1)*(t+2) + b*(t+1) + 13*grp
+            ((f*(t+1)*(t+2) + c*(t+1) + 13*grp
               + CASE WHEN v > 0 AND t = 2*v THEN 5000 ELSE 0 END) % 30000) - 15000 AS s,
             (t * 65) // 130 AS wnd
           FROM params, LATERAL (SELECT unnest(range(130)) AS t)),

@@ -4,23 +4,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal}
 
-/** Incremental perceptual-hash image dedup — the streaming increment of
-  * [[Multimodal.imageNearDupPairs]], with the same state architecture as
-  * the text [[NearDupSink]]: each micro-batch of `(doc_id, media)` rows is
-  * dHashed, checked against every previously KEPT image and against
-  * itself; near-dup-free survivors pass and only their hash chunks enter
-  * the state.
+/** Shared engine of the perceptual-hash dedup sinks — the streaming
+  * increment of the `simhashPairs` family for any 64-bit perceptual hash
+  * ([[ImageNearDupSink]] plugs in dHash, [[AudioNearDupSink]] the audio
+  * energy fingerprint), with the same state architecture as the text
+  * [[NearDupSink]]: each micro-batch of `(doc_id, media)` rows is hashed,
+  * checked against every previously KEPT doc and against itself;
+  * near-dup-free survivors pass and only their hash chunks enter state.
   *
   * Scale shape (identical to NearDupSink's, argued there): an APPEND-ONLY
   * parquet chunk index `(chunk, chunk_val, id, hash)` hash-partitioned by
   * `__bucket`; batches probe only the partitions their own chunk values
   * fall in; candidates are popcount-scored from stored 8-byte hashes — no
-  * pixels in state, probe cost |candidates| not |corpus|. With
+  * pixels/samples in state, probe cost |candidates| not |corpus|. With
   * `maxHamming <= numChunks - 1` the chunk blocking has pigeonhole-total
   * recall: the candidate PAIRS are exact, never probabilistic.
   *
   * Keep semantics, first-wins like the text sink: a doc drops when it
-  * near-duplicates an earlier batch's KEPT image, or when it is the
+  * near-duplicates an earlier batch's KEPT doc, or when it is the
   * larger id of ANY intra-batch pair — including a pair whose smaller id
   * was itself dropped (the batch keep-one-per-pair-chain convention
   * NearDupSink documents). On an intra-batch chain a~b, b~c with a !~ c,
@@ -30,15 +31,21 @@ import graft.ops.{Dedup, Multimodal}
   * semantics, and equals-the-ideal-fold whenever every pair chain leads
   * through its smallest id (the planted-group fixtures' shape).
   */
-class ImageNearDupSink(spark: SparkSession, stateDir: String,
-                       maxHamming: Int = 3, numChunks: Int = 4,
-                       numBuckets: Int = 16)
+abstract class PerceptualNearDupSink(spark: SparkSession, stateDir: String,
+                                     maxHamming: Int, numChunks: Int,
+                                     numBuckets: Int)
     extends Serializable {
 
   require(64 % numChunks == 0, s"numChunks $numChunks must divide 64")
   require(maxHamming <= numChunks - 1,
     s"maxHamming $maxHamming > numChunks - 1 = ${numChunks - 1} breaks the " +
       "pigeonhole recall guarantee (stream and batch would diverge)")
+
+  /** The `(id, simhash)` perceptual-hash frame of one batch of
+    * `(doc_id, media)` rows; undecodable payloads yield no row (they pass
+    * the gate — they duplicate nothing).
+    */
+  protected def hashFrame(batch: DataFrame): DataFrame
 
   private val index = s"$stateDir/chunk_index"
   private val bits = 64 / numChunks
@@ -64,7 +71,7 @@ class ImageNearDupSink(spark: SparkSession, stateDir: String,
     * as NearDupSink).
     */
   def process(batch: DataFrame, batchId: Long): DataFrame = {
-    val hashes = Multimodal.dHash64(spark, batch).persist()
+    val hashes = hashFrame(batch).persist()
     val batchChunks = chunked(hashes)
       .withColumn("__bucket", pmod(col("chunk_val"), lit(numBuckets.toLong)))
       .persist()
@@ -115,4 +122,32 @@ class ImageNearDupSink(spark: SparkSession, stateDir: String,
       onKept(process(batch.toDF(), id), id)
       ()
     }
+}
+
+/** Incremental perceptual-hash IMAGE dedup — the streaming increment of
+  * [[Multimodal.imageNearDupPairs]]: dHash (BMP byte math / JDK ImageIO
+  * for PNG/GIF/JPEG) into the shared [[PerceptualNearDupSink]] engine.
+  */
+class ImageNearDupSink(spark: SparkSession, stateDir: String,
+                       maxHamming: Int = 3, numChunks: Int = 4,
+                       numBuckets: Int = 16)
+    extends PerceptualNearDupSink(spark, stateDir, maxHamming, numChunks,
+      numBuckets) {
+
+  protected def hashFrame(batch: DataFrame): DataFrame =
+    Multimodal.dHash64(spark, batch)
+}
+
+/** Incremental perceptual-hash AUDIO dedup — the streaming increment of
+  * [[Multimodal.audioNearDupPairs]]: the PCM energy-difference
+  * fingerprint into the shared [[PerceptualNearDupSink]] engine.
+  */
+class AudioNearDupSink(spark: SparkSession, stateDir: String,
+                       maxHamming: Int = 3, numChunks: Int = 4,
+                       numBuckets: Int = 16)
+    extends PerceptualNearDupSink(spark, stateDir, maxHamming, numChunks,
+      numBuckets) {
+
+  protected def hashFrame(batch: DataFrame): DataFrame =
+    Multimodal.audioFingerprint64(spark, batch)
 }
