@@ -576,4 +576,88 @@ object Multimodal {
   def audioNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 3, numChunks: Int = 4): DataFrame =
     Dedup.simhashPairs(audioFingerprint64(spark, media), maxHamming, numChunks)
+
+  // ---- video: frame-container walk + per-frame perceptual hashing ---------
+
+  /** Split a motion-BMP payload (concatenated BMP files — the simplest
+    * REAL container: each frame's extent comes from its own BMP `file
+    * size` header field, so this is genuine container walking, not
+    * fixed-stride slicing) into its frame byte ranges. Parsing stops at
+    * the first non-BMP/corrupt offset (a real pipeline logs-and-truncates
+    * rather than guessing). A production deployment swaps this walk for
+    * an MP4/H.264 demuxer behind the same seam.
+    */
+  private[ops] def videoFrames(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var off = 0
+    while (off + 54 <= bytes.length && bytes(off) == 'B' && bytes(off + 1) == 'M') {
+      val size = le32(bytes, off + 2)
+      if (size < 54 || off.toLong + size > bytes.length) return out.toSeq
+      out += ((off, size))
+      off += size
+    }
+    out.toSeq
+  }
+
+  /** (doc_id, frame_idx, frame_hash) — per-partition container walk +
+    * per-frame [[dHashGray]]; frames that fail to hash are skipped.
+    */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoFrames(bytes).zipWithIndex.flatMap { case ((off, len), i) =>
+          dHashGray(java.util.Arrays.copyOfRange(bytes, off, off + len))
+            .map(h => (id, i, h))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_hash")
+  }
+
+  /** Video near-duplicate pairs: per-video DISTINCT frame-hash sets,
+    * exact set-Jaccard via [[Dedup.jaccardPairs]]'s inverted index (the
+    * frame hash IS the token — one equi-join on hash values, never
+    * all-pairs). Videos sharing >= `threshold` of their distinct frame
+    * hashes pair; reordering/duplicating frames does not (sets), while
+    * replacing frames lowers Jaccard proportionally — standard keyframe-
+    * signature dedup with the exact measure instead of a sketch.
+    */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame,
+                        threshold: Double): DataFrame = {
+    val sets = videoFrameHashes(spark, media)
+      .groupBy(col("doc_id")).agg(collect_set(col("frame_hash")).as("hashes"))
+    Dedup.jaccardPairs(sets, "doc_id", "hashes", threshold,
+      tokenizer = c => c)   // already a distinct hash array
+  }
+
+  /** Deterministic video corpus with planted near-duplicates: videos in
+    * GROUPS of 4 (`doc_id / 4`); each is 10 motion-BMP frames whose
+    * images are [[synthGray]] grids of frame doc-ids `grp*1000 + 4k`
+    * (k = 0..9 — spaced by 4 so every frame is the BASE of a distinct
+    * synthGray group; consecutive ids would be near-identical variants of
+    * one pattern and hash-collide within the video); variant v REPLACES
+    * frame 2v with the image of `grp*1000 + 400 + 4v`, so
+    * Jaccard(base, variant) = 9/11 over distinct hashes (absent residual
+    * hash collisions, which the oracle replays identically) and unrelated
+    * groups share nothing.
+    */
+  def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) => {
+      val grp = id / 4
+      val v = (id % 4).toInt
+      val frames = (0 until 10).map { k =>
+        val fid = if (v > 0 && k == 2 * v) grp * 1000 + 400 + 4 * v
+                  else grp * 1000 + 4 * k
+        bmpGrayBytes(9, 8, synthGray(fid))
+      }
+      val total = frames.map(_.length).sum
+      val out = new Array[Byte](total)
+      var off = 0
+      frames.foreach { f =>
+        System.arraycopy(f, 0, out, off, f.length); off += f.length
+      }
+      out
+    })
+    df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
+  }
 }

@@ -921,6 +921,53 @@ object ExtensionQueries {
         SELECT doc_id AS id, cast(sum(bit) AS BIGINT) AS simhash
         FROM bits GROUP BY 1 ORDER BY 1""")),
 
+    // ---- multimodal: VIDEO near-dup — a real container walk (motion-BMP:
+    // frame extents from each frame's own BMP size field), per-frame
+    // dHash, per-video DISTINCT frame-hash sets, exact set-Jaccard via
+    // the inverted-index join (the frame hash is the token; one equi-join,
+    // never all-pairs). Planted variants replace 1 of 10 frames ->
+    // Jaccard 9/11 vs base; variant-variant 8/12 stays under the 0.8
+    // threshold. The oracle replays frame-id assignment, every frame's
+    // pixel closed form, the dHash packing, set-dedup, and the Jaccard. ----
+    "x75_video_neardup" -> Q(
+      (s, dir) => Multimodal.videoNearDupPairs(s,
+          Multimodal.syntheticVideos(
+            Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id"),
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH vids AS (SELECT doc_id AS vid FROM documents WHERE doc_id < 200),
+        fids AS (
+          SELECT vid, CASE WHEN vid % 4 > 0 AND f = 2*(vid % 4)
+                           THEN (vid // 4)*1000 + 400 + 4*(vid % 4)
+                           ELSE (vid // 4)*1000 + 4*f END AS fid
+          FROM vids, LATERAL (SELECT unnest(range(10)) AS f)),
+        params AS (
+          SELECT vid, fid, fid % 4 AS v, (fid // 4) % 7 + 1 AS a,
+                 (fid // 4) % 11 + 3 AS b, (fid // 4) % 251 AS c, fid // 4 AS grp
+          FROM fids),
+        bits AS (
+          SELECT vid, fid, i,
+            CASE WHEN
+              (a*((i%8+1)+1)*((i%8+1)+2) + b*((i//8)+1)*((i%8+1)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8+1) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+              >
+              (a*((i%8)+1)*((i%8)+2) + b*((i//8)+1)*((i%8)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+            THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << cast(i AS INT)) END
+            ELSE 0 END AS bit
+          FROM params, LATERAL (SELECT unnest(range(64)) AS i)),
+        hset AS (SELECT DISTINCT vid, h FROM
+          (SELECT vid, fid, cast(sum(bit) AS BIGINT) AS h FROM bits GROUP BY 1, 2)),
+        sizes AS (SELECT vid, count(*) AS sz FROM hset GROUP BY 1),
+        inter AS (SELECT x.vid AS id_a, y.vid AS id_b, count(*) AS inter
+                  FROM hset x JOIN hset y ON x.h = y.h AND x.vid < y.vid GROUP BY 1, 2)
+        SELECT id_a, id_b, inter,
+               cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.vid JOIN sizes sb ON id_b = sb.vid
+        WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+        ORDER BY id_a, id_b""")),
+
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(
       (s, dir) => Multimodal.frameSample(

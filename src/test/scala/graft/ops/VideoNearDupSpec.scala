@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Video near-dup: the motion-BMP container walk, per-frame hashing, and
+  * the set-Jaccard pair geometry over the planted corpus.
+  */
+class VideoNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the container walk splits frames by each BMP's own size field") {
+    val media = Multimodal.syntheticVideos(Seq(0L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("media")
+    val frames = Multimodal.videoFrames(media)
+    assert(frames.size === 10)
+    // frame extents tile the payload exactly
+    assert(frames.head._1 === 0)
+    assert(frames.map(_._2).sum === media.length)
+    assert(frames.sliding(2).forall { case Seq((o1, l1), (o2, _)) => o2 === o1 + l1 })
+    // a corrupt tail truncates the walk instead of guessing
+    val cut = java.util.Arrays.copyOf(media, media.length - 7)
+    assert(Multimodal.videoFrames(cut).size === 9)
+    assert(Multimodal.videoFrames("no frames here".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("per-frame hashes equal the single-image hashes of the frame ids") {
+    val hashes = Multimodal.videoFrameHashes(spark,
+        Multimodal.syntheticVideos(Seq(8L).toDF("doc_id"), "doc_id"))
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(hashes.size === 10)
+    // video 8 = group 2 base: frame k is the synthGray image of 2000 + 4k
+    hashes.foreach { case (k, h) =>
+      val expected = Multimodal.dHashGray(
+        Multimodal.bmpGrayBytes(9, 8, Multimodal.synthGray(2000L + 4 * k))).get
+      assert(h === expected, s"frame $k hash drifted")
+    }
+  }
+
+  test("planted pairs: every base-variant pairs >= 0.8, no cross-group") {
+    val media = Multimodal.syntheticVideos((0L until 16L).toDF("doc_id"), "doc_id")
+    val pairs = Multimodal.videoNearDupPairs(spark, media, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    for (g <- 0L until 4L; v <- 1L to 3L) {
+      val j = pairs.get((4 * g, 4 * g + v))
+      assert(j.isDefined, s"missing base-variant pair (${4 * g}, ${4 * g + v})")
+      // 9/11 when all 10 frame hashes are distinct; an intra-video hash
+      // collision shrinks a set and RAISES the ratio (e.g. 7/8) — the
+      // oracle replays the same collisions, so exactness lives there
+      assert(j.get >= 9.0 / 11.0 - 1e-9, s"jaccard ${j.get} below 9/11")
+    }
+    assert(pairs.keySet.forall { case (x, y) => x / 4 == y / 4 },
+      s"cross-group pair leaked: ${pairs.keySet}")
+  }
+}
