@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -920,6 +921,52 @@ object ExtensionQueries {
           WHERE lo.wnd < 64)
         SELECT doc_id AS id, cast(sum(bit) AS BIGINT) AS simhash
         FROM bits GROUP BY 1 ORDER BY 1""")),
+
+    // ---- the SERIALIZATION capstone: documents BPE-encoded, packed into
+    // fixed-budget bins (x69's packSequences), and emitted as each bin's
+    // CONCATENATED token stream — (source, bin_id, pos, token_id) with pos
+    // the global offset inside the bin. x69 gates the counts/binning and
+    // x72 the per-doc ids; this gates their COMPOSITION (bin offsets +
+    // concatenation order), i.e. the actual artifact a pretraining run
+    // memory-maps. Two window shuffles + one explode; scan-pipelined
+    // otherwise. ----
+    "x76_pack_stream" -> Q(
+      (s, dir) => {
+        val demo = TextAnalysis.demoBpeMerges
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.bpeEncode(col("text"), demo).as("ids"))
+        val packed = Sampling.packSequences(
+          docs, groupCol = "source", idCol = "doc_id",
+          tokenCountCol = size(col("ids")).cast("long"), budget = 512L)
+        val w = Window.partitionBy(col("source"), col("bin_id"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        packed
+          .withColumn("doc_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("source"), col("bin_id"), col("doc_off"),
+            posexplode(col("ids")))
+          .select(col("source"), col("bin_id"),
+            (col("doc_off") + col("pos")).as("pos"), col("col").as("token_id"))
+          .orderBy(col("source"), col("bin_id"), col("pos"))
+      },
+      Some(s"""WITH w AS (
+          SELECT doc_id, source, flatten(list_transform(
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+            w -> ${TextAnalysis.bpeOracleEncodeSql("w", TextAnalysis.demoBpeMerges)})) AS ids
+          FROM documents WHERE doc_id < 300),
+        d AS (SELECT doc_id, source, ids, len(ids) AS n_tokens FROM w),
+        b AS (SELECT *, cast(floor(coalesce(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin_id
+              FROM d),
+        o AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                PARTITION BY source, bin_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off
+              FROM b)
+        SELECT source, bin_id, doc_off + unnest(range(len(ids))) AS pos,
+               unnest(ids) AS token_id
+        FROM o ORDER BY source, bin_id, pos""")),
 
     // ---- multimodal: VIDEO near-dup — a real container walk (motion-BMP:
     // frame extents from each frame's own BMP size field), per-frame
