@@ -960,9 +960,9 @@ object ExtensionQueries {
                 PARTITION BY source ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin_id
               FROM d),
-        o AS (SELECT *, coalesce(sum(n_tokens) OVER (
+        o AS (SELECT *, cast(coalesce(sum(n_tokens) OVER (
                 PARTITION BY source, bin_id ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_off
               FROM b)
         SELECT source, bin_id, doc_off + unnest(range(len(ids))) AS pos,
                unnest(ids) AS token_id
