@@ -70,17 +70,53 @@ object DeltaImport {
         n.take(20).forall(_.isDigit))
       .groupBy(_.take(20).toLong).map { case (v, ps) => v -> ps.toSeq.sorted }
 
+    // COMPLETENESS is mandatory before a checkpoint may stand in for the
+    // log prefix it summarizes: a multi-part checkpoint mid-upload (or a
+    // partial listing) would otherwise be read as the full action state
+    // and adds carried by the missing parts would silently vanish. Names
+    // decide: `v.checkpoint.parquet` is one self-contained file;
+    // `v.checkpoint.%010d.%010d.parquet` encodes part-i-of-n, so all n
+    // must be present; any other shape (v2/UUID checkpoints — a reader
+    // feature this import does not implement) is refused by name.
+    val multiPart = """\d{20}\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    def checkpointComplete(v: Long): Boolean = {
+      val ps = checkpointParts(v)
+      if (ps == Seq(f"$v%020d.checkpoint.parquet")) true
+      else {
+        val parsed = ps.map {
+          case multiPart(i, n) => (i.toInt, n.toInt)
+          case other => throw new IllegalArgumentException(
+            s"unrecognized checkpoint file name '$other' under $tableDir — " +
+              "not a classic single- or multi-part checkpoint (v2/UUID " +
+              "checkpoints are a reader feature this import refuses)")
+        }
+        val totals = parsed.map(_._2).distinct
+        totals.size == 1 && parsed.map(_._1).sorted == (1 to totals.head)
+      }
+    }
+
     val lastCheckpoint: Option[Long] = {
       val lc = new Path(logDir, "_last_checkpoint")
       if (!fs.exists(lc)) None
       else {
         val in = fs.open(lc)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        Some(om.readTree(txt).get("version").asLong)
+        val node = om.readTree(txt)
+        val v = node.get("version").asLong
+        // _last_checkpoint is written AFTER its checkpoint completes, so a
+        // named-but-incomplete checkpoint is corruption, not a race
+        require(checkpointParts.contains(v) && checkpointComplete(v) &&
+            Option(node.get("parts")).forall(_.asInt == checkpointParts(v).size),
+          s"_last_checkpoint at $tableDir names checkpoint $v but its " +
+            "parquet part set is missing or incomplete — refusing to read " +
+            "a truncated table state")
+        Some(v)
       }
     }
-    val checkpointV = lastCheckpoint.filter(checkpointParts.contains)
-      .orElse(if (checkpointParts.isEmpty) None else Some(checkpointParts.keys.max))
+    // without _last_checkpoint, use the newest COMPLETE checkpoint (a
+    // mid-upload newest is simply not used yet — its JSON commits replay)
+    val checkpointV = lastCheckpoint
+      .orElse(checkpointParts.keys.toSeq.sorted.reverse.find(checkpointComplete))
 
     require(commits.nonEmpty || checkpointV.nonEmpty,
       s"empty _delta_log under $tableDir")
@@ -222,8 +258,17 @@ object DeltaImport {
     * partition columns re-attached as typed literals, columns in schema
     * order. Empty table -> empty frame with the declared schema.
     */
-  def readSnapshot(spark: SparkSession, tableDir: String): DataFrame = {
-    val snap = snapshot(spark, tableDir)
+  def readSnapshot(spark: SparkSession, tableDir: String): DataFrame =
+    readSnapshot(spark, tableDir, snapshot(spark, tableDir))
+
+  /** [[readSnapshot]] over an already-resolved [[Snapshot]] — callers that
+    * also need the snapshot facts (import_delta records schema/version and
+    * copies the data) resolve ONCE and pass it here, so a concurrent Delta
+    * commit cannot slip between two independent log replays and make the
+    * created schema inconsistent with the data actually copied.
+    */
+  def readSnapshot(spark: SparkSession, tableDir: String,
+                   snap: Snapshot): DataFrame = {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

@@ -167,7 +167,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def resolveNewTableArg(name: String): TableLog = {
     val parts = name.split('.').toSeq
-    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+    // >= 2 parts enforced HERE (resolveTableArg's exists-check masks its
+    // lax parse): a bare 'name' would otherwise create a table directly
+    // under the warehouse root that no db.t identifier addresses
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
       s"bad table argument '$name': expected 'namespace.table'")
     log(Identifier.of(parts.init.toArray, parts.last))
   }

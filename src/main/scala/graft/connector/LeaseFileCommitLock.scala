@@ -30,8 +30,10 @@ import org.apache.hadoop.fs.Path
   * Liveness: a holder that dies leaves the lease in place; waiters treat a
   * lease older than `ttlMs` (store mtime, so one clock for all writers) as
   * abandoned, delete it, and re-race. While held, a daemon HEARTBEAT
-  * renews the lease mtime every `ttlMs / 3`, so a publish slower than the
-  * TTL (a stalled object-store PUT, a wide rewrite) is not stolen
+  * re-writes the lease (token re-PUT — refreshing its store mtime on
+  * every store, where a bare setTimes is a no-op on object stores) every
+  * `ttlMs / 3`, so a publish slower than the TTL (a stalled object-store
+  * PUT, a wide rewrite) is not stolen
   * mid-flight — only a holder whose whole PROCESS stops renewing (crash,
   * or a GC pause past the TTL, the envelope every TTL lock documents)
   * loses the lease to a steal. Release deletes the lease only while it
@@ -132,48 +134,70 @@ final class LeaseFileCommitLock(conf: Configuration,
   }
 
   private[connector] def release(tableDir: String, token: String): Unit = {
-    stopHeartbeat(tableDir)
-    try {
-      // only delete a lease that is still OURS — after a TTL steal the
-      // file carries the stealer's token and must survive this release.
-      // Checked TWICE, the second immediately before the delete (the
-      // steal path's re-stat pattern): with a single read, a steal
-      // landing in the read→delete gap would have our release destroy
-      // the stealer's fresh lease; with the paired reads that requires
-      // the steal to fit between two adjacent calls (see class doc).
-      if (readToken(tableDir).contains(token) &&
-          readToken(tableDir).contains(token))
-        fs(tableDir).delete(leasePath(tableDir), false)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    val monitor = stopHeartbeat(tableDir)
+    monitor.synchronized {
+      try {
+        // only delete a lease that is still OURS — after a TTL steal the
+        // file carries the stealer's token and must survive this release.
+        // Checked TWICE, the second immediately before the delete (the
+        // steal path's re-stat pattern): with a single read, a steal
+        // landing in the read→delete gap would have our release destroy
+        // the stealer's fresh lease; with the paired reads that requires
+        // the steal to fit between two adjacent calls (see class doc).
+        // The heartbeat monitor is held, so a cancelled-but-running beat
+        // cannot re-PUT the lease after this delete.
+        if (readToken(tableDir).contains(token) &&
+            readToken(tableDir).contains(token))
+          fs(tableDir).delete(leasePath(tableDir), false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
-  // ---- heartbeat: renew the lease mtime while held ------------------------
+  // ---- heartbeat: renew the lease while held -------------------------------
+
+  private case class Heartbeat(future: java.util.concurrent.ScheduledFuture[_],
+                               monitor: Object)
 
   private val heartbeats =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      java.util.concurrent.ScheduledFuture[_]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Heartbeat]()
 
   private def startHeartbeat(tableDir: String, token: String): Unit = {
     val period = math.max(25L, ttlMs / 3)
-    val task: Runnable = () =>
+    val monitor = new Object
+    val task: Runnable = () => monitor.synchronized {
       try {
         // renew only while the lease still carries OUR token: after a
         // steal (GC pause past the TTL) the file is the stealer's and a
-        // blind touch would extend a lease we no longer hold
-        if (readToken(tableDir).contains(token))
-          fs(tableDir).setTimes(leasePath(tableDir),
-            System.currentTimeMillis(), -1L)
+        // blind renewal would extend a lease we no longer hold. Renewal
+        // RE-WRITES the token (create overwrite=true): FileSystem.setTimes
+        // is a silent no-op on the object-store implementations this lock
+        // exists for (the base-class default does nothing, S3A/ABFS do
+        // not implement it), so an mtime touch would leave the on-store
+        // lease stale and the slower-than-TTL publish stealable — the
+        // re-PUT refreshes the store mtime everywhere. The beat and
+        // release() share this monitor, so a release can never interleave
+        // with a half-finished re-PUT of the same acquisition.
+        if (readToken(tableDir).contains(token)) {
+          val out = fs(tableDir).create(leasePath(tableDir), true)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
+    }
     val f = LeaseFileCommitLock.scheduler
       .scheduleAtFixedRate(task, period, period,
         java.util.concurrent.TimeUnit.MILLISECONDS)
-    Option(heartbeats.put(TableLog.dirKey(tableDir), f))
-      .foreach(_.cancel(false))
+    Option(heartbeats.put(TableLog.dirKey(tableDir), Heartbeat(f, monitor)))
+      .foreach(_.future.cancel(false))
   }
 
-  private def stopHeartbeat(tableDir: String): Unit =
-    Option(heartbeats.remove(TableLog.dirKey(tableDir)))
-      .foreach(_.cancel(false))
+  /** Cancel the heartbeat and return the monitor release() must hold while
+    * deleting, so no in-flight beat can re-create the lease after it.
+    */
+  private def stopHeartbeat(tableDir: String): Object =
+    Option(heartbeats.remove(TableLog.dirKey(tableDir))) match {
+      case Some(hb) => hb.future.cancel(false); hb.monitor
+      case None => new Object
+    }
 
   private def readToken(tableDir: String): Option[String] =
     try {
@@ -196,12 +220,16 @@ private[connector] object LeaseFileCommitLock {
   private val stripes =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** One shared daemon scheduler for every lock's heartbeats: leases held
-    * at any instant are few (one per in-flight table publish), and the
-    * task body is two small-file ops.
+  /** One shared daemon scheduler for every lock's heartbeats. FOUR threads,
+    * not one: a beat is two blocking store calls (read + re-PUT), and with
+    * a single thread one stalled store request would queue every other
+    * held lease's renewal behind it until its TTL expired — the mid-flight
+    * steal the heartbeat exists to prevent. Leases held at any instant are
+    * few (one per in-flight table publish), so four threads keep beats
+    * independent without real cost.
     */
   private val scheduler = {
-    val s = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+    val s = new java.util.concurrent.ScheduledThreadPoolExecutor(4, (r: Runnable) => {
       val t = new Thread(r, "graft-lease-heartbeat")
       t.setDaemon(true)
       t

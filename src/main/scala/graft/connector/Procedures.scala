@@ -351,7 +351,10 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
       if (snap.files.nonEmpty) {
         val staged = s"${log.tableDir}/data/import-" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-        DeltaImport.readSnapshot(spark, location).write.parquet(staged)
+        // the ALREADY-resolved snapshot feeds the read: resolving again
+        // would let a concurrent Delta commit desynchronize the created
+        // schema/reported version from the data actually copied
+        DeltaImport.readSnapshot(spark, location, snap).write.parquet(staged)
         val stats = DirStats.collect(staged, log.hadoopConf)
         rows = stats.map(_.rows).getOrElse(0L)
         files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))

@@ -48,7 +48,10 @@ object BpeTrainer {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minWordCount)
       .orderBy(col("n").desc, col("word").asc)
-      .limit(maxVocabWords + 1)
+      // +1 detects a binding cap; Long-guarded so maxVocabWords =
+      // Int.MaxValue (the natural "uncapped" spelling) cannot overflow
+      // into a negative limit
+      .limit(math.min(maxVocabWords.toLong + 1L, Int.MaxValue.toLong).toInt)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (fetched.length > maxVocabWords) {
       val msg = s"BPE vocab histogram truncated: the corpus has more than " +

@@ -308,6 +308,7 @@ object Multimodal {
     */
   private[ops] def imageIoBytes(format: String, width: Int, height: Int,
                                 gray: (Int, Int) => Int): Array[Byte] = {
+    require(imageIoReady)   // encode spools through the same disk cache decode does
     val img = format match {
       case "gif" =>
         val ramp = Array.tabulate(256)(_.toByte)
@@ -372,10 +373,18 @@ object Multimodal {
       val dataOff = le32(bytes, 10)
       val w = le32(bytes, 18)
       val h = le32(bytes, 22)
-      val rowSize = ((w * 3 + 3) / 4) * 4
-      if (w > 0 && h > 0 && bytes.length >= dataOff + rowSize * h)
+      // bounds math in LONG: a corrupt/crafted header with a huge width
+      // would overflow `w * 3` / `rowSize * h` in Int, pass an Int-typed
+      // check, and the accessor would throw out of bounds — killing the
+      // task where every other undecodable payload contractually yields
+      // None (payload length < 2 GiB caps the honest values anyway)
+      val rowSize = ((w.toLong * 3 + 3) / 4) * 4
+      if (w > 0 && h > 0 && dataOff >= 54 &&
+          bytes.length.toLong >= dataOff.toLong + rowSize * h) {
+        val rs = rowSize.toInt
         return Some((w, h,
-          (x, y) => bytes(dataOff + (h - 1 - y) * rowSize + x * 3) & 0xff))
+          (x, y) => bytes(dataOff + (h - 1 - y) * rs + x * 3) & 0xff))
+      }
     }
     if (!imageIoReady) return None   // never: forces the one-time init
     val img =

@@ -46,6 +46,7 @@ class AnnIndexSink(spark: SparkSession, stateDir: String,
   /** Encode one micro-batch with the frozen model and append it. */
   def process(batch: DataFrame, idCol: String, vecCol: String,
               batchId: Long): Unit = {
+    IndexDirs.heal(spark, codesDir)   // a crashed compact may hold state aside
     import spark.implicits._
     val m = model
     batch.select(col(idCol).cast("long").as("id"),

@@ -25,6 +25,7 @@ private[streaming] object IndexDirs {
   def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) heal(spark, dir)   // a crashed compact may hold the live data aside
     fs.exists(p) && fs.listStatus(p).exists { st =>
       val name = st.getPath.getName
       val hidden = (name.startsWith("_") || name.startsWith(".")) &&
@@ -32,6 +33,21 @@ private[streaming] object IndexDirs {
       (st.isDirectory && !hidden) ||
         (st.isFile && name.endsWith(".parquet"))
     }
+  }
+
+  /** Heal a compact() that died between its two publish renames: the live
+    * data then sits at `<dir>__compact_old` with the index dir ABSENT —
+    * restore it before anything reads or appends. Called from
+    * [[hasData]] (so the dedup sinks' probes heal at the next batch) and
+    * from the start of compact(); the code-table sinks call it before
+    * their hasData-free appends. A no-op when the index dir exists.
+    */
+  def heal(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + "__compact_old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"could not recover $old -> $p")
   }
 
   /** Fold an append-only index's per-batch file sets into a compact layout
@@ -48,9 +64,19 @@ private[streaming] object IndexDirs {
     * Concurrency/crash contract: run BETWEEN micro-batches (foreachBatch
     * executions are serialized per query; call from the driver while the
     * stream is idle or from inside the batch hook). The publish is
-    * write-to-temp + two renames; a crash between the renames is healed
-    * by the recovery step at the next compact() — and the index dir is
-    * only ever absent inside that two-rename window.
+    * write-to-temp + two renames, with a `_COMPACTED` marker inside the
+    * published dir discriminating every crash point:
+    *   - died BETWEEN the renames (index absent, original aside at
+    *     `__compact_old`): [[heal]] — at the next probe, append, or
+    *     compact — renames the original back;
+    *   - died between the renames and a hasData-free append already
+    *     created a fresh index dir (no marker): the next compact MERGES
+    *     the aside files back in, losing nothing;
+    *   - died after the publish but before deleting the aside copy
+    *     (marker present): the aside dir is the stale original and is
+    *     dropped.
+    * The aside copy is never deleted on any path that cannot prove it is
+    * the stale original.
     */
   def compact(spark: SparkSession, dir: String,
               partitionCol: Option[String],
@@ -59,12 +85,14 @@ private[streaming] object IndexDirs {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "__compact_tmp")
     val old = new Path(dir + "__compact_old")
-    // recovery: a previous compact that died between its two renames left
-    // the live data under __compact_old and no index dir — restore it
-    if (!fs.exists(p) && fs.exists(old))
-      require(fs.rename(old, p), s"could not recover $old -> $p")
+    heal(spark, dir)
+    if (fs.exists(p) && fs.exists(old)) {
+      if (fs.exists(new Path(p, Marker)))
+        fs.delete(old, true)   // published: the aside dir is the stale original
+      else
+        mergeInto(fs, old, p)  // fresh appends raced a crashed swap: fold back
+    }
     fs.delete(tmp, true)
-    fs.delete(old, true)
     if (!hasData(spark, dir)) return
     val df = spark.read.parquet(dir)
     partitionCol match {
@@ -75,9 +103,40 @@ private[streaming] object IndexDirs {
         df.coalesce(math.max(1, targetFiles))
           .write.mode("overwrite").parquet(tmp.toString)
     }
+    fs.create(new Path(tmp, Marker), true).close()
     require(fs.rename(p, old), s"could not stage $p aside for compaction")
     require(fs.rename(tmp, p), s"could not publish compacted index to $p " +
-      s"(live data preserved at $old; the next compact() recovers it)")
+      s"(live data preserved at $old; the next heal() recovers it)")
     fs.delete(old, true)
+  }
+
+  /** Marker written into a compacted dir before publish: its presence
+    * proves the dir came from a completed swap, so an aside
+    * `__compact_old` copy next to it is the stale original. Underscore-
+    * prefixed, so Spark reads and [[hasData]] ignore it.
+    */
+  private val Marker = "_COMPACTED"
+
+  /** Move every data file from `src` into `dst` (preserving partition
+    * subdirs; Spark part names are UUID-unique so collisions cannot
+    * occur), then drop the emptied `src`.
+    */
+  private def mergeInto(fs: org.apache.hadoop.fs.FileSystem,
+                        src: Path, dst: Path): Unit = {
+    def walk(s: Path, d: Path): Unit =
+      fs.listStatus(s).foreach { st =>
+        val name = st.getPath.getName
+        val hidden = (name.startsWith("_") || name.startsWith(".")) &&
+          !name.contains("=")
+        if (st.isDirectory && !hidden) {
+          fs.mkdirs(new Path(d, name))
+          walk(st.getPath, new Path(d, name))
+        } else if (st.isFile && name.endsWith(".parquet"))
+          require(fs.rename(st.getPath, new Path(d, name)),
+            s"could not merge ${st.getPath} back into $d")
+      }
+    fs.mkdirs(dst)
+    walk(src, dst)
+    fs.delete(src, true)
   }
 }

@@ -37,10 +37,12 @@ class Int8IndexSink(spark: SparkSession, stateDir: String)
     * through a self-join.
     */
   def process(batch: DataFrame, idCol: String, vecCol: String,
-              batchId: Long): Unit =
+              batchId: Long): Unit = {
+    IndexDirs.heal(spark, codesDir)   // a crashed compact may hold state aside
     Similarity.int8Encode(batch, idCol, vecCol, keepVec = true)
       .withColumn("__batch", lit(batchId))
       .write.mode("append").parquet(codesDir)
+  }
 
   /** Everything indexed so far, replay-duplicates collapsed. */
   def index(): DataFrame = {

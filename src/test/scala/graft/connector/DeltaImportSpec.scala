@@ -192,6 +192,56 @@ class DeltaImportSpec extends LakeSpec {
         s"location => '$dest')")
     }
     assert(e2.getMessage.contains("namespace"))
+    // a bare single-part name would land directly under the warehouse root
+    val e3 = intercept[Exception] {
+      rows(s"CALL implake.system.import_delta(`table` => 'bare', " +
+        s"location => '$dest')")
+    }
+    assert(e3.getMessage.contains("namespace.table"))
+  }
+
+  test("incomplete multi-part checkpoints never stand in for the log") {
+    import spark.implicits._
+    // commits 0..2 exist; a HALF-UPLOADED 2-part checkpoint at v2 (only
+    // part 1 of 2 present) must be skipped by the listing fallback — the
+    // JSON replay still resolves the correct state
+    val dir = tmp("delta-mp")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stage")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new Path(s"$dir/stage"))
+      .filter(st => st.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(staged, new Path(s"$dir/data.parquet"))
+    writeText(s"$dir/_delta_log", f"${0}%020d.json",
+      Seq(protocolLine, metaLine()).mkString("\n"))
+    writeText(s"$dir/_delta_log", f"${1}%020d.json",
+      """{"add":{"path":"data.parquet","partitionValues":{},"size":1}}""")
+    writeText(s"$dir/_delta_log", f"${2}%020d.json",
+      """{"commitInfo":{"operation":"NOOP"}}""")
+    writeText(s"$dir/_delta_log",
+      f"${2L}%020d.checkpoint.${1}%010d.${2}%010d.parquet", "not real parquet")
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 2L)
+    assert(snap.files.map(_.path) === Seq("data.parquet"))
+
+    // ... but _last_checkpoint NAMING the incomplete checkpoint is
+    // corruption (it is written only after completion) and refuses
+    writeText(s"$dir/_delta_log", "_last_checkpoint", """{"version":2,"size":3}""")
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir)
+    }
+    assert(e1.getMessage.contains("incomplete"))
+
+    // v2/UUID checkpoint names are a reader feature we refuse by name
+    val dir2 = tmp("delta-uuid")
+    writeText(s"$dir2/_delta_log", f"${0}%020d.json",
+      Seq(protocolLine, metaLine()).mkString("\n"))
+    writeText(s"$dir2/_delta_log",
+      f"${0}%020d.checkpoint.80a083e8-7026.parquet", "x")
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir2)
+    }
+    assert(e2.getMessage.contains("unrecognized checkpoint"))
   }
 
   test("capability gate: unsupported features and log gaps refuse loudly") {

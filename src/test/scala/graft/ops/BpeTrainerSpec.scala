@@ -87,6 +87,10 @@ class BpeTrainerSpec extends SparkSpec {
       maxVocabWords = 1000000, failOnTruncatedVocab = true)
     val quiet = BpeTrainer.learnBpe(docs, "text", numMerges = 5)
     assert(loud === quiet)
+    // Int.MaxValue is the natural "uncapped" spelling: the +1 detection
+    // fetch must not overflow into a negative limit
+    assert(BpeTrainer.learnBpe(docs, "text", numMerges = 5,
+      maxVocabWords = Int.MaxValue, failOnTruncatedVocab = true) === quiet)
   }
 
   test("bpe_encode: ids agree with the count walk and with the id scheme") {

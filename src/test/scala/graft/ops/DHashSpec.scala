@@ -61,5 +61,16 @@ class DHashSpec extends AnyFunSuite {
   test("undecodable bytes still yield no hash") {
     assert(Multimodal.dHashGray("not an image at all".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.dHashGray(Array[Byte]()).isEmpty)
+    // a crafted header whose width overflows Int bounds math must yield
+    // None, not an out-of-bounds crash (round-18 review finding)
+    val evil = new Array[Byte](64)
+    evil(0) = 'B'; evil(1) = 'M'
+    evil(10) = 54            // data offset
+    evil(28) = 24            // bit depth
+    // width = 0x2AAAAAAB: w * 3 overflows Int negative
+    evil(18) = 0xAB.toByte; evil(19) = 0xAA.toByte
+    evil(20) = 0xAA.toByte; evil(21) = 0x2A.toByte
+    evil(22) = 2             // height
+    assert(Multimodal.dHashGray(evil).isEmpty)
   }
 }

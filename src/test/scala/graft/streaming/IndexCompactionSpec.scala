@@ -103,4 +103,45 @@ class IndexCompactionSpec extends SparkSpec {
     sink.compact(targetFiles = 1)   // recovery + re-compact
     assert(page() === before, "recovery lost rows")
   }
+
+  test("crash between renames followed by appends loses nothing") {
+    // the round-18 review finding: a crashed swap leaves the live index
+    // aside; if something then writes a FRESH index dir before the next
+    // compact, compaction must merge the aside data back, never delete it
+    val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    val dir = Files.createTempDirectory("graft-cmp-crash2").toString
+    val sink = new Int8IndexSink(spark, dir)
+    sink.process(corpus.filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/sq8_index")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/sq8_index__compact_old")
+
+    // (a) the sink's own append HEALS first (IndexDirs.heal in process):
+    assert(fs.rename(p, old))
+    sink.process(corpus.filter(col("vec_id") >= 30 && col("vec_id") < 45)
+      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1L)
+    assert(!fs.exists(old), "process() must heal the crashed swap before appending")
+    assert(sink.index().count() === 45L)
+
+    // (b) an append that BYPASSED heal (external writer): compaction
+    // merges the aside files back instead of deleting them. Fresh rows
+    // come from a sibling sink so the parquet schema is byte-identical.
+    assert(fs.rename(p, old))
+    val dir2 = Files.createTempDirectory("graft-cmp-crash2b").toString
+    val sink2 = new Int8IndexSink(spark, dir2)
+    sink2.process(corpus.filter(col("vec_id") >= 45)
+      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", 2L)
+    fs.mkdirs(p)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir2/sq8_index"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach(st => assert(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(p, st.getPath.getName))))
+    sink.compact(targetFiles = 1)
+    assert(!fs.exists(old), "merge must consume the aside dir")
+    assert(sink.index().count() === 60L,
+      "compaction deleted the aside live data instead of merging it back")
+  }
 }
