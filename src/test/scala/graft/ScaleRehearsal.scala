@@ -217,6 +217,17 @@ object ScaleRehearsal {
         .select(posexplode(graft.ops.TextAnalysis.bpeEncode(col("text"),
           graft.ops.TextAnalysis.demoBpeMerges)))
         .agg(sum(col("col")).as("id_sum"), count(lit(1)).as("n"))),
+      // PCM generate + chunk-walk + energy fingerprint for EVERY doc
+      "x74_full" -> ((s, dir) => graft.ops.Multimodal.audioFingerprint64(s,
+        graft.ops.Multimodal.syntheticAudio(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id"))),
+      // 10-frame motion-BMP encode + container walk + per-frame dHash +
+      // exact set-Jaccard pairs for EVERY doc (group structure scales
+      // with the corpus, so true pairs grow linearly)
+      "x75_full" -> ((s, dir) => graft.ops.Multimodal.videoNearDupPairs(s,
+        graft.ops.Multimodal.syntheticVideos(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id"),
+        threshold = 0.8)),
       // cluster-size distribution under the flat auto-k assignment: the
       // SemDeDup tail's pair volume is sum(size^2), so imbalance here is
       // what the x50-family wall time actually scales with
