@@ -33,7 +33,8 @@ import graft.ops.{Dedup, Multimodal}
   */
 abstract class PerceptualNearDupSink(spark: SparkSession, stateDir: String,
                                      maxHamming: Int, numChunks: Int,
-                                     numBuckets: Int)
+                                     numBuckets: Int,
+                                     autoCompactEvery: Int = 0)
     extends Serializable {
 
   require(64 % numChunks == 0, s"numChunks $numChunks must divide 64")
@@ -101,6 +102,12 @@ abstract class PerceptualNearDupSink(spark: SparkSession, stateDir: String,
         .select(col("__bucket"), col("chunk"), col("chunk_val"), col("id"),
           col("simhash").as("hash"), lit(batchId).as("__batch"))
         .write.partitionBy("__bucket").mode("append").parquet(index)
+      // amortized maintenance: foreachBatch executions are serialized, so
+      // right after the append IS "between micro-batches" — opting in via
+      // autoCompactEvery keeps the file count at O(buckets) with no
+      // operator intervention
+      if (autoCompactEvery > 0 && batchId % autoCompactEvery == autoCompactEvery - 1)
+        compact()
       kept
     } finally {
       batchChunks.unpersist(blocking = false)
@@ -130,9 +137,9 @@ abstract class PerceptualNearDupSink(spark: SparkSession, stateDir: String,
   */
 class ImageNearDupSink(spark: SparkSession, stateDir: String,
                        maxHamming: Int = 3, numChunks: Int = 4,
-                       numBuckets: Int = 16)
+                       numBuckets: Int = 16, autoCompactEvery: Int = 0)
     extends PerceptualNearDupSink(spark, stateDir, maxHamming, numChunks,
-      numBuckets) {
+      numBuckets, autoCompactEvery) {
 
   protected def hashFrame(batch: DataFrame): DataFrame =
     Multimodal.dHash64(spark, batch)
@@ -144,9 +151,9 @@ class ImageNearDupSink(spark: SparkSession, stateDir: String,
   */
 class AudioNearDupSink(spark: SparkSession, stateDir: String,
                        maxHamming: Int = 3, numChunks: Int = 4,
-                       numBuckets: Int = 16)
+                       numBuckets: Int = 16, autoCompactEvery: Int = 0)
     extends PerceptualNearDupSink(spark, stateDir, maxHamming, numChunks,
-      numBuckets) {
+      numBuckets, autoCompactEvery) {
 
   protected def hashFrame(batch: DataFrame): DataFrame =
     Multimodal.audioFingerprint64(spark, batch)

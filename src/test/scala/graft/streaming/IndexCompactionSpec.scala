@@ -104,6 +104,26 @@ class IndexCompactionSpec extends SparkSpec {
     assert(page() === before, "recovery lost rows")
   }
 
+  test("autoCompactEvery folds the index in-stream with identical results") {
+    val dirA = Files.createTempDirectory("graft-auto-a").toString
+    val dirB = Files.createTempDirectory("graft-auto-b").toString
+    val a = new ImageNearDupSink(spark, dirA, autoCompactEvery = 2)
+    val b = new ImageNearDupSink(spark, dirB)
+    val batches = Seq(
+      Seq(0L, 40L), Seq(1L, 80L), Seq(41L, 120L), Seq(2L, 160L),
+      Seq(81L, 200L), Seq(3L, 42L))
+    batches.zipWithIndex.foreach { case (ids, i) =>
+      val ka = a.process(images(ids), i.toLong).collect().map(_.getLong(0)).toSet
+      val kb = b.process(images(ids), i.toLong).collect().map(_.getLong(0)).toSet
+      assert(ka === kb, s"batch $i diverged under auto-compaction")
+    }
+    assert(parquetFiles(s"$dirA/chunk_index") < parquetFiles(s"$dirB/chunk_index"),
+      "auto-compaction must keep the file count below the append-only twin")
+    val rowsA = spark.read.parquet(s"$dirA/chunk_index").collect().map(_.toSeq).toSet
+    val rowsB = spark.read.parquet(s"$dirB/chunk_index").collect().map(_.toSeq).toSet
+    assert(rowsA === rowsB)
+  }
+
   test("crash between renames followed by appends loses nothing") {
     // the round-18 review finding: a crashed swap leaves the live index
     // aside; if something then writes a FRESH index dir before the next
