@@ -54,7 +54,16 @@ object DeltaImport {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Resolve the current snapshot of the Delta table at `tableDir`. */
-  def snapshot(spark: SparkSession, tableDir: String): Snapshot = {
+  def snapshot(spark: SparkSession, tableDir: String): Snapshot =
+    snapshot(spark, tableDir, None)
+
+  /** Resolve the snapshot AT `version` (Delta time travel on import) —
+    * None = latest. Refused when the requested version is newer than the
+    * log or older than its vacuumed/checkpointed horizon (no contiguous
+    * replay path reaches it).
+    */
+  def snapshot(spark: SparkSession, tableDir: String,
+               version: Option[Long]): Snapshot = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = new Path(tableDir, "_delta_log")
     val fs = logDir.getFileSystem(conf)
@@ -113,14 +122,23 @@ object DeltaImport {
         Some(v)
       }
     }
-    // without _last_checkpoint, use the newest COMPLETE checkpoint (a
-    // mid-upload newest is simply not used yet — its JSON commits replay)
-    val checkpointV = lastCheckpoint
-      .orElse(checkpointParts.keys.toSeq.sorted.reverse.find(checkpointComplete))
-
-    require(commits.nonEmpty || checkpointV.nonEmpty,
+    require(commits.nonEmpty || checkpointParts.nonEmpty,
       s"empty _delta_log under $tableDir")
-    val latest = (commits.keySet ++ checkpointV).max
+    val available = (commits.keySet ++ checkpointParts.keys).max
+    val latest = version match {
+      case None => available
+      case Some(v) =>
+        require(v >= 0 && v <= available,
+          s"version $v out of range [0, $available] for the Delta log at $tableDir")
+        v
+    }
+    // the checkpoint that seeds the replay must summarize a prefix of the
+    // TARGET version: _last_checkpoint when it qualifies (<= target), else
+    // the newest COMPLETE checkpoint at or below the target (a mid-upload
+    // or too-new checkpoint is simply not used — its JSON commits replay)
+    val checkpointV = lastCheckpoint.filter(_ <= latest)
+      .orElse(checkpointParts.keys.toSeq.filter(_ <= latest)
+        .sorted.reverse.find(checkpointComplete))
 
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil

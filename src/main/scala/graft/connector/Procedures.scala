@@ -319,9 +319,9 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
 
   override def name(): String = "import_delta"
   override def description(): String =
-    "copy an external Delta Lake table's current snapshot into a NEW " +
-      "graft table; partition columns materialize inline; unsupported " +
-      "reader features are refused loudly"
+    "copy an external Delta Lake table's snapshot (latest, or `version` — " +
+      "Delta time travel) into a NEW graft table; partition columns " +
+      "materialize inline; unsupported reader features are refused loudly"
 
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
     override def name(): String = ImportDeltaProcedure.this.name()
@@ -330,11 +330,16 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
 
     override def parameters(): Array[ProcedureParameter] = Array(
       GraftProcedures.in("table", StringType),
-      GraftProcedures.in("location", StringType))
+      GraftProcedures.in("location", StringType),
+      GraftProcedures.in("version", LongType, "-1"))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val log = resolveNew(input.getUTF8String(0).toString)
       val location = input.getUTF8String(1).toString
+      val version = input.getLong(2) match {
+        case -1L => None
+        case v => Some(v)
+      }
       val spark = SparkSession.active
       require(!log.exists,
         s"target table already exists at ${log.tableDir} — import_delta " +
@@ -344,7 +349,7 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
       require(fs.exists(dir.getParent),
         s"namespace of ${log.tableDir} does not exist — create it first " +
           "(a silent mkdirs would invent namespaces, cf. RENAME TO)")
-      val snap = DeltaImport.snapshot(spark, location)
+      val snap = DeltaImport.snapshot(spark, location, version)
       log.create(snap.schema, Map.empty)
       var rows = 0L
       var files = 0

@@ -108,6 +108,17 @@ class DeltaImportSpec extends LakeSpec {
     assert(snap.partitionColumns === Seq("k"))
     assert(snap.files.map(_.path).toSet ===
       Set("k=p1/a.parquet", "k=p2/c.parquet"))
+
+    // time travel on import: version 1 still holds the later-removed
+    // file; version 0 predates c.parquet; out-of-range refuses
+    assert(DeltaImport.snapshot(spark, dir, Some(1L)).files.map(_.path).toSet ===
+      Set("k=p1/a.parquet", "k=p1/b.parquet", "k=p2/c.parquet"))
+    assert(DeltaImport.snapshot(spark, dir, Some(0L)).files.map(_.path).toSet ===
+      Set("k=p1/a.parquet", "k=p1/b.parquet"))
+    val eTt = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir, Some(3L))
+    }
+    assert(eTt.getMessage.contains("out of range"))
     val back = DeltaImport.readSnapshot(spark, dir)
     assert(back.schema.fieldNames.toSeq === Seq("v", "k"))
     val got = back.collect().map(r => (r.getString(0), r.getString(1))).toSet
