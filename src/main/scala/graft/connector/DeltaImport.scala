@@ -1,10 +1,9 @@
 package graft.connector
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructField, StructType}
 
 /** Read an EXTERNAL Delta Lake table's snapshot — the inbound half of the
   * interop loop whose outbound half is [[DeltaExport]] (delta-io
@@ -26,23 +25,33 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     hive-partition columns the data files do not carry, cast from the
   *     protocol's string encoding to the schema type.
   *
-  * Capability gate, checked LOUDLY: tables demanding reader features this
-  * import does not implement are refused with the feature named —
-  * `minReaderVersion` 2 (column mapping), any `readerFeatures` under
-  * version 3 (deletion vectors, v2 checkpoints, …), and any `add`
-  * carrying a `deletionVector`. Everything [[DeltaExport]] writes (and
-  * everything a plain parquet-writing Delta 1.x writer produces) is
-  * minReaderVersion 1 and imports cleanly.
+  * READER FEATURES implemented (the modern-writer defaults):
+  *   - `deletionVectors` — each add's `deletionVector` descriptor names
+  *     the row positions deleted from that file ([[DeltaDv]]: Z85 +
+  *     roaring-array decode); the read subtracts them with one
+  *     distributed anti-join on `(_metadata.file_path, row_index)`,
+  *     vectors decoded executor-side.
+  *   - `columnMapping` in `name` mode — parquet files carry PHYSICAL
+  *     column names (`delta.columnMapping.physicalName` field metadata);
+  *     the scan reads physical and the final projection restores logical
+  *     names at every nesting level. `id` mode (match by parquet field
+  *     id, not name) is refused loudly.
   *
-  * Scale shape: the driver holds (path, partitionValues) per live file —
-  * the same bounded envelope as the graft manifest itself; checkpoint
-  * parts are read as one parquet scan projected to the action columns;
-  * the data read is a plain distributed parquet scan per partition-value
-  * group (one group, one scan for unpartitioned tables).
+  * Anything else demanded via `minReaderVersion`/`readerFeatures` (v2
+  * checkpoints, …) is refused with the feature named — never mis-read.
+  *
+  * Scale shape: the driver holds (path, partitionValues, dvDescriptor)
+  * per live file — the same bounded envelope as the graft manifest
+  * itself; checkpoint parts are read as one parquet scan projected to
+  * the action columns; the data read is ONE distributed parquet scan
+  * over all live files (partition columns re-attached by a broadcast
+  * join on the file path — at thousands of hive partitions a
+  * scan-per-partition-group union would blow up the analyzer).
   */
 object DeltaImport {
 
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+                           dv: Option[DeltaDv.Descriptor] = None)
 
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String],
@@ -52,6 +61,13 @@ object DeltaImport {
   }
 
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Reader features this import implements (protocol `readerFeatures`
+    * names under minReaderVersion 3).
+    */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
 
   /** Resolve the current snapshot of the Delta table at `tableDir`. */
   def snapshot(spark: SparkSession, tableDir: String): Snapshot =
@@ -142,26 +158,41 @@ object DeltaImport {
 
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
-    var configuration: Map[String, String] = Map.empty
     val adds = scala.collection.mutable.LinkedHashMap[String, AddFile]()
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-      // v1 = plain parquet + this log shape (all we need); v3 is legal
-      // only when every named reader feature is one we implement (none)
-      val ok = minReader <= 1 || (minReader == 3 && readerFeatures.isEmpty)
+      // v1 = plain parquet + this log shape; v2 = column mapping (which
+      // this import implements in name mode — id mode is refused at the
+      // metaData, where the mode is actually declared); v3 is legal when
+      // every NAMED reader feature is one we implement
+      val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
+      val ok = minReader <= 2 || (minReader == 3 && unsupported.isEmpty)
       require(ok, s"Delta table $tableDir requires reader capabilities this " +
         s"import does not implement (minReaderVersion=$minReader" +
-        (if (readerFeatures.nonEmpty) s", readerFeatures=${readerFeatures.mkString(",")}"
+        (if (unsupported.nonEmpty) s", readerFeatures=${unsupported.mkString(",")}"
          else "") + "); refusing rather than mis-reading")
     }
 
     def applyMeta(schemaString: String, pcs: Seq[String], cfg: Map[String, String]): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pcs
-      configuration = cfg
       val mapping = cfg.getOrElse("delta.columnMapping.mode", "none")
-      require(mapping == "none", s"Delta table $tableDir uses column mapping " +
-        s"'$mapping' — a reader-version-2 feature this import refuses")
+      // `name` mode reads by the physicalName field metadata (the schema
+      // carries the whole mapping); `id` matches by parquet field id — a
+      // different mechanism this import refuses rather than approximating
+      // with the physical names that usually ride along
+      require(mapping == "none" || mapping == "name",
+        s"Delta table $tableDir uses column mapping mode '$mapping' — " +
+          "only 'none' and 'name' are implemented; refusing rather than " +
+          "mis-reading")
+    }
+
+    def descriptor(storageType: String, pathOrInlineDv: String, offset: Option[Int],
+                   sizeInBytes: Int, cardinality: Long): DeltaDv.Descriptor = {
+      require(storageType == "u" || storageType == "i" || storageType == "p",
+        s"deletion vector storageType '$storageType' is not u/i/p — " +
+          "refusing rather than mis-reading")
+      DeltaDv.Descriptor(storageType, pathOrInlineDv, offset, sizeInBytes, cardinality)
     }
 
     // 1) checkpoint state (full action set at checkpointV)
@@ -191,15 +222,21 @@ object DeltaImport {
         val addFields = cp.select("add.*").schema.fieldNames.toSet
         val hasDv = addFields.contains("deletionVector")
         val proj = Seq(col("add.path"), col("add.partitionValues")) ++
-          (if (hasDv) Seq(col("add.deletionVector.storageType")) else Nil)
+          (if (hasDv) Seq(col("add.deletionVector.storageType"),
+            col("add.deletionVector.pathOrInlineDv"),
+            col("add.deletionVector.offset"),
+            col("add.deletionVector.sizeInBytes"),
+            col("add.deletionVector.cardinality")) else Nil)
         cp.filter(col("add.path").isNotNull).select(proj: _*)
           .collect().foreach { r =>
-            require(!hasDv || r.isNullAt(2),
-              s"checkpoint add for ${r.getString(0)} carries a deletion " +
-                "vector — a reader feature this import refuses")
+            val dv = if (hasDv && !r.isNullAt(2))
+              Some(descriptor(r.getString(2), r.getString(3),
+                if (r.isNullAt(4)) None else Some(r.getInt(4)),
+                r.getInt(5), r.getLong(6)))
+            else None
             val pv = if (r.isNullAt(1)) Map.empty[String, String]
                      else r.getMap[String, String](1).toMap
-            adds(r.getString(0)) = AddFile(r.getString(0), pv)
+            adds(r.getString(0)) = AddFile(r.getString(0), pv, dv)
           }
       }
     }
@@ -235,9 +272,11 @@ object DeltaImport {
         }
         if (node.has("add")) {
           val a = node.get("add")
-          require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-            s"add for ${a.get("path").asText} carries a deletion vector — " +
-              "a reader feature this import refuses")
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            descriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+          }
           val pv = Option(a.get("partitionValues")).map { p =>
             val it = p.properties().iterator()
             val b = Map.newBuilder[String, String]
@@ -247,7 +286,7 @@ object DeltaImport {
             }
             b.result()
           }.getOrElse(Map.empty[String, String])
-          adds(a.get("path").asText) = AddFile(a.get("path").asText, pv)
+          adds(a.get("path").asText) = AddFile(a.get("path").asText, pv, dv)
         }
         if (node.has("remove"))
           adds.remove(node.get("remove").get("path").asText)
@@ -261,20 +300,49 @@ object DeltaImport {
   }
 
   /** Resolve `add.path` (relative url-encoded, or absolute for clones)
-    * against the table root.
+    * against the table root. Percent-escapes are decoded ONCE, by the
+    * URI parser — the decoded string then builds the Hadoop Path
+    * directly, so names carrying spaces or literal '%' survive (a
+    * URI→Path→string→Path round trip re-parses and can diverge).
     */
   private def resolve(tableDir: String, path: String): Path =
     try {
       val u = new java.net.URI(path)
-      if (u.isAbsolute) new Path(u) else new Path(tableDir, new Path(u))
+      if (u.isAbsolute) new Path(u)
+      else new Path(tableDir, u.getPath)
     } catch {
       case _: java.net.URISyntaxException => new Path(tableDir, path)
     }
 
-  /** The snapshot as a DataFrame: one distributed parquet scan per
-    * partition-value group (exactly one for unpartitioned tables),
-    * partition columns re-attached as typed literals, columns in schema
-    * order. Empty table -> empty frame with the declared schema.
+  // ---- column mapping: logical schema -> physical (file) schema ------------
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
+    case ArrayType(e, n) => ArrayType(physicalType(e), n)
+    case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+    case other => other
+  }
+
+  private def physicalSchema(schema: StructType): StructType =
+    physicalType(schema).asInstanceOf[StructType]
+
+  private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** The snapshot as a DataFrame: ONE distributed parquet scan over every
+    * live file. Partition columns re-attach by a broadcast join of the
+    * driver-held (file -> partitionValues) map on `_metadata.file_path`
+    * (bounded number of scan nodes however many hive partitions the
+    * source carries); deletion vectors subtract by one anti-join on
+    * `(file_path, row_index)`, decoded executor-side; column-mapped
+    * files read under physical names and project back to logical.
+    * Columns in schema order. Empty table -> empty frame with the
+    * declared schema.
     */
   def readSnapshot(spark: SparkSession, tableDir: String): DataFrame =
     readSnapshot(spark, tableDir, snapshot(spark, tableDir))
@@ -290,18 +358,77 @@ object DeltaImport {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val byPartition = snap.files.groupBy(_.partitionValues)
-    val frames = byPartition.toSeq.map { case (pv, fs) =>
-      val paths = fs.map(f => resolve(tableDir, f.path).toString)
-      var df = spark.read.schema(snap.dataSchema).parquet(paths: _*)
-      snap.partitionColumns.foreach { pc =>
-        val dt = snap.schema(pc).dataType
-        val v = pv.getOrElse(pc, null)
-        df = df.withColumn(pc,
-          (if (v == null) lit(null) else lit(v)).cast(dt))
-      }
-      df.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // qualified path string per file — the exact representation Spark's
+    // `_metadata.file_path` reports (both sides are a qualified
+    // org.apache.hadoop.fs.Path rendered by toString)
+    val entries: Seq[(String, AddFile)] = snap.files.map { f =>
+      val p = resolve(tableDir, f.path)
+      (p.getFileSystem(conf).makeQualified(p).toString, f)
     }
-    frames.reduce(_ unionByName _)
+    require(entries.map(_._1).distinct.size == entries.size,
+      s"two add entries of the Delta log at $tableDir resolve to the same " +
+        "data file — refusing to double-read it")
+    val hasDv = snap.files.exists(_.dv.isDefined)
+    val needFilePath = hasDv || snap.partitionColumns.nonEmpty
+    val physData = physicalSchema(snap.dataSchema)
+
+    val FP = "__delta_file_path"
+    val RI = "__delta_row_index"
+    var df = spark.read.schema(physData).parquet(entries.map(_._1): _*)
+    if (needFilePath) {
+      val metaCols = Seq(col("_metadata.file_path").as(FP)) ++
+        (if (hasDv) Seq(col("_metadata.row_index").as(RI)) else Nil)
+      df = df.select(col("*") +: metaCols: _*)
+    }
+
+    if (hasDv) {
+      import spark.implicits._
+      val confSer = new SerializableHadoopConf(conf)
+      val td = tableDir
+      val dvEntries = entries.collect { case (key, f) if f.dv.isDefined =>
+        val d = f.dv.get
+        (key, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1),
+          d.sizeInBytes, d.cardinality)
+      }
+      // descriptors ship; positions materialize per task (never the driver)
+      val deleted = spark.createDataset(dvEntries)
+        .flatMap { case (key, st, pi, off, size, card) =>
+          DeltaDv.positions(td,
+            DeltaDv.Descriptor(st, pi, if (off < 0) None else Some(off), size, card),
+            confSer.value).iterator.map(p => (key, p))
+        }.toDF(FP, RI)
+      df = df.join(deleted, Seq(FP, RI), "left_anti")
+    }
+
+    if (snap.partitionColumns.nonEmpty) {
+      // partitionValues keys are PHYSICAL names under column mapping
+      val pvKeys = snap.partitionColumns.map { pc =>
+        pc -> snap.schema.fields.find(_.name == pc).map(physicalName).getOrElse(pc)
+      }
+      val pvRows: java.util.List[Row] = new java.util.ArrayList[Row](entries.size)
+      entries.foreach { case (key, f) =>
+        pvRows.add(Row.fromSeq(key +: pvKeys.map { case (logical, physical) =>
+          f.partitionValues.get(physical)
+            .orElse(f.partitionValues.get(logical)).orNull
+        }))
+      }
+      val pvSchema = StructType(StructField(FP, StringType) +:
+        snap.partitionColumns.map(pc => StructField(s"__pv_$pc", StringType)))
+      df = df.join(broadcast(spark.createDataFrame(pvRows, pvSchema)), Seq(FP))
+    }
+
+    // final projection: logical names (incl. nested, via positional struct
+    // cast) + typed partition columns, in schema order
+    val out = snap.schema.fields.map { lf =>
+      if (snap.partitionColumns.contains(lf.name))
+        col(quoted(s"__pv_${lf.name}")).cast(lf.dataType).as(lf.name)
+      else {
+        val pf = physData(snap.dataSchema.fieldIndex(lf.name))
+        val c = col(quoted(pf.name))
+        (if (pf.dataType == lf.dataType) c else c.cast(lf.dataType)).as(lf.name)
+      }
+    }
+    df.select(out.toSeq: _*)
   }
 }

@@ -177,8 +177,22 @@ final class LeaseFileCommitLock(conf: Configuration,
         // re-PUT refreshes the store mtime everywhere. The beat and
         // release() share this monitor, so a release can never interleave
         // with a half-finished re-PUT of the same acquisition.
-        if (readToken(tableDir).contains(token)) {
-          val out = fs(tableDir).create(leasePath(tableDir), true)
+        // Mtime SANDWICH around the token read: the stat after the read
+        // must match the stat before it, or a TTL steal landed while this
+        // beat was in flight (e.g. the beat itself stalled past the TTL on
+        // a slow store call) and the file is the stealer's — the blind
+        // overwrite would silently clobber the stealer's lease with our
+        // stale token, after which OUR release deletes it and the stealer
+        // publishes unprotected. A mismatched sandwich just skips this
+        // beat; the residual shrinks to a steal landing between the second
+        // stat and the create — two adjacent calls, the same envelope
+        // class as the steal/release paths' own re-stat residuals.
+        val f = fs(tableDir)
+        val lp = leasePath(tableDir)
+        val before = f.getFileStatus(lp).getModificationTime
+        if (readToken(tableDir).contains(token) &&
+            f.getFileStatus(lp).getModificationTime == before) {
+          val out = f.create(lp, true)
           try out.write(token.getBytes("UTF-8")) finally out.close()
         }
       } catch { case scala.util.control.NonFatal(_) => () }

@@ -353,20 +353,33 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
       log.create(snap.schema, Map.empty)
       var rows = 0L
       var files = 0
-      if (snap.files.nonEmpty) {
-        val staged = s"${log.tableDir}/data/import-" +
-          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-        // the ALREADY-resolved snapshot feeds the read: resolving again
-        // would let a concurrent Delta commit desynchronize the created
-        // schema/reported version from the data actually copied
-        DeltaImport.readSnapshot(spark, location, snap).write.parquet(staged)
-        val stats = DirStats.collect(staged, log.hadoopConf)
-        rows = stats.map(_.rows).getOrElse(0L)
-        files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
-          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        require(log.tryCommitEntries(None, Seq(DirEntry(staged, stats))),
-          s"first commit of the imported table ${log.tableDir} lost a race " +
-            "— a concurrent writer appeared under a table that did not exist")
+      // everything after create() is fenced: a failed copy/stats/commit
+      // would otherwise strand a created-but-empty table, and the retry
+      // then refuses with "already exists" until someone drops it by hand
+      try {
+        if (snap.files.nonEmpty) {
+          val staged = s"${log.tableDir}/data/import-" +
+            java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+          // the ALREADY-resolved snapshot feeds the read: resolving again
+          // would let a concurrent Delta commit desynchronize the created
+          // schema/reported version from the data actually copied
+          DeltaImport.readSnapshot(spark, location, snap).write.parquet(staged)
+          val stats = DirStats.collect(staged, log.hadoopConf)
+          rows = stats.map(_.rows).getOrElse(0L)
+          files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+            .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          require(log.tryCommitEntries(None, Seq(DirEntry(staged, stats))),
+            s"first commit of the imported table ${log.tableDir} lost a race " +
+              "— a concurrent writer appeared under a table that did not exist")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // best-effort drop of the half-imported table so the retry is
+          // clean; the original failure is what surfaces
+          try fs.delete(dir, true)
+          catch { case scala.util.control.NonFatal(_) => () }
+          TableLog.invalidateCache(log.tableDir)
+          throw e
       }
       GraftProcedures.oneRowResult(
         StructType(Seq(

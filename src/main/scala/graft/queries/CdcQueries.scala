@@ -328,6 +328,130 @@ object CdcQueries {
       },
       Some("""SELECT o_orderkey AS k,
                  cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_out
-        FROM orders WHERE o_orderkey % 3 <> 0 ORDER BY k"""))
+        FROM orders WHERE o_orderkey % 3 <> 0 ORDER BY k""")),
+
+    // ---- Delta DELETION-VECTOR import (delta-io PROTOCOL.md reader
+    // feature, the modern-writer default): a hive-partitioned external
+    // Delta table is built from `orders` — one sorted file per parity
+    // partition — and each file gets a REAL deletion vector (par=0: an
+    // on-disk Z85-uuid-named `.bin` packing a roaring bitmap behind a
+    // CRC; par=1: an inline Z85 vector). The import must walk the
+    // descriptor -> file/inline bytes -> roaring decode -> row-position
+    // anti-join chain and surface exactly the live rows; the oracle
+    // recomputes them from the deletion predicates directly (positions
+    // are key RANKS in the sorted files, so the predicate IS the
+    // position set). One scan + one anti-join + one broadcast
+    // partition-value attach at ANY partition count. ----
+    "x77_delta_import_dv" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-x77").toString + "/t"
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(conf)
+        val src = Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), micro(col("o_totalprice")).as("price_micro"),
+          (col("o_orderkey") % 2).cast("string").as("par"))
+        val w = Window.orderBy(col("k"))
+        val delMod = Map(0 -> 3, 1 -> 5)   // par=0 drops k%3==0, par=1 k%5==0
+        val adds = (0 to 1).map { p =>
+          val part = src.filter(col("par") === p.toString)
+            .select(col("k"), col("price_micro"))
+          part.orderBy(col("k")).coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/__stage")
+          val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/__stage"))
+            .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/par=$p"))
+          fs.rename(staged, new org.apache.hadoop.fs.Path(s"$root/par=$p/data.parquet"))
+          val pos = part.select(col("k"),
+              (row_number().over(w) - 1).cast("long").as("pos"))
+            .filter(col("k") % delMod(p) === 0)
+            .select("pos").as[Long].collect().sorted
+          val desc =
+            if (p == 0) graft.connector.DeltaDv
+              .writeFile(root, conf, Seq(pos), prefix = "ab").head
+            else graft.connector.DeltaDv.inlineDescriptor(pos)
+          val dvJson = s"""{"storageType":"${desc.storageType}",""" +
+            s""""pathOrInlineDv":"${desc.pathOrInlineDv}"""" +
+            desc.offset.map(o => s""","offset":$o""").getOrElse("") +
+            s""","sizeInBytes":${desc.sizeInBytes},"cardinality":${desc.cardinality}}"""
+          s"""{"add":{"path":"par=$p/data.parquet","partitionValues":{"par":"$p"},""" +
+            s""""size":1,"modificationTime":0,"dataChange":true,""" +
+            s""""deletionVector":$dvJson}}"""
+        }
+        val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("price_micro", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("par", org.apache.spark.sql.types.StringType))).json
+        val meta = """{"metaData":{"id":"x77","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+            .build().writeValueAsString(schemaJson)},""" +
+          """"partitionColumns":["par"],"configuration":{},"createdTime":0}}"""
+        val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+        val logPath = new org.apache.hadoop.fs.Path(s"$root/_delta_log/" + f"${0}%020d.json")
+        fs.mkdirs(logPath.getParent)
+        val out = fs.create(logPath, true)
+        try out.write((Seq(proto, meta) ++ adds).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        graft.connector.DeltaImport.readSnapshot(s, root).orderBy(col("k"))
+      },
+      Some("""SELECT o_orderkey AS k,
+                 cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro,
+                 cast(o_orderkey % 2 AS VARCHAR) AS par
+        FROM orders
+        WHERE (o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
+           OR (o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0)
+        ORDER BY k""")),
+
+    // ---- Delta COLUMN-MAPPING import (`delta.columnMapping.mode=name`,
+    // minReaderVersion 2 — what every renamed/dropped-column Delta table
+    // carries): the parquet file stores PHYSICAL `col-…` names; the
+    // schemaString maps them to logical names via field metadata. The
+    // import must scan physical and project logical; the oracle reads
+    // the same rows from `orders` under the logical names. ----
+    "x78_delta_import_mapped" -> Q(
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-x78").toString + "/t"
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+        Tables.orders(s, dir).select(
+            col("o_orderkey").as("col-77aa01-k"),
+            micro(col("o_totalprice")).as("col-77aa02-p"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/__stage")
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/__stage"))
+          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+        fs.rename(staged, new org.apache.hadoop.fs.Path(s"$root/data.parquet"))
+        def field(logical: String, physical: String, id: Int) = {
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("delta.columnMapping.id", id.toLong)
+            .putString("delta.columnMapping.physicalName", physical).build()
+          org.apache.spark.sql.types.StructField(logical,
+            org.apache.spark.sql.types.LongType, nullable = true, md)
+        }
+        val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+          field("k", "col-77aa01-k", 1), field("price_micro", "col-77aa02-p", 2))).json
+        val meta = """{"metaData":{"id":"x78","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+            .build().writeValueAsString(schemaJson)},""" +
+          """"partitionColumns":[],"configuration":""" +
+          """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},""" +
+          """"createdTime":0}}"""
+        val proto = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+        val add = """{"add":{"path":"data.parquet","partitionValues":{},""" +
+          """"size":1,"modificationTime":0,"dataChange":true}}"""
+        val logPath = new org.apache.hadoop.fs.Path(s"$root/_delta_log/" + f"${0}%020d.json")
+        fs.mkdirs(logPath.getParent)
+        val out = fs.create(logPath, true)
+        try out.write(Seq(proto, meta, add).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        graft.connector.DeltaImport.readSnapshot(s, root).orderBy(col("k"))
+      },
+      Some("""SELECT o_orderkey AS k,
+                 cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro
+        FROM orders ORDER BY k"""))
   )
 }

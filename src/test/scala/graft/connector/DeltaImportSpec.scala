@@ -1,6 +1,7 @@
 package graft.connector
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 /** The inbound half of the Delta interop loop (round-17 verdict item 3):
   *
@@ -261,35 +262,30 @@ class DeltaImportSpec extends LakeSpec {
       writeText(s"$dir/_delta_log", f"${0}%020d.json", lines.mkString("\n"))
       dir
     }
-    // minReaderVersion 2 (column mapping era)
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaImport.snapshot(spark, freshLog(Seq(
-        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-        metaLine()), "delta-gate1"))
-    }
-    assert(e1.getMessage.contains("minReaderVersion=2"))
-    // v3 with a reader feature we do not implement
+    // v3 with a reader feature we do NOT implement (deletionVectors and
+    // columnMapping are implemented now; v2Checkpoint is not)
     val e2 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, freshLog(Seq(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
         metaLine()), "delta-gate2"))
     }
-    assert(e2.getMessage.contains("deletionVectors"))
-    // column mapping via table configuration
+    assert(e2.getMessage.contains("v2Checkpoint"))
+    assert(!e2.getMessage.contains("deletionVectors"))
+    // column mapping mode 'id' (parquet field-id matching) stays refused
     val e3 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, freshLog(Seq(protocolLine,
-        metaLine(config = """{"delta.columnMapping.mode":"name"}""")), "delta-gate3"))
+        metaLine(config = """{"delta.columnMapping.mode":"id"}""")), "delta-gate3"))
     }
-    assert(e3.getMessage.contains("column mapping"))
-    // an add carrying a deletion vector
+    assert(e3.getMessage.contains("'id'"))
+    // an unknown deletion-vector storageType
     val e4 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, freshLog(Seq(protocolLine, metaLine(),
         """{"add":{"path":"a.parquet","partitionValues":{},"size":1,
-          |"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,
+          |"deletionVector":{"storageType":"z","pathOrInlineDv":"x","offset":1,
           |"sizeInBytes":40,"cardinality":2}}}""".stripMargin.replace("\n", "")),
         "delta-gate4"))
     }
-    assert(e4.getMessage.contains("deletion vector"))
+    assert(e4.getMessage.contains("storageType"))
     // version gap: commit 0 and 2, no 1
     val dir = tmp("delta-gap")
     writeText(s"$dir/_delta_log", f"${0}%020d.json",
@@ -300,5 +296,154 @@ class DeltaImportSpec extends LakeSpec {
       DeltaImport.snapshot(spark, dir)
     }
     assert(e5.getMessage.contains("no commit 1"))
+  }
+
+  // ---- writes one staged single parquet file and returns its name ----------
+  private def stageOne(dir: String, df: org.apache.spark.sql.DataFrame,
+                       target: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/__stage")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = fs.listStatus(new Path(s"$dir/__stage"))
+      .filter(st => st.getPath.getName.endsWith(".parquet")).head.getPath
+    val t = new Path(s"$dir/$target")
+    fs.mkdirs(t.getParent)
+    fs.rename(f, t)
+    fs.delete(new Path(s"$dir/__stage"), true)
+  }
+
+  test("deletion vectors: on-disk and inline vectors subtract row positions") {
+    import spark.implicits._
+    val dir = tmp("delta-dv")
+    // two files of 100 rows each, k = 0..99 / 100..199 in row order
+    stageOne(dir, (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .sortWithinPartitions("k"), "a.parquet")
+    stageOne(dir, (100L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .sortWithinPartitions("k"), "b.parquet")
+    // a: delete positions where k % 3 == 0 (on-disk 'u' with a prefix);
+    // b: delete positions 0..4 (inline 'i')
+    val posA = (0L until 100L).filter(_ % 3 == 0).toArray
+    val conf = spark.sparkContext.hadoopConfiguration
+    val Seq(descA) = DeltaDv.writeFile(dir, conf, Seq(posA), prefix = "xy")
+    val descB = DeltaDv.inlineDescriptor(Array(0L, 1L, 2L, 3L, 4L))
+    def dvJson(d: DeltaDv.Descriptor): String =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"""" +
+        d.offset.map(o => s""","offset":$o""").getOrElse("") +
+        s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    writeText(s"$dir/_delta_log", f"${0}%020d.json", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine(),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(descA)}}}""",
+      s"""{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(descB)}}}""")
+      .mkString("\n"))
+    val back = DeltaImport.readSnapshot(spark, dir)
+    val want = (0L until 100L).filter(_ % 3 != 0) ++ (105L until 200L)
+    assert(back.orderBy("k").collect().map(_.getLong(0)).toSeq === want)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "v"))
+
+    // a later commit REPLACING a's vector (the Delta shape for a second
+    // DELETE: remove + re-add with the union vector) must subtract the
+    // new set, not the old
+    val posA2 = (0L until 100L).filter(i => i % 3 == 0 || i % 7 == 0).toArray
+    val Seq(descA2) = DeltaDv.writeFile(dir, conf, Seq(posA2))
+    writeText(s"$dir/_delta_log", f"${1}%020d.json", Seq(
+      """{"remove":{"path":"a.parquet","dataChange":true}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(descA2)}}}""")
+      .mkString("\n"))
+    val want2 = (0L until 100L).filter(i => i % 3 != 0 && i % 7 != 0) ++ (105L until 200L)
+    assert(DeltaImport.readSnapshot(spark, dir).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq === want2)
+    // time travel still sees version 0's vector
+    assert(DeltaImport.readSnapshot(spark, dir,
+        DeltaImport.snapshot(spark, dir, Some(0L)))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq === want)
+  }
+
+  test("column mapping (name mode): physical names project back to logical") {
+    import spark.implicits._
+    val dir = tmp("delta-cm")
+    // the parquet file carries PHYSICAL names, incl. a NESTED rename
+    stageOne(dir, (0L until 50L).map(i => (i, (s"n$i", i * 2)))
+      .toDF("col-aa11", "col-bb22")
+      .select(col("col-aa11"), col("col-bb22").as("col-bb22")
+        .cast("struct<`col-cc33`:string,`col-dd44`:bigint>")),
+      "part=0/d.parquet")
+    val mapped =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aa11"}},
+        |{"name":"payload","type":{"type":"struct","fields":[
+        |{"name":"name","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-cc33"}},
+        |{"name":"twice","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"col-dd44"}}]},
+        |"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bb22"}},
+        |{"name":"part","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":5,"delta.columnMapping.physicalName":"col-ee55"}}]}"""
+        .stripMargin.replace("\n", "")
+    writeText(s"$dir/_delta_log", f"${0}%020d.json", Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(Seq("part"), config = """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"}""",
+        schema = mapped),
+      // partitionValues keyed by the PHYSICAL partition column name
+      """{"add":{"path":"part=0/d.parquet","partitionValues":{"col-ee55":"zero"},"size":1,"modificationTime":0,"dataChange":true}}""")
+      .mkString("\n"))
+    val back = DeltaImport.readSnapshot(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "payload", "part"))
+    assert(back.schema("payload").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("name", "twice"))
+    val r = back.orderBy("k").collect()
+    assert(r.length === 50)
+    assert(r.head.getString(2) === "zero")
+    assert(r(3).getStruct(1).getString(0) === "n3")
+    assert(r(3).getStruct(1).getLong(1) === 6L)
+  }
+
+  test("file names with spaces and percent signs resolve (url-encoded add.path)") {
+    import spark.implicits._
+    val dir = tmp("delta-enc")
+    stageOne(dir, Seq((1L, "a")).toDF("k", "v"), "my file.parquet")
+    stageOne(dir, Seq((2L, "b")).toDF("k", "v"), "pct%file.parquet")
+    writeText(s"$dir/_delta_log", f"${0}%020d.json", Seq(
+      protocolLine, metaLine(),
+      // url-encoded relative path, as real writers emit
+      """{"add":{"path":"my%20file.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"pct%25file.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+      .mkString("\n"))
+    assert(DeltaImport.readSnapshot(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("a 100-partition import plans ONE scan, not a union per partition") {
+    import spark.implicits._
+    val dir = tmp("delta-wide")
+    // one Spark write job -> 100 hive dirs, one file each
+    (0L until 100L).map(i => (i, i % 100)).toDF("k", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(s"$dir/stage")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = fs.listStatus(new Path(s"$dir/stage"))
+      .filter(_.isDirectory).flatMap { d =>
+        val p = d.getPath.getName.stripPrefix("p=")
+        fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val rel = s"stage/${d.getPath.getName}/${f.getPath.getName}"
+            s"""{"add":{"path":"$rel","partitionValues":{"p":"$p"},"size":1,"modificationTime":0,"dataChange":true}}"""
+          }
+      }
+    val schemaP =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{}},
+        |{"name":"p","type":"long","nullable":true,"metadata":{}}]}"""
+        .stripMargin.replace("\n", "")
+    writeText(s"$dir/_delta_log", f"${0}%020d.json",
+      (Seq(protocolLine, metaLine(Seq("p"), schema = schemaP)) ++ adds).mkString("\n"))
+    val back = DeltaImport.readSnapshot(spark, dir)
+    // count scan LEAVES in the optimized plan (AQE hides physical children)
+    val plan = back.queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }
+    // 2 = the data scan + the broadcast partition-value map (a local
+    // relation may or may not count depending on its plan shape) — the
+    // point is NO per-partition union legs
+    assert(scans.size <= 2, s"expected a bounded scan count, got:\n$plan")
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (0L until 100L).map(i => (i, i % 100)).toSet)
   }
 }
