@@ -1015,6 +1015,48 @@ object ExtensionQueries {
         WHERE cast(inter AS DOUBLE) / cast(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
         ORDER BY id_a, id_b""")),
 
+    // ---- multimodal: REAL video container — the same synthetic corpus
+    // as x75 packed as AVI/RIFF files (LIST hdrl -> strl strh/strf fixing
+    // the vids stream + its BITMAPINFOHEADER; LIST movi -> 00db chunks of
+    // uncompressed DIB bits). The engine walks the RIFF grammar, wraps
+    // each DIB frame back into a decodable image, and per-frame dHashes;
+    // the oracle replays frame-id assignment + the pixel closed form +
+    // the bit packing per (video, frame) — so chunk ORDER and EXTENTS are
+    // hash-gated, not just set membership (x75 covers the pair join on
+    // top; AVI-walk pair equality is spec-gated in VideoNearDupSpec).
+    // MJPG frames ride the JDK JPEG decoder, spec-gated with a Hamming
+    // tolerance like every lossy codec. ----
+    "x79_avi_frame_hashes" -> Q(
+      (s, dir) => Multimodal.videoFrameHashes(s,
+          Multimodal.syntheticAviVideos(
+            Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH vids AS (SELECT doc_id AS vid FROM documents WHERE doc_id < 200),
+        fids AS (
+          SELECT vid, f, CASE WHEN vid % 4 > 0 AND f = 2*(vid % 4)
+                           THEN (vid // 4)*1000 + 400 + 4*(vid % 4)
+                           ELSE (vid // 4)*1000 + 4*f END AS fid
+          FROM vids, LATERAL (SELECT unnest(range(10)) AS f)),
+        params AS (
+          SELECT vid, f, fid, fid % 4 AS v, (fid // 4) % 7 + 1 AS a,
+                 (fid // 4) % 11 + 3 AS b, (fid // 4) % 251 AS c, fid // 4 AS grp
+          FROM fids),
+        bits AS (
+          SELECT vid, f, i,
+            CASE WHEN
+              (a*((i%8+1)+1)*((i%8+1)+2) + b*((i//8)+1)*((i%8+1)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8+1) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+              >
+              (a*((i%8)+1)*((i%8)+2) + b*((i//8)+1)*((i%8)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+            THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << cast(i AS INT)) END
+            ELSE 0 END AS bit
+          FROM params, LATERAL (SELECT unnest(range(64)) AS i))
+        SELECT vid AS doc_id, cast(f AS INT) AS frame_idx,
+               cast(sum(bit) AS BIGINT) AS frame_hash
+        FROM bits GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(
       (s, dir) => Multimodal.frameSample(

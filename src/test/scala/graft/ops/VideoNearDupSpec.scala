@@ -53,4 +53,52 @@ class VideoNearDupSpec extends SparkSpec {
     assert(pairs.keySet.forall { case (x, y) => x / 4 == y / 4 },
       s"cross-group pair leaked: ${pairs.keySet}")
   }
+
+  test("AVI/RIFF walk: DIB frames hash identically to the motion-BMP frames") {
+    // the same synthetic corpus through the two REAL containers must agree
+    // bit for bit (DIB bits are the BMP pixel array)
+    val ids = (0L until 8L).toDF("doc_id")
+    val bmp = Multimodal.videoFrameHashes(spark,
+        Multimodal.syntheticVideos(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val avi = Multimodal.videoFrameHashes(spark,
+        Multimodal.syntheticAviVideos(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(avi === bmp)
+    // and the near-dup pairs ride the same machinery unchanged
+    val pairs = Multimodal.videoNearDupPairs(spark,
+        Multimodal.syntheticAviVideos(ids, "doc_id"), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty && pairs.forall { case (x, y) => x / 4 == y / 4 })
+  }
+
+  test("AVI walk facts: format from hdrl, frame chunks from movi, truncation") {
+    val frames = (0 until 3).map(k =>
+      java.util.Arrays.copyOfRange(
+        Multimodal.bmpGrayBytes(9, 8, Multimodal.synthGray(4L * k)), 54, 54 + 28 * 8))
+    val avi = Multimodal.aviBytes(9, 8, "DIB ", frames)
+    assert(Multimodal.aviVideoFormat(avi) === Some((0, 24, 9, 8)))
+    assert(Multimodal.aviFrames(avi).size === 3)
+    assert(Multimodal.containerFrames(avi).size === 3)
+    // a corrupt movi tail truncates the walk instead of guessing
+    val cut = java.util.Arrays.copyOf(avi, avi.length - 7)
+    assert(Multimodal.aviFrames(cut).size === 2)
+    // non-AVI RIFF (a WAV) yields no frames
+    assert(Multimodal.containerFrames(Multimodal.wavBytes(1, 8000, 10)).isEmpty)
+  }
+
+  test("MJPG frames decode through the JDK JPEG path within Hamming tolerance") {
+    def ramp(x: Int, y: Int): Int = math.min(255, x * 3 + y)
+    val exact = Multimodal.dHashGray(Multimodal.bmpGrayBytes(72, 64, ramp)).get
+    val jpegFrame = Multimodal.imageIoBytes("jpg", 72, 64, ramp)
+    val avi = Multimodal.aviBytes(72, 64, "MJPG", Seq(jpegFrame, jpegFrame))
+    val hashes = Multimodal.videoFrameHashes(spark,
+        Seq((1L, avi)).toDF("doc_id", "media"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(hashes.map(_._1).toSeq === Seq(0, 1))
+    hashes.foreach { case (_, h) =>
+      val hamming = java.lang.Long.bitCount(h ^ exact)
+      assert(hamming <= 4, s"MJPG frame hash drifted $hamming bits")
+    }
+  }
 }
