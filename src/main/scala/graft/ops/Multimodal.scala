@@ -476,22 +476,85 @@ object Multimodal {
     out
   }
 
-  /** 64-bit energy-difference fingerprint of a 16-bit PCM WAV — the audio
-    * analogue of [[dHashGray]]: frames map onto 65 equal windows by
+  /** The published IMA-ADPCM tables (format tag 0x11; the integer spec in
+    * the IMA Recommended Practices / multimedia registration): 89 step
+    * sizes and the 8-entry step-index adjustment.
+    */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767)
+
+  private[ops] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode a mono IMA-ADPCM data payload (4-bit nibbles, low nibble
+    * first) to signed 16-bit samples — the published walk: per block a
+    * 4-byte header seeds (predictor, stepIndex) and emits the predictor
+    * as sample 0; each nibble then adds `±(step>>3 + bits·step-parts)`,
+    * clamps the predictor to int16, and moves the step index by the
+    * 8-entry table, clamped to [0, 88]. Exact integer arithmetic — the
+    * x80 oracle replays it as a recursive SQL walk.
+    */
+  private[ops] def imaAdpcmMono(bytes: Array[Byte], dataOff: Int, avail: Int,
+                                blockAlign: Int, samplesPerBlock: Int): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var blockStart = dataOff
+    while (blockStart + 4 <= dataOff + avail) {
+      val blockEnd = math.min(blockStart.toLong + blockAlign, (dataOff + avail).toLong).toInt
+      var pred = ((bytes(blockStart) & 0xff) | (bytes(blockStart + 1) << 8)).toShort.toInt
+      var idx = math.max(0, math.min(88, bytes(blockStart + 2) & 0xff))
+      out += pred
+      var produced = 1
+      var o = blockStart + 4
+      while (o < blockEnd && produced < samplesPerBlock) {
+        val b = bytes(o) & 0xff
+        var half = 0
+        while (half < 2 && produced < samplesPerBlock) {
+          val nib = if (half == 0) b & 0xf else (b >>> 4) & 0xf
+          val step = ImaStepTable(idx)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          if ((nib & 8) != 0) diff = -diff
+          pred = math.max(-32768, math.min(32767, pred + diff))
+          idx = math.max(0, math.min(88, idx + ImaIndexTable(nib & 7)))
+          out += pred
+          produced += 1
+          half += 1
+        }
+        o += 1
+      }
+      blockStart += math.max(blockAlign, 5)   // malformed tiny blockAlign: stop
+    }
+    out.result()
+  }
+
+  /** 64-bit energy-difference fingerprint of a WAV — the audio analogue
+    * of [[dHashGray]]: frames map onto 65 equal windows by
     * `wnd = frame * 65 / nFrames` (floor — exactly replayable in SQL),
     * each window's energy is the integer sum of |sample| over its frames
     * and channels, and bit i = [energy(i+1) > energy(i)]. Pitch/volume
     * CHANGES register; uniform scaling and frame-duplication (the trivial
     * resample) do not — the published perceptual-fingerprint shape
     * (Haitsma-Kalper energy-band signs) reduced to exact integer
-    * arithmetic an external engine can replay bit-for-bit. None for
-    * non-PCM-16 payloads or clips shorter than 65 frames.
+    * arithmetic an external engine can replay bit-for-bit.
+    *
+    * Codecs: 16-bit PCM (format 1, any channel count) and mono IMA-ADPCM
+    * (format 0x11 via [[imaAdpcmMono]] — the published integer spec, so
+    * the whole compressed path stays oracle-replayable). MP3/AAC have no
+    * JDK decoder and no exact integer spec — None, never a guess. Also
+    * None for clips shorter than 65 frames.
     */
   private[ops] def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
     if (bytes.length < 44 || bytes(0) != 'R' || bytes(1) != 'I' ||
         bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
         bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
-    if (le16(bytes, 20) != 1 || le16(bytes, 34) != 16) return None  // PCM-16 only
+    val fmtTag = le16(bytes, 20)
     val channels = le16(bytes, 22)
     if (channels < 1) return None
     // data chunk via the same long-offset walk decodeOne uses
@@ -507,21 +570,37 @@ object Multimodal {
     }
     if (dataOff < 0) return None
     val avail = math.min(dataSize, bytes.length - dataOff)
-    val nFrames = (avail / (channels * 2)).toInt
+    val frameAbs: Array[Long] =
+      if (fmtTag == 1 && le16(bytes, 34) == 16) {
+        val nFrames = (avail / (channels * 2)).toInt
+        val out = new Array[Long](math.max(0, nFrames))
+        var t = 0
+        while (t < nFrames) {
+          var c = 0
+          var sum = 0L
+          while (c < channels) {
+            val o = (dataOff + (t.toLong * channels + c) * 2).toInt
+            sum += math.abs(((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt)
+            c += 1
+          }
+          out(t) = sum
+          t += 1
+        }
+        out
+      } else if (fmtTag == 0x11 && channels == 1 && le16(bytes, 34) == 4) {
+        val blockAlign = le16(bytes, 32)
+        // wSamplesPerBlock lives in the fmt extension (canonical layout)
+        val spb = if (le32(bytes, 16) >= 20) le16(bytes, 38) else 0
+        if (blockAlign < 5 || spb < 1) return None
+        imaAdpcmMono(bytes, dataOff.toInt, avail.toInt, blockAlign, spb)
+          .map(v => math.abs(v).toLong)
+      } else return None
+    val nFrames = frameAbs.length
     if (nFrames < 65) return None
     val energy = new Array[Long](65)
     var t = 0
     while (t < nFrames) {
-      val wnd = (t.toLong * 65 / nFrames).toInt
-      var c = 0
-      var frameAbs = 0L
-      while (c < channels) {
-        val o = (dataOff + (t.toLong * channels + c) * 2).toInt
-        val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
-        frameAbs += math.abs(v)
-        c += 1
-      }
-      energy(wnd) += frameAbs
+      energy((t.toLong * 65 / nFrames).toInt) += frameAbs(t)
       t += 1
     }
     var fp = 0L
@@ -562,6 +641,61 @@ object Multimodal {
   def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
     val gen = udf((id: Long) =>
       wavPcmBytes(1, 8000, 130, (t, _) => synthPcm(id)(t)))
+    df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
+  }
+
+  /** A canonical mono IMA-ADPCM WAV (format 0x11): 20-byte fmt chunk with
+    * the samplesPerBlock extension, one data block — 4-byte header
+    * (predictor, step index) + packed nibbles, low nibble first.
+    */
+  private[ops] def adpcmWavBytes(sampleRate: Int, pred0: Int, idx0: Int,
+                                 nibbles: Array[Int]): Array[Byte] = {
+    val nData = (nibbles.length + 1) / 2
+    val blockAlign = 4 + nData
+    val spb = nibbles.length + 1              // header sample + one per nibble
+    val out = new Array[Byte](12 + 8 + 20 + 8 + blockAlign)
+    def putLe16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def putLe32(o: Int, v: Int): Unit = { putLe16(o, v); putLe16(o + 2, v >> 16) }
+    def putTag(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, i) => out(o + i) = c.toByte }
+    putTag(0, "RIFF"); putLe32(4, out.length - 8); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 20)
+    putLe16(20, 0x11); putLe16(22, 1)                    // IMA-ADPCM, mono
+    putLe32(24, sampleRate)
+    putLe32(28, sampleRate * blockAlign / spb)           // nominal byte rate
+    putLe16(32, blockAlign); putLe16(34, 4)              // blockAlign, 4-bit
+    putLe16(36, 2); putLe16(38, spb)                     // cbSize, samplesPerBlock
+    putTag(40, "data"); putLe32(44, blockAlign)
+    putLe16(48, pred0)
+    out(50) = idx0.toByte; out(51) = 0
+    nibbles.zipWithIndex.foreach { case (n, j) =>
+      val o = 52 + j / 2
+      out(o) = (if (j % 2 == 0) (out(o) & 0xf0) | (n & 0xf)
+                else (out(o) & 0x0f) | ((n & 0xf) << 4)).toByte
+    }
+    out
+  }
+
+  /** Deterministic IMA-ADPCM corpus: per doc a mono clip of 129 samples
+    * (1 header + 128 planted nibbles) whose seed predictor, seed step
+    * index, and nibble stream are all closed forms of the doc id —
+    * variants perturb ONE nibble. The x80 oracle replays the full
+    * predictor/step-table walk as a recursive SQL decode, so these bytes
+    * differentially test the [[imaAdpcmMono]] decoder, not echo it.
+    */
+  def syntheticAdpcmAudio(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) => {
+      val grp = id / 4
+      val v = (id % 4).toInt
+      val f = (grp * 2654435761L) % 9973 + 17
+      val c = grp % 97
+      val pred0 = ((grp * 2654435761L) % 2000).toInt - 1000
+      val idx0 = ((grp * 40503L) % 89).toInt
+      val nibbles = Array.tabulate(128) { j =>
+        val pert = if (v > 0 && j == 40 + 2 * v) 7L else 0L
+        ((f * (j + 1) * (j + 3) + c * (j + 1) + 5 * grp + pert) % 16).toInt
+      }
+      adpcmWavBytes(8000, pred0, idx0, nibbles)
+    })
     df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
   }
 

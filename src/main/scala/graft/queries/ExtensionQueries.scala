@@ -1057,6 +1057,65 @@ object ExtensionQueries {
                cast(sum(bit) AS BIGINT) AS frame_hash
         FROM bits GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- multimodal: COMPRESSED audio — mono IMA-ADPCM (WAV format tag
+    // 0x11, the published integer predictor/step-table spec). The engine
+    // decodes planted nibble streams (4-byte block header seeding
+    // predictor + step index, then ±step-part deltas with int16 / [0,88]
+    // clamps) and fingerprints the decoded samples; the oracle replays
+    // the ENTIRE decode as a recursive SQL walk over the same step table
+    // (one source of truth: the VALUES list is generated from
+    // Multimodal.ImaStepTable) and re-derives the 65-window energy-sign
+    // fingerprint — a genuine differential test of the codec path.
+    // MP3/AAC have no JDK decoder and stay documented refusals. ----
+    "x80_adpcm_fingerprint" -> Q(
+      (s, dir) => Multimodal.audioFingerprint64(s,
+          Multimodal.syntheticAdpcmAudio(
+            Tables.documents(s, dir).filter(col("doc_id") < 120), "doc_id"))
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE params AS (
+          SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS v,
+                 (doc_id // 4) * 2654435761 % 9973 + 17 AS f,
+                 (doc_id // 4) % 97 AS c
+          FROM documents WHERE doc_id < 120),
+        steps(si, sv) AS (VALUES ${Multimodal.ImaStepTable.zipWithIndex
+          .map { case (sv, si) => s"($si, $sv)" }.mkString(", ")}),
+        dec AS (
+          SELECT doc_id, 0 AS t,
+                 cast((grp * 2654435761) % 2000 - 1000 AS BIGINT) AS pred,
+                 cast((grp * 40503) % 89 AS BIGINT) AS idx
+          FROM params
+          UNION ALL
+          SELECT d.doc_id, d.t + 1,
+            greatest(-32768, least(32767, d.pred +
+              (CASE WHEN n.nib >= 8 THEN -1 ELSE 1 END) *
+              (s.sv // 8 + CASE WHEN n.nib % 2 = 1 THEN s.sv // 4 ELSE 0 END
+                         + CASE WHEN (n.nib // 2) % 2 = 1 THEN s.sv // 2 ELSE 0 END
+                         + CASE WHEN (n.nib // 4) % 2 = 1 THEN s.sv ELSE 0 END))),
+            greatest(0, least(88, d.idx +
+              CASE WHEN n.nib % 8 < 4 THEN -1 WHEN n.nib % 8 = 4 THEN 2
+                   WHEN n.nib % 8 = 5 THEN 4 WHEN n.nib % 8 = 6 THEN 6 ELSE 8 END))
+          FROM dec d
+          JOIN params p ON p.doc_id = d.doc_id
+          JOIN steps s ON s.si = d.idx
+          CROSS JOIN LATERAL (SELECT
+            (p.f * (d.t + 1) * (d.t + 3) + p.c * (d.t + 1) + 5 * p.grp
+             + CASE WHEN p.v > 0 AND d.t = 40 + 2 * p.v THEN 7 ELSE 0 END) % 16 AS nib) n
+          WHERE d.t < 128),
+        energies AS (
+          SELECT doc_id, (t * 65) // 129 AS wnd, sum(abs(pred)) AS e
+          FROM dec GROUP BY 1, 2),
+        bits AS (
+          SELECT lo.doc_id, lo.wnd AS i,
+            CASE WHEN hi.e > lo.e THEN
+              CASE WHEN lo.wnd = 63 THEN -9223372036854775807 - 1
+                   ELSE (1::BIGINT << cast(lo.wnd AS INT)) END
+            ELSE 0 END AS bit
+          FROM energies lo JOIN energies hi
+            ON lo.doc_id = hi.doc_id AND hi.wnd = lo.wnd + 1
+          WHERE lo.wnd < 64)
+        SELECT doc_id AS id, cast(sum(bit) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1 ORDER BY 1""")),
+
     // ---- multimodal: frame sampling shape over binary payloads ----
     "x10_frame_sample" -> Q(
       (s, dir) => Multimodal.frameSample(

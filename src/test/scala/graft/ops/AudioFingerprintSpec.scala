@@ -60,4 +60,40 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(pairs.forall { case (x, y) => x / 4 === y / 4 },
       s"cross-group false positive in $pairs")
   }
+
+  test("IMA-ADPCM: the decoder follows the published predictor/step walk") {
+    // a hand-decodable stream from a known state: pred=0, idx=0 (step 7);
+    // nibble bits (2,1,0) add (step, step>>1, step>>2) on top of step>>3
+    //   nibble 0  -> diff = 7>>3 = 0,            pred 0,   idx max(0,-1) = 0
+    //   nibble 4  -> diff = 0 + 7 = 7,           pred 7,   idx 0+2 = 2 (step 9)
+    //   nibble 7  -> diff = 1+2+4+9 = 16,        pred 23,  idx 2+8 = 10 (step 19)
+    //   nibble 15 -> diff = -(2+4+9+19) = -34,   pred -11, idx 10+8 = 18
+    val wav = Multimodal.adpcmWavBytes(8000, 0, 0, Array(0, 4, 7, 15))
+    val got = {
+      // decode via the internal walk directly (5 samples incl. header)
+      val dataOff = 48
+      Multimodal.imaAdpcmMono(wav, dataOff, wav.length - dataOff,
+        blockAlign = 6, samplesPerBlock = 5).toSeq
+    }
+    assert(got === Seq(0, 0, 7, 23, -11))
+
+    // clamps: all-max nibbles from a high predictor pin to int16 range
+    val hot = Multimodal.adpcmWavBytes(8000, 32000, 88, Array.fill(8)(7))
+    val hotSamples = Multimodal.imaAdpcmMono(hot, 48, hot.length - 48, 8, 9)
+    assert(hotSamples.max === 32767, s"no int16 clamp: ${hotSamples.toSeq}")
+  }
+
+  test("IMA-ADPCM fingerprints: planted geometry holds; corpus gates like PCM") {
+    val media = Multimodal.syntheticAdpcmAudio((0L until 16L).toDF("doc_id"), "doc_id")
+    val fps = Multimodal.audioFingerprint64(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fps.size === 16, "every ADPCM clip must fingerprint")
+    // unrelated groups decorrelate (different seed predictors, indexes,
+    // and nibble streams)
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(4L)) > 8)
+    // stereo ADPCM and non-integer-spec codecs stay refusals (None)
+    val stereoHdr = Multimodal.adpcmWavBytes(8000, 0, 0, Array.fill(128)(5))
+    stereoHdr(22) = 2   // channels = 2: not implemented -> None, not a guess
+    assert(Multimodal.audioFingerprint(stereoHdr).isEmpty)
+  }
 }
