@@ -32,7 +32,7 @@ import graft.ops.Similarity
   * checkpoint commit cannot skew search results.
   */
 class AnnIndexSink(spark: SparkSession, stateDir: String,
-                   model: Similarity.PqModel)
+                   model: Similarity.PqModel, autoCompactEvery: Int = 0)
     extends Serializable {
 
   private val codesDir = s"$stateDir/pq_index"
@@ -56,6 +56,10 @@ class AnnIndexSink(spark: SparkSession, stateDir: String,
       .toDF("id", "vec", "codes")
       .withColumn("__batch", lit(batchId))
       .write.mode("append").parquet(codesDir)
+    // amortized maintenance, same opt-in as the near-dup sinks (foreachBatch
+    // executions are serialized — right after the append is between batches)
+    if (autoCompactEvery > 0 && batchId % autoCompactEvery == autoCompactEvery - 1)
+      compact()
   }
 
   /** Everything indexed so far (id, vec, codes), replay-duplicates collapsed. */

@@ -20,7 +20,8 @@ import graft.ops.Similarity
   * (deterministic per-vector scale) and reads collapse them with a
   * dropDuplicates on id.
   */
-class Int8IndexSink(spark: SparkSession, stateDir: String)
+class Int8IndexSink(spark: SparkSession, stateDir: String,
+                    autoCompactEvery: Int = 0)
     extends Serializable {
 
   private val codesDir = s"$stateDir/sq8_index"
@@ -42,6 +43,10 @@ class Int8IndexSink(spark: SparkSession, stateDir: String)
     Similarity.int8Encode(batch, idCol, vecCol, keepVec = true)
       .withColumn("__batch", lit(batchId))
       .write.mode("append").parquet(codesDir)
+    // amortized maintenance, same opt-in as the near-dup sinks (foreachBatch
+    // executions are serialized — right after the append is between batches)
+    if (autoCompactEvery > 0 && batchId % autoCompactEvery == autoCompactEvery - 1)
+      compact()
   }
 
   /** Everything indexed so far, replay-duplicates collapsed. */

@@ -28,7 +28,7 @@ import graft.ops.Dedup
   */
 class NearDupSink(spark: SparkSession, stateDir: String,
                   threshold: Double, numHashes: Int = 32, numBands: Int = 16,
-                  numBuckets: Int = 16)
+                  numBuckets: Int = 16, autoCompactEvery: Int = 0)
     extends Serializable {
 
   require(numBands >= 1 && numHashes / numBands >= 1,
@@ -106,6 +106,12 @@ class NearDupSink(spark: SparkSession, stateDir: String,
         .select(col("__bucket"), col("band_hash"), col("id"), col("sig"),
           lit(batchId).as("__batch"))
         .write.partitionBy("__bucket").mode("append").parquet(index)
+      // amortized maintenance, same opt-in as the perceptual sinks:
+      // foreachBatch executions are serialized, so right after the append
+      // IS "between micro-batches" — a long-running text-dedup stream then
+      // caps its own file count at O(buckets) with no operator cron
+      if (autoCompactEvery > 0 && batchId % autoCompactEvery == autoCompactEvery - 1)
+        compact()
       kept
     } finally {
       batchBands.unpersist(blocking = false)

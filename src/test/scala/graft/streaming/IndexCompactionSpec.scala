@@ -124,6 +124,65 @@ class IndexCompactionSpec extends SparkSpec {
     assert(rowsA === rowsB)
   }
 
+  test("autoCompactEvery parity: text, PQ, and SQ8 sinks fold in-stream too") {
+    // every append-only index sink carries the same opt-in — a long-running
+    // stream on ANY of them caps its own file count, with results identical
+    // to an append-only twin (round-18 verdict item 5)
+    import graft.ops.Similarity
+
+    // text near-dup: kept sets and final index rows identical
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def text(seed: Int): String =
+      (0 until 30).map(i => words((seed * 7 + i * 3) % words.size)).mkString(" ")
+    val (tA, tB) = (Files.createTempDirectory("graft-auto-ta").toString,
+      Files.createTempDirectory("graft-auto-tb").toString)
+    val sa = new NearDupSink(spark, tA, threshold = 0.9, autoCompactEvery = 2)
+    val sb = new NearDupSink(spark, tB, threshold = 0.9)
+    val textBatches = Seq(
+      Seq((1L, text(1)), (2L, text(2))), Seq((3L, text(1)), (4L, text(3))),
+      Seq((5L, text(2)), (6L, text(4))), Seq((7L, text(5)), (8L, text(4))))
+    textBatches.zipWithIndex.foreach { case (rows, i) =>
+      val ka = sa.process(rows.toDF("id", "text"), "id", "text", i.toLong)
+        .collect().map(_.getLong(0)).toSet
+      val kb = sb.process(rows.toDF("id", "text"), "id", "text", i.toLong)
+        .collect().map(_.getLong(0)).toSet
+      assert(ka === kb, s"text batch $i diverged under auto-compaction")
+    }
+    assert(parquetFiles(s"$tA/band_index") < parquetFiles(s"$tB/band_index"))
+    assert(spark.read.parquet(s"$tA/band_index").collect().map(_.toSeq).toSet ===
+      spark.read.parquet(s"$tB/band_index").collect().map(_.toSeq).toSet)
+
+    // PQ + SQ8 code tables: search results identical, fewer files (the
+    // model trains on the full reference corpus — pqTrain strides it and
+    // needs enough rows — then encodes the streamed slices)
+    val full = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = full.filter(col("vec_id") < 90)
+    val model = Similarity.pqTrain(full, "vec_id", "embedding")
+    val (pA, pB) = (Files.createTempDirectory("graft-auto-pa").toString,
+      Files.createTempDirectory("graft-auto-pb").toString)
+    val annA = new AnnIndexSink(spark, pA, model, autoCompactEvery = 2)
+    val annB = new AnnIndexSink(spark, pB, model)
+    val (qA, qB) = (Files.createTempDirectory("graft-auto-qa").toString,
+      Files.createTempDirectory("graft-auto-qb").toString)
+    val sqA = new Int8IndexSink(spark, qA, autoCompactEvery = 2)
+    val sqB = new Int8IndexSink(spark, qB)
+    // 6 batches so the append-only twin necessarily exceeds the compacted
+    // sink's 4-file target even at one file per append
+    (0 until 6).foreach { i =>
+      val slice = corpus
+        .filter(col("vec_id") >= i * 15L && col("vec_id") < (i + 1) * 15L)
+        .select(col("vec_id"), col("embedding"))
+      Seq(annA, annB).foreach(_.process(slice, "vec_id", "embedding", i.toLong))
+      Seq(sqA, sqB).foreach(_.process(slice, "vec_id", "embedding", i.toLong))
+    }
+    def page(df: DataFrame) = df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toList
+    assert(page(annA.topK(Seq(0L, 50L), 5)) === page(annB.topK(Seq(0L, 50L), 5)))
+    assert(page(sqA.topK(Seq(0L, 50L), 5)) === page(sqB.topK(Seq(0L, 50L), 5)))
+    assert(parquetFiles(s"$pA/pq_index") < parquetFiles(s"$pB/pq_index"))
+    assert(parquetFiles(s"$qA/sq8_index") < parquetFiles(s"$qB/sq8_index"))
+  }
+
   test("crash between renames followed by appends loses nothing") {
     // the round-18 review finding: a crashed swap leaves the live index
     // aside; if something then writes a FRESH index dir before the next
