@@ -31,11 +31,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, Str
   *     roaring-array decode); the read subtracts them with one
   *     distributed anti-join on `(_metadata.file_path, row_index)`,
   *     vectors decoded executor-side.
-  *   - `columnMapping` in `name` mode — parquet files carry PHYSICAL
-  *     column names (`delta.columnMapping.physicalName` field metadata);
-  *     the scan reads physical and the final projection restores logical
-  *     names at every nesting level. `id` mode (match by parquet field
-  *     id, not name) is refused loudly.
+  *   - `columnMapping` in `name` AND `id` mode — parquet files carry
+  *     PHYSICAL column names (`delta.columnMapping.physicalName` field
+  *     metadata); the scan reads physical and the final projection
+  *     restores logical names at every nesting level. In `id` mode the
+  *     read schema additionally carries each field's
+  *     `delta.columnMapping.id` as `parquet.field.id` metadata and the
+  *     scan runs with Spark's parquet field-id matching (scan-scoped
+  *     option), so files whose column names drifted still resolve;
+  *     files carrying NO ids fail loudly instead of nulling.
   *
   * Anything else demanded via `minReaderVersion`/`readerFeatures` (v2
   * checkpoints, …) is refused with the feature named — never mis-read.
@@ -55,7 +59,8 @@ object DeltaImport {
 
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String],
-                            files: Seq[AddFile]) {
+                            files: Seq[AddFile],
+                            columnMappingMode: String = "none") {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
   }
@@ -158,6 +163,7 @@ object DeltaImport {
 
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var mappingMode: String = "none"
     val adds = scala.collection.mutable.LinkedHashMap[String, AddFile]()
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
@@ -176,15 +182,17 @@ object DeltaImport {
     def applyMeta(schemaString: String, pcs: Seq[String], cfg: Map[String, String]): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pcs
-      val mapping = cfg.getOrElse("delta.columnMapping.mode", "none")
       // `name` mode reads by the physicalName field metadata (the schema
-      // carries the whole mapping); `id` matches by parquet field id — a
-      // different mechanism this import refuses rather than approximating
-      // with the physical names that usually ride along
-      require(mapping == "none" || mapping == "name",
-        s"Delta table $tableDir uses column mapping mode '$mapping' — " +
-          "only 'none' and 'name' are implemented; refusing rather than " +
-          "mis-reading")
+      // carries the whole mapping); `id` mode matches by PARQUET FIELD ID
+      // — the read schema carries each field's delta.columnMapping.id as
+      // `parquet.field.id` metadata and the scan runs with Spark's
+      // field-id matching on, so files whose column NAMES drifted (the
+      // case id mode exists for) still resolve correctly
+      mappingMode = cfg.getOrElse("delta.columnMapping.mode", "none")
+      require(mappingMode == "none" || mappingMode == "name" || mappingMode == "id",
+        s"Delta table $tableDir uses column mapping mode '$mappingMode' — " +
+          "only 'none', 'name', and 'id' are implemented; refusing rather " +
+          "than mis-reading")
     }
 
     def descriptor(storageType: String, pathOrInlineDv: String, offset: Option[Int],
@@ -296,7 +304,7 @@ object DeltaImport {
     Snapshot(latest,
       schema.getOrElse(throw new IllegalArgumentException(
         s"Delta log at $tableDir carries no metaData action")),
-      partCols, adds.values.toSeq)
+      partCols, adds.values.toSeq, mappingMode)
   }
 
   /** Resolve `add.path` (relative url-encoded, or absolute for clones)
@@ -320,17 +328,33 @@ object DeltaImport {
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
-  private def physicalType(dt: DataType): DataType = dt match {
+  private val FieldIdKey = "delta.columnMapping.id"
+
+  /** The read schema for the parquet files: physical names at every
+    * nesting level; in `id` mode each field additionally carries its
+    * delta column id as `parquet.field.id` metadata, which is what
+    * Spark's parquet field-id matching keys on.
+    */
+  private def physicalType(dt: DataType, withIds: Boolean): DataType = dt match {
     case s: StructType =>
-      StructType(s.fields.map(f =>
-        f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
-    case ArrayType(e, n) => ArrayType(physicalType(e), n)
-    case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+      StructType(s.fields.map { f =>
+        val md =
+          if (withIds && f.metadata.contains(FieldIdKey))
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("parquet.field.id", f.metadata.getLong(FieldIdKey))
+              .build()
+          else f.metadata
+        f.copy(name = physicalName(f), dataType = physicalType(f.dataType, withIds),
+          metadata = md)
+      })
+    case ArrayType(e, n) => ArrayType(physicalType(e, withIds), n)
+    case MapType(k, v, n) => MapType(physicalType(k, withIds), physicalType(v, withIds), n)
     case other => other
   }
 
-  private def physicalSchema(schema: StructType): StructType =
-    physicalType(schema).asInstanceOf[StructType]
+  private def physicalSchema(schema: StructType, withIds: Boolean): StructType =
+    physicalType(schema, withIds).asInstanceOf[StructType]
 
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
 
@@ -371,10 +395,21 @@ object DeltaImport {
         "data file — refusing to double-read it")
     val hasDv = snap.files.exists(_.dv.isDefined)
     val needFilePath = hasDv || snap.partitionColumns.nonEmpty
-    val physData = physicalSchema(snap.dataSchema)
+    val byId = snap.columnMappingMode == "id"
+    val physData = physicalSchema(snap.dataSchema, withIds = byId)
 
     val FP = "__delta_file_path"
     val RI = "__delta_row_index"
+    if (byId) {
+      // Spark's parquet reader takes this flag from the SESSION conf at
+      // plan-execution time (a reader option is overridden), so it must
+      // be enabled session-wide — which is side-effect-free for every
+      // other read: field-id matching only engages when the REQUESTED
+      // schema carries `parquet.field.id` metadata, i.e. exactly the
+      // id-mode schemas built here. ignoreMissing stays at its default
+      // (false): id-mode files carrying no ids fail loudly, never null.
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
     var df = spark.read.schema(physData).parquet(entries.map(_._1): _*)
     if (needFilePath) {
       val metaCols = Seq(col("_metadata.file_path").as(FP)) ++

@@ -271,12 +271,12 @@ class DeltaImportSpec extends LakeSpec {
     }
     assert(e2.getMessage.contains("v2Checkpoint"))
     assert(!e2.getMessage.contains("deletionVectors"))
-    // column mapping mode 'id' (parquet field-id matching) stays refused
+    // an unknown future column-mapping mode refuses by name
     val e3 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, freshLog(Seq(protocolLine,
-        metaLine(config = """{"delta.columnMapping.mode":"id"}""")), "delta-gate3"))
+        metaLine(config = """{"delta.columnMapping.mode":"hypothetical"}""")), "delta-gate3"))
     }
-    assert(e3.getMessage.contains("'id'"))
+    assert(e3.getMessage.contains("'hypothetical'"))
     // an unknown deletion-vector storageType
     val e4 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, freshLog(Seq(protocolLine, metaLine(),
@@ -392,6 +392,51 @@ class DeltaImportSpec extends LakeSpec {
     assert(r.head.getString(2) === "zero")
     assert(r(3).getStruct(1).getString(0) === "n3")
     assert(r(3).getStruct(1).getLong(1) === 6L)
+  }
+
+  test("column mapping (id mode): files match by parquet field id, not name") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("delta-cmid")
+    // the file's column NAMES are garbage; only its parquet field ids tie
+    // columns to the schema — the exact drift id mode exists to survive
+    val writeSchema = StructType(Seq(
+      StructField("totally_unrelated_a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("totally_unrelated_b", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val data: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (0L until 40L).foreach(i => data.add(org.apache.spark.sql.Row(i, s"v$i")))
+    stageOne(dir, spark.createDataFrame(data, writeSchema), "d.parquet")
+    val mapped =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-id1"}},
+        |{"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-id2"}}]}"""
+        .stripMargin.replace("\n", "")
+    writeText(s"$dir/_delta_log", f"${0}%020d.json", Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(config = """{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}""",
+        schema = mapped),
+      """{"add":{"path":"d.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+      .mkString("\n"))
+    val back = DeltaImport.readSnapshot(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === (0L until 40L).map(i => (i, s"v$i")))
+
+    // a file carrying NO field ids must fail loudly in id mode, never null
+    import spark.implicits._
+    stageOne(dir, Seq((99L, "x")).toDF("a", "b"), "noid.parquet")
+    writeText(s"$dir/_delta_log", f"${1}%020d.json",
+      """{"add":{"path":"noid.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e = intercept[Exception] {
+      DeltaImport.readSnapshot(spark, dir).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ").toLowerCase
+    assert(messages.contains("field id"),
+      s"expected a loud missing-field-id failure, got: $messages")
   }
 
   test("file names with spaces and percent signs resolve (url-encoded add.path)") {
