@@ -270,9 +270,13 @@ private[connector] final class ExportDeltaProcedure(resolve: String => TableLog)
 
   override def name(): String = "export_delta"
   override def description(): String =
-    "materialize a snapshot (vectors applied, logical column names) as a " +
-      "Delta Lake table at `location` for external engines; `version` " +
-      "defaults to latest. The export is an immutable snapshot copy."
+    "export a snapshot as a Delta Lake table at `location` for external " +
+      "engines; `version` defaults to latest. materialize => true " +
+      "(default) rewrites plain v1 parquet (vectors applied, logical " +
+      "names — every reader); materialize => false BYTE-COPIES the data " +
+      "files and exports real deletion vectors / column-mapping metadata " +
+      "(O(bytes), needs a DV/mapping-capable reader). Immutable snapshot " +
+      "copy either way."
 
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
     override def name(): String = ExportDeltaProcedure.this.name()
@@ -282,7 +286,8 @@ private[connector] final class ExportDeltaProcedure(resolve: String => TableLog)
     override def parameters(): Array[ProcedureParameter] = Array(
       GraftProcedures.in("table", StringType),
       GraftProcedures.in("location", StringType),
-      GraftProcedures.in("version", LongType, "-1"))
+      GraftProcedures.in("version", LongType, "-1"),
+      GraftProcedures.in("materialize", BooleanType, "true"))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val log = resolve(input.getUTF8String(0).toString)
@@ -291,7 +296,8 @@ private[connector] final class ExportDeltaProcedure(resolve: String => TableLog)
         case -1L => None
         case v => Some(v)
       }
-      val stats = DeltaExport.exportSnapshot(SparkSession.active, log, dest, version)
+      val stats = DeltaExport.exportSnapshot(SparkSession.active, log, dest,
+        version, materialize = input.getBoolean(3))
       GraftProcedures.oneRowResult(
         StructType(Seq(
           StructField("files", IntegerType, nullable = false),
