@@ -491,48 +491,74 @@ object Multimodal {
 
   private[ops] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
-  /** Decode a mono IMA-ADPCM data payload (4-bit nibbles, low nibble
-    * first) to signed 16-bit samples — the published walk: per block a
-    * 4-byte header seeds (predictor, stepIndex) and emits the predictor
-    * as sample 0; each nibble then adds `±(step>>3 + bits·step-parts)`,
-    * clamps the predictor to int16, and moves the step index by the
-    * 8-entry table, clamped to [0, 88]. Exact integer arithmetic — the
-    * x80 oracle replays it as a recursive SQL walk.
+  /** Decode an IMA-ADPCM data payload (4-bit nibbles, low nibble first)
+    * to signed 16-bit samples, FRAME-MAJOR interleaved
+    * (`samples(t * channels + c)`) — the published walk: per block a
+    * 4-byte header PER CHANNEL seeds (predictor, stepIndex) and emits
+    * the predictor as sample 0; the data then interleaves in 4-byte
+    * (8-nibble) words per channel, each nibble adding
+    * `±(step>>3 + bits·step-parts)` with int16 / [0, 88] clamps. Exact
+    * integer arithmetic — the x80 oracle replays the mono walk as a
+    * recursive SQL decode. A truncated tail block emits only the frames
+    * every channel produced.
     */
-  private[ops] def imaAdpcmMono(bytes: Array[Byte], dataOff: Int, avail: Int,
-                                blockAlign: Int, samplesPerBlock: Int): Array[Int] = {
+  private[ops] def imaAdpcmInterleaved(bytes: Array[Byte], dataOff: Int, avail: Int,
+                                       blockAlign: Int, samplesPerBlock: Int,
+                                       channels: Int): Array[Int] = {
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    val headerLen = 4 * channels
     var blockStart = dataOff
-    while (blockStart + 4 <= dataOff + avail) {
+    while (blockStart + headerLen <= dataOff + avail) {
       val blockEnd = math.min(blockStart.toLong + blockAlign, (dataOff + avail).toLong).toInt
-      var pred = ((bytes(blockStart) & 0xff) | (bytes(blockStart + 1) << 8)).toShort.toInt
-      var idx = math.max(0, math.min(88, bytes(blockStart + 2) & 0xff))
-      out += pred
-      var produced = 1
-      var o = blockStart + 4
-      while (o < blockEnd && produced < samplesPerBlock) {
-        val b = bytes(o) & 0xff
-        var half = 0
-        while (half < 2 && produced < samplesPerBlock) {
-          val nib = if (half == 0) b & 0xf else (b >>> 4) & 0xf
-          val step = ImaStepTable(idx)
-          var diff = step >> 3
-          if ((nib & 1) != 0) diff += step >> 2
-          if ((nib & 2) != 0) diff += step >> 1
-          if ((nib & 4) != 0) diff += step
-          if ((nib & 8) != 0) diff = -diff
-          pred = math.max(-32768, math.min(32767, pred + diff))
-          idx = math.max(0, math.min(88, idx + ImaIndexTable(nib & 7)))
-          out += pred
-          produced += 1
-          half += 1
-        }
-        o += 1
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
+      val samples = new Array[Int](samplesPerBlock * channels)
+      val produced = new Array[Int](channels)
+      var c = 0
+      while (c < channels) {
+        val ho = blockStart + 4 * c
+        pred(c) = ((bytes(ho) & 0xff) | (bytes(ho + 1) << 8)).toShort.toInt
+        idx(c) = math.max(0, math.min(88, bytes(ho + 2) & 0xff))
+        samples(c) = pred(c)            // frame 0 = the header predictor
+        produced(c) = 1
+        c += 1
       }
-      blockStart += math.max(blockAlign, 5)   // malformed tiny blockAlign: stop
+      var o = blockStart + headerLen
+      while (o < blockEnd && produced.exists(_ < samplesPerBlock)) {
+        val ch = ((o - blockStart - headerLen) / 4) % channels
+        val wordEnd = math.min(o + 4, blockEnd)
+        while (o < wordEnd) {
+          val b = bytes(o) & 0xff
+          var half = 0
+          while (half < 2 && produced(ch) < samplesPerBlock) {
+            val nib = if (half == 0) b & 0xf else (b >>> 4) & 0xf
+            val step = ImaStepTable(idx(ch))
+            var diff = step >> 3
+            if ((nib & 1) != 0) diff += step >> 2
+            if ((nib & 2) != 0) diff += step >> 1
+            if ((nib & 4) != 0) diff += step
+            if ((nib & 8) != 0) diff = -diff
+            pred(ch) = math.max(-32768, math.min(32767, pred(ch) + diff))
+            idx(ch) = math.max(0, math.min(88, idx(ch) + ImaIndexTable(nib & 7)))
+            samples(produced(ch) * channels + ch) = pred(ch)
+            produced(ch) += 1
+            half += 1
+          }
+          o += 1
+        }
+      }
+      val frames = produced.min
+      var i = 0
+      while (i < frames * channels) { out += samples(i); i += 1 }
+      blockStart += math.max(blockAlign, headerLen + 1)   // malformed tiny blockAlign: stop
     }
     out.result()
   }
+
+  /** Mono face of [[imaAdpcmInterleaved]] (the x80 oracle's exact walk). */
+  private[ops] def imaAdpcmMono(bytes: Array[Byte], dataOff: Int, avail: Int,
+                                blockAlign: Int, samplesPerBlock: Int): Array[Int] =
+    imaAdpcmInterleaved(bytes, dataOff, avail, blockAlign, samplesPerBlock, 1)
 
   /** 64-bit energy-difference fingerprint of a WAV — the audio analogue
     * of [[dHashGray]]: frames map onto 65 equal windows by
@@ -544,8 +570,9 @@ object Multimodal {
     * (Haitsma-Kalper energy-band signs) reduced to exact integer
     * arithmetic an external engine can replay bit-for-bit.
     *
-    * Codecs: 16-bit PCM (format 1, any channel count) and mono IMA-ADPCM
-    * (format 0x11 via [[imaAdpcmMono]] — the published integer spec, so
+    * Codecs: 16-bit PCM (format 1, any channel count) and IMA-ADPCM
+    * (format 0x11 via [[imaAdpcmInterleaved]], any channel count — the
+    * published integer spec with the 4-byte-word channel interleave, so
     * the whole compressed path stays oracle-replayable). MP3/AAC have no
     * JDK decoder and no exact integer spec — None, never a guess. Also
     * None for clips shorter than 65 frames.
@@ -587,13 +614,19 @@ object Multimodal {
           t += 1
         }
         out
-      } else if (fmtTag == 0x11 && channels == 1 && le16(bytes, 34) == 4) {
+      } else if (fmtTag == 0x11 && le16(bytes, 34) == 4) {
         val blockAlign = le16(bytes, 32)
         // wSamplesPerBlock lives in the fmt extension (canonical layout)
         val spb = if (le32(bytes, 16) >= 20) le16(bytes, 38) else 0
-        if (blockAlign < 5 || spb < 1) return None
-        imaAdpcmMono(bytes, dataOff.toInt, avail.toInt, blockAlign, spb)
-          .map(v => math.abs(v).toLong)
+        if (blockAlign < 4 * channels + 1 || spb < 1) return None
+        val inter = imaAdpcmInterleaved(bytes, dataOff.toInt, avail.toInt,
+          blockAlign, spb, channels)
+        Array.tabulate(inter.length / channels) { t =>
+          var c = 0
+          var sum = 0L
+          while (c < channels) { sum += math.abs(inter(t * channels + c)); c += 1 }
+          sum
+        }
       } else return None
     val nFrames = frameAbs.length
     if (nFrames < 65) return None
@@ -644,14 +677,22 @@ object Multimodal {
     df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
   }
 
-  /** A canonical mono IMA-ADPCM WAV (format 0x11): 20-byte fmt chunk with
-    * the samplesPerBlock extension, one data block — 4-byte header
-    * (predictor, step index) + packed nibbles, low nibble first.
+  /** A canonical IMA-ADPCM WAV (format 0x11): 20-byte fmt chunk with the
+    * samplesPerBlock extension, one data block — 4-byte header per
+    * channel (predictor, step index) + packed nibbles, low nibble first,
+    * channels interleaved in 4-byte words. Every channel carries the
+    * SAME nibble stream (the multi-channel fixture shape).
     */
   private[ops] def adpcmWavBytes(sampleRate: Int, pred0: Int, idx0: Int,
-                                 nibbles: Array[Int]): Array[Byte] = {
+                                 nibbles: Array[Int],
+                                 channels: Int = 1): Array[Byte] = {
     val nData = (nibbles.length + 1) / 2
-    val blockAlign = 4 + nData
+    // mono packs nibble bytes tightly; multi-channel interleaves whole
+    // 4-byte words per channel (zero-padded tails decode but are capped
+    // by samplesPerBlock)
+    val wordsPerChannel = (nData + 3) / 4
+    val dataLen = if (channels == 1) nData else wordsPerChannel * 4 * channels
+    val blockAlign = 4 * channels + dataLen
     val spb = nibbles.length + 1              // header sample + one per nibble
     val out = new Array[Byte](12 + 8 + 20 + 8 + blockAlign)
     def putLe16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
@@ -659,18 +700,28 @@ object Multimodal {
     def putTag(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, i) => out(o + i) = c.toByte }
     putTag(0, "RIFF"); putLe32(4, out.length - 8); putTag(8, "WAVE")
     putTag(12, "fmt "); putLe32(16, 20)
-    putLe16(20, 0x11); putLe16(22, 1)                    // IMA-ADPCM, mono
+    putLe16(20, 0x11); putLe16(22, channels)
     putLe32(24, sampleRate)
     putLe32(28, sampleRate * blockAlign / spb)           // nominal byte rate
     putLe16(32, blockAlign); putLe16(34, 4)              // blockAlign, 4-bit
     putLe16(36, 2); putLe16(38, spb)                     // cbSize, samplesPerBlock
     putTag(40, "data"); putLe32(44, blockAlign)
-    putLe16(48, pred0)
-    out(50) = idx0.toByte; out(51) = 0
+    (0 until channels).foreach { c =>
+      putLe16(48 + 4 * c, pred0)
+      out(50 + 4 * c) = idx0.toByte; out(51 + 4 * c) = 0
+    }
+    val dataStart = 48 + 4 * channels
     nibbles.zipWithIndex.foreach { case (n, j) =>
-      val o = 52 + j / 2
-      out(o) = (if (j % 2 == 0) (out(o) & 0xf0) | (n & 0xf)
-                else (out(o) & 0x0f) | ((n & 0xf) << 4)).toByte
+      val byteInChannel = j / 2
+      (0 until channels).foreach { c =>
+        // word w of channel c sits at dataStart + (w * channels + c) * 4
+        // (mono: tight packing, same formula with channels = 1)
+        val o =
+          if (channels == 1) dataStart + byteInChannel
+          else dataStart + ((byteInChannel / 4) * channels + c) * 4 + byteInChannel % 4
+        out(o) = (if (j % 2 == 0) (out(o) & 0xf0) | (n & 0xf)
+                  else (out(o) & 0x0f) | ((n & 0xf) << 4)).toByte
+      }
     }
     out
   }

@@ -91,9 +91,18 @@ class AudioFingerprintSpec extends SparkSpec {
     // unrelated groups decorrelate (different seed predictors, indexes,
     // and nibble streams)
     assert(java.lang.Long.bitCount(fps(0L) ^ fps(4L)) > 8)
-    // stereo ADPCM and non-integer-spec codecs stay refusals (None)
-    val stereoHdr = Multimodal.adpcmWavBytes(8000, 0, 0, Array.fill(128)(5))
-    stereoHdr(22) = 2   // channels = 2: not implemented -> None, not a guess
-    assert(Multimodal.audioFingerprint(stereoHdr).isEmpty)
+    // stereo ADPCM decodes via the 4-byte-word channel interleave: both
+    // channels carrying the same stream double every window's energy and
+    // leave the sign bits — hence the fingerprint — unchanged vs mono
+    val nibbles = Array.tabulate(128)(j => (j * 7 + 3) % 16)
+    val mono = Multimodal.audioFingerprint(
+      Multimodal.adpcmWavBytes(8000, 120, 30, nibbles))
+    val stereo = Multimodal.audioFingerprint(
+      Multimodal.adpcmWavBytes(8000, 120, 30, nibbles, channels = 2))
+    assert(mono.isDefined && stereo === mono)
+    // non-integer-spec codecs stay refusals: an MP3-ish format tag is None
+    val mp3ish = Multimodal.adpcmWavBytes(8000, 0, 0, nibbles)
+    mp3ish(20) = 0x55   // format tag 0x0055 = MPEG layer 3
+    assert(Multimodal.audioFingerprint(mp3ish).isEmpty)
   }
 }
