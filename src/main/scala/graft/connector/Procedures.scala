@@ -361,7 +361,12 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
       var files = 0
       // everything after create() is fenced: a failed copy/stats/commit
       // would otherwise strand a created-but-empty table, and the retry
-      // then refuses with "already exists" until someone drops it by hand
+      // then refuses with "already exists" until someone drops it by hand.
+      // EXCEPT the lost-CAS case: losing the first commit means a
+      // concurrent writer REALLY committed to this table — deleting the
+      // dir would destroy their data, and the retry's "already exists"
+      // refusal is then the truth, not a stranding
+      var lostRace = false
       try {
         if (snap.files.nonEmpty) {
           val staged = s"${log.tableDir}/data/import-" +
@@ -374,17 +379,22 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
           rows = stats.map(_.rows).getOrElse(0L)
           files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
             .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          require(log.tryCommitEntries(None, Seq(DirEntry(staged, stats))),
-            s"first commit of the imported table ${log.tableDir} lost a race " +
-              "— a concurrent writer appeared under a table that did not exist")
+          if (!log.tryCommitEntries(None, Seq(DirEntry(staged, stats)))) {
+            lostRace = true
+            throw new IllegalStateException(
+              s"first commit of the imported table ${log.tableDir} lost a race " +
+                "— a concurrent writer appeared under a table that did not exist")
+          }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
-          // best-effort drop of the half-imported table so the retry is
-          // clean; the original failure is what surfaces
-          try fs.delete(dir, true)
-          catch { case scala.util.control.NonFatal(_) => () }
-          TableLog.invalidateCache(log.tableDir)
+          if (!lostRace) {
+            // best-effort drop of the half-imported table so the retry is
+            // clean; the original failure is what surfaces
+            try fs.delete(dir, true)
+            catch { case scala.util.control.NonFatal(_) => () }
+            TableLog.invalidateCache(log.tableDir)
+          }
           throw e
       }
       GraftProcedures.oneRowResult(

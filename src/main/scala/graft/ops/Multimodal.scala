@@ -619,6 +619,11 @@ object Multimodal {
         // wSamplesPerBlock lives in the fmt extension (canonical layout)
         val spb = if (le32(bytes, 16) >= 20) le16(bytes, 38) else 0
         if (blockAlign < 4 * channels + 1 || spb < 1) return None
+        // a block physically holds (blockAlign - headers) * 2 / channels
+        // nibbles + the header sample per channel; a crafted header
+        // declaring more would make the decoder allocate spb*channels
+        // sample slots for data that cannot exist — refuse, don't alloc
+        if (spb.toLong > (blockAlign - 4L * channels) * 2 / channels + 1) return None
         val inter = imaAdpcmInterleaved(bytes, dataOff.toInt, avail.toInt,
           blockAlign, spb, channels)
         Array.tabulate(inter.length / channels) { t =>
@@ -880,11 +885,14 @@ object Multimodal {
       (len >= 2 && (bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8)
     if (isJpeg) Some(java.util.Arrays.copyOfRange(bytes, off, off + len))
     else if (compression == 0 && bitCount == 24 && w > 0 && h > 0) {
-      val rowSize = ((w * 3 + 3) / 4) * 4
-      if (len < rowSize * h) None
+      // bounds math in LONG (cf. decodeGrayImage): a crafted strf with a
+      // huge width would overflow `w * 3` / `rowSize * h` in Int, pass the
+      // check, and the copy would throw instead of skipping the frame
+      val rowSize = ((w.toLong * 3 + 3) / 4) * 4
+      if (len.toLong < rowSize * h) None
       else {
         val bmp = bmpBytes(w, h)
-        System.arraycopy(bytes, off, bmp, 54, rowSize * h)
+        System.arraycopy(bytes, off, bmp, 54, (rowSize * h).toInt)
         Some(bmp)
       }
     } else None

@@ -212,6 +212,29 @@ class DeltaImportSpec extends LakeSpec {
     assert(e3.getMessage.contains("namespace.table"))
   }
 
+  test("a failed import drops the half-created table so the retry is clean") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
+    val dir = tmp("delta-orphan")
+    // the log names a data file that does not exist: the copy fails AFTER
+    // the table log was created — without cleanup, every retry would
+    // refuse with "already exists" until a manual drop
+    writeText(s"$dir/_delta_log", f"${0}%020d.json", Seq(protocolLine, metaLine(),
+      """{"add":{"path":"missing.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+      .mkString("\n"))
+    intercept[Exception] {
+      rows(s"CALL implake.system.import_delta(`table` => 'db.orphan', " +
+        s"location => '$dir')")
+    }
+    // fix the source and RETRY into the same name — must succeed, proving
+    // the failed attempt left no orphaned table behind
+    stageOne(dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "missing.parquet")
+    val out = rows(s"CALL implake.system.import_delta(`table` => 'db.orphan', " +
+      s"location => '$dir')")
+    assert(out.head.getLong(1) === 2L)
+    assert(rows("SELECT count(*) FROM implake.db.orphan").head.getLong(0) === 2L)
+  }
+
   test("incomplete multi-part checkpoints never stand in for the log") {
     import spark.implicits._
     // commits 0..2 exist; a HALF-UPLOADED 2-part checkpoint at v2 (only
