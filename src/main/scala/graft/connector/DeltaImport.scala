@@ -179,7 +179,14 @@ object DeltaImport {
          else "") + "); refusing rather than mis-reading")
     }
 
-    def applyMeta(schemaString: String, pcs: Seq[String], cfg: Map[String, String]): Unit = {
+    def applyMeta(schemaString: String, pcs: Seq[String], cfg: Map[String, String],
+                  provider: String): Unit = {
+      // the protocol pins parquet today, but the field exists precisely so
+      // a future format can be declared — reading such a table as parquet
+      // would be garbage, not an error
+      require(provider == "parquet",
+        s"Delta table $tableDir stores '$provider' data files — this import " +
+          "reads parquet only; refusing rather than mis-reading")
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pcs
       // `name` mode reads by the physicalName field metadata (the schema
@@ -220,11 +227,12 @@ object DeltaImport {
           }
       if (cols.contains("metaData"))
         cp.select("metaData.schemaString", "metaData.partitionColumns",
-            "metaData.configuration")
+            "metaData.configuration", "metaData.format.provider")
           .filter(col("schemaString").isNotNull)
           .collect().foreach { r =>
             applyMeta(r.getString(0), r.getSeq[String](1),
-              if (r.isNullAt(2)) Map.empty else r.getMap[String, String](2).toMap)
+              if (r.isNullAt(2)) Map.empty else r.getMap[String, String](2).toMap,
+              if (r.isNullAt(3)) "parquet" else r.getString(3))
           }
       if (cols.contains("add")) {
         val addFields = cp.select("add.*").schema.fieldNames.toSet
@@ -276,7 +284,9 @@ object DeltaImport {
             while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
             b.result()
           }.getOrElse(Map.empty[String, String])
-          applyMeta(m.get("schemaString").asText, pcs, cfg)
+          val provider = Option(m.get("format")).flatMap(f =>
+            Option(f.get("provider")).map(_.asText)).getOrElse("parquet")
+          applyMeta(m.get("schemaString").asText, pcs, cfg, provider)
         }
         if (node.has("add")) {
           val a = node.get("add")

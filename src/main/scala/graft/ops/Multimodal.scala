@@ -107,6 +107,16 @@ object Multimodal {
       MediaFeatures(id, n, "gif",
         width = Some(le16(bytes, 6)), height = Some(le16(bytes, 8)),
         channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
+    else if (n >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+             bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') {
+      val (w, h) = aviVideoFormat(bytes) match {
+        case Some((_, _, vw, vh)) => (Some(vw), Some(vh))
+        case None => (None, None)
+      }
+      MediaFeatures(id, n, "avi",
+        width = w, height = h,
+        channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
+    }
     else if (n >= 44 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
              bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
       val channels = le16(bytes, 22)

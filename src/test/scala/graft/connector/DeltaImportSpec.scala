@@ -309,6 +309,14 @@ class DeltaImportSpec extends LakeSpec {
         "delta-gate4"))
     }
     assert(e4.getMessage.contains("storageType"))
+    // a non-parquet format provider refuses (reading it as parquet would
+    // be garbage, not an error)
+    val e6 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, freshLog(Seq(protocolLine,
+        metaLine().replace(""""provider":"parquet"""", """"provider":"orc"""")),
+        "delta-gate6"))
+    }
+    assert(e6.getMessage.contains("'orc'"))
     // version gap: commit 0 and 2, no 1
     val dir = tmp("delta-gap")
     writeText(s"$dir/_delta_log", f"${0}%020d.json",

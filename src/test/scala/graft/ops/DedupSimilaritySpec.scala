@@ -209,6 +209,9 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(jpg.format_guess == "jpeg" && jpg.width.contains(640) && jpg.height.contains(480))
     val gif = Multimodal.decodeOne(4L, Multimodal.gifBytes(320, 200))
     assert(gif.format_guess == "gif" && gif.width.contains(320) && gif.height.contains(200))
+    val avi = Multimodal.decodeOne(6L, Multimodal.aviBytes(9, 8, "DIB ",
+      Seq(new Array[Byte](28 * 8))))
+    assert(avi.format_guess == "avi" && avi.width.contains(9) && avi.height.contains(8))
     // SOF behind a fat APP segment still found; truncated-at-scan JPEG yields text fallback
     assert(Multimodal.jpegDims(Multimodal.jpegBytes(1, 1)).contains((1, 1)))
     val scanOnly = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x02).map(_.toByte)
