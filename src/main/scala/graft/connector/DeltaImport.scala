@@ -68,9 +68,16 @@ object DeltaImport {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Reader features this import implements (protocol `readerFeatures`
-    * names under minReaderVersion 3).
+    * names under minReaderVersion 3): deletion vectors and column mapping
+    * carry real machinery here; `timestampNtz` is native to Spark's
+    * parquet reader (TIMESTAMP_NTZ round-trips through
+    * `DataType.fromJson`); `vacuumProtocolCheck`'s published reader
+    * requirements are literally "None" (it constrains VACUUM, which a
+    * read-only import never runs). Anything else (v2Checkpoint,
+    * typeWidening, variantType, …) stays a loud refusal.
     */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck")
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
 

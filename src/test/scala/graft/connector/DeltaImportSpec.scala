@@ -470,6 +470,32 @@ class DeltaImportSpec extends LakeSpec {
       s"expected a loud missing-field-id failure, got: $messages")
   }
 
+  test("timestampNtz and vacuumProtocolCheck tables import; their values round-trip") {
+    import spark.implicits._
+    val dir = tmp("delta-ntz")
+    stageOne(dir,
+      Seq((1L, java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 15)),
+          (2L, java.time.LocalDateTime.of(2025, 7, 4, 0, 0, 1)))
+        .toDF("k", "ts"),
+      "d.parquet")
+    val ntzSchema =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{}},
+        |{"name":"ts","type":"timestamp_ntz","nullable":true,"metadata":{}}]}"""
+        .stripMargin.replace("\n", "")
+    writeText(s"$dir/_delta_log", f"${0}%020d.json", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","vacuumProtocolCheck"],"writerFeatures":["timestampNtz","vacuumProtocolCheck"]}}""",
+      metaLine(schema = ntzSchema),
+      """{"add":{"path":"d.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+      .mkString("\n"))
+    val back = DeltaImport.readSnapshot(spark, dir)
+    assert(back.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(back.orderBy("k").collect().map(_.getAs[java.time.LocalDateTime]("ts")).toSeq ===
+      Seq(java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 15),
+          java.time.LocalDateTime.of(2025, 7, 4, 0, 0, 1)))
+  }
+
   test("file names with spaces and percent signs resolve (url-encoded add.path)") {
     import spark.implicits._
     val dir = tmp("delta-enc")
