@@ -150,6 +150,13 @@ class DeltaExportSpec extends LakeSpec {
     assert(back.orderBy("k").collect().toSeq ===
       rows("SELECT k, renamed FROM explake.db.r ORDER BY k"))
 
+    // ... and the SQL faces close the loop end to end: CALL import_delta
+    // over the raw (DV + mapped) export materializes exactly the live rows
+    rows(s"CALL explake.system.import_delta(`table` => 'db.rback', " +
+      s"location => '$dest')")
+    assert(rows("SELECT k, renamed FROM explake.db.rback ORDER BY k") ===
+      rows("SELECT k, renamed FROM explake.db.r ORDER BY k"))
+
     // a vector-free unmapped table exports at the v1/v2 floor even raw
     sql("CREATE TABLE explake.db.plain (k BIGINT)")
     sql("INSERT INTO explake.db.plain SELECT id FROM range(0, 10)")
