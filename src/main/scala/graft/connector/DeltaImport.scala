@@ -324,6 +324,45 @@ object DeltaImport {
       partCols, adds.values.toSeq, mappingMode)
   }
 
+  /** The APPEND-ONLY increment between two snapshots of one Delta table:
+    * a snapshot holding exactly the files added after `old` — the unit
+    * `refresh_delta` copies. Anything that is NOT a pure append between
+    * the two versions refuses loudly, because an incremental copy cannot
+    * represent it:
+    *
+    *  - a file of `old` missing from `new` (a DELETE/UPDATE/compaction
+    *    rewrite retired it);
+    *  - a surviving file whose deletion vector CHANGED (rows deleted
+    *    from data already imported);
+    *  - a schema / partitioning / column-mapping change.
+    *
+    * A brand-NEW file carrying a deletion vector is fine — its live rows
+    * are simply (file minus vector), which [[readSnapshot]] reads
+    * correctly.
+    */
+  def appendOnlyIncrement(oldSnap: Snapshot, newSnap: Snapshot,
+                          tableDir: String): Snapshot = {
+    require(oldSnap.schema.json == newSnap.schema.json &&
+        oldSnap.partitionColumns == newSnap.partitionColumns &&
+        oldSnap.columnMappingMode == newSnap.columnMappingMode,
+      s"Delta table $tableDir changed its schema/partitioning/mapping " +
+        s"between versions ${oldSnap.version} and ${newSnap.version} — " +
+        "re-import instead of refreshing")
+    val newByPath = newSnap.files.map(f => f.path -> f).toMap
+    oldSnap.files.foreach { f =>
+      val survivor = newByPath.getOrElse(f.path, throw new IllegalArgumentException(
+        s"Delta table $tableDir retired file ${f.path} between versions " +
+          s"${oldSnap.version} and ${newSnap.version} (delete/update/" +
+          "compaction) — not an append-only increment; re-import instead"))
+      require(survivor.dv == f.dv,
+        s"Delta table $tableDir changed the deletion vector of ${f.path} " +
+          s"between versions ${oldSnap.version} and ${newSnap.version} — " +
+          "rows were deleted from already-imported data; re-import instead")
+    }
+    val oldPaths = oldSnap.files.map(_.path).toSet
+    newSnap.copy(files = newSnap.files.filterNot(f => oldPaths(f.path)))
+  }
+
   /** Resolve `add.path` (relative url-encoded, or absolute for clones)
     * against the table root. Percent-escapes are decoded ONCE, by the
     * URI parser — the decoded string then builds the Hadoop Path

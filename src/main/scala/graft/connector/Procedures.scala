@@ -32,7 +32,8 @@ private[connector] object GraftProcedures {
       Identifier.of(Array(Namespace), "vacuum"),
       Identifier.of(Array(Namespace), "restore"),
       Identifier.of(Array(Namespace), "export_delta"),
-      Identifier.of(Array(Namespace), "import_delta"))
+      Identifier.of(Array(Namespace), "import_delta"),
+      Identifier.of(Array(Namespace), "refresh_delta"))
 
   def load(ident: Identifier, resolve: String => TableLog,
            resolveNew: String => TableLog): Option[UnboundProcedure] = {
@@ -43,6 +44,7 @@ private[connector] object GraftProcedures {
       case "restore" => Some(new RestoreProcedure(resolve))
       case "export_delta" => Some(new ExportDeltaProcedure(resolve))
       case "import_delta" => Some(new ImportDeltaProcedure(resolveNew))
+      case "refresh_delta" => Some(new RefreshDeltaProcedure(resolve))
       case _ => None
     }
   }
@@ -356,7 +358,11 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
         s"namespace of ${log.tableDir} does not exist — create it first " +
           "(a silent mkdirs would invent namespaces, cf. RENAME TO)")
       val snap = DeltaImport.snapshot(spark, location, version)
-      log.create(snap.schema, Map.empty)
+      // the source coordinates ride as table properties so refresh_delta
+      // can later append exactly the source's new files
+      log.create(snap.schema, Map(
+        "graft.delta.location" -> location,
+        "graft.delta.sourceVersion" -> snap.version.toString))
       var rows = 0L
       var files = 0
       // everything after create() is fenced: a failed copy/stats/commit
@@ -404,6 +410,89 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
           StructField("source_version", LongType, nullable = false),
           StructField("table_dir", StringType, nullable = false))),
         Array(files, rows, snap.version, UTF8String.fromString(log.tableDir)))
+    }
+  }
+}
+
+/** `CALL lake.system.refresh_delta(table => 'db.t')` — INCREMENTAL
+  * re-sync of a table created by `import_delta`: resolve the source's
+  * current snapshot (coordinates come from the `graft.delta.*` table
+  * properties the import stamped), take the APPEND-ONLY increment since
+  * the recorded source version ([[DeltaImport.appendOnlyIncrement]] —
+  * retired files, changed deletion vectors, or schema changes refuse
+  * loudly with "re-import instead"), copy exactly the new files' live
+  * rows, and commit them TOGETHER with the advanced
+  * `graft.delta.sourceVersion` property in one CAS commit — a crash
+  * between copy and commit leaves only an unreferenced staged dir
+  * (vacuum's to reclaim) and the next refresh redoes the same increment.
+  * O(new data), never O(table): the continuous-mirror shape, where
+  * re-import is the rebuild shape. Returns
+  * (files, rows, from_version, to_version).
+  */
+private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog)
+    extends UnboundProcedure {
+
+  override def name(): String = "refresh_delta"
+  override def description(): String =
+    "append the source Delta table's new files (since the version recorded " +
+      "by import_delta) into the imported table; non-append source changes " +
+      "refuse loudly — re-import for those"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = RefreshDeltaProcedure.this.name()
+    override def description(): String = RefreshDeltaProcedure.this.description()
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      GraftProcedures.in("table", StringType))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = resolve(input.getUTF8String(0).toString)
+      val spark = SparkSession.active
+      val props = log.properties
+      val location = props.getOrElse("graft.delta.location",
+        throw new IllegalArgumentException(
+          s"${log.tableDir} was not created by import_delta (no " +
+            "graft.delta.location property) — nothing to refresh from"))
+      val recorded = props("graft.delta.sourceVersion").toLong
+      def result(files: Int, rows: Long, to: Long) =
+        GraftProcedures.oneRowResult(
+          StructType(Seq(
+            StructField("files", IntegerType, nullable = false),
+            StructField("rows", LongType, nullable = false),
+            StructField("from_version", LongType, nullable = false),
+            StructField("to_version", LongType, nullable = false))),
+          Array(files, rows, recorded, to))
+      val newSnap = DeltaImport.snapshot(spark, location)
+      if (newSnap.version == recorded) return result(0, 0L, recorded)
+      val oldSnap = DeltaImport.snapshot(spark, location, Some(recorded))
+      val increment = DeltaImport.appendOnlyIncrement(oldSnap, newSnap, location)
+
+      var rows = 0L
+      var files = 0
+      var entry: Option[DirEntry] = None
+      if (increment.files.nonEmpty) {
+        val staged = s"${log.tableDir}/data/refresh-" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        DeltaImport.readSnapshot(spark, location, increment).write.parquet(staged)
+        val stats = DirStats.collect(staged, log.hadoopConf)
+        rows = stats.map(_.rows).getOrElse(0L)
+        val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(log.hadoopConf)
+        files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        entry = Some(DirEntry(staged, stats))
+      }
+      // one CAS commit carries the appended dir AND the advanced source
+      // version — they can never diverge
+      val latest = log.latestVersion
+      val (schema, _) = latest.map(log.metaAt).getOrElse(log.baseMetaPublic)
+      val prior = latest.map(log.entriesAt).getOrElse(Nil)
+      require(log.tryCommitEntriesMeta(latest, prior ++ entry.toSeq,
+          newMeta = Some((schema,
+            props.updated("graft.delta.sourceVersion", newSnap.version.toString)))),
+        s"refresh of ${log.tableDir} lost a commit race — re-run it " +
+          "(the staged copy is unreferenced and vacuum reclaims it)")
+      result(files, rows, newSnap.version)
     }
   }
 }

@@ -212,6 +212,51 @@ class DeltaImportSpec extends LakeSpec {
     assert(e3.getMessage.contains("namespace.table"))
   }
 
+  test("CALL refresh_delta appends only the source's new files, then refuses churn") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
+    val src = tmp("delta-refresh-src")
+    def add(path: String) =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+    stageOne(src, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "f0.parquet")
+    writeText(s"$src/_delta_log", f"${0}%020d.json",
+      Seq(protocolLine, metaLine(), add("f0.parquet")).mkString("\n"))
+    rows(s"CALL implake.system.import_delta(`table` => 'db.mirror', " +
+      s"location => '$src')")
+    assert(rows("SELECT count(*) FROM implake.db.mirror").head.getLong(0) === 2L)
+
+    // the source appends a commit -> refresh copies exactly the new file
+    stageOne(src, Seq((3L, "c")).toDF("k", "v"), "f1.parquet")
+    writeText(s"$src/_delta_log", f"${1}%020d.json", add("f1.parquet"))
+    val out = rows("CALL implake.system.refresh_delta(`table` => 'db.mirror')")
+    assert((out.head.getInt(0), out.head.getLong(1),
+      out.head.getLong(2), out.head.getLong(3)) === ((1, 1L, 0L, 1L)))
+    assert(rows("SELECT k, v FROM implake.db.mirror ORDER BY k")
+      .map(r => (r.getLong(0), r.getString(1))) ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // caught up: refresh is a no-op, not a re-copy
+    val out2 = rows("CALL implake.system.refresh_delta(`table` => 'db.mirror')")
+    assert((out2.head.getInt(0), out2.head.getLong(3)) === ((0, 1L)))
+
+    // a retired file is NOT an append-only increment: refuse, point at
+    // re-import, and leave the mirror untouched
+    writeText(s"$src/_delta_log", f"${2}%020d.json",
+      """{"remove":{"path":"f0.parquet","dataChange":true}}""")
+    val e = intercept[Exception] {
+      rows("CALL implake.system.refresh_delta(`table` => 'db.mirror')")
+    }
+    assert(e.getMessage.contains("re-import"), e.getMessage)
+    assert(rows("SELECT count(*) FROM implake.db.mirror").head.getLong(0) === 3L)
+
+    // a table not created by import_delta has nothing to refresh from
+    sql("CREATE TABLE implake.db.nomirror (k BIGINT)")
+    val e2 = intercept[Exception] {
+      rows("CALL implake.system.refresh_delta(`table` => 'db.nomirror')")
+    }
+    assert(e2.getMessage.contains("graft.delta.location"), e2.getMessage)
+  }
+
   test("a failed import drops the half-created table so the retry is clean") {
     import spark.implicits._
     sql("CREATE NAMESPACE IF NOT EXISTS implake.db")

@@ -49,7 +49,8 @@ class ProcedureSpec extends LakeSpec {
     val shown = sql("SHOW PROCEDURES IN prlake.system")
     val nameIdx = shown.schema.fieldIndex("procedure_name")
     assert(shown.collect().map(_.getString(nameIdx)).toSet ===
-      Set("optimize", "vacuum", "restore", "export_delta", "import_delta"))
+      Set("optimize", "vacuum", "restore", "export_delta", "import_delta",
+        "refresh_delta"))
     assert(sql("DESCRIBE PROCEDURE prlake.system.optimize").collect()
       .mkString.contains("optimize"))
     // an unknown procedure is an analysis-time 'not found' — the catalog
