@@ -239,15 +239,28 @@ class DeltaImportSpec extends LakeSpec {
     val out2 = rows("CALL implake.system.refresh_delta(`table` => 'db.mirror')")
     assert((out2.head.getInt(0), out2.head.getLong(3)) === ((0, 1L)))
 
+    // a brand-NEW file carrying a deletion vector is still an append:
+    // its live rows are (file minus vector) — only those arrive
+    stageOne(src, Seq((4L, "dead"), (5L, "e")).toDF("k", "v"), "f2.parquet")
+    val dvDesc = DeltaDv.inlineDescriptor(Array(0L))   // kills (4, "dead")
+    writeText(s"$src/_delta_log", f"${2}%020d.json",
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"i","pathOrInlineDv":"${dvDesc.pathOrInlineDv}",""" +
+        s""""sizeInBytes":${dvDesc.sizeInBytes},"cardinality":1}}}""")
+    val out3 = rows("CALL implake.system.refresh_delta(`table` => 'db.mirror')")
+    assert((out3.head.getInt(0), out3.head.getLong(1)) === ((1, 1L)))
+    assert(rows("SELECT k FROM implake.db.mirror ORDER BY k").map(_.getLong(0)) ===
+      Seq(1L, 2L, 3L, 5L))
+
     // a retired file is NOT an append-only increment: refuse, point at
     // re-import, and leave the mirror untouched
-    writeText(s"$src/_delta_log", f"${2}%020d.json",
+    writeText(s"$src/_delta_log", f"${3}%020d.json",
       """{"remove":{"path":"f0.parquet","dataChange":true}}""")
     val e = intercept[Exception] {
       rows("CALL implake.system.refresh_delta(`table` => 'db.mirror')")
     }
     assert(e.getMessage.contains("re-import"), e.getMessage)
-    assert(rows("SELECT count(*) FROM implake.db.mirror").head.getLong(0) === 3L)
+    assert(rows("SELECT count(*) FROM implake.db.mirror").head.getLong(0) === 4L)
 
     // a table not created by import_delta has nothing to refresh from
     sql("CREATE TABLE implake.db.nomirror (k BIGINT)")
