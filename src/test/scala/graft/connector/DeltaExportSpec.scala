@@ -166,6 +166,16 @@ class DeltaExportSpec extends LakeSpec {
     val proto2 = readLog(dest2)(1).get("protocol")
     assert(proto2.get("minReaderVersion").asInt === 1)
     assert(DeltaImport.readSnapshot(spark, dest2).count() === 10L)
+
+    // an EMPTY table raw-exports a valid zero-add log that imports back
+    // as an empty frame with the declared schema
+    sql("CREATE TABLE explake.db.empty (k BIGINT, v STRING)")
+    val dest3 = s"${tmp("delta-export-raw3")}/e"
+    val outE = rows(s"CALL explake.system.export_delta(`table` => 'db.empty', " +
+      s"location => '$dest3', materialize => false)")
+    assert((outE.head.getInt(0), outE.head.getLong(1)) === ((0, 0L)))
+    val backE = DeltaImport.readSnapshot(spark, dest3)
+    assert(backE.schema.fieldNames.toSeq === Seq("k", "v") && backE.count() === 0L)
   }
 
   test("version export time-travels; refusals are loud") {
