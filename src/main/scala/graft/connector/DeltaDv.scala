@@ -56,6 +56,16 @@ object DeltaDv {
     a
   }
 
+  /** Driver-side twin of Spark's `xxhash64(string_col)` (seed 42) — lets
+    * [[DeltaImport.readSnapshot]] verify up front that the 8-byte file-path
+    * keys its DV anti-join will exchange are collision-free for THIS file
+    * set.
+    */
+  private[connector] def pathHash(path: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(path),
+      org.apache.spark.sql.types.StringType, 42L)
+
   private[connector] def z85Encode(bytes: Array[Byte]): String = {
     require(bytes.length % 4 == 0, s"Z85 encodes 4-byte groups, got ${bytes.length}")
     val sb = new StringBuilder(bytes.length / 4 * 5)

@@ -43,8 +43,11 @@ import org.apache.spark.sql.types.StructType
   * Raw-path bounds: the driver decodes each dir's GDV1 vector to build
   * the Delta DVs — bounded by `graft.mor.maxDeleteRows` (the same
   * envelope every vector operation carries); file copies distribute as
-  * one Spark job past 64 files. Nested-struct fields keep logical names
-  * under a column-mapped raw export (graft maps top-level columns only).
+  * one Spark job past 64 files. Under a column-mapped raw export EVERY
+  * struct field, nested ones included, carries id + physicalName
+  * metadata (the spec's requirement for `mode=name`); nested fields map
+  * to their own logical names, which is what the data files physically
+  * store (graft maps top-level columns only).
   */
 object DeltaExport {
 
@@ -167,15 +170,10 @@ object DeltaExport {
     // column mapping: files keep their physical names; the schemaString
     // maps them back to logical via the published field metadata
     val mapped = ColumnMapping.needed(schema)
-    val exportSchema =
-      if (!mapped) StructType(schema.fields.map(_.copy(
-        metadata = org.apache.spark.sql.types.Metadata.empty)))
-      else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("delta.columnMapping.id", i + 1L)
-          .putString("delta.columnMapping.physicalName", ColumnMapping.physicalName(f))
-          .build())
-      })
+    val (exportSchema, maxColumnId) =
+      if (!mapped) (StructType(schema.fields.map(_.copy(
+        metadata = org.apache.spark.sql.types.Metadata.empty))), 0L)
+      else assignMapping(schema)
     val hasDv = dvByFile.nonEmpty
     val (minReader, minWriter, features) =
       if (hasDv) (3, 7, Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil))
@@ -183,7 +181,7 @@ object DeltaExport {
       else (1, 2, Nil)
     val config =
       (if (mapped) Map("delta.columnMapping.mode" -> "name",
-        "delta.columnMapping.maxColumnId" -> schema.fields.length.toString)
+        "delta.columnMapping.maxColumnId" -> maxColumnId.toString)
        else Map.empty[String, String]) ++
       (if (hasDv) Map("delta.enableDeletionVectors" -> "true") else Map.empty)
 
@@ -193,6 +191,42 @@ object DeltaExport {
         dvByFile.get(st.getPath.getName))))
     ExportStats(parts.length, rowsByFile.values.sum,
       parts.map(_.getLen).sum, dest)
+  }
+
+  /** Column-mapping metadata for a raw export under `mode=name`: the spec
+    * requires an id and physicalName on EVERY struct field, nested ones
+    * included — spec-compliant readers refuse a mapped table whose nested
+    * fields carry none. Top-level fields map to graft's physical names;
+    * nested fields keep their logical names physically (graft maps the top
+    * level only, so that IS what the data files store). Ids are assigned
+    * depth-first; the second return value is the maxColumnId the table
+    * configuration must advertise.
+    */
+  private def assignMapping(schema: StructType): (StructType, Long) = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, MetadataBuilder}
+    var id = 0L
+    def md(physical: String): org.apache.spark.sql.types.Metadata = {
+      id += 1
+      new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", physical)
+        .build()
+    }
+    def nested(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val m = md(f.name)   // metadata first: ids land parent-before-child
+        f.copy(dataType = nested(f.dataType), metadata = m)
+      })
+      case a: ArrayType => a.copy(elementType = nested(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = nested(m.keyType), valueType = nested(m.valueType))
+      case other => other
+    }
+    val fields = schema.fields.map { f =>
+      val m = md(ColumnMapping.physicalName(f))
+      f.copy(dataType = nested(f.dataType), metadata = m)
+    }
+    (StructType(fields), id)
   }
 
   // ---- shared commit writer -------------------------------------------------

@@ -171,7 +171,14 @@ object DeltaImport {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var mappingMode: String = "none"
-    val adds = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    // Log replay keys file actions by (path, deletionVector.uniqueId) — the
+    // protocol's reconciliation rule, NOT path alone: a DV-update commit
+    // legally carries add(path, newDV) and remove(path, oldDV) for the SAME
+    // path in one version, in either line order. Keyed by path only, an
+    // add-before-remove ordering would cancel the surviving add and silently
+    // drop every live row of that file. A remove therefore cancels only the
+    // entry whose vector matches its own descriptor.
+    val adds = scala.collection.mutable.LinkedHashMap[(String, Option[String]), AddFile]()
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       // v1 = plain parquet + this log shape; v2 = column mapping (which
@@ -217,6 +224,10 @@ object DeltaImport {
       DeltaDv.Descriptor(storageType, pathOrInlineDv, offset, sizeInBytes, cardinality)
     }
 
+    // the protocol's DV uniqueId: storageType + pathOrInlineDv + '@'offset
+    def dvUid(dv: Option[DeltaDv.Descriptor]): Option[String] =
+      dv.map(d => d.storageType + d.pathOrInlineDv + d.offset.fold("")("@" + _))
+
     // 1) checkpoint state (full action set at checkpointV)
     checkpointV.foreach { cv =>
       val parts = checkpointParts(cv).map(n => new Path(logDir, n).toString)
@@ -259,7 +270,7 @@ object DeltaImport {
             else None
             val pv = if (r.isNullAt(1)) Map.empty[String, String]
                      else r.getMap[String, String](1).toMap
-            adds(r.getString(0)) = AddFile(r.getString(0), pv, dv)
+            adds((r.getString(0), dvUid(dv))) = AddFile(r.getString(0), pv, dv)
           }
       }
     }
@@ -311,13 +322,27 @@ object DeltaImport {
             }
             b.result()
           }.getOrElse(Map.empty[String, String])
-          adds(a.get("path").asText) = AddFile(a.get("path").asText, pv, dv)
+          adds((a.get("path").asText, dvUid(dv))) = AddFile(a.get("path").asText, pv, dv)
         }
-        if (node.has("remove"))
-          adds.remove(node.get("remove").get("path").asText)
+        if (node.has("remove")) {
+          val rm = node.get("remove")
+          val dv = Option(rm.get("deletionVector")).filterNot(_.isNull).map { d =>
+            descriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+          }
+          adds.remove((rm.get("path").asText, dvUid(dv)))
+        }
       }
     }
 
+    // a VALID table state holds at most one live entry per path; two
+    // surviving (add, remove-mismatched) entries would double-read the file
+    val dupPaths = adds.values.groupBy(_.path).collect { case (p, fs) if fs.size > 1 => p }
+    require(dupPaths.isEmpty,
+      s"Delta log at $tableDir reconciles to ${dupPaths.size} path(s) with " +
+        s"MULTIPLE live add entries (${dupPaths.take(3).mkString(", ")}) — " +
+        "corrupt log; refusing to double-read")
     Snapshot(latest,
       schema.getOrElse(throw new IllegalArgumentException(
         s"Delta log at $tableDir carries no metaData action")),
@@ -414,6 +439,26 @@ object DeltaImport {
 
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
 
+  private val FieldIdReadKey = "spark.sql.parquet.fieldId.read.enabled"
+
+  /** Run `body` — which must EXECUTE any [[readSnapshot]] frames it builds
+    * (write/collect/checkpoint) — and afterwards restore
+    * `spark.sql.parquet.fieldId.read.enabled` to its prior value. An
+    * id-mode readSnapshot has to set that flag session-wide because
+    * Spark's parquet reader consults the session conf at plan-execution
+    * time; this scopes the mutation for eager callers (the import and
+    * refresh procedures), so a user read running AFTER the procedure sees
+    * the session exactly as before.
+    */
+  def withFieldIdRead[T](spark: SparkSession)(body: => T): T = {
+    val prior = spark.conf.getOption(FieldIdReadKey)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(FieldIdReadKey, v)
+      case None => spark.conf.unset(FieldIdReadKey)
+    }
+  }
+
   /** The snapshot as a DataFrame: ONE distributed parquet scan over every
     * live file. Partition columns re-attach by a broadcast join of the
     * driver-held (file -> partitionValues) map on `_metadata.file_path`
@@ -459,12 +504,17 @@ object DeltaImport {
     if (byId) {
       // Spark's parquet reader takes this flag from the SESSION conf at
       // plan-execution time (a reader option is overridden), so it must
-      // be enabled session-wide — which is side-effect-free for every
-      // other read: field-id matching only engages when the REQUESTED
-      // schema carries `parquet.field.id` metadata, i.e. exactly the
-      // id-mode schemas built here. ignoreMissing stays at its default
-      // (false): id-mode files carrying no ids fail loudly, never null.
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      // be enabled session-wide AND STAY set until the returned lazy frame
+      // has executed — restoring it here would turn the scan back into
+      // name matching underneath the caller. This is a documented contract
+      // of readSnapshot over an id-mode table; eager callers (the
+      // import/refresh procedures) scope it with [[withFieldIdRead]]. The
+      // leak is benign for every other read: field-id matching only
+      // engages when the REQUESTED schema carries `parquet.field.id`
+      // metadata, i.e. exactly the id-mode schemas built here.
+      // ignoreMissing stays at its default (false): id-mode files carrying
+      // no ids fail loudly, never null.
+      spark.conf.set(FieldIdReadKey, "true")
     }
     var df = spark.read.schema(physData).parquet(entries.map(_._1): _*)
     if (needFilePath) {
@@ -489,7 +539,20 @@ object DeltaImport {
             DeltaDv.Descriptor(st, pi, if (off < 0) None else Some(off), size, card),
             confSer.value).iterator.map(p => (key, p))
         }.toDF(FP, RI)
-      df = df.join(deleted, Seq(FP, RI), "left_anti")
+      // the anti-join exchanges an 8-byte xxhash of the file path instead
+      // of the full path string (at 100 TB, paths dominate the shuffle
+      // payload of the deleted-positions side). Hash collisions across
+      // DISTINCT paths would wrongly delete another file's rows at the
+      // same position — guarded driver-side; the (astronomically rare)
+      // colliding table falls back to the exact string key.
+      val FH = "__delta_fp_hash"
+      val hashSafe = entries.map(e => DeltaDv.pathHash(e._1)).distinct.size == entries.size
+      if (hashSafe) {
+        val hash = org.apache.spark.sql.functions.xxhash64(col(FP))
+        df = df.withColumn(FH, hash)
+          .join(deleted.select(hash.as(FH), col(RI)), Seq(FH, RI), "left_anti")
+          .drop(FH)
+      } else df = df.join(deleted, Seq(FP, RI), "left_anti")
     }
 
     if (snap.partitionColumns.nonEmpty) {

@@ -140,7 +140,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // failure: throw Spark's ROUTINE_NOT_FOUND condition (sqlState 42883) so
   // analyzer paths / tooling that distinguish the two see the right kind
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident, resolveTableArg, resolveNewTableArg).getOrElse(
+    GraftProcedures.load(ident, resolveTableArg, resolveNewTableArg,
+        () => catalogName).getOrElse(
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "ROUTINE_NOT_FOUND",
         messageParameters = Map("routineName" ->

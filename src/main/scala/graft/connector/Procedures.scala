@@ -36,7 +36,8 @@ private[connector] object GraftProcedures {
       Identifier.of(Array(Namespace), "refresh_delta"))
 
   def load(ident: Identifier, resolve: String => TableLog,
-           resolveNew: String => TableLog): Option[UnboundProcedure] = {
+           resolveNew: String => TableLog,
+           catalogName: () => String): Option[UnboundProcedure] = {
     if (ident.namespace.toSeq != Seq(Namespace)) return None
     ident.name match {
       case "optimize" => Some(new OptimizeProcedure(resolve))
@@ -44,7 +45,7 @@ private[connector] object GraftProcedures {
       case "restore" => Some(new RestoreProcedure(resolve))
       case "export_delta" => Some(new ExportDeltaProcedure(resolve))
       case "import_delta" => Some(new ImportDeltaProcedure(resolveNew))
-      case "refresh_delta" => Some(new RefreshDeltaProcedure(resolve))
+      case "refresh_delta" => Some(new RefreshDeltaProcedure(resolve, catalogName))
       case _ => None
     }
   }
@@ -379,8 +380,12 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
             java.util.UUID.randomUUID().toString.replace("-", "").take(12)
           // the ALREADY-resolved snapshot feeds the read: resolving again
           // would let a concurrent Delta commit desynchronize the created
-          // schema/reported version from the data actually copied
-          DeltaImport.readSnapshot(spark, location, snap).write.parquet(staged)
+          // schema/reported version from the data actually copied. The copy
+          // executes the read eagerly, so an id-mode table's session-conf
+          // flag is scoped to it and restored after
+          DeltaImport.withFieldIdRead(spark) {
+            DeltaImport.readSnapshot(spark, location, snap).write.parquet(staged)
+          }
           val stats = DirStats.collect(staged, log.hadoopConf)
           rows = stats.map(_.rows).getOrElse(0L)
           files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
@@ -414,29 +419,50 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
   }
 }
 
-/** `CALL lake.system.refresh_delta(table => 'db.t')` — INCREMENTAL
-  * re-sync of a table created by `import_delta`: resolve the source's
-  * current snapshot (coordinates come from the `graft.delta.*` table
-  * properties the import stamped), take the APPEND-ONLY increment since
-  * the recorded source version ([[DeltaImport.appendOnlyIncrement]] —
-  * retired files, changed deletion vectors, or schema changes refuse
-  * loudly with "re-import instead"), copy exactly the new files' live
-  * rows, and commit them TOGETHER with the advanced
-  * `graft.delta.sourceVersion` property in one CAS commit — a crash
-  * between copy and commit leaves only an unreferenced staged dir
-  * (vacuum's to reclaim) and the next refresh redoes the same increment.
-  * O(new data), never O(table): the continuous-mirror shape, where
-  * re-import is the rebuild shape. Returns
-  * (files, rows, from_version, to_version).
+/** `CALL lake.system.refresh_delta(table => 'db.t' [, keys => 'k1,k2'])`
+  * — INCREMENTAL re-sync of a table created by `import_delta`: resolve
+  * the source's current snapshot (coordinates come from the
+  * `graft.delta.*` table properties the import stamped) and converge the
+  * mirror in O(changed data), never O(table). Two increment shapes:
+  *
+  *  - PURE APPEND (no retired files, no deletion-vector changes): copy
+  *    exactly the new files' live rows and commit them TOGETHER with the
+  *    advanced `graft.delta.sourceVersion` property in one CAS commit — a
+  *    crash between copy and commit leaves only an unreferenced staged
+  *    dir (vacuum's to reclaim) and the next refresh redoes the same
+  *    increment. No `keys` needed.
+  *  - CHANGED DATA (deletion vectors grew — the modern Delta DELETE
+  *    shape — files were retired by UPDATE/compaction, or a RESTORE
+  *    revived rows): needs `keys` naming columns that uniquely identify
+  *    a row (the standard CDC contract). The procedure diffs ONLY the
+  *    changed files' live rows between the recorded and current source
+  *    snapshots — rows live-then-not become `delete` changes, rows
+  *    not-then-live become `insert` changes — and applies them through
+  *    the CDC MERGE machinery ([[CdcApply.applyBatch]]). A compaction
+  *    (same rows, new files) therefore nets to ZERO mirror writes, and a
+  *    DV growth deletes exactly the newly-dead rows. The MERGEs commit
+  *    first, then the source-version property advances in its own CAS
+  *    commit; a crash in between just re-runs the same idempotent
+  *    diff+MERGE (deletes of absent rows and upserts of identical rows
+  *    converge).
+  *
+  * Schema / partitioning / column-mapping changes still refuse with
+  * "re-import instead" — an incremental copy cannot re-type history.
+  * Both paths re-read the head's metadata at commit time and require the
+  * recorded source version to be UNCHANGED, so two concurrent refreshes
+  * cannot both append the same increment (the loser refuses loudly).
+  * Returns (files, rows, from_version, to_version).
   */
-private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog)
+private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog,
+                                                     catalogName: () => String)
     extends UnboundProcedure {
 
   override def name(): String = "refresh_delta"
   override def description(): String =
-    "append the source Delta table's new files (since the version recorded " +
-      "by import_delta) into the imported table; non-append source changes " +
-      "refuse loudly — re-import for those"
+    "incrementally re-sync a table created by import_delta: appends copy " +
+      "directly; deletes/updates/compaction on the source converge via " +
+      "keyed CDC MERGE (pass keys => 'cols that identify a row'); schema " +
+      "changes refuse loudly — re-import for those"
 
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
     override def name(): String = RefreshDeltaProcedure.this.name()
@@ -444,10 +470,13 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
     override def isDeterministic: Boolean = false
 
     override def parameters(): Array[ProcedureParameter] = Array(
-      GraftProcedures.in("table", StringType))
+      GraftProcedures.in("table", StringType),
+      GraftProcedures.in("keys", StringType, "''"))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val log = resolve(input.getUTF8String(0).toString)
+      val tableArg = input.getUTF8String(0).toString
+      val keys = GraftProcedures.cols(input.getUTF8String(1).toString)
+      val log = resolve(tableArg)
       val spark = SparkSession.active
       val props = log.properties
       val location = props.getOrElse("graft.delta.location",
@@ -463,36 +492,106 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
             StructField("from_version", LongType, nullable = false),
             StructField("to_version", LongType, nullable = false))),
           Array(files, rows, recorded, to))
+
       val newSnap = DeltaImport.snapshot(spark, location)
       if (newSnap.version == recorded) return result(0, 0L, recorded)
-      val oldSnap = DeltaImport.snapshot(spark, location, Some(recorded))
-      val increment = DeltaImport.appendOnlyIncrement(oldSnap, newSnap, location)
 
-      var rows = 0L
-      var files = 0
-      var entry: Option[DirEntry] = None
-      if (increment.files.nonEmpty) {
-        val staged = s"${log.tableDir}/data/refresh-" +
-          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-        DeltaImport.readSnapshot(spark, location, increment).write.parquet(staged)
-        val stats = DirStats.collect(staged, log.hadoopConf)
-        rows = stats.map(_.rows).getOrElse(0L)
-        val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(log.hadoopConf)
-        files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
-          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        entry = Some(DirEntry(staged, stats))
+      // advance graft.delta.sourceVersion under CAS, optionally carrying an
+      // appended dir. The head's CURRENT metadata is re-read here — not the
+      // properties snapshot from before the (potentially long) copy/MERGE
+      // jobs — and the recorded source version must still be the one this
+      // refresh started from: a concurrent refresh that committed in
+      // between already carries this increment, and appending it again
+      // would silently duplicate rows (the old TOCTOU).
+      def advance(entry: Option[DirEntry]): Unit = {
+        val latest = log.latestVersion
+        val (headSchema, headProps) = latest.map(log.metaAt).getOrElse(log.baseMetaPublic)
+        require(headProps.get("graft.delta.sourceVersion").contains(recorded.toString),
+          s"refresh of ${log.tableDir} raced a concurrent refresh (recorded " +
+            s"source version is now ${headProps.getOrElse("graft.delta.sourceVersion", "?")}, " +
+            s"expected $recorded) — the increment was already applied; re-run " +
+            "to pick up anything newer")
+        val prior = latest.map(log.entriesAt).getOrElse(Nil)
+        require(log.tryCommitEntriesMeta(latest, prior ++ entry.toSeq,
+            newMeta = Some((headSchema,
+              headProps.updated("graft.delta.sourceVersion", newSnap.version.toString)))),
+          s"refresh of ${log.tableDir} lost a commit race — re-run it " +
+            "(any staged copy is unreferenced and vacuum reclaims it)")
       }
-      // one CAS commit carries the appended dir AND the advanced source
-      // version — they can never diverge
-      val latest = log.latestVersion
-      val (schema, _) = latest.map(log.metaAt).getOrElse(log.baseMetaPublic)
-      val prior = latest.map(log.entriesAt).getOrElse(Nil)
-      require(log.tryCommitEntriesMeta(latest, prior ++ entry.toSeq,
-          newMeta = Some((schema,
-            props.updated("graft.delta.sourceVersion", newSnap.version.toString)))),
-        s"refresh of ${log.tableDir} lost a commit race — re-run it " +
-          "(the staged copy is unreferenced and vacuum reclaims it)")
-      result(files, rows, newSnap.version)
+
+      val oldSnap = DeltaImport.snapshot(spark, location, Some(recorded))
+      val newByPath = newSnap.files.map(f => f.path -> f).toMap
+      val oldByPath = oldSnap.files.map(f => f.path -> f).toMap
+      val retired = oldSnap.files.filterNot(f => newByPath.contains(f.path))
+      val dvChangedOld = oldSnap.files.filter(f =>
+        newByPath.get(f.path).exists(_.dv != f.dv))
+
+      if (retired.isEmpty && dvChangedOld.isEmpty) {
+        // ---- pure append: copy the new files' live rows, one CAS commit
+        val increment = DeltaImport.appendOnlyIncrement(oldSnap, newSnap, location)
+        var rows = 0L
+        var files = 0
+        var entry: Option[DirEntry] = None
+        if (increment.files.nonEmpty) {
+          val staged = s"${log.tableDir}/data/refresh-" +
+            java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+          DeltaImport.withFieldIdRead(spark) {
+            DeltaImport.readSnapshot(spark, location, increment).write.parquet(staged)
+          }
+          val stats = DirStats.collect(staged, log.hadoopConf)
+          rows = stats.map(_.rows).getOrElse(0L)
+          val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(log.hadoopConf)
+          files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+            .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          entry = Some(DirEntry(staged, stats))
+        }
+        advance(entry)
+        result(files, rows, newSnap.version)
+      } else {
+        // ---- changed data: keyed diff of ONLY the changed files
+        require(oldSnap.schema.json == newSnap.schema.json &&
+            oldSnap.partitionColumns == newSnap.partitionColumns &&
+            oldSnap.columnMappingMode == newSnap.columnMappingMode,
+          s"Delta table $location changed its schema/partitioning/mapping " +
+            s"between versions ${oldSnap.version} and ${newSnap.version} — " +
+            "re-import instead of refreshing")
+        require(keys.nonEmpty,
+          s"Delta table $location is not append-only between versions " +
+            s"$recorded and ${newSnap.version} (${retired.size} file(s) " +
+            s"retired, ${dvChangedOld.size} deletion vector(s) changed) — " +
+            "pass keys => 'columns that uniquely identify a row' to apply " +
+            "the changes incrementally, or re-import")
+        // changed files on each side: every retired/vector-changed file's
+        // OLD live rows vs its NEW live rows (plus all brand-new files —
+        // a compaction's rewritten rows land there and cancel in the diff)
+        val changedNewPaths = dvChangedOld.map(_.path).toSet
+        val changedOld = retired ++ dvChangedOld
+        val changedNew = newSnap.files.filter(f =>
+          changedNewPaths(f.path) || !oldByPath.contains(f.path))
+        import org.apache.spark.sql.functions.lit
+        // the eager localCheckpoint executes the diff scans, so an id-mode
+        // source's session-conf flag is scoped here and restored after
+        val batch = DeltaImport.withFieldIdRead(spark) {
+          val oldLive = DeltaImport.readSnapshot(spark, location,
+            oldSnap.copy(files = changedOld))
+          val newLive = DeltaImport.readSnapshot(spark, location,
+            newSnap.copy(files = changedNew))
+          oldLive.exceptAll(newLive)
+            .withColumn(ChangeFeed.TypeCol, lit("delete"))
+            .unionByName(newLive.exceptAll(oldLive)
+              .withColumn(ChangeFeed.TypeCol, lit("insert")))
+            .withColumn(ChangeFeed.VersionCol, lit(newSnap.version))
+            // truncate lineage: the MERGEs re-plan the batch several times,
+            // and each re-plan would otherwise re-run the four-scan diff
+            .localCheckpoint(true)
+        }
+        val rows = batch.count()
+        CdcApply.applyBatch(batch, s"`${catalogName()}`." +
+            tableArg.split('.').map(p => s"`$p`").mkString("."),
+          keys, newSnap.schema.fieldNames.toSeq, None)
+        advance(None)
+        result(changedNew.size, rows, newSnap.version)
+      }
     }
   }
 }

@@ -178,6 +178,56 @@ class DeltaExportSpec extends LakeSpec {
     assert(backE.schema.fieldNames.toSeq === Seq("k", "v") && backE.count() === 0L)
   }
 
+  test("raw export of a mapped table annotates NESTED fields with ids and physical names") {
+    sql("CREATE NAMESPACE IF NOT EXISTS explake.db")
+    // a nested struct (inside an array, too) + a rename that switches the
+    // table into name-mode mapping: the spec demands id/physicalName on
+    // EVERY struct field, nested included — a reader refuses the table
+    // otherwise
+    sql("CREATE TABLE explake.db.nested (k BIGINT, " +
+      "payload STRUCT<name: STRING, twice: BIGINT>, " +
+      "tags ARRAY<STRUCT<t: STRING>>)")
+    sql("INSERT INTO explake.db.nested SELECT id, " +
+      "named_struct('name', concat('n', id), 'twice', id * 2), " +
+      "array(named_struct('t', concat('t', id))) FROM range(0, 30)")
+    sql("ALTER TABLE explake.db.nested RENAME COLUMN k TO key")
+    val dest = s"${tmp("delta-export-nested")}/n"
+    rows(s"CALL explake.system.export_delta(`table` => 'db.nested', " +
+      s"location => '$dest', materialize => false)")
+    val meta = readLog(dest)(2).get("metaData")
+    val schema = DataType.fromJson(meta.get("schemaString").asText)
+      .asInstanceOf[StructType]
+    def allFields(dt: org.apache.spark.sql.types.DataType): Seq[org.apache.spark.sql.types.StructField] =
+      dt match {
+        case s: StructType => s.fields.toSeq.flatMap(f => f +: allFields(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => allFields(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          allFields(m.keyType) ++ allFields(m.valueType)
+        case _ => Nil
+      }
+    val fields = allFields(schema)
+    assert(fields.size === 6)   // key, payload, name, twice, tags, t
+    fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id") &&
+        f.metadata.contains("delta.columnMapping.physicalName"),
+        s"field ${f.name} is missing mapping metadata")
+    }
+    val ids = fields.map(_.metadata.getLong("delta.columnMapping.id"))
+    assert(ids.distinct.size === ids.size, s"duplicate mapping ids: $ids")
+    assert(meta.get("configuration").get("delta.columnMapping.maxColumnId")
+      .asText.toLong === ids.max)
+    // nested fields physically store their LOGICAL names; only the renamed
+    // top-level column points at a drifted physical name
+    val payloadName = schema("payload").dataType.asInstanceOf[StructType]("name")
+    assert(payloadName.metadata.getString("delta.columnMapping.physicalName") === "name")
+    assert(schema("key").metadata.getString("delta.columnMapping.physicalName") !== "key")
+    // the loop still closes: the import reads logical names at every level
+    val back = DeltaImport.readSnapshot(spark, dest)
+    assert(back.schema.fieldNames.toSeq === Seq("key", "payload", "tags"))
+    assert(back.orderBy("key").collect().toSeq ===
+      rows("SELECT key, payload, tags FROM explake.db.nested ORDER BY key"))
+  }
+
   test("version export time-travels; refusals are loud") {
     sql("CREATE TABLE explake.db.v (k BIGINT)")
     sql("INSERT INTO explake.db.v SELECT id FROM range(0, 10)")   // v1

@@ -270,6 +270,84 @@ class DeltaImportSpec extends LakeSpec {
     assert(e2.getMessage.contains("graft.delta.location"), e2.getMessage)
   }
 
+  test("CALL refresh_delta with keys converges DV growth, compaction, and restore") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
+    val src = tmp("delta-refresh-keyed")
+    def addJson(path: String, dv: Option[DeltaDv.Descriptor]) =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true""" +
+        dv.map(d => s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"""" +
+          d.offset.map(o => s""","offset":$o""").getOrElse("") +
+          s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""").getOrElse("") + "}}"
+    def removeJson(path: String, dv: Option[DeltaDv.Descriptor]) =
+      s"""{"remove":{"path":"$path","dataChange":true""" +
+        dv.map(d => s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"""" +
+          d.offset.map(o => s""","offset":$o""").getOrElse("") +
+          s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""").getOrElse("") + "}}"
+    // f0 rows at positions 0..5
+    stageOne(src, Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (6L, "f")).toDF("k", "v"), "f0.parquet")
+    writeText(s"$src/_delta_log", f"${0}%020d.json",
+      Seq(protocolLine, metaLine(), addJson("f0.parquet", None)).mkString("\n"))
+    rows(s"CALL implake.system.import_delta(`table` => 'db.kmirror', " +
+      s"location => '$src')")
+
+    // v1: the source DELETEs k=2 via a deletion vector on f0 — the modern
+    // writer shape refresh must survive incrementally
+    val dv1 = DeltaDv.inlineDescriptor(Array(1L))
+    writeText(s"$src/_delta_log", f"${1}%020d.json",
+      Seq(addJson("f0.parquet", Some(dv1)), removeJson("f0.parquet", None))
+        .mkString("\n"))
+    // without keys: a narrowed refusal that names the fix
+    val eNoKeys = intercept[Exception] {
+      rows("CALL implake.system.refresh_delta(`table` => 'db.kmirror')")
+    }
+    assert(eNoKeys.getMessage.contains("keys =>"), eNoKeys.getMessage)
+    val r1 = rows("CALL implake.system.refresh_delta(`table` => 'db.kmirror', keys => 'k')")
+    assert((r1.head.getLong(1), r1.head.getLong(2), r1.head.getLong(3)) === ((1L, 0L, 1L)))
+    assert(rows("SELECT k FROM implake.db.kmirror ORDER BY k").map(_.getLong(0)) ===
+      Seq(1L, 3L, 4L, 5L, 6L))
+
+    // v2: COMPACTION — f0 retired, f1 re-adds exactly the live rows.
+    // The keyed diff must net to ZERO mirror writes.
+    stageOne(src, Seq((1L, "a"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+      .toDF("k", "v"), "f1.parquet")
+    writeText(s"$src/_delta_log", f"${2}%020d.json",
+      Seq(removeJson("f0.parquet", Some(dv1)), addJson("f1.parquet", None))
+        .mkString("\n"))
+    val r2 = rows("CALL implake.system.refresh_delta(`table` => 'db.kmirror', keys => 'k')")
+    assert((r2.head.getLong(1), r2.head.getLong(3)) === ((0L, 2L)))
+    assert(rows("SELECT k FROM implake.db.kmirror ORDER BY k").map(_.getLong(0)) ===
+      Seq(1L, 3L, 4L, 5L, 6L))
+
+    // v3: a DV delete (k=5, position 3 of f1) AND a plain append (f2) in
+    // one increment — the keyed path carries both through the MERGE
+    val dv3 = DeltaDv.inlineDescriptor(Array(3L))
+    stageOne(src, Seq((7L, "g")).toDF("k", "v"), "f2.parquet")
+    writeText(s"$src/_delta_log", f"${3}%020d.json",
+      Seq(addJson("f1.parquet", Some(dv3)), removeJson("f1.parquet", None),
+        addJson("f2.parquet", None)).mkString("\n"))
+    val r3 = rows("CALL implake.system.refresh_delta(`table` => 'db.kmirror', keys => 'k')")
+    assert((r3.head.getInt(0), r3.head.getLong(1), r3.head.getLong(3)) === ((2, 2L, 3L)))
+    assert(rows("SELECT k FROM implake.db.kmirror ORDER BY k").map(_.getLong(0)) ===
+      Seq(1L, 3L, 4L, 6L, 7L))
+
+    // v4: RESTORE shape — the vector retires and f1's full row set comes
+    // back; the reverse diff re-inserts k=5
+    writeText(s"$src/_delta_log", f"${4}%020d.json",
+      Seq(removeJson("f1.parquet", Some(dv3)), addJson("f1.parquet", None))
+        .mkString("\n"))
+    val r4 = rows("CALL implake.system.refresh_delta(`table` => 'db.kmirror', keys => 'k')")
+    assert(r4.head.getLong(1) === 1L)
+    assert(rows("SELECT k, v FROM implake.db.kmirror ORDER BY k")
+      .map(r => (r.getLong(0), r.getString(1))) ===
+      Seq((1L, "a"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"), (7L, "g")))
+
+    // caught up: keyed refresh is a no-op too
+    val r5 = rows("CALL implake.system.refresh_delta(`table` => 'db.kmirror', keys => 'k')")
+    assert((r5.head.getInt(0), r5.head.getLong(1), r5.head.getLong(3)) === ((0, 0L, 4L)))
+  }
+
   test("a failed import drops the half-created table so the retry is clean") {
     import spark.implicits._
     sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
@@ -428,6 +506,10 @@ class DeltaImportSpec extends LakeSpec {
     val want = (0L until 100L).filter(_ % 3 != 0) ++ (105L until 200L)
     assert(back.orderBy("k").collect().map(_.getLong(0)).toSeq === want)
     assert(back.schema.fieldNames.toSeq === Seq("k", "v"))
+    // the DV anti-join exchanges an 8-byte xxhash64 of the file path, not
+    // the path string itself
+    val plan = back.queryExecution.optimizedPlan.toString
+    assert(plan.contains("xxhash64"), s"expected a hashed anti-join key in:\n$plan")
 
     // a later commit REPLACING a's vector (the Delta shape for a second
     // DELETE: remove + re-add with the union vector) must subtract the
@@ -435,7 +517,9 @@ class DeltaImportSpec extends LakeSpec {
     val posA2 = (0L until 100L).filter(i => i % 3 == 0 || i % 7 == 0).toArray
     val Seq(descA2) = DeltaDv.writeFile(dir, conf, Seq(posA2))
     writeText(s"$dir/_delta_log", f"${1}%020d.json", Seq(
-      """{"remove":{"path":"a.parquet","dataChange":true}}""",
+      // a conformant DV-update remove carries the RETIRED vector's
+      // descriptor — reconciliation is by (path, dv.uniqueId)
+      s"""{"remove":{"path":"a.parquet","dataChange":true,"deletionVector":${dvJson(descA)}}}""",
       s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(descA2)}}}""")
       .mkString("\n"))
     val want2 = (0L until 100L).filter(i => i % 3 != 0 && i % 7 != 0) ++ (105L until 200L)
@@ -445,6 +529,24 @@ class DeltaImportSpec extends LakeSpec {
     assert(DeltaImport.readSnapshot(spark, dir,
         DeltaImport.snapshot(spark, dir, Some(0L)))
       .orderBy("k").collect().map(_.getLong(0)).toSeq === want)
+
+    // ADD-BEFORE-REMOVE ordering of the same DV-update commit: the
+    // protocol reconciles file actions by (path, deletionVector.uniqueId),
+    // so the remove(oldDV) must cancel only version 1's entry and leave
+    // the new add live — keyed by path alone, the file (and all its rows)
+    // would silently vanish
+    val posA3 = (0L until 100L).filter(i => i % 3 == 0 || i % 7 == 0 || i == 1L).toArray
+    val Seq(descA3) = DeltaDv.writeFile(dir, conf, Seq(posA3))
+    writeText(s"$dir/_delta_log", f"${2}%020d.json", Seq(
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(descA3)}}}""",
+      s"""{"remove":{"path":"a.parquet","dataChange":true,"deletionVector":${dvJson(descA2)}}}""")
+      .mkString("\n"))
+    val snap3 = DeltaImport.snapshot(spark, dir)
+    assert(snap3.files.map(_.path).toSet === Set("a.parquet", "b.parquet"))
+    val want3 = (0L until 100L)
+      .filter(i => i % 3 != 0 && i % 7 != 0 && i != 1L) ++ (105L until 200L)
+    assert(DeltaImport.readSnapshot(spark, dir, snap3).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq === want3)
   }
 
   test("column mapping (name mode): physical names project back to logical") {
@@ -512,6 +614,17 @@ class DeltaImportSpec extends LakeSpec {
     assert(back.schema.fieldNames.toSeq === Seq("k", "v"))
     assert(back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       === (0L until 40L).map(i => (i, s"v$i")))
+
+    // the eager procedure faces SCOPE the session flag an id-mode read
+    // needs: unset before, still unset after — while the copy itself read
+    // by field id (40 rows landed, proving the flag was on DURING)
+    sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
+    spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    rows(s"CALL implake.system.import_delta(`table` => 'db.idmode', " +
+      s"location => '$dir')")
+    assert(rows("SELECT count(*) FROM implake.db.idmode").head.getLong(0) === 40L)
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled") === "false",
+      "import_delta must restore the session conf it scoped")
 
     // a file carrying NO field ids must fail loudly in id mode, never null
     import spark.implicits._
