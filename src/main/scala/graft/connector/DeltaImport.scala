@@ -41,8 +41,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, Str
   *     option), so files whose column names drifted still resolve;
   *     files carrying NO ids fail loudly instead of nulling.
   *
-  * Anything else demanded via `minReaderVersion`/`readerFeatures` (v2
-  * checkpoints, …) is refused with the feature named — never mis-read.
+  *   - `v2Checkpoint` — a UUID-named checkpoint manifest
+  *     (`v.checkpoint.<uuid>.(parquet|json)`, what current Databricks
+  *     runtimes write) replays like a classic one; its `sidecar` actions
+  *     name `_sidecars/` parquet files carrying the file actions, each
+  *     verified to exist before any state is trusted.
+  *
+  * Anything else demanded via `minReaderVersion`/`readerFeatures` is
+  * refused with the feature named — never mis-read.
   *
   * Scale shape: the driver holds (path, partitionValues, dvDescriptor)
   * per live file — the same bounded envelope as the graft manifest
@@ -68,16 +74,17 @@ object DeltaImport {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Reader features this import implements (protocol `readerFeatures`
-    * names under minReaderVersion 3): deletion vectors and column mapping
-    * carry real machinery here; `timestampNtz` is native to Spark's
-    * parquet reader (TIMESTAMP_NTZ round-trips through
-    * `DataType.fromJson`); `vacuumProtocolCheck`'s published reader
-    * requirements are literally "None" (it constrains VACUUM, which a
-    * read-only import never runs). Anything else (v2Checkpoint,
-    * typeWidening, variantType, …) stays a loud refusal.
+    * names under minReaderVersion 3): deletion vectors, column mapping,
+    * and v2 checkpoints (UUID-named manifest + `_sidecars/` files) carry
+    * real machinery here; `timestampNtz` is native to Spark's parquet
+    * reader (TIMESTAMP_NTZ round-trips through `DataType.fromJson`);
+    * `vacuumProtocolCheck`'s published reader requirements are literally
+    * "None" (it constrains VACUUM, which a read-only import never runs).
+    * Anything else (typeWidening, variantType, …) stays a loud refusal.
     */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck")
+    Set("deletionVectors", "columnMapping", "timestampNtz",
+      "vacuumProtocolCheck", "v2Checkpoint")
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
 
@@ -101,9 +108,11 @@ object DeltaImport {
     val commits: Map[Long, String] = names
       .filter(n => n.length == 25 && n.endsWith(".json") && n.take(20).forall(_.isDigit))
       .map(n => n.take(20).toLong -> n).toMap
-    // single- and multi-part classic checkpoints
+    // classic single-/multi-part checkpoints AND v2 UUID-named checkpoint
+    // manifests (parquet or json)
     val checkpointParts: Map[Long, Seq[String]] = names
-      .filter(n => n.contains(".checkpoint") && n.endsWith(".parquet") &&
+      .filter(n => n.contains(".checkpoint") &&
+        (n.endsWith(".parquet") || (n.endsWith(".json") && n.length > 25)) &&
         n.take(20).forall(_.isDigit))
       .groupBy(_.take(20).toLong).map { case (v, ps) => v -> ps.toSeq.sorted }
 
@@ -113,19 +122,27 @@ object DeltaImport {
     // and adds carried by the missing parts would silently vanish. Names
     // decide: `v.checkpoint.parquet` is one self-contained file;
     // `v.checkpoint.%010d.%010d.parquet` encodes part-i-of-n, so all n
-    // must be present; any other shape (v2/UUID checkpoints — a reader
-    // feature this import does not implement) is refused by name.
+    // must be present; `v.checkpoint.<uuid>.(parquet|json)` is a v2
+    // checkpoint — one self-contained manifest whose add/remove state may
+    // live in `_sidecars/` files it names (each verified to exist at
+    // read); any other shape is refused by name.
     val multiPart = """\d{20}\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val v2Name = ("""\d{20}\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-""" +
+      """[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\.(parquet|json)""").r
+    def isV2(name: String): Boolean = v2Name.pattern.matcher(name).matches()
     def checkpointComplete(v: Long): Boolean = {
       val ps = checkpointParts(v)
-      if (ps == Seq(f"$v%020d.checkpoint.parquet")) true
+      // a v2 manifest is complete by itself (writers publish sidecars
+      // first); classic "compatibility" checkpoints may coexist at the
+      // same version — the v2 manifest is then preferred at read
+      if (ps.exists(isV2)) true
+      else if (ps == Seq(f"$v%020d.checkpoint.parquet")) true
       else {
         val parsed = ps.map {
           case multiPart(i, n) => (i.toInt, n.toInt)
           case other => throw new IllegalArgumentException(
             s"unrecognized checkpoint file name '$other' under $tableDir — " +
-              "not a classic single- or multi-part checkpoint (v2/UUID " +
-              "checkpoints are a reader feature this import refuses)")
+              "not a classic single-/multi-part or v2 UUID checkpoint")
         }
         val totals = parsed.map(_._2).distinct
         totals.size == 1 && parsed.map(_._1).sorted == (1 to totals.head)
@@ -228,10 +245,11 @@ object DeltaImport {
     def dvUid(dv: Option[DeltaDv.Descriptor]): Option[String] =
       dv.map(d => d.storageType + d.pathOrInlineDv + d.offset.fold("")("@" + _))
 
-    // 1) checkpoint state (full action set at checkpointV)
-    checkpointV.foreach { cv =>
-      val parts = checkpointParts(cv).map(n => new Path(logDir, n).toString)
-      val cp = spark.read.parquet(parts: _*)
+    // protocol/metaData/add extraction from a parquet action frame — one
+    // code path shared by classic checkpoint parts, v2 checkpoint
+    // manifests, and v2 sidecar files (removes inside any checkpoint are
+    // vacuum tombstones, never state)
+    def applyParquetActions(cp: DataFrame): Unit = {
       val cols = cp.columns.toSet
       if (cols.contains("protocol"))
         cp.select("protocol.*").filter(col("minReaderVersion").isNotNull)
@@ -275,6 +293,112 @@ object DeltaImport {
       }
     }
 
+    // JSON-action twins, shared by commit replay and v2 json checkpoints
+    def parseDvJson(owner: com.fasterxml.jackson.databind.JsonNode): Option[DeltaDv.Descriptor] =
+      Option(owner.get("deletionVector")).filterNot(_.isNull).map { d =>
+        descriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+          Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+          d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+      }
+    def applyAddJson(a: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val dv = parseDvJson(a)
+      val pv = Option(a.get("partitionValues")).map { p =>
+        val it = p.properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, String])
+      adds((a.get("path").asText, dvUid(dv))) = AddFile(a.get("path").asText, pv, dv)
+    }
+    def applyProtocolJson(p: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val feats = Option(p.get("readerFeatures")).map(a =>
+        (0 until a.size).map(a.get(_).asText)).getOrElse(Nil)
+      checkProtocol(p.get("minReaderVersion").asInt, feats)
+    }
+    def applyMetaJson(m: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val pcs = Option(m.get("partitionColumns")).map(a =>
+        (0 until a.size).map(a.get(_).asText)).getOrElse(Nil)
+      val cfg = Option(m.get("configuration")).map { c =>
+        val it = c.properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+        b.result()
+      }.getOrElse(Map.empty[String, String])
+      val provider = Option(m.get("format")).flatMap(f =>
+        Option(f.get("provider")).map(_.asText)).getOrElse("parquet")
+      applyMeta(m.get("schemaString").asText, pcs, cfg, provider)
+    }
+
+    // sidecar path -> full path: relative names live under
+    // `_delta_log/_sidecars/`; absolute URIs (shared-storage layouts)
+    // resolve as written. Each named sidecar must EXIST — a missing one
+    // means the checkpoint's state is partial, which must never read as
+    // "fewer live files"
+    def sidecarPath(p: String): Path = {
+      val resolved = try {
+        val u = new java.net.URI(p)
+        if (u.isAbsolute) new Path(u) else new Path(s"$logDir/_sidecars", u.getPath)
+      } catch {
+        case _: java.net.URISyntaxException => new Path(s"$logDir/_sidecars", p)
+      }
+      require(fs.exists(resolved),
+        s"v2 checkpoint of $tableDir names sidecar '$p' but " +
+          s"$resolved does not exist — refusing to read a partial table state")
+      resolved
+    }
+
+    // 1) checkpoint state (full action set at checkpointV)
+    checkpointV.foreach { cv =>
+      val ps = checkpointParts(cv)
+      val v2 = ps.filter(isV2).sorted
+      if (v2.nonEmpty) {
+        // v2 UUID checkpoint: one manifest (json or parquet) carrying
+        // protocol/metaData (+ checkpointMetadata) and either inline file
+        // actions or `sidecar` actions naming the files that do. Several
+        // manifests at one version describe the same state — read the first.
+        val manifest = new Path(logDir, v2.head)
+        val sidecars = scala.collection.mutable.ArrayBuffer[String]()
+        if (v2.head.endsWith(".json")) {
+          val in = fs.open(manifest)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toVector finally in.close()
+          lines.foreach { line =>
+            val node = om.readTree(line)
+            if (node.has("protocol")) applyProtocolJson(node.get("protocol"))
+            if (node.has("metaData")) applyMetaJson(node.get("metaData"))
+            if (node.has("add")) applyAddJson(node.get("add"))
+            if (node.has("sidecar")) sidecars += node.get("sidecar").get("path").asText
+            if (node.has("checkpointMetadata"))
+              require(node.get("checkpointMetadata").get("version").asLong == cv,
+                s"v2 checkpoint ${v2.head} of $tableDir declares " +
+                  s"checkpointMetadata version ${node.get("checkpointMetadata")
+                    .get("version").asLong}, expected $cv — corrupt log")
+          }
+        } else {
+          val cp = spark.read.parquet(manifest.toString)
+          if (cp.columns.contains("checkpointMetadata"))
+            cp.select("checkpointMetadata.version").filter(col("version").isNotNull)
+              .collect().foreach(r => require(r.getLong(0) == cv,
+                s"v2 checkpoint ${v2.head} of $tableDir declares " +
+                  s"checkpointMetadata version ${r.getLong(0)}, expected $cv — corrupt log"))
+          applyParquetActions(cp)
+          if (cp.columns.contains("sidecar"))
+            cp.select("sidecar.path").filter(col("path").isNotNull)
+              .collect().foreach(r => sidecars += r.getString(0))
+        }
+        if (sidecars.nonEmpty) {
+          val paths = sidecars.toSeq.map(p => sidecarPath(p).toString)
+          applyParquetActions(spark.read.parquet(paths: _*))
+        }
+      } else {
+        val parts = ps.map(n => new Path(logDir, n).toString)
+        applyParquetActions(spark.read.parquet(parts: _*))
+      }
+    }
+
     // 2) JSON commits after the checkpoint, contiguous
     val from = checkpointV.map(_ + 1).getOrElse(0L)
     (from to latest).foreach { v =>
@@ -286,52 +410,12 @@ object DeltaImport {
         .getLines().filter(_.nonEmpty).toVector finally in.close()
       lines.foreach { line =>
         val node = om.readTree(line)
-        if (node.has("protocol")) {
-          val p = node.get("protocol")
-          val feats = Option(p.get("readerFeatures")).map(a =>
-            (0 until a.size).map(a.get(_).asText)).getOrElse(Nil)
-          checkProtocol(p.get("minReaderVersion").asInt, feats)
-        }
-        if (node.has("metaData")) {
-          val m = node.get("metaData")
-          val pcs = Option(m.get("partitionColumns")).map(a =>
-            (0 until a.size).map(a.get(_).asText)).getOrElse(Nil)
-          val cfg = Option(m.get("configuration")).map { c =>
-            val it = c.properties().iterator()
-            val b = Map.newBuilder[String, String]
-            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
-            b.result()
-          }.getOrElse(Map.empty[String, String])
-          val provider = Option(m.get("format")).flatMap(f =>
-            Option(f.get("provider")).map(_.asText)).getOrElse("parquet")
-          applyMeta(m.get("schemaString").asText, pcs, cfg, provider)
-        }
-        if (node.has("add")) {
-          val a = node.get("add")
-          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
-            descriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
-              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
-              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
-          }
-          val pv = Option(a.get("partitionValues")).map { p =>
-            val it = p.properties().iterator()
-            val b = Map.newBuilder[String, String]
-            while (it.hasNext) {
-              val e = it.next()
-              b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
-            }
-            b.result()
-          }.getOrElse(Map.empty[String, String])
-          adds((a.get("path").asText, dvUid(dv))) = AddFile(a.get("path").asText, pv, dv)
-        }
+        if (node.has("protocol")) applyProtocolJson(node.get("protocol"))
+        if (node.has("metaData")) applyMetaJson(node.get("metaData"))
+        if (node.has("add")) applyAddJson(node.get("add"))
         if (node.has("remove")) {
           val rm = node.get("remove")
-          val dv = Option(rm.get("deletionVector")).filterNot(_.isNull).map { d =>
-            descriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
-              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
-              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
-          }
-          adds.remove((rm.get("path").asText, dvUid(dv)))
+          adds.remove((rm.get("path").asText, dvUid(parseDvJson(rm))))
         }
       }
     }
@@ -394,6 +478,10 @@ object DeltaImport {
     * directly, so names carrying spaces or literal '%' survive (a
     * URI→Path→string→Path round trip re-parses and can diverge).
     */
+  /** [[resolve]] for the streaming face ([[DeltaImportMicroBatchStream]]). */
+  private[connector] def resolvePath(tableDir: String, path: String): Path =
+    resolve(tableDir, path)
+
   private def resolve(tableDir: String, path: String): Path =
     try {
       val u = new java.net.URI(path)
@@ -436,6 +524,12 @@ object DeltaImport {
 
   private def physicalSchema(schema: StructType, withIds: Boolean): StructType =
     physicalType(schema, withIds).asInstanceOf[StructType]
+
+  /** The physical (file-side) data schema of a snapshot — what a delegated
+    * parquet scan must request (the streaming face's read schema).
+    */
+  private[connector] def physicalDataSchema(snap: Snapshot): StructType =
+    physicalSchema(snap.dataSchema, withIds = snap.columnMappingMode == "id")
 
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
 

@@ -452,6 +452,74 @@ object CdcQueries {
       },
       Some("""SELECT o_orderkey AS k,
                  cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro
+        FROM orders ORDER BY k""")),
+
+    // ---- Delta V2-CHECKPOINT import (the `v2Checkpoint` reader feature —
+    // what current Databricks runtimes write): the state at the checkpoint
+    // lives in a UUID-named JSON manifest whose `sidecar` action names a
+    // parquet file of add actions under `_delta_log/_sidecars/`; a retired
+    // JUNK file's remove tombstone rides in the same sidecar (tombstones
+    // are never state), and a post-checkpoint JSON commit replays on top.
+    // The oracle recomputes the live rows from `orders` directly — a
+    // resurrected tombstone, a dropped sidecar add, or a missed
+    // post-checkpoint commit all hash-mismatch. ----
+    "x81_delta_import_v2cp" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-x81").toString + "/t"
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+        def stage(df: DataFrame, target: String): Unit = {
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/__stage")
+          val f = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/__stage"))
+            .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+          val t = new org.apache.hadoop.fs.Path(s"$root/$target")
+          fs.mkdirs(t.getParent)
+          fs.rename(f, t)
+        }
+        val src = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          micro(col("o_totalprice")).as("price_micro"))
+        stage(src.filter(col("k") % 2 === 0), "even.parquet")
+        stage(src.filter(col("k") % 2 === 1), "odd.parquet")
+        // junk rows behind the tombstone: resurrecting them corrupts the hash
+        stage(src.limit(50).withColumn("price_micro", lit(-1L)), "retired.parquet")
+        val scSchema = StructType(Seq(
+          StructField("add", StructType(Seq(
+            StructField("path", StringType),
+            StructField("partitionValues", MapType(StringType, StringType))))),
+          StructField("remove", StructType(Seq(StructField("path", StringType))))))
+        val scRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        scRows.add(org.apache.spark.sql.Row(
+          org.apache.spark.sql.Row("even.parquet", Map.empty[String, String]), null))
+        scRows.add(org.apache.spark.sql.Row(null,
+          org.apache.spark.sql.Row("retired.parquet")))
+        stage(s.createDataFrame(scRows, scSchema), "_delta_log/_sidecars/sc.parquet")
+        val schemaJson = StructType(Seq(
+          StructField("k", LongType), StructField("price_micro", LongType))).json
+        val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        val meta = """{"metaData":{"id":"x81","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${om.writeValueAsString(schemaJson)},""" +
+          """"partitionColumns":[],"configuration":{},"createdTime":0}}"""
+        val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+        def write(name: String, text: String): Unit = {
+          val p = new org.apache.hadoop.fs.Path(s"$root/_delta_log/$name")
+          fs.mkdirs(p.getParent)
+          val out = fs.create(p, true)
+          try out.write(text.getBytes("UTF-8")) finally out.close()
+        }
+        write(s"${"0" * 20}.checkpoint.5c81a9e4-1b2c-4d3e-9f0a-6b7c8d9e0f1a.json",
+          Seq("""{"checkpointMetadata":{"version":0}}""", proto, meta,
+            """{"sidecar":{"path":"sc.parquet","sizeInBytes":1}}""").mkString("\n"))
+        write("_last_checkpoint", """{"version":0}""")
+        write(f"${1}%020d.json",
+          """{"add":{"path":"odd.parquet","partitionValues":{},"size":1,""" +
+            """"modificationTime":0,"dataChange":true}}""")
+        graft.connector.DeltaImport.readSnapshot(s, root).orderBy(col("k"))
+      },
+      Some("""SELECT o_orderkey AS k,
+                 cast(cast(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro
         FROM orders ORDER BY k"""))
   )
 }

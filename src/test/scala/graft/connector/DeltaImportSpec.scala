@@ -415,21 +415,133 @@ class DeltaImportSpec extends LakeSpec {
     assert(e2.getMessage.contains("unrecognized checkpoint"))
   }
 
+  test("v2 UUID checkpoints: sidecar and inline manifests replay; holes refuse") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmp("delta-v2cp")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("f0", "f1", "f2").zipWithIndex.foreach { case (n, i) =>
+      stageOne(dir, Seq((i.toLong, n)).toDF("k", "v"), s"$n.parquet")
+    }
+    val protoV2 =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+    def add(p: String) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+    writeText(s"$dir/_delta_log", f"${0}%020d.json",
+      Seq(protoV2, metaLine(), add("f0.parquet")).mkString("\n"))
+    writeText(s"$dir/_delta_log", f"${1}%020d.json",
+      Seq(add("f1.parquet"),
+        """{"remove":{"path":"f0.parquet","dataChange":true}}""").mkString("\n"))
+
+    // v2 checkpoint at version 1: a UUID-named parquet manifest carrying
+    // protocol + metaData + checkpointMetadata + one `sidecar` action; the
+    // file actions live in _delta_log/_sidecars/sc1.parquet (which also
+    // carries f0's remove TOMBSTONE — checkpoints never replay removes)
+    val manifestSchema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType), StructField("sizeInBytes", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))),
+        nullable = true),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))))))))
+    val rs = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rs.add(org.apache.spark.sql.Row(org.apache.spark.sql.Row(1L), null, null, null))
+    rs.add(org.apache.spark.sql.Row(null,
+      org.apache.spark.sql.Row("sc1.parquet", 1L), null, null))
+    rs.add(org.apache.spark.sql.Row(null, null,
+      org.apache.spark.sql.Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null))
+    rs.add(org.apache.spark.sql.Row(null, null, null,
+      org.apache.spark.sql.Row(schemaJson, Seq.empty[String],
+        Map.empty[String, String], org.apache.spark.sql.Row("parquet"))))
+    val sidecarSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      StructField("remove", StructType(Seq(StructField("path", StringType))))))
+    val scRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    scRows.add(org.apache.spark.sql.Row(
+      org.apache.spark.sql.Row("f1.parquet", Map.empty[String, String]), null))
+    scRows.add(org.apache.spark.sql.Row(null, org.apache.spark.sql.Row("f0.parquet")))
+    stageOne(dir, spark.createDataFrame(scRows, sidecarSchema),
+      "_delta_log/_sidecars/sc1.parquet")
+    val uuid = "7d5a1f2e-3b4c-4d5e-8f9a-0b1c2d3e4f5a"
+    stageOne(dir, spark.createDataFrame(rs, manifestSchema),
+      s"_delta_log/${"0" * 19}1.checkpoint.$uuid.parquet")
+    writeText(s"$dir/_delta_log", "_last_checkpoint", """{"version":1}""")
+    writeText(s"$dir/_delta_log", f"${2}%020d.json", add("f2.parquet"))
+
+    // the checkpoint must actually STAND IN for the vacuumed prefix
+    fs.delete(new Path(s"$dir/_delta_log/${f"${0}%020d"}.json"), false)
+    fs.delete(new Path(s"$dir/_delta_log/${f"${1}%020d"}.json"), false)
+    val snap = DeltaImport.snapshot(spark, dir)
+    assert(snap.version === 2L)
+    assert(snap.files.map(_.path).toSet === Set("f1.parquet", "f2.parquet"))
+    assert(DeltaImport.readSnapshot(spark, dir, snap).orderBy("k").collect()
+      .map(_.getString(1)).toSeq === Seq("f1", "f2"))
+
+    // a JSON v2 manifest with INLINE file actions (no sidecars) replays too
+    val dir2 = tmp("delta-v2cp-json")
+    stageOne(dir2, Seq((1L, "a")).toDF("k", "v"), "g0.parquet")
+    writeText(s"$dir2/_delta_log",
+      s"${"0" * 20}.checkpoint.$uuid.json",
+      Seq("""{"checkpointMetadata":{"version":0}}""", protoV2, metaLine(),
+        """{"add":{"path":"g0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("\n"))
+    writeText(s"$dir2/_delta_log", "_last_checkpoint", """{"version":0}""")
+    val snap2 = DeltaImport.snapshot(spark, dir2)
+    assert(snap2.version === 0L && snap2.files.map(_.path) === Seq("g0.parquet"))
+
+    // a manifest naming a MISSING sidecar is a partial state: refuse loudly
+    val dir3 = tmp("delta-v2cp-hole")
+    writeText(s"$dir3/_delta_log",
+      s"${"0" * 20}.checkpoint.$uuid.json",
+      Seq("""{"checkpointMetadata":{"version":0}}""", protoV2, metaLine(),
+        """{"sidecar":{"path":"missing.parquet","sizeInBytes":1}}""")
+        .mkString("\n"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir3)
+    }
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+
+    // a checkpointMetadata version that contradicts the file name is
+    // corruption, not a race
+    val dir4 = tmp("delta-v2cp-ver")
+    writeText(s"$dir4/_delta_log",
+      s"${"0" * 20}.checkpoint.$uuid.json",
+      Seq("""{"checkpointMetadata":{"version":7}}""", protoV2, metaLine())
+        .mkString("\n"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, dir4)
+    }
+    assert(e2.getMessage.contains("checkpointMetadata"), e2.getMessage)
+  }
+
   test("capability gate: unsupported features and log gaps refuse loudly") {
     def freshLog(lines: Seq[String], name: String): String = {
       val dir = tmp(name)
       writeText(s"$dir/_delta_log", f"${0}%020d.json", lines.mkString("\n"))
       dir
     }
-    // v3 with a reader feature we do NOT implement (deletionVectors and
-    // columnMapping are implemented now; v2Checkpoint is not)
+    // v3 with a reader feature we do NOT implement (deletionVectors,
+    // columnMapping, and v2Checkpoint are implemented now; typeWidening
+    // is not)
     val e2 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, freshLog(Seq(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint","typeWidening"]}}""",
         metaLine()), "delta-gate2"))
     }
-    assert(e2.getMessage.contains("v2Checkpoint"))
-    assert(!e2.getMessage.contains("deletionVectors"))
+    assert(e2.getMessage.contains("typeWidening"))
+    assert(!e2.getMessage.contains("deletionVectors") &&
+      !e2.getMessage.contains("v2Checkpoint"))
     // an unknown future column-mapping mode refuses by name
     val e3 = intercept[IllegalArgumentException] {
       DeltaImport.snapshot(spark, freshLog(Seq(protocolLine,
