@@ -92,6 +92,25 @@ object DeltaImport {
   def snapshot(spark: SparkSession, tableDir: String): Snapshot =
     snapshot(spark, tableDir, None)
 
+  /** The newest committed version, from the log LISTING alone — no
+    * checkpoint content is read and no file state is built. The streaming
+    * face's per-trigger probe: a short-trigger stream over a large table
+    * must not pay a full log replay just to learn "nothing changed".
+    */
+  def latestVersion(spark: SparkSession, tableDir: String): Long = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir), s"no _delta_log under $tableDir — not a Delta table")
+    val versions = fs.listStatus(logDir).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.take(20).forall(_.isDigit) &&
+        ((n.length == 25 && n.endsWith(".json")) ||
+          (n.contains(".checkpoint") &&
+            (n.endsWith(".parquet") || (n.endsWith(".json") && n.length > 25)))))
+      .map(_.take(20).toLong)
+    require(versions.nonEmpty, s"empty _delta_log under $tableDir")
+    versions.max
+  }
+
   /** Resolve the snapshot AT `version` (Delta time travel on import) —
     * None = latest. Refused when the requested version is newer than the
     * log or older than its vacuumed/checkpointed horizon (no contiguous
@@ -158,9 +177,14 @@ object DeltaImport {
         val node = om.readTree(txt)
         val v = node.get("version").asLong
         // _last_checkpoint is written AFTER its checkpoint completes, so a
-        // named-but-incomplete checkpoint is corruption, not a race
+        // named-but-incomplete checkpoint is corruption, not a race. The
+        // `parts` count describes the CLASSIC part set only — a v2 manifest
+        // coexisting at the same version (the spec-legal compatibility
+        // layout) must neither count toward it nor be gated by it
         require(checkpointParts.contains(v) && checkpointComplete(v) &&
-            Option(node.get("parts")).forall(_.asInt == checkpointParts(v).size),
+            (checkpointParts(v).exists(isV2) ||
+              Option(node.get("parts")).forall(_.asInt ==
+                checkpointParts(v).count(n => !isV2(n)))),
           s"_last_checkpoint at $tableDir names checkpoint $v but its " +
             "parquet part set is missing or incomplete — refusing to read " +
             "a truncated table state")
@@ -334,16 +358,12 @@ object DeltaImport {
 
     // sidecar path -> full path: relative names live under
     // `_delta_log/_sidecars/`; absolute URIs (shared-storage layouts)
-    // resolve as written. Each named sidecar must EXIST — a missing one
-    // means the checkpoint's state is partial, which must never read as
-    // "fewer live files"
+    // resolve as written — the same decode-once rule as add.path, via the
+    // shared resolver. Each named sidecar must EXIST — a missing one means
+    // the checkpoint's state is partial, which must never read as "fewer
+    // live files"
     def sidecarPath(p: String): Path = {
-      val resolved = try {
-        val u = new java.net.URI(p)
-        if (u.isAbsolute) new Path(u) else new Path(s"$logDir/_sidecars", u.getPath)
-      } catch {
-        case _: java.net.URISyntaxException => new Path(s"$logDir/_sidecars", p)
-      }
+      val resolved = resolve(s"$logDir/_sidecars", p)
       require(fs.exists(resolved),
         s"v2 checkpoint of $tableDir names sidecar '$p' but " +
           s"$resolved does not exist — refusing to read a partial table state")

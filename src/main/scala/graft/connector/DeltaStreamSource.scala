@@ -115,8 +115,11 @@ private[connector] class DeltaImportMicroBatchStream(tableDir: String,
   // the graft manifest's empty version 0)
   override def initialOffset(): Offset = GraftVersionOffset(-1L)
 
+  // the per-trigger probe reads the log LISTING only, never checkpoint
+  // content — a short-trigger stream must not replay state to learn
+  // "nothing changed"
   override def latestOffset(): Offset =
-    GraftVersionOffset(DeltaImport.snapshot(SparkSession.active, tableDir).version)
+    GraftVersionOffset(DeltaImport.latestVersion(SparkSession.active, tableDir))
 
   override def deserializeOffset(json: String): Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
@@ -132,17 +135,29 @@ private[connector] class DeltaImportMicroBatchStream(tableDir: String,
     */
   private def filesFor(sv: Long, ev: Long): Seq[DeltaImport.AddFile] = {
     val spark = SparkSession.active
+    // a metadata change between STREAM CONSTRUCTION and any batch — the
+    // base image included — would silently misalign rows against the
+    // pinned schema; every batch's endpoint must still match it
+    def checkPinned(snap: DeltaImport.Snapshot): Unit =
+      require(snap.schema.json == pinned.schema.json &&
+          snap.partitionColumns == pinned.partitionColumns &&
+          snap.columnMappingMode == pinned.columnMappingMode,
+        s"stream over $tableDir: the table's schema/partitioning/mapping " +
+          "changed since the stream started — restart to pick it up")
     val emitted =
-      if (sv < 0) DeltaImport.snapshot(spark, tableDir, Some(ev)).files
-      else (sv to ev).sliding(2).flatMap { pair =>
-        val inc = DeltaImport.appendOnlyIncrement(
-          DeltaImport.snapshot(spark, tableDir, Some(pair.head)),
-          DeltaImport.snapshot(spark, tableDir, Some(pair.last)), tableDir)
-        require(inc.schema.json == pinned.schema.json,
-          s"stream over $tableDir: the table's schema changed since the " +
-            "stream started — restart to pick it up")
-        inc.files
-      }.toSeq
+      if (sv < 0) {
+        val snap = DeltaImport.snapshot(spark, tableDir, Some(ev))
+        checkPinned(snap)
+        snap.files
+      } else {
+        // one resolution per version — each is a from-checkpoint log
+        // replay, so a k-version range costs k replays, not 2k
+        val snaps = (sv to ev).map(v => DeltaImport.snapshot(spark, tableDir, Some(v)))
+        snaps.foreach(checkPinned)
+        snaps.sliding(2).flatMap { pair =>
+          DeltaImport.appendOnlyIncrement(pair.head, pair.last, tableDir).files
+        }.toSeq
+      }
     emitted.foreach(f => require(f.dv.isEmpty,
       s"stream over $tableDir hit a deletion vector on ${f.path} — this " +
         "stream reads appends only; use import_delta + refresh_delta"))

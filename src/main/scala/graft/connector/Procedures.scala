@@ -440,17 +440,22 @@ private[connector] final class ImportDeltaProcedure(resolveNew: String => TableL
   *    not-then-live become `insert` changes — and applies them through
   *    the CDC MERGE machinery ([[CdcApply.applyBatch]]). A compaction
   *    (same rows, new files) therefore nets to ZERO mirror writes, and a
-  *    DV growth deletes exactly the newly-dead rows. The MERGEs commit
-  *    first, then the source-version property advances in its own CAS
-  *    commit; a crash in between just re-runs the same idempotent
-  *    diff+MERGE (deletes of absent rows and upserts of identical rows
-  *    converge).
+  *    DV growth deletes exactly the newly-dead rows. Ordering: a
+  *    WRITE-AHEAD INTENT commit (`graft.delta.pendingDiff` = the diff's
+  *    coordinates, alongside the advanced source version) CLAIMS the
+  *    increment before any MERGE runs; the MERGEs follow; a final commit
+  *    retires the intent. A crash mid-MERGE leaves the intent behind, and
+  *    the next refresh (any shape) RECOVERS it first — re-running the
+  *    idempotent diff (deletes of absent rows match nothing, upserts
+  *    re-apply equal values) before handling its own increment.
   *
   * Schema / partitioning / column-mapping changes still refuse with
   * "re-import instead" — an incremental copy cannot re-type history.
-  * Both paths re-read the head's metadata at commit time and require the
-  * recorded source version to be UNCHANGED, so two concurrent refreshes
-  * cannot both append the same increment (the loser refuses loudly).
+  * Every commit re-reads the head's metadata and requires the recorded
+  * source version UNCHANGED and no foreign intent outstanding, so two
+  * concurrent refreshes — keyed, append, or mixed — cannot both apply the
+  * same increment (the loser refuses loudly at its own CAS, before or
+  * after its work, never with silent duplicates).
   * Returns (files, rows, from_version, to_version).
   */
 private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog,
@@ -478,12 +483,110 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
       val keys = GraftProcedures.cols(input.getUTF8String(1).toString)
       val log = resolve(tableArg)
       val spark = SparkSession.active
-      val props = log.properties
-      val location = props.getOrElse("graft.delta.location",
+      val SrcKey = "graft.delta.sourceVersion"
+      val PendingKey = "graft.delta.pendingDiff"
+      val mirror = s"`${catalogName()}`." +
+        tableArg.split('.').map(p => s"`$p`").mkString(".")
+
+      // head metadata read version-addressed, NEVER through the pinned
+      // log.properties cache — this procedure commits property changes
+      // mid-flight and must observe its own (and concurrent) commits
+      def headProps: Map[String, String] =
+        log.latestVersion.map(log.metaAt).getOrElse(log.baseMetaPublic)._2
+
+      // CAS a property update (optionally carrying an appended dir): the
+      // head's CURRENT metadata is re-read here — not a snapshot from
+      // before the potentially long copy/MERGE jobs — and `check` must
+      // accept it, so a concurrent refresh that committed in between makes
+      // the loser refuse loudly instead of silently duplicating rows
+      def casProps(check: Map[String, String] => Unit)
+                  (update: Map[String, String] => Map[String, String],
+                   entry: Option[DirEntry]): Unit = {
+        val latest = log.latestVersion
+        val (headSchema, hp) = latest.map(log.metaAt).getOrElse(log.baseMetaPublic)
+        check(hp)
+        val prior = latest.map(log.entriesAt).getOrElse(Nil)
+        require(log.tryCommitEntriesMeta(latest, prior ++ entry.toSeq,
+            newMeta = Some((headSchema, update(hp)))),
+          s"refresh of ${log.tableDir} lost a commit race — re-run it " +
+            "(any staged copy is unreferenced and vacuum reclaims it)")
+      }
+      def checkUnclaimed(expectSrc: Long)(hp: Map[String, String]): Unit = {
+        require(hp.get(SrcKey).contains(expectSrc.toString),
+          s"refresh of ${log.tableDir} raced a concurrent refresh (recorded " +
+            s"source version is now ${hp.getOrElse(SrcKey, "?")}, expected " +
+            s"$expectSrc) — the increment was already applied; re-run to " +
+            "pick up anything newer")
+        require(!hp.contains(PendingKey),
+          s"refresh of ${log.tableDir}: another refresh's keyed diff is in " +
+            "flight (or crashed) — re-run to recover it first")
+      }
+
+      val props0 = headProps
+      val location = props0.getOrElse("graft.delta.location",
         throw new IllegalArgumentException(
           s"${log.tableDir} was not created by import_delta (no " +
             "graft.delta.location property) — nothing to refresh from"))
-      val recorded = props("graft.delta.sourceVersion").toLong
+
+      // one keyed diff between two SOURCE versions, applied to the mirror
+      // through the CDC MERGE machinery. Only the CHANGED files' live rows
+      // are read (retired / vector-changed files on the old side, their
+      // survivors + brand-new files on the new side — a compaction's
+      // rewritten rows land on both and cancel in the diff). IDEMPOTENT:
+      // deletes of absent rows match nothing, upserts re-apply equal
+      // values — crash-replay and recovery converge.
+      def applyDiff(fromV: Long, toV: Long, ks: Seq[String]): (Int, Long) = {
+        val o = DeltaImport.snapshot(spark, location, Some(fromV))
+        val n = DeltaImport.snapshot(spark, location, Some(toV))
+        require(o.schema.json == n.schema.json &&
+            o.partitionColumns == n.partitionColumns &&
+            o.columnMappingMode == n.columnMappingMode,
+          s"Delta table $location changed its schema/partitioning/mapping " +
+            s"between versions $fromV and $toV — re-import instead of refreshing")
+        val newByPath = n.files.map(f => f.path -> f).toMap
+        val oldByPath = o.files.map(f => f.path -> f).toMap
+        val changedOld = o.files.filter(f =>
+          !newByPath.contains(f.path) || newByPath(f.path).dv != f.dv)
+        val changedNewPaths = changedOld.map(_.path).toSet
+        val changedNew = n.files.filter(f =>
+          changedNewPaths(f.path) || !oldByPath.contains(f.path))
+        import org.apache.spark.sql.functions.lit
+        // the eager localCheckpoint executes the diff scans, so an id-mode
+        // source's session-conf flag is scoped here and restored after
+        val batch = DeltaImport.withFieldIdRead(spark) {
+          val oldLive = DeltaImport.readSnapshot(spark, location,
+            o.copy(files = changedOld))
+          val newLive = DeltaImport.readSnapshot(spark, location,
+            n.copy(files = changedNew))
+          oldLive.exceptAll(newLive)
+            .withColumn(ChangeFeed.TypeCol, lit("delete"))
+            .unionByName(newLive.exceptAll(oldLive)
+              .withColumn(ChangeFeed.TypeCol, lit("insert")))
+            .withColumn(ChangeFeed.VersionCol, lit(toV))
+            // truncate lineage: the MERGEs re-plan the batch several times,
+            // and each re-plan would otherwise re-run the four-scan diff
+            .localCheckpoint(true)
+        }
+        val rows = batch.count()
+        CdcApply.applyBatch(batch, mirror, ks, n.schema.fieldNames.toSeq, None)
+        (changedNew.size, rows)
+      }
+
+      // RECOVERY: an interrupted keyed refresh left its write-ahead intent
+      // — the version advance committed but its MERGEs may not have
+      // finished. Redo the (idempotent) diff up to the CLAIMED version and
+      // retire the intent before handling this call's own increment.
+      props0.get(PendingKey).foreach { intent =>
+        val Array(fromS, keysCsv) = intent.split(";", 2)
+        applyDiff(fromS.toLong, props0(SrcKey).toLong,
+          GraftProcedures.cols(keysCsv))
+        casProps(hp => require(hp.get(PendingKey).contains(intent),
+            s"refresh recovery of ${log.tableDir} raced another refresh — " +
+              "re-run"))(
+          hp => hp - PendingKey, None)
+      }
+
+      val recorded = headProps(SrcKey).toLong
       def result(files: Int, rows: Long, to: Long) =
         GraftProcedures.oneRowResult(
           StructType(Seq(
@@ -496,32 +599,8 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
       val newSnap = DeltaImport.snapshot(spark, location)
       if (newSnap.version == recorded) return result(0, 0L, recorded)
 
-      // advance graft.delta.sourceVersion under CAS, optionally carrying an
-      // appended dir. The head's CURRENT metadata is re-read here — not the
-      // properties snapshot from before the (potentially long) copy/MERGE
-      // jobs — and the recorded source version must still be the one this
-      // refresh started from: a concurrent refresh that committed in
-      // between already carries this increment, and appending it again
-      // would silently duplicate rows (the old TOCTOU).
-      def advance(entry: Option[DirEntry]): Unit = {
-        val latest = log.latestVersion
-        val (headSchema, headProps) = latest.map(log.metaAt).getOrElse(log.baseMetaPublic)
-        require(headProps.get("graft.delta.sourceVersion").contains(recorded.toString),
-          s"refresh of ${log.tableDir} raced a concurrent refresh (recorded " +
-            s"source version is now ${headProps.getOrElse("graft.delta.sourceVersion", "?")}, " +
-            s"expected $recorded) — the increment was already applied; re-run " +
-            "to pick up anything newer")
-        val prior = latest.map(log.entriesAt).getOrElse(Nil)
-        require(log.tryCommitEntriesMeta(latest, prior ++ entry.toSeq,
-            newMeta = Some((headSchema,
-              headProps.updated("graft.delta.sourceVersion", newSnap.version.toString)))),
-          s"refresh of ${log.tableDir} lost a commit race — re-run it " +
-            "(any staged copy is unreferenced and vacuum reclaims it)")
-      }
-
       val oldSnap = DeltaImport.snapshot(spark, location, Some(recorded))
       val newByPath = newSnap.files.map(f => f.path -> f).toMap
-      val oldByPath = oldSnap.files.map(f => f.path -> f).toMap
       val retired = oldSnap.files.filterNot(f => newByPath.contains(f.path))
       val dvChangedOld = oldSnap.files.filter(f =>
         newByPath.get(f.path).exists(_.dv != f.dv))
@@ -545,7 +624,8 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
             .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           entry = Some(DirEntry(staged, stats))
         }
-        advance(entry)
+        casProps(checkUnclaimed(recorded))(
+          _.updated(SrcKey, newSnap.version.toString), entry)
         result(files, rows, newSnap.version)
       } else {
         // ---- changed data: keyed diff of ONLY the changed files
@@ -561,36 +641,21 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
             s"retired, ${dvChangedOld.size} deletion vector(s) changed) — " +
             "pass keys => 'columns that uniquely identify a row' to apply " +
             "the changes incrementally, or re-import")
-        // changed files on each side: every retired/vector-changed file's
-        // OLD live rows vs its NEW live rows (plus all brand-new files —
-        // a compaction's rewritten rows land there and cancel in the diff)
-        val changedNewPaths = dvChangedOld.map(_.path).toSet
-        val changedOld = retired ++ dvChangedOld
-        val changedNew = newSnap.files.filter(f =>
-          changedNewPaths(f.path) || !oldByPath.contains(f.path))
-        import org.apache.spark.sql.functions.lit
-        // the eager localCheckpoint executes the diff scans, so an id-mode
-        // source's session-conf flag is scoped here and restored after
-        val batch = DeltaImport.withFieldIdRead(spark) {
-          val oldLive = DeltaImport.readSnapshot(spark, location,
-            oldSnap.copy(files = changedOld))
-          val newLive = DeltaImport.readSnapshot(spark, location,
-            newSnap.copy(files = changedNew))
-          oldLive.exceptAll(newLive)
-            .withColumn(ChangeFeed.TypeCol, lit("delete"))
-            .unionByName(newLive.exceptAll(oldLive)
-              .withColumn(ChangeFeed.TypeCol, lit("insert")))
-            .withColumn(ChangeFeed.VersionCol, lit(newSnap.version))
-            // truncate lineage: the MERGEs re-plan the batch several times,
-            // and each re-plan would otherwise re-run the four-scan diff
-            .localCheckpoint(true)
-        }
-        val rows = batch.count()
-        CdcApply.applyBatch(batch, s"`${catalogName()}`." +
-            tableArg.split('.').map(p => s"`$p`").mkString("."),
-          keys, newSnap.schema.fieldNames.toSeq, None)
-        advance(None)
-        result(changedNew.size, rows, newSnap.version)
+        // WRITE-AHEAD INTENT: claim the increment (advance the version AND
+        // record the diff coordinates) BEFORE the MERGEs run — a concurrent
+        // refresh of either shape now refuses at its own CAS instead of
+        // appending rows this diff already merged; a crash mid-MERGE leaves
+        // the intent for the next refresh to recover
+        val intent = s"$recorded;${keys.mkString(",")}"
+        casProps(checkUnclaimed(recorded))(
+          _.updated(SrcKey, newSnap.version.toString).updated(PendingKey, intent),
+          None)
+        val (files, rows) = applyDiff(recorded, newSnap.version, keys)
+        casProps(hp => require(hp.get(PendingKey).contains(intent),
+            s"refresh of ${log.tableDir} raced another refresh mid-diff — " +
+              "the state is recovered by the next refresh; re-run"))(
+          hp => hp - PendingKey, None)
+        result(files, rows, newSnap.version)
       }
     }
   }

@@ -346,6 +346,26 @@ class DeltaImportSpec extends LakeSpec {
     // caught up: keyed refresh is a no-op too
     val r5 = rows("CALL implake.system.refresh_delta(`table` => 'db.kmirror', keys => 'k')")
     assert((r5.head.getInt(0), r5.head.getLong(1), r5.head.getLong(3)) === ((0, 0L, 4L)))
+
+    // CRASH RECOVERY: a keyed refresh that died after its write-ahead
+    // intent (version advanced + pendingDiff recorded) but before its
+    // MERGEs — simulated by committing exactly that property state — is
+    // recovered by the NEXT refresh: the idempotent diff re-runs first
+    val dv5 = DeltaDv.inlineDescriptor(Array(1L))   // kills k=3 (pos 1 of f1)
+    writeText(s"$src/_delta_log", f"${5}%020d.json",
+      Seq(addJson("f1.parquet", Some(dv5)), removeJson("f1.parquet", None))
+        .mkString("\n"))
+    sql("ALTER TABLE implake.db.kmirror SET TBLPROPERTIES(" +
+      "'graft.delta.sourceVersion'='5', 'graft.delta.pendingDiff'='4;k')")
+    assert(rows("SELECT k FROM implake.db.kmirror ORDER BY k").map(_.getLong(0))
+      .contains(3L), "precondition: the mirror is stale (the crash left k=3)")
+    val r6 = rows("CALL implake.system.refresh_delta(`table` => 'db.kmirror', keys => 'k')")
+    assert((r6.head.getLong(1), r6.head.getLong(3)) === ((0L, 5L)),
+      "after recovery the call's own increment is empty")
+    assert(rows("SELECT k FROM implake.db.kmirror ORDER BY k").map(_.getLong(0)) ===
+      Seq(1L, 4L, 5L, 6L, 7L), "recovery applied the crashed diff")
+    assert(!log("db/kmirror").latestVersion.map(v => log("db/kmirror").metaAt(v)._2)
+      .exists(_.contains("graft.delta.pendingDiff")), "the intent is retired")
   }
 
   test("a failed import drops the half-created table so the retry is clean") {
