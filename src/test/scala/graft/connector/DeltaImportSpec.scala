@@ -543,6 +543,29 @@ class DeltaImportSpec extends LakeSpec {
       DeltaImport.snapshot(spark, dir4)
     }
     assert(e2.getMessage.contains("checkpointMetadata"), e2.getMessage)
+
+    // COEXISTENCE: a classic multi-part "compatibility" checkpoint at the
+    // same version as the v2 manifest (spec-legal) — the v2 manifest is
+    // preferred (the classic parts here are garbage bytes, so reading
+    // them would fail loudly), and _last_checkpoint's `parts` count
+    // describes the CLASSIC set without tripping over the v2 name
+    val dir5 = tmp("delta-v2cp-coexist")
+    stageOne(dir5, Seq((9L, "z")).toDF("k", "v"), "h0.parquet")
+    writeText(s"$dir5/_delta_log",
+      s"${"0" * 20}.checkpoint.$uuid.json",
+      Seq("""{"checkpointMetadata":{"version":0}}""", protoV2, metaLine(),
+        """{"add":{"path":"h0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("\n"))
+    writeText(s"$dir5/_delta_log",
+      f"${0L}%020d.checkpoint.${1}%010d.${2}%010d.parquet", "not parquet")
+    writeText(s"$dir5/_delta_log",
+      f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet", "not parquet")
+    writeText(s"$dir5/_delta_log", "_last_checkpoint",
+      """{"version":0,"parts":2}""")
+    val snap5 = DeltaImport.snapshot(spark, dir5)
+    assert(snap5.version === 0L && snap5.files.map(_.path) === Seq("h0.parquet"))
+    assert(DeltaImport.readSnapshot(spark, dir5, snap5).collect()
+      .map(_.getLong(0)).toSeq === Seq(9L))
   }
 
   test("capability gate: unsupported features and log gaps refuse loudly") {
