@@ -150,13 +150,21 @@ private[connector] class DeltaImportMicroBatchStream(tableDir: String,
         checkPinned(snap)
         snap.files
       } else {
-        // one resolution per version — each is a from-checkpoint log
-        // replay, so a k-version range costs k replays, not 2k
-        val snaps = (sv to ev).map(v => DeltaImport.snapshot(spark, tableDir, Some(v)))
-        snaps.foreach(checkPinned)
-        snaps.sliding(2).flatMap { pair =>
-          DeltaImport.appendOnlyIncrement(pair.head, pair.last, tableDir).files
-        }.toSeq
+        // one resolution per version (each is a from-checkpoint log replay,
+        // so a k-version range costs k replays, not 2k), streamed through
+        // an ITERATOR so at most two snapshots' file lists are alive at
+        // once — a catch-up spanning hundreds of versions of a
+        // million-file table must not hold every version's state on the
+        // driver simultaneously
+        (sv to ev).iterator
+          .map { v =>
+            val s = DeltaImport.snapshot(spark, tableDir, Some(v))
+            checkPinned(s)
+            s
+          }
+          .sliding(2).flatMap { pair =>
+            DeltaImport.appendOnlyIncrement(pair.head, pair.last, tableDir).files
+          }.toSeq
       }
     emitted.foreach(f => require(f.dv.isEmpty,
       s"stream over $tableDir hit a deletion vector on ${f.path} — this " +

@@ -528,21 +528,21 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
           s"${log.tableDir} was not created by import_delta (no " +
             "graft.delta.location property) — nothing to refresh from"))
 
-      // one keyed diff between two SOURCE versions, applied to the mirror
+      // one keyed diff between two SOURCE snapshots, applied to the mirror
       // through the CDC MERGE machinery. Only the CHANGED files' live rows
       // are read (retired / vector-changed files on the old side, their
       // survivors + brand-new files on the new side — a compaction's
       // rewritten rows land on both and cancel in the diff). IDEMPOTENT:
       // deletes of absent rows match nothing, upserts re-apply equal
       // values — crash-replay and recovery converge.
-      def applyDiff(fromV: Long, toV: Long, ks: Seq[String]): (Int, Long) = {
-        val o = DeltaImport.snapshot(spark, location, Some(fromV))
-        val n = DeltaImport.snapshot(spark, location, Some(toV))
+      def applyDiff(o: DeltaImport.Snapshot, n: DeltaImport.Snapshot,
+                    ks: Seq[String]): (Int, Long) = {
         require(o.schema.json == n.schema.json &&
             o.partitionColumns == n.partitionColumns &&
             o.columnMappingMode == n.columnMappingMode,
           s"Delta table $location changed its schema/partitioning/mapping " +
-            s"between versions $fromV and $toV — re-import instead of refreshing")
+            s"between versions ${o.version} and ${n.version} — re-import " +
+            "instead of refreshing")
         val newByPath = n.files.map(f => f.path -> f).toMap
         val oldByPath = o.files.map(f => f.path -> f).toMap
         val changedOld = o.files.filter(f =>
@@ -562,7 +562,7 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
             .withColumn(ChangeFeed.TypeCol, lit("delete"))
             .unionByName(newLive.exceptAll(oldLive)
               .withColumn(ChangeFeed.TypeCol, lit("insert")))
-            .withColumn(ChangeFeed.VersionCol, lit(toV))
+            .withColumn(ChangeFeed.VersionCol, lit(n.version))
             // truncate lineage: the MERGEs re-plan the batch several times,
             // and each re-plan would otherwise re-run the four-scan diff
             .localCheckpoint(true)
@@ -572,18 +572,54 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
         (changedNew.size, rows)
       }
 
+      // The keyed diff and its recovery hold a heartbeat LEASE (own file,
+      // never the table's commit lock — a MERGE inside the body must still
+      // be able to take that one). The lease is what distinguishes a LIVE
+      // refresh's write-ahead intent from a crashed one: a live holder
+      // renews (so a concurrent refresh refuses at acquire instead of
+      // "recovering" a diff that is still being applied and regressing the
+      // mirror with stale rows); a dead holder's lease expires past the
+      // TTL and the next refresh recovers safely. Residual: a holder whose
+      // PROCESS stalls past the TTL mid-MERGE — the envelope every TTL
+      // lease in this codebase documents.
+      def withRefreshLease[T](body: => T): T =
+        new LeaseFileCommitLock(log.hadoopConf)
+          .withLock(s"${log.tableDir}/_refresh_lease")(body)
+
       // RECOVERY: an interrupted keyed refresh left its write-ahead intent
       // — the version advance committed but its MERGEs may not have
       // finished. Redo the (idempotent) diff up to the CLAIMED version and
-      // retire the intent before handling this call's own increment.
+      // retire the intent before handling this call's own increment. A
+      // diff that can no longer be replayed (the source vacuumed the old
+      // version's history) must not wedge the table silently: the refusal
+      // names the situation and the ways out.
       props0.get(PendingKey).foreach { intent =>
-        val Array(fromS, keysCsv) = intent.split(";", 2)
-        applyDiff(fromS.toLong, props0(SrcKey).toLong,
-          GraftProcedures.cols(keysCsv))
-        casProps(hp => require(hp.get(PendingKey).contains(intent),
-            s"refresh recovery of ${log.tableDir} raced another refresh — " +
-              "re-run"))(
-          hp => hp - PendingKey, None)
+        withRefreshLease {
+          // re-read under the lease: the crashed run's intent may already
+          // have been recovered by a racer that held the lease before us
+          headProps.get(PendingKey).filter(_ == intent).foreach { _ =>
+            val Array(fromS, keysCsv) = intent.split(";", 2)
+            try
+              applyDiff(DeltaImport.snapshot(spark, location, Some(fromS.toLong)),
+                DeltaImport.snapshot(spark, location, Some(props0(SrcKey).toLong)),
+                GraftProcedures.cols(keysCsv))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalStateException(
+                  s"refresh of ${log.tableDir}: a crashed keyed refresh left " +
+                    s"intent '$intent', and replaying its diff failed (source " +
+                    "history vacuumed past the recorded version?) — the mirror " +
+                    "may be missing part of that diff. Re-import the table " +
+                    "(DROP + CALL import_delta), or accept the gap and clear " +
+                    "it: ALTER TABLE ... UNSET TBLPROPERTIES " +
+                    "('graft.delta.pendingDiff')", e)
+            }
+            casProps(hp => require(hp.get(PendingKey).contains(intent),
+                s"refresh recovery of ${log.tableDir} raced another refresh — " +
+                  "re-run"))(
+              hp => hp - PendingKey, None)
+          }
+        }
       }
 
       val recorded = headProps(SrcKey).toLong
@@ -641,20 +677,25 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
             s"retired, ${dvChangedOld.size} deletion vector(s) changed) — " +
             "pass keys => 'columns that uniquely identify a row' to apply " +
             "the changes incrementally, or re-import")
-        // WRITE-AHEAD INTENT: claim the increment (advance the version AND
-        // record the diff coordinates) BEFORE the MERGEs run — a concurrent
-        // refresh of either shape now refuses at its own CAS instead of
-        // appending rows this diff already merged; a crash mid-MERGE leaves
-        // the intent for the next refresh to recover
+        // WRITE-AHEAD INTENT, under the refresh lease: claim the increment
+        // (advance the version AND record the diff coordinates) BEFORE the
+        // MERGEs run — a concurrent refresh of either shape now refuses at
+        // its own CAS instead of appending rows this diff already merged;
+        // a crash mid-MERGE drops the lease and leaves the intent for the
+        // next refresh to recover, while a LIVE holder's heartbeat keeps
+        // premature "recovery" out
         val intent = s"$recorded;${keys.mkString(",")}"
-        casProps(checkUnclaimed(recorded))(
-          _.updated(SrcKey, newSnap.version.toString).updated(PendingKey, intent),
-          None)
-        val (files, rows) = applyDiff(recorded, newSnap.version, keys)
-        casProps(hp => require(hp.get(PendingKey).contains(intent),
-            s"refresh of ${log.tableDir} raced another refresh mid-diff — " +
-              "the state is recovered by the next refresh; re-run"))(
-          hp => hp - PendingKey, None)
+        val (files, rows) = withRefreshLease {
+          casProps(checkUnclaimed(recorded))(
+            _.updated(SrcKey, newSnap.version.toString).updated(PendingKey, intent),
+            None)
+          val applied = applyDiff(oldSnap, newSnap, keys)
+          casProps(hp => require(hp.get(PendingKey).contains(intent),
+              s"refresh of ${log.tableDir} raced another refresh mid-diff — " +
+                "the state is recovered by the next refresh; re-run"))(
+            hp => hp - PendingKey, None)
+          applied
+        }
         result(files, rows, newSnap.version)
       }
     }
