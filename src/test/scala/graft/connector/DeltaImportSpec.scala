@@ -368,6 +368,77 @@ class DeltaImportSpec extends LakeSpec {
       .exists(_.contains("graft.delta.pendingDiff")), "the intent is retired")
   }
 
+  test("recovery of an unreplayable crashed diff refuses loudly; clearing the intent unwedges") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
+    val src = tmp("delta-refresh-wedge")
+    stageOne(src, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "f0.parquet")
+    writeText(s"$src/_delta_log", f"${0}%020d.json",
+      Seq(protocolLine, metaLine(),
+        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("\n"))
+    rows(s"CALL implake.system.import_delta(`table` => 'db.wmirror', " +
+      s"location => '$src')")
+
+    // v1 appends f1; a keyed refresh CLAIMED 0->1 (write-ahead intent
+    // committed) and died before its MERGEs ran
+    stageOne(src, Seq((3L, "c")).toDF("k", "v"), "f1.parquet")
+    writeText(s"$src/_delta_log", f"${1}%020d.json",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    sql("ALTER TABLE implake.db.wmirror SET TBLPROPERTIES(" +
+      "'graft.delta.sourceVersion'='1', 'graft.delta.pendingDiff'='0;k')")
+
+    // the source VACUUMS its history: a checkpoint at v1 replaces the
+    // JSON commits, so the claimed diff's FROM version (0) can no longer
+    // be resolved — only the head can
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckpt = spark.sql(
+      s"""SELECT named_struct('minReaderVersion', 1, 'minWriterVersion', 2) AS protocol,
+            cast(null AS struct<id:string, format:struct<provider:string>,
+              schemaString:string, partitionColumns:array<string>,
+              configuration:map<string,string>>) AS metaData,
+            cast(null AS struct<path:string, partitionValues:map<string,string>,
+              size:bigint>) AS add
+          UNION ALL
+          SELECT null, named_struct('id', 'x', 'format',
+              named_struct('provider', 'parquet'), 'schemaString', '${schemaJson
+                .replace("'", "''")}',
+              'partitionColumns', array(), 'configuration',
+              map_from_arrays(array(), array())), null
+          UNION ALL
+          SELECT null, null, named_struct('path', 'f0.parquet',
+            'partitionValues', map_from_arrays(array(), array()), 'size', 1L)
+          UNION ALL
+          SELECT null, null, named_struct('path', 'f1.parquet',
+            'partitionValues', map_from_arrays(array(), array()), 'size', 1L)""")
+    ckpt.coalesce(1).write.mode("overwrite").parquet(s"$src/ckpt-stage")
+    val ckptFile = fs.listStatus(new Path(s"$src/ckpt-stage"))
+      .filter(st => st.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(ckptFile,
+      new Path(s"$src/_delta_log/${f"${1L}%020d"}.checkpoint.parquet"))
+    writeText(s"$src/_delta_log", "_last_checkpoint", """{"version":1,"size":4}""")
+    fs.delete(new Path(s"$src/_delta_log/${f"${0L}%020d"}.json"), false)
+    fs.delete(new Path(s"$src/_delta_log/${f"${1L}%020d"}.json"), false)
+
+    // recovery cannot replay the claimed diff: the refusal names the
+    // intent and the ways out, and the mirror is untouched — NOT silently
+    // wedged, NOT silently skipped
+    val e = intercept[Exception] {
+      rows("CALL implake.system.refresh_delta(`table` => 'db.wmirror', keys => 'k')")
+    }
+    assert(e.getMessage.contains("crashed keyed refresh"), e.getMessage)
+    assert(e.getMessage.contains("graft.delta.pendingDiff"), e.getMessage)
+    assert(rows("SELECT count(*) FROM implake.db.wmirror").head.getLong(0) === 2L)
+
+    // the operator ACCEPTS THE GAP exactly as the message says: clearing
+    // the intent unwedges the table (recorded v1 == head v1 -> no-op)
+    sql("ALTER TABLE implake.db.wmirror UNSET TBLPROPERTIES " +
+      "('graft.delta.pendingDiff')")
+    val r = rows(
+      "CALL implake.system.refresh_delta(`table` => 'db.wmirror', keys => 'k')")
+    assert((r.head.getInt(0), r.head.getLong(1), r.head.getLong(3)) === ((0, 0L, 1L)))
+  }
+
   test("a failed import drops the half-created table so the retry is clean") {
     import spark.implicits._
     sql("CREATE NAMESPACE IF NOT EXISTS implake.db")
