@@ -117,6 +117,13 @@ object Multimodal {
         width = w, height = h,
         channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
     }
+    else if (n >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+             bytes(7) == 'p') {
+      val v = mp4Video(bytes)
+      MediaFeatures(id, n, "mp4",
+        width = v.map(_.width), height = v.map(_.height),
+        channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
+    }
     else if (n >= 44 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
              bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
       val channels = le16(bytes, 22)
@@ -909,8 +916,9 @@ object Multimodal {
   }
 
   /** Every frame of a video payload as decodable image bytes: motion-BMP
-    * (frames are whole BMP files) or RIFF/AVI (DIB and MJPG frames) —
-    * the one seam a production demuxer (MP4/H.264 via FFI) swaps behind.
+    * (frames are whole BMP files), RIFF/AVI (DIB and MJPG frames), or
+    * ISO base-media MP4/MOV (`raw ` and JPEG sample entries) — the one
+    * seam a production demuxer (H.264/HEVC via FFI) swaps behind.
     */
   private[ops] def containerFrames(bytes: Array[Byte]): Seq[Array[Byte]] =
     if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
@@ -920,6 +928,14 @@ object Multimodal {
       val (comp, bits, w, h) = aviVideoFormat(bytes).getOrElse((-1, 0, 0, 0))
       aviFrames(bytes).flatMap { case (off, len) =>
         aviFrameImage(bytes, off, len, comp, bits, w, h)
+      }
+    } else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p') {
+      mp4Video(bytes).toSeq.flatMap { v =>
+        v.frames.flatMap { case (off, len) =>
+          mp4FrameImage(bytes, off.toInt, len.toInt, v.format, v.depth,
+            v.width, v.height)
+        }
       }
     } else
       videoFrames(bytes).map { case (off, len) =>
@@ -962,6 +978,172 @@ object Multimodal {
       off += 8 + sz + (sz & 1)
     }
     None
+  }
+
+  // ---- video: ISO base-media (MP4/MOV) box walk ---------------------------
+
+  /** Facts of the FIRST `vide` track of an ISO base-media (MP4 / MOV)
+    * container: the sample-entry FORMAT fourcc (`raw `, `jpeg`, `mjpa`,
+    * `avc1`, ...), bit depth, width / height, and every video sample's
+    * absolute (offset, length) byte range in sample order — resolved
+    * from the published ISO/IEC 14496-12 sample tables: `stsd` (shape),
+    * `stsz` (sizes), `stsc` (sample-to-chunk runs), `stco` / `co64`
+    * (chunk offsets). The walk is truncation-safe like the RIFF walks:
+    * a sample overrunning the payload ends the scan with the intact
+    * PREFIX (log-and-truncate), and malformed tables yield None, never
+    * guesses. 64-bit `largesize` headers and to-end-of-file boxes are
+    * honored; all bounds math is in Long (a crafted u32 size cannot wrap
+    * an Int offset).
+    */
+  private[ops] final case class Mp4Video(format: String, depth: Int,
+                                         width: Int, height: Int,
+                                         frames: Seq[(Long, Long)])
+
+  private[ops] def mp4Video(bytes: Array[Byte]): Option[Mp4Video] = {
+    val n = bytes.length.toLong
+    def fourcc(o: Long): String =
+      new String(bytes, o.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u16(o: Long): Int = be16(bytes, o.toInt)
+    def u32(o: Long): Long = be32(bytes, o.toInt).toLong & 0xffffffffL
+    def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
+    if (n < 12 || fourcc(4) != "ftyp") return None
+
+    // payload extents of every `tag` child box in [from, to); a malformed
+    // or truncated box ends the scan with the prefix collected so far
+    def children(tag: String, from: Long, to: Long): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= to) {
+        val sz0 = u32(off)
+        val id = fourcc(off + 4)
+        val (hdr, sz) =
+          if (sz0 == 1L) {
+            if (off + 16 > to) { ok = false; (0L, 0L) } else (16L, u64(off + 8))
+          } else if (sz0 == 0L) (8L, to - off)
+          else (8L, sz0)
+        if (ok && (sz < hdr || off + sz > to)) ok = false
+        if (ok) {
+          if (id == tag) out += ((off + hdr, off + sz))
+          off += sz
+        }
+      }
+      out.toSeq
+    }
+    def first(tag: String, from: Long, to: Long): Option[(Long, Long)] =
+      children(tag, from, to).headOption
+
+    val (moovS, moovE) = first("moov", 0L, n).getOrElse(return None)
+    def trakVideo(trakS: Long, trakE: Long): Option[Mp4Video] = {
+      for {
+        (mdiaS, mdiaE) <- first("mdia", trakS, trakE)
+        (hdlrS, hdlrE) <- first("hdlr", mdiaS, mdiaE)
+        // hdlr payload: version/flags(4) pre_defined(4) handler_type(4)
+        if hdlrE - hdlrS >= 12 && fourcc(hdlrS + 8) == "vide"
+        (minfS, minfE) <- first("minf", mdiaS, mdiaE)
+        (stblS, stblE) <- first("stbl", minfS, minfE)
+        (stsdS, stsdE) <- first("stsd", stblS, stblE)
+        (stszS, stszE) <- first("stsz", stblS, stblE)
+        (stscS, stscE) <- first("stsc", stblS, stblE)
+        // chunk offsets: stco (u32) or co64 (u64)
+        ((chS, chE), coWidth) <- first("stco", stblS, stblE).map((_, 4L))
+          .orElse(first("co64", stblS, stblE).map((_, 8L)))
+        // stsd: version/flags(4) entry_count(4), then the first
+        // VisualSampleEntry: size(4) format(4) reserved(6) dri(2)
+        // pre_defined/reserved(16) width(2) height(2) ... depth @ +82
+        if stsdE - stsdS >= 8 && u32(stsdS + 4) >= 1 &&
+          stsdS + 8 + 86 <= stsdE && u32(stsdS + 8) >= 86 &&
+          stszE - stszS >= 12
+        e = stsdS + 8
+        // stsz: version/flags(4) uniform_size(4) sample_count(4)
+        uniform = u32(stszS + 4)
+        count = u32(stszS + 8)
+        // stsc runs: (first_chunk 1-based, samples_per_chunk, sdi)
+        runCount = if (stscE - stscS >= 8) u32(stscS + 4) else -1L
+        chunkCount = if (chE - chS >= 8) u32(chS + 4) else -1L
+        if (uniform != 0L || stszS + 12 + 4 * count <= stszE) &&
+          runCount >= 1 && stscS + 8 + 12 * runCount <= stscE &&
+          chunkCount >= 1 && chS + 8 + coWidth * chunkCount <= chE &&
+          count >= 1
+      } yield {
+        def sampleSize(i: Long): Long =
+          if (uniform != 0L) uniform else u32(stszS + 12 + 4 * i)
+        val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var run = 0L
+        var sample = 0L
+        var chunk = 1L
+        var truncated = false
+        while (!truncated && sample < count && chunk <= chunkCount) {
+          // advance to the stsc run covering this chunk
+          while (run + 1 < runCount && u32(stscS + 8 + 12 * (run + 1)) <= chunk)
+            run += 1
+          val spc = u32(stscS + 8 + 12 * run + 4)
+          var off =
+            if (coWidth == 4L) u32(chS + 8 + 4 * (chunk - 1))
+            else u64(chS + 8 + 8 * (chunk - 1))
+          var i = 0L
+          while (!truncated && i < spc && sample < count) {
+            val len = sampleSize(sample)
+            // a sample past the payload truncates the walk (the intact
+            // prefix stands), mirroring the RIFF walks
+            if (off + len > n) truncated = true
+            else {
+              ranges += ((off, len))
+              off += len
+              sample += 1
+              i += 1
+            }
+          }
+          chunk += 1
+        }
+        if (ranges.nonEmpty)
+          Some(Mp4Video(fourcc(e + 4), u16(e + 82), u16(e + 32), u16(e + 34),
+            ranges.toSeq))
+        else None
+      }
+    }.flatten
+    children("trak", moovS, moovE).iterator
+      .map { case (s, e) => trakVideo(s, e) }
+      .collectFirst { case Some(v) => v }
+  }
+
+  /** One MP4 video sample as image BYTES: `jpeg` / `mjpa` (or
+    * JPEG-magic) samples pass through to the JDK decoder; `raw ` 24-bit
+    * samples — packed TOP-DOWN RGB rows per the QuickTime uncompressed-
+    * video layout — are rewrapped as a bottom-up BGR BMP (then
+    * [[decodeGrayImage]]'s exact byte-math path applies). Anything else
+    * (avc1/hevc need a real codec) is skipped, not guessed.
+    */
+  private def mp4FrameImage(bytes: Array[Byte], off: Int, len: Int,
+                            format: String, depth: Int,
+                            w: Int, h: Int): Option[Array[Byte]] = {
+    val isJpeg = format == "jpeg" || format == "mjpa" ||
+      (len >= 2 && (bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8)
+    if (isJpeg) Some(java.util.Arrays.copyOfRange(bytes, off, off + len))
+    else if (format == "raw " && depth == 24 && w > 0 && h > 0) {
+      // bounds math in LONG (cf. aviFrameImage): a crafted stsd with a
+      // huge width must not overflow `w * 3` in Int and slip the check
+      val rowLen = w.toLong * 3            // packed — no row alignment
+      if (len.toLong < rowLen * h) None
+      else {
+        val bmp = bmpBytes(w, h)
+        val bmpRow = ((w * 3 + 3) / 4) * 4
+        var y = 0
+        while (y < h) {
+          val src = off + y * rowLen.toInt
+          val dst = 54 + (h - 1 - y) * bmpRow
+          var x = 0
+          while (x < w) {
+            bmp(dst + x * 3) = bytes(src + x * 3 + 2)       // B
+            bmp(dst + x * 3 + 1) = bytes(src + x * 3 + 1)   // G
+            bmp(dst + x * 3 + 2) = bytes(src + x * 3)       // R
+            x += 1
+          }
+          y += 1
+        }
+        Some(bmp)
+      }
+    } else None
   }
 
   /** (doc_id, frame_idx, frame_hash) — per-partition container walk
@@ -1090,6 +1272,151 @@ object Multimodal {
           54 + ((9 * 3 + 3) / 4 * 4) * 8)
       }
       aviBytes(9, 8, "DIB ", frames)
+    })
+    df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
+  }
+
+  // ---- MP4 fixture writer (ISO base-media, the published box grammar) ------
+
+  /** Big-endian byte builder for ISO base-media boxes. */
+  private final class BeBuf {
+    private val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def tag(s: String): Unit = s.foreach(c => bos.write(c.toInt))
+    def raw(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    def bytes: Array[Byte] = bos.toByteArray
+  }
+  private def beBuf(f: BeBuf => Unit): Array[Byte] = {
+    val b = new BeBuf; f(b); b.bytes
+  }
+  private def mkBox(tag4: String, payload: Array[Byte]*): Array[Byte] =
+    beBuf { b =>
+      b.u32(8L + payload.map(_.length.toLong).sum)
+      b.tag(tag4)
+      payload.foreach(b.raw)
+    }
+
+  /** A minimal well-formed MP4: `ftyp` + `mdat` (samples back to back) +
+    * trailing `moov` with one `vide` track whose full sample-table chain
+    * (stsd/stts/stsc/stsz/stco) describes the frames — samples are
+    * grouped into chunks of up to 4, so the stsc run table and the
+    * chunk-offset interplay are genuinely exercised, not degenerate.
+    * `format` is the sample-entry fourcc: `"raw "` frames are packed
+    * top-down RGB rows; `"jpeg"` frames are whole JPEG files.
+    */
+  private[ops] def mp4Bytes(w: Int, h: Int, format: String,
+                            frames: Seq[Array[Byte]]): Array[Byte] = {
+    val ftyp = mkBox("ftyp", beBuf { b =>
+      b.tag("isom"); b.u32(512); b.tag("isom"); b.tag("mp42")
+    })
+    val mdat = mkBox("mdat", frames: _*)
+    val chunkSizes = frames.grouped(4).map(_.size).toSeq
+    val dataStart = ftyp.length.toLong + 8
+    val sampleOffsets = frames.scanLeft(dataStart)((o, f) => o + f.length)
+    val chunkOffsets = chunkSizes.scanLeft(0)(_ + _).init.map(sampleOffsets(_))
+    // collapse consecutive equal samples-per-chunk into stsc runs
+    val runs = chunkSizes.zipWithIndex.foldLeft(List.empty[(Int, Int)]) {
+      case (acc, (spc, idx)) =>
+        if (acc.headOption.exists(_._2 == spc)) acc
+        else (idx + 1, spc) :: acc
+    }.reverse
+    val entry = mkBox(format, beBuf { b =>
+      (0 until 6).foreach(_ => b.u8(0)); b.u16(1)     // reserved, data_ref_index
+      b.u16(0); b.u16(0)                              // pre_defined, reserved
+      (0 until 3).foreach(_ => b.u32(0))              // pre_defined[3]
+      b.u16(w); b.u16(h)
+      b.u32(0x00480000L); b.u32(0x00480000L)          // 72 dpi
+      b.u32(0); b.u16(1)                              // reserved, frame_count
+      b.u8(5); b.tag("graft"); (0 until 26).foreach(_ => b.u8(0)) // name (32)
+      b.u16(24); b.u16(0xffff)                        // depth, pre_defined
+    })
+    val stsd = mkBox("stsd", beBuf { b => b.u32(0); b.u32(1) }, entry)
+    val stts = mkBox("stts", beBuf { b =>
+      b.u32(0); b.u32(1); b.u32(frames.size.toLong); b.u32(1)
+    })
+    val stsc = mkBox("stsc", beBuf { b =>
+      b.u32(0); b.u32(runs.size.toLong)
+      runs.foreach { case (fc, spc) =>
+        b.u32(fc.toLong); b.u32(spc.toLong); b.u32(1)
+      }
+    })
+    val stsz = mkBox("stsz", beBuf { b =>
+      b.u32(0); b.u32(0); b.u32(frames.size.toLong)
+      frames.foreach(f => b.u32(f.length.toLong))
+    })
+    val stco = mkBox("stco", beBuf { b =>
+      b.u32(0); b.u32(chunkOffsets.size.toLong)
+      chunkOffsets.foreach(b.u32)
+    })
+    val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
+    val url = mkBox("url ", beBuf(_.u32(1)))           // self-contained flag
+    val dref = mkBox("dref", beBuf { b => b.u32(0); b.u32(1) }, url)
+    val dinf = mkBox("dinf", dref)
+    val vmhd = mkBox("vmhd", beBuf { b =>
+      b.u32(1); b.u16(0); (0 until 3).foreach(_ => b.u16(0))
+    })
+    val minf = mkBox("minf", vmhd, dinf, stbl)
+    val hdlr = mkBox("hdlr", beBuf { b =>
+      b.u32(0); b.u32(0); b.tag("vide"); (0 until 3).foreach(_ => b.u32(0))
+      b.tag("graft"); b.u8(0)
+    })
+    val mdhd = mkBox("mdhd", beBuf { b =>
+      b.u32(0); b.u32(0); b.u32(0); b.u32(1000); b.u32(frames.size.toLong)
+      b.u16(0x55c4); b.u16(0)                          // language 'und'
+    })
+    val mdia = mkBox("mdia", mdhd, hdlr, minf)
+    val identityMatrix: BeBuf => Unit = { b =>
+      b.u32(0x10000); b.u32(0); b.u32(0); b.u32(0); b.u32(0x10000); b.u32(0)
+      b.u32(0); b.u32(0); b.u32(0x40000000L)
+    }
+    val tkhd = mkBox("tkhd", beBuf { b =>
+      b.u32(7)                                         // v0, enabled|in-movie
+      b.u32(0); b.u32(0); b.u32(1); b.u32(0)           // times, track_id, rsvd
+      b.u32(frames.size.toLong); b.u32(0); b.u32(0)
+      b.u16(0); b.u16(0); b.u16(0); b.u16(0)           // layer, alt, volume, rsvd
+      identityMatrix(b)
+      b.u32(w.toLong << 16); b.u32(h.toLong << 16)     // fixed-point dims
+    })
+    val mvhd = mkBox("mvhd", beBuf { b =>
+      b.u32(0); b.u32(0); b.u32(0); b.u32(1000); b.u32(frames.size.toLong)
+      b.u32(0x10000); b.u16(0x100); b.u16(0); b.u32(0); b.u32(0)
+      identityMatrix(b)
+      (0 until 6).foreach(_ => b.u32(0)); b.u32(2)     // pre_defined, next track
+    })
+    val moov = mkBox("moov", mvhd, mkBox("trak", tkhd, mdia))
+    beBuf { b => b.raw(ftyp); b.raw(mdat); b.raw(moov) }
+  }
+
+  /** The [[syntheticVideos]] corpus re-packed as REAL ISO base-media
+    * (MP4) containers with uncompressed `raw ` 24-bit samples — packed
+    * top-down RGB rows, exact byte math end to end, so the x82 oracle
+    * replays the identical closed form through the box walk. Same
+    * group/variant planting — Jaccard structure unchanged.
+    */
+  def syntheticMp4Videos(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) => {
+      val grp = id / 4
+      val v = (id % 4).toInt
+      val frames = (0 until 10).map { k =>
+        val fid = if (v > 0 && k == 2 * v) grp * 1000 + 400 + 4 * v
+                  else grp * 1000 + 4 * k
+        val f = new Array[Byte](9 * 8 * 3)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val p = (synthGray(fid)(x, y) & 0xff).toByte
+            val o = (y * 9 + x) * 3
+            f(o) = p; f(o + 1) = p; f(o + 2) = p
+            x += 1
+          }
+          y += 1
+        }
+        f
+      }
+      mp4Bytes(9, 8, "raw ", frames)
     })
     df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
   }

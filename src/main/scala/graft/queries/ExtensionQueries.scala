@@ -1057,6 +1057,50 @@ object ExtensionQueries {
                cast(sum(bit) AS BIGINT) AS frame_hash
         FROM bits GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- multimodal: ISO base-media (MP4) video container — the same
+    // synthetic corpus as x75/x79 packed as real MP4 files (ftyp + mdat +
+    // moov with the full ISO/IEC 14496-12 sample-table chain: stsd fixing
+    // the `raw ` 24-bit sample entry, stsz sizes, stsc sample-to-chunk
+    // RUNS across a 4/4/2 chunk split, stco absolute chunk offsets). The
+    // engine walks the box grammar, resolves every sample's byte range
+    // through the chunk tables, rewraps each packed top-down RGB frame as
+    // a BMP, and per-frame dHashes; the oracle replays frame-id
+    // assignment + the pixel closed form + the bit packing per (video,
+    // frame) — sample ORDER, chunk offsets, and extents are all
+    // hash-gated. JPEG sample entries ride the JDK decoder, spec-gated
+    // with a Hamming tolerance (VideoNearDupSpec); H.264/HEVC stay
+    // documented refusals (no JDK codec). ----
+    "x82_mp4_frame_hashes" -> Q(
+      (s, dir) => Multimodal.videoFrameHashes(s,
+          Multimodal.syntheticMp4Videos(
+            Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH vids AS (SELECT doc_id AS vid FROM documents WHERE doc_id < 200),
+        fids AS (
+          SELECT vid, f, CASE WHEN vid % 4 > 0 AND f = 2*(vid % 4)
+                           THEN (vid // 4)*1000 + 400 + 4*(vid % 4)
+                           ELSE (vid // 4)*1000 + 4*f END AS fid
+          FROM vids, LATERAL (SELECT unnest(range(10)) AS f)),
+        params AS (
+          SELECT vid, f, fid, fid % 4 AS v, (fid // 4) % 7 + 1 AS a,
+                 (fid // 4) % 11 + 3 AS b, (fid // 4) % 251 AS c, fid // 4 AS grp
+          FROM fids),
+        bits AS (
+          SELECT vid, f, i,
+            CASE WHEN
+              (a*((i%8+1)+1)*((i%8+1)+2) + b*((i//8)+1)*((i%8+1)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8+1) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+              >
+              (a*((i%8)+1)*((i%8)+2) + b*((i//8)+1)*((i%8)+3) + c*((i//8)+1) + 7*grp
+                + CASE WHEN v > 0 AND (i%8) = 2*v AND (i//8) = v THEN 101 ELSE 0 END) % 256
+            THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << cast(i AS INT)) END
+            ELSE 0 END AS bit
+          FROM params, LATERAL (SELECT unnest(range(64)) AS i))
+        SELECT vid AS doc_id, cast(f AS INT) AS frame_idx,
+               cast(sum(bit) AS BIGINT) AS frame_hash
+        FROM bits GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- multimodal: COMPRESSED audio — mono IMA-ADPCM (WAV format tag
     // 0x11, the published integer predictor/step-table spec). The engine
     // decodes planted nibble streams (4-byte block header seeding

@@ -87,6 +87,79 @@ class VideoNearDupSpec extends SparkSpec {
     assert(Multimodal.containerFrames(Multimodal.wavBytes(1, 8000, 10)).isEmpty)
   }
 
+  test("ISO BMFF walk: raw MP4 samples hash identically to the motion-BMP frames") {
+    // the same synthetic corpus through a THIRD real container must agree
+    // bit for bit (raw 24-bit samples are exact top-down RGB byte math)
+    val ids = (0L until 8L).toDF("doc_id")
+    val bmp = Multimodal.videoFrameHashes(spark,
+        Multimodal.syntheticVideos(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val mp4 = Multimodal.videoFrameHashes(spark,
+        Multimodal.syntheticMp4Videos(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mp4 === bmp)
+    // and the near-dup pairs ride the same machinery unchanged
+    val pairs = Multimodal.videoNearDupPairs(spark,
+        Multimodal.syntheticMp4Videos(ids, "doc_id"), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty && pairs.forall { case (x, y) => x / 4 == y / 4 })
+  }
+
+  test("MP4 walk facts: stsd shape, chunked sample tables, truncation, crafted bounds") {
+    val frames = (0 until 10).map { k =>
+      val f = new Array[Byte](9 * 8 * 3)
+      (0 until 8).foreach { y => (0 until 9).foreach { x =>
+        val p = (Multimodal.synthGray(4L * k)(x, y) & 0xff).toByte
+        val o = (y * 9 + x) * 3
+        f(o) = p; f(o + 1) = p; f(o + 2) = p
+      }}
+      f
+    }
+    val mp4 = Multimodal.mp4Bytes(9, 8, "raw ", frames)
+    val v = Multimodal.mp4Video(mp4).get
+    assert((v.format, v.depth, v.width, v.height) === (("raw ", 24, 9, 8)))
+    // 10 samples in chunks of 4/4/2: ranges tile the mdat payload exactly,
+    // in sample order, across the stsc run boundary
+    assert(v.frames.size === 10)
+    assert(v.frames.map(_._2).forall(_ === 9 * 8 * 3))
+    assert(v.frames.sliding(2).forall {
+      case Seq((o1, l1), (o2, _)) => o2 === o1 + l1 })
+    // a payload cut inside the LAST chunk walks the intact prefix (the
+    // moov is at the tail here, so re-walk a fixture with moov intact:
+    // shrink one frame's stsz entry target by cutting mdat is not
+    // possible without rewriting offsets — instead cut the moov itself
+    // and assert the walk refuses rather than guesses)
+    val cutMoov = java.util.Arrays.copyOf(mp4, mp4.length - 40)
+    assert(Multimodal.mp4Video(cutMoov).isEmpty)
+    assert(Multimodal.containerFrames(cutMoov).isEmpty)
+    // a crafted stsd declaring an absurd geometry must skip frames (the
+    // Long bounds math), never overflow or throw
+    val huge = Multimodal.mp4Bytes(30000, 30000, "raw ", frames)
+    assert(Multimodal.mp4Video(huge).isDefined)
+    assert(Multimodal.containerFrames(huge).isEmpty)
+    // non-MP4 payloads yield None
+    assert(Multimodal.mp4Video("not an mp4 at all".getBytes("UTF-8")).isEmpty)
+    // decodeOne classifies the container and surfaces its geometry
+    val feats = Multimodal.decodeOne(7L, mp4)
+    assert((feats.format_guess, feats.width, feats.height) ===
+      (("mp4", Some(9), Some(8))))
+  }
+
+  test("MP4 jpeg samples decode through the JDK JPEG path within Hamming tolerance") {
+    def ramp(x: Int, y: Int): Int = math.min(255, x * 3 + y)
+    val exact = Multimodal.dHashGray(Multimodal.bmpGrayBytes(72, 64, ramp)).get
+    val jpegFrame = Multimodal.imageIoBytes("jpg", 72, 64, ramp)
+    val mp4 = Multimodal.mp4Bytes(72, 64, "jpeg", Seq(jpegFrame, jpegFrame))
+    val hashes = Multimodal.videoFrameHashes(spark,
+        Seq((1L, mp4)).toDF("doc_id", "media"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(hashes.map(_._1).toSeq === Seq(0, 1))
+    hashes.foreach { case (_, h) =>
+      val hamming = java.lang.Long.bitCount(h ^ exact)
+      assert(hamming <= 4, s"MP4 jpeg frame hash drifted $hamming bits")
+    }
+  }
+
   test("MJPG frames decode through the JDK JPEG path within Hamming tolerance") {
     def ramp(x: Int, y: Int): Int = math.min(255, x * 3 + y)
     val exact = Multimodal.dHashGray(Multimodal.bmpGrayBytes(72, 64, ramp)).get
