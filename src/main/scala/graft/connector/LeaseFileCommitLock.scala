@@ -63,6 +63,21 @@ final class LeaseFileCommitLock(conf: Configuration,
     }
   }
 
+  /** Advisory probe: is an unexpired lease present at `tableDir` right
+    * now? Callers that prefer refusing FAST over parking behind a
+    * long-running holder (in-process, the stripe monitor has no
+    * timeout) check this before `withLock`. The answer is racy by
+    * nature — two callers probing simultaneously both see false and one
+    * still parks — so the real exclusion always comes from the lock
+    * itself; this only shrinks the park window from the holder's whole
+    * critical section to the probe-to-acquire gap.
+    */
+  private[connector] def isHeld(tableDir: String): Boolean =
+    try {
+      val st = fs(tableDir).getFileStatus(leasePath(tableDir))
+      System.currentTimeMillis() - st.getModificationTime < ttlMs
+    } catch { case _: java.io.IOException => false }
+
   private def leasePath(tableDir: String) = new Path(tableDir, "_commitlock")
 
   private def fs(tableDir: String) =

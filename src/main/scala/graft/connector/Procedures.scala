@@ -582,9 +582,19 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
       // TTL and the next refresh recovers safely. Residual: a holder whose
       // PROCESS stalls past the TTL mid-MERGE — the envelope every TTL
       // lease in this codebase documents.
-      def withRefreshLease[T](body: => T): T =
-        new LeaseFileCommitLock(log.hadoopConf)
-          .withLock(s"${log.tableDir}/_refresh_lease")(body)
+      def withRefreshLease[T](body: => T): T = {
+        val lock = new LeaseFileCommitLock(log.hadoopConf)
+        val leaseDir = s"${log.tableDir}/_refresh_lease"
+        // refuse FAST when a live holder exists: in-process, withLock's
+        // stripe monitor has no timeout, so without this probe a second
+        // caller would park silently for the holder's whole MERGE. The
+        // probe is advisory (racy); the lock below is the real exclusion.
+        require(!lock.isHeld(leaseDir),
+          s"refresh of ${log.tableDir}: another refresh holds the lease " +
+            "(a keyed diff is being applied right now) — re-run after it " +
+            "finishes")
+        lock.withLock(leaseDir)(body)
+      }
 
       // RECOVERY: an interrupted keyed refresh left its write-ahead intent
       // — the version advance committed but its MERGEs may not have
@@ -599,21 +609,29 @@ private[connector] final class RefreshDeltaProcedure(resolve: String => TableLog
           // have been recovered by a racer that held the lease before us
           headProps.get(PendingKey).filter(_ == intent).foreach { _ =>
             val Array(fromS, keysCsv) = intent.split(";", 2)
-            try
-              applyDiff(DeltaImport.snapshot(spark, location, Some(fromS.toLong)),
-                DeltaImport.snapshot(spark, location, Some(props0(SrcKey).toLong)),
-                GraftProcedures.cols(keysCsv))
-            catch {
-              case scala.util.control.NonFatal(e) =>
-                throw new IllegalStateException(
-                  s"refresh of ${log.tableDir}: a crashed keyed refresh left " +
-                    s"intent '$intent', and replaying its diff failed (source " +
-                    "history vacuumed past the recorded version?) — the mirror " +
-                    "may be missing part of that diff. Re-import the table " +
-                    "(DROP + CALL import_delta), or accept the gap and clear " +
-                    "it: ALTER TABLE ... UNSET TBLPROPERTIES " +
-                    "('graft.delta.pendingDiff')", e)
-            }
+            // the catch is scoped to SNAPSHOT RESOLUTION — the one step
+            // whose failure means the diff can never be replayed (source
+            // history vacuumed). A transient failure inside the MERGE
+            // replay below propagates as-is: the diff is idempotent, so
+            // a plain re-run recovers it — steering an operator to the
+            // destructive remedies for a retryable error would lose rows
+            val (oSnap, nSnap) =
+              try
+                (DeltaImport.snapshot(spark, location, Some(fromS.toLong)),
+                  DeltaImport.snapshot(spark, location, Some(props0(SrcKey).toLong)))
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  throw new IllegalStateException(
+                    s"refresh of ${log.tableDir}: a crashed keyed refresh left " +
+                      s"intent '$intent', and the source versions it names can " +
+                      "no longer be resolved (history vacuumed past the " +
+                      "recorded version?) — the mirror may be missing part of " +
+                      "that diff. Re-import the table (DROP + CALL " +
+                      "import_delta), or accept the gap and clear it: ALTER " +
+                      "TABLE ... UNSET TBLPROPERTIES " +
+                      "('graft.delta.pendingDiff')", e)
+              }
+            applyDiff(oSnap, nSnap, GraftProcedures.cols(keysCsv))
             casProps(hp => require(hp.get(PendingKey).contains(intent),
                 s"refresh recovery of ${log.tableDir} raced another refresh — " +
                   "re-run"))(

@@ -119,9 +119,10 @@ object Multimodal {
     }
     else if (n >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
              bytes(7) == 'p') {
-      val v = mp4Video(bytes)
+      // stsd-only probe: no sample-table materialization on the decode path
+      val v = mp4VideoFacts(bytes)
       MediaFeatures(id, n, "mp4",
-        width = v.map(_.width), height = v.map(_.height),
+        width = v.map(_._3), height = v.map(_._4),
         channels = None, sample_rate = None, n_samples = None, byte_sum_16 = None)
     }
     else if (n >= 44 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
@@ -982,34 +983,22 @@ object Multimodal {
 
   // ---- video: ISO base-media (MP4/MOV) box walk ---------------------------
 
-  /** Facts of the FIRST `vide` track of an ISO base-media (MP4 / MOV)
-    * container: the sample-entry FORMAT fourcc (`raw `, `jpeg`, `mjpa`,
-    * `avc1`, ...), bit depth, width / height, and every video sample's
-    * absolute (offset, length) byte range in sample order — resolved
-    * from the published ISO/IEC 14496-12 sample tables: `stsd` (shape),
-    * `stsz` (sizes), `stsc` (sample-to-chunk runs), `stco` / `co64`
-    * (chunk offsets). The walk is truncation-safe like the RIFF walks:
-    * a sample overrunning the payload ends the scan with the intact
-    * PREFIX (log-and-truncate), and malformed tables yield None, never
-    * guesses. 64-bit `largesize` headers and to-end-of-file boxes are
-    * honored; all bounds math is in Long (a crafted u32 size cannot wrap
-    * an Int offset).
+  /** Shared ISO/IEC 14496-12 box-walk primitives over one payload. All
+    * bounds math is in Long (a crafted u32 size cannot wrap an Int
+    * offset); 64-bit `largesize` headers and to-end-of-file boxes are
+    * honored; a malformed or truncated box ends any scan with the intact
+    * prefix.
     */
-  private[ops] final case class Mp4Video(format: String, depth: Int,
-                                         width: Int, height: Int,
-                                         frames: Seq[(Long, Long)])
-
-  private[ops] def mp4Video(bytes: Array[Byte]): Option[Mp4Video] = {
-    val n = bytes.length.toLong
+  private final class BmffWalk(bytes: Array[Byte]) {
+    val n: Long = bytes.length.toLong
     def fourcc(o: Long): String =
       new String(bytes, o.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u16(o: Long): Int = be16(bytes, o.toInt)
     def u32(o: Long): Long = be32(bytes, o.toInt).toLong & 0xffffffffL
     def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
-    if (n < 12 || fourcc(4) != "ftyp") return None
+    def isBmff: Boolean = n >= 12 && fourcc(4) == "ftyp"
 
-    // payload extents of every `tag` child box in [from, to); a malformed
-    // or truncated box ends the scan with the prefix collected so far
+    /** Payload extents of every `tag` child box in [from, to). */
     def children(tag: String, from: Long, to: Long): Seq[(Long, Long)] = {
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       var off = from
@@ -1033,38 +1022,93 @@ object Multimodal {
     def first(tag: String, from: Long, to: Long): Option[(Long, Long)] =
       children(tag, from, to).headOption
 
-    val (moovS, moovE) = first("moov", 0L, n).getOrElse(return None)
-    def trakVideo(trakS: Long, trakE: Long): Option[Mp4Video] = {
+    /** stbl payload extents of every `vide` track, in file order. */
+    def videoStbls: Seq[(Long, Long)] = for {
+      (moovS, moovE) <- first("moov", 0L, n).toSeq
+      (trakS, trakE) <- children("trak", moovS, moovE)
+      (mdiaS, mdiaE) <- first("mdia", trakS, trakE).toSeq
+      (hdlrS, hdlrE) <- first("hdlr", mdiaS, mdiaE).toSeq
+      // hdlr payload: version/flags(4) pre_defined(4) handler_type(4)
+      if hdlrE - hdlrS >= 12 && fourcc(hdlrS + 8) == "vide"
+      (minfS, minfE) <- first("minf", mdiaS, mdiaE).toSeq
+      stbl <- first("stbl", minfS, minfE).toSeq
+    } yield stbl
+
+    /** (format fourcc, depth, width, height) of a stbl's first
+      * VisualSampleEntry: stsd is version/flags(4) entry_count(4), then
+      * size(4) format(4) reserved(6) dri(2) pre_defined/reserved(16)
+      * width(2) height(2) ... depth @ entry+82.
+      */
+    def stsdFacts(stblS: Long, stblE: Long): Option[(String, Int, Int, Int)] =
+      first("stsd", stblS, stblE).flatMap { case (sS, sE) =>
+        if (sE - sS >= 8 && u32(sS + 4) >= 1 &&
+            sS + 8 + 86 <= sE && u32(sS + 8) >= 86) {
+          val e = sS + 8
+          Some((fourcc(e + 4), u16(e + 82), u16(e + 32), u16(e + 34)))
+        } else None
+      }
+  }
+
+  /** Facts of the FIRST `vide` track of an ISO base-media (MP4 / MOV)
+    * container: the sample-entry FORMAT fourcc (`raw `, `jpeg`, `mjpa`,
+    * `avc1`, ...), bit depth, width / height, and every video sample's
+    * absolute (offset, length) byte range in sample order — resolved
+    * from the published ISO/IEC 14496-12 sample tables: `stsd` (shape),
+    * `stsz` (sizes), `stsc` (sample-to-chunk runs), `stco` / `co64`
+    * (chunk offsets). The walk is truncation-safe like the RIFF walks:
+    * a sample overrunning the payload ends the scan with the intact
+    * PREFIX (log-and-truncate), and malformed tables yield None, never
+    * guesses. Declared sample volume is BOUNDED before materialization:
+    * a uniform-size table must fit the payload, and no table may declare
+    * more than [[MaxMp4Samples]] samples per payload (4M ≈ 38 h at
+    * 30 fps) — a crafted stsz cannot allocate unbounded range lists.
+    */
+  private[ops] final case class Mp4Video(format: String, depth: Int,
+                                         width: Int, height: Int,
+                                         frames: Seq[(Long, Long)])
+
+  private[ops] val MaxMp4Samples: Long = 4L * 1024 * 1024
+
+  /** The cheap stsd-only probe ([[decodeOne]]'s path): format fourcc,
+    * depth, width, height of the first `vide` track — no sample-table
+    * materialization.
+    */
+  private[ops] def mp4VideoFacts(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    val wk = new BmffWalk(bytes)
+    if (!wk.isBmff) None
+    else wk.videoStbls.iterator
+      .flatMap { case (s, e) => wk.stsdFacts(s, e) }
+      .nextOption()
+  }
+
+  private[ops] def mp4Video(bytes: Array[Byte]): Option[Mp4Video] = {
+    val wk = new BmffWalk(bytes)
+    if (!wk.isBmff) return None
+    import wk.{first, n, u32, u64}
+    def trakVideo(stblS: Long, stblE: Long): Option[Mp4Video] = {
       for {
-        (mdiaS, mdiaE) <- first("mdia", trakS, trakE)
-        (hdlrS, hdlrE) <- first("hdlr", mdiaS, mdiaE)
-        // hdlr payload: version/flags(4) pre_defined(4) handler_type(4)
-        if hdlrE - hdlrS >= 12 && fourcc(hdlrS + 8) == "vide"
-        (minfS, minfE) <- first("minf", mdiaS, mdiaE)
-        (stblS, stblE) <- first("stbl", minfS, minfE)
-        (stsdS, stsdE) <- first("stsd", stblS, stblE)
+        (format, depth, w, h) <- wk.stsdFacts(stblS, stblE)
         (stszS, stszE) <- first("stsz", stblS, stblE)
         (stscS, stscE) <- first("stsc", stblS, stblE)
         // chunk offsets: stco (u32) or co64 (u64)
         ((chS, chE), coWidth) <- first("stco", stblS, stblE).map((_, 4L))
           .orElse(first("co64", stblS, stblE).map((_, 8L)))
-        // stsd: version/flags(4) entry_count(4), then the first
-        // VisualSampleEntry: size(4) format(4) reserved(6) dri(2)
-        // pre_defined/reserved(16) width(2) height(2) ... depth @ +82
-        if stsdE - stsdS >= 8 && u32(stsdS + 4) >= 1 &&
-          stsdS + 8 + 86 <= stsdE && u32(stsdS + 8) >= 86 &&
-          stszE - stszS >= 12
-        e = stsdS + 8
         // stsz: version/flags(4) uniform_size(4) sample_count(4)
+        if stszE - stszS >= 12
         uniform = u32(stszS + 4)
         count = u32(stszS + 8)
         // stsc runs: (first_chunk 1-based, samples_per_chunk, sdi)
         runCount = if (stscE - stscS >= 8) u32(stscS + 4) else -1L
         chunkCount = if (chE - chS >= 8) u32(chS + 4) else -1L
-        if (uniform != 0L || stszS + 12 + 4 * count <= stszE) &&
+        // bound the declared volume BEFORE materializing anything: a
+        // per-sample table must physically fit its box; a uniform table's
+        // declared total must fit the payload; and the absolute sample
+        // cap refuses tables that would allocate unbounded range lists
+        if (if (uniform != 0L) count <= n / uniform
+            else stszS + 12 + 4 * count <= stszE) &&
+          count >= 1 && count <= MaxMp4Samples &&
           runCount >= 1 && stscS + 8 + 12 * runCount <= stscE &&
-          chunkCount >= 1 && chS + 8 + coWidth * chunkCount <= chE &&
-          count >= 1
+          chunkCount >= 1 && chS + 8 + coWidth * chunkCount <= chE
       } yield {
         def sampleSize(i: Long): Long =
           if (uniform != 0L) uniform else u32(stszS + 12 + 4 * i)
@@ -1097,28 +1141,31 @@ object Multimodal {
           chunk += 1
         }
         if (ranges.nonEmpty)
-          Some(Mp4Video(fourcc(e + 4), u16(e + 82), u16(e + 32), u16(e + 34),
-            ranges.toSeq))
+          Some(Mp4Video(format, depth, w, h, ranges.toSeq))
         else None
       }
     }.flatten
-    children("trak", moovS, moovE).iterator
+    wk.videoStbls.iterator
       .map { case (s, e) => trakVideo(s, e) }
       .collectFirst { case Some(v) => v }
   }
 
-  /** One MP4 video sample as image BYTES: `jpeg` / `mjpa` (or
-    * JPEG-magic) samples pass through to the JDK decoder; `raw ` 24-bit
-    * samples — packed TOP-DOWN RGB rows per the QuickTime uncompressed-
-    * video layout — are rewrapped as a bottom-up BGR BMP (then
-    * [[decodeGrayImage]]'s exact byte-math path applies). Anything else
-    * (avc1/hevc need a real codec) is skipped, not guessed.
+  /** One MP4 video sample as image BYTES: `raw ` 24-bit samples —
+    * packed TOP-DOWN RGB rows per the QuickTime uncompressed-video
+    * layout — are rewrapped as a bottom-up BGR BMP (then
+    * [[decodeGrayImage]]'s exact byte-math path applies); `jpeg` /
+    * `mjpa` (or, for formats this walk doesn't know, JPEG-magic)
+    * samples pass through to the JDK decoder. The stsd format is
+    * AUTHORITATIVE: a declared `raw ` sample is never magic-sniffed —
+    * raw pixels that happen to start 0xFF 0xD8 must not be misrouted to
+    * the JPEG decoder. Anything else (avc1/hevc need a real codec) is
+    * skipped, not guessed.
     */
   private def mp4FrameImage(bytes: Array[Byte], off: Int, len: Int,
                             format: String, depth: Int,
                             w: Int, h: Int): Option[Array[Byte]] = {
-    val isJpeg = format == "jpeg" || format == "mjpa" ||
-      (len >= 2 && (bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8)
+    val isJpeg = format != "raw " && (format == "jpeg" || format == "mjpa" ||
+      (len >= 2 && (bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8))
     if (isJpeg) Some(java.util.Arrays.copyOfRange(bytes, off, off + len))
     else if (format == "raw " && depth == 24 && w > 0 && h > 0) {
       // bounds math in LONG (cf. aviFrameImage): a crafted stsd with a

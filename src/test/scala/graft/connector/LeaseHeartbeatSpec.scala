@@ -46,6 +46,31 @@ class LeaseHeartbeatSpec extends AnyFunSuite {
     waiter.release(dir, t2)
   }
 
+  test("isHeld: live lease true, released false, expired-stale false") {
+    val conf = new Configuration()
+    val dir = tmp()
+    val lock = new LeaseFileCommitLock(conf, ttlMs = 60000L,
+      acquireTimeoutMs = 5000L, pollMs = 10L, settleMs = 1L)
+    assert(!lock.isHeld(dir), "no lease yet")
+    val token = lock.acquire(dir)
+    // a SECOND instance (the refresh-procedure shape: fresh lock object
+    // per call) must see the holder
+    assert(new LeaseFileCommitLock(conf, ttlMs = 60000L).isHeld(dir))
+    lock.release(dir, token)
+    assert(!lock.isHeld(dir), "released lease still reads held")
+    // a CRASHED holder's stale file past the TTL is NOT held — the next
+    // caller proceeds to withLock and steals it there. (A live holder's
+    // heartbeat renews mtime every ttl/3, so simulate the crash by
+    // writing the lease file directly with an aged mtime.)
+    val lease = new Path(dir, "_commitlock")
+    val fs = lease.getFileSystem(conf)
+    val out = fs.create(lease, true)
+    try out.write("crashed-holder-token".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 120000L, -1L)
+    assert(!lock.isHeld(dir), "expired lease must not read held")
+    fs.delete(lease, false)
+  }
+
   test("release leaves a foreign (stolen) lease intact") {
     val conf = new Configuration()
     val dir = tmp()

@@ -145,6 +145,48 @@ class VideoNearDupSpec extends SparkSpec {
       (("mp4", Some(9), Some(8))))
   }
 
+  test("stsd is authoritative: a raw sample starting 0xFF 0xD8 stays raw") {
+    // frame whose pixel (0,0) is R=0xFF G=0xD8 — the JPEG SOI magic as
+    // the first two payload bytes; the declared 'raw ' format must win
+    // over the sniff or the frame is misrouted to ImageIO and dropped
+    def gray(x: Int, y: Int): Int = 0x40 + x + y
+    val frame = new Array[Byte](9 * 8 * 3)
+    (0 until 8).foreach { y => (0 until 9).foreach { x =>
+      val p = (gray(x, y) & 0xff).toByte
+      val o = (y * 9 + x) * 3
+      frame(o) = p; frame(o + 1) = p; frame(o + 2) = p
+    }}
+    frame(0) = 0xff.toByte; frame(1) = 0xd8.toByte
+    val mp4 = Multimodal.mp4Bytes(9, 8, "raw ", Seq(frame))
+    val frames = Multimodal.containerFrames(mp4)
+    assert(frames.size === 1)
+    assert(frames.head(0) === 'B'.toByte && frames.head(1) === 'M'.toByte,
+      "raw sample must rewrap as a BMP, not pass through as 'JPEG'")
+    // and the rewrap is content-faithful (modulo the planted SOI pixel):
+    // pixel (5, 3) survives the top-down -> bottom-up + RGB -> BGR flip
+    val (w, h, g) = Multimodal.decodeGrayImage(frames.head).get
+    assert((w, h) === ((9, 8)))
+    assert(g(5, 3) === gray(5, 3))
+  }
+
+  test("a crafted stsz declaring an absurd sample count refuses up front") {
+    val frame = new Array[Byte](9 * 8 * 3)
+    val mp4 = Multimodal.mp4Bytes(9, 8, "raw ", Seq(frame, frame))
+    // locate the stsz box and forge uniform=1, count=16M (> the 4M cap):
+    // without the pre-materialization bound this would try to walk one
+    // range per payload byte
+    val idx = (0 until mp4.length - 4).find(i =>
+      mp4(i) == 's' && mp4(i + 1) == 't' && mp4(i + 2) == 's' && mp4(i + 3) == 'z').get
+    def putBe32(o: Int, v: Int): Unit = {
+      mp4(o) = (v >> 24).toByte; mp4(o + 1) = (v >> 16).toByte
+      mp4(o + 2) = (v >> 8).toByte; mp4(o + 3) = v.toByte
+    }
+    putBe32(idx + 8, 1)                 // uniform_size = 1 (fits n trivially)
+    putBe32(idx + 12, 16 * 1024 * 1024) // sample_count, over MaxMp4Samples
+    assert(Multimodal.mp4Video(mp4).isEmpty)
+    assert(Multimodal.containerFrames(mp4).isEmpty)
+  }
+
   test("MP4 jpeg samples decode through the JDK JPEG path within Hamming tolerance") {
     def ramp(x: Int, y: Int): Int = math.min(255, x * 3 + y)
     val exact = Multimodal.dHashGray(Multimodal.bmpGrayBytes(72, 64, ramp)).get
