@@ -149,11 +149,27 @@ object Multimodal {
         width = None, height = None,
         channels = Some(channels), sample_rate = Some(rate),
         n_samples = Some(math.max(0L, dataSize) / frameBytes), byte_sum_16 = None)
-    } else
-      MediaFeatures(id, n, "utf8-text",
-        width = None, height = None,
-        channels = None, sample_rate = None, n_samples = None,
-        byte_sum_16 = Some(bytes.take(16).foldLeft(0L)((s, b) => s + (b & 0xff))))
+    } else adtsFacts(bytes) match {
+      // compressed audio: header facts only (no JDK payload decoder —
+      // fingerprinting stays a documented refusal)
+      case Some((ch, sr, ns)) =>
+        MediaFeatures(id, n, "aac-adts",
+          width = None, height = None,
+          channels = Some(ch), sample_rate = Some(sr), n_samples = Some(ns),
+          byte_sum_16 = None)
+      case None => mp3Facts(bytes) match {
+        case Some((ch, sr, ns)) =>
+          MediaFeatures(id, n, "mp3",
+            width = None, height = None,
+            channels = Some(ch), sample_rate = Some(sr), n_samples = Some(ns),
+            byte_sum_16 = None)
+        case None =>
+          MediaFeatures(id, n, "utf8-text",
+            width = None, height = None,
+            channels = None, sample_rate = None, n_samples = None,
+            byte_sum_16 = Some(bytes.take(16).foldLeft(0L)((s, b) => s + (b & 0xff))))
+      }
+    }
   }
 
   /** Batch decode: per-partition iteration over binary payloads, emitting
@@ -793,6 +809,206 @@ object Multimodal {
   def audioNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 3, numChunks: Int = 4): DataFrame =
     Dedup.simhashPairs(audioFingerprint64(spark, media), maxHamming, numChunks)
+
+  // ---- audio: MPEG (MP3) and ADTS (AAC) HEADER walks -----------------------
+  //
+  // Metadata only — there is no JDK decoder for the audio PAYLOADS, so
+  // fingerprinting compressed streams stays a documented refusal
+  // (audioFingerprint returns None); but the published frame-header
+  // grammars are pure byte math, and a 100 TB curation pipeline still
+  // wants the facts (codec, channels, rate, duration) to route/filter/
+  // dedup-by-metadata without decoding. Same log-and-truncate
+  // discipline as every other header walk in this file.
+
+  /** Layer III bitrates (kbps) by index 1..14; 0 = free (refused),
+    * 15 = invalid.
+    */
+  private val Mp3KbpsV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3KbpsV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val AdtsRates =
+    Array(96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050, 16000,
+      12000, 11025, 8000, 7350)
+
+  /** (channels, sample_rate, n_samples) of an MPEG Layer III stream:
+    * optional ID3v2 prefix (syncsafe size) skipped, then consecutive
+    * frame headers walked — each frame's own bitrate index sizes it
+    * (VBR-safe), facts come from the FIRST frame, sample count is
+    * frames x 1152 (MPEG1) / 576 (MPEG2/2.5). The walk stops at the
+    * first lost sync (a trailing 128-byte ID3v1 "TAG" block is
+    * tolerated); free-format bitrate and reserved version/layer/rate
+    * indices refuse.
+    */
+  private[ops] def mp3Facts(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    val n = bytes.length
+    var off = 0
+    // ID3v2: "ID3" ver(2) flags(1) size(4 x 7-bit syncsafe)
+    if (n >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + size
+      if (off >= n) return None
+    }
+    var channels = -1
+    var rate = -1
+    var samples = 0L
+    var frames = 0L
+    var ok = true
+    while (ok && off + 4 <= n) {
+      val b1 = bytes(off) & 0xff
+      val b2 = bytes(off + 1) & 0xff
+      val b3 = bytes(off + 2) & 0xff
+      val b4 = bytes(off + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) ok = false
+      else {
+        val version = (b2 >> 3) & 3       // 0=2.5, 1=reserved, 2=2, 3=1
+        val layer = (b2 >> 1) & 3         // 1 = Layer III
+        val brIdx = (b3 >> 4) & 15
+        val srIdx = (b3 >> 2) & 3
+        val padding = (b3 >> 1) & 1
+        if (version == 1 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) ok = false
+        else {
+          val kbps = if (version == 3) Mp3KbpsV1(brIdx) else Mp3KbpsV2(brIdx)
+          val sr = version match {
+            case 3 => Array(44100, 48000, 32000)(srIdx)
+            case 2 => Array(22050, 24000, 16000)(srIdx)
+            case _ => Array(11025, 12000, 8000)(srIdx)
+          }
+          val frameLen =
+            (if (version == 3) 144000L else 72000L) * kbps / sr + padding
+          if (frameLen < 4 || off + frameLen > n) ok = false
+          else {
+            if (frames == 0L) {
+              channels = if (((b4 >> 6) & 3) == 3) 1 else 2
+              rate = sr
+            }
+            samples += (if (version == 3) 1152L else 576L)
+            frames += 1
+            off += frameLen.toInt
+            // tolerate a trailing ID3v1 tag
+            if (off + 3 <= n && bytes(off) == 'T' && bytes(off + 1) == 'A' &&
+                bytes(off + 2) == 'G' && n - off == 128) off = n
+          }
+        }
+      }
+    }
+    if (frames >= 1) Some((channels, rate, samples)) else None
+  }
+
+  /** (channels, sample_rate, n_samples) of an ADTS AAC stream: 0xFFF
+    * sync with layer 00 (what distinguishes ADTS from an MPEG-audio
+    * sync), sampling-frequency index from the published table, channel
+    * configuration (PCE-defined 0 refused), 13-bit frame length walked
+    * frame to frame, 1024 samples per raw data block. Facts from the
+    * first frame; truncation ends the walk with the intact prefix.
+    */
+  private[ops] def adtsFacts(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    val n = bytes.length
+    var off = 0
+    var channels = -1
+    var rate = -1
+    var samples = 0L
+    var frames = 0L
+    var ok = true
+    while (ok && off + 7 <= n) {
+      val b1 = bytes(off) & 0xff
+      val b2 = bytes(off + 1) & 0xff
+      val b3 = bytes(off + 2) & 0xff
+      val b4 = bytes(off + 3) & 0xff
+      val b5 = bytes(off + 4) & 0xff
+      val b6 = bytes(off + 5) & 0xff
+      val b7 = bytes(off + 6) & 0xff
+      if (b1 != 0xff || (b2 & 0xf6) != 0xf0) ok = false
+      else {
+        val sfIdx = (b3 >> 2) & 15
+        val chanCfg = ((b3 & 1) << 2) | ((b4 >> 6) & 3)
+        val frameLen = ((b4 & 3) << 11) | (b5 << 3) | ((b6 >> 5) & 7)
+        val rawBlocks = b7 & 3
+        if (sfIdx >= AdtsRates.length || chanCfg == 0 || frameLen < 7 ||
+            off + frameLen > n) ok = false
+        else {
+          if (frames == 0L) {
+            channels = chanCfg          // cfg 1..6 = that many channels
+            rate = AdtsRates(sfIdx)
+          }
+          samples += 1024L * (rawBlocks + 1)
+          frames += 1
+          off += frameLen
+        }
+      }
+    }
+    if (frames >= 1) Some((channels, rate, samples)) else None
+  }
+
+  /** A well-formed MPEG1 Layer III fixture stream: `frames` headers
+    * (no CRC, no padding) each followed by a zero payload of the exact
+    * frame length; optional ID3v2 prefix of `id3Payload` bytes.
+    */
+  private[ops] def mp3Bytes(srIdx: Int, brIdx: Int, mono: Boolean,
+                            frames: Int, id3Payload: Int = 0): Array[Byte] = {
+    val sr = Array(44100, 48000, 32000)(srIdx)
+    val frameLen = (144000L * Mp3KbpsV1(brIdx) / sr).toInt
+    val id3 = if (id3Payload > 0) 10 + id3Payload else 0
+    val out = new Array[Byte](id3 + frames * frameLen)
+    if (id3 > 0) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+      out(6) = ((id3Payload >> 21) & 0x7f).toByte
+      out(7) = ((id3Payload >> 14) & 0x7f).toByte
+      out(8) = ((id3Payload >> 7) & 0x7f).toByte
+      out(9) = (id3Payload & 0x7f).toByte
+    }
+    (0 until frames).foreach { f =>
+      val o = id3 + f * frameLen
+      out(o) = 0xff.toByte
+      out(o + 1) = 0xfb.toByte                       // MPEG1, L3, no CRC
+      out(o + 2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      out(o + 3) = (if (mono) 0xc0 else 0x00).toByte // channel mode
+    }
+    out
+  }
+
+  /** A well-formed ADTS fixture stream: `frames` no-CRC headers (AAC LC,
+    * one raw data block) each followed by `payload` zero bytes.
+    */
+  private[ops] def adtsBytes(sfIdx: Int, chanCfg: Int, frames: Int,
+                             payload: Int): Array[Byte] = {
+    val frameLen = 7 + payload
+    val out = new Array[Byte](frames * frameLen)
+    (0 until frames).foreach { f =>
+      val o = f * frameLen
+      out(o) = 0xff.toByte
+      out(o + 1) = 0xf1.toByte                       // MPEG-4, layer 00, no CRC
+      out(o + 2) = ((1 << 6) | (sfIdx << 2) | (chanCfg >> 2)).toByte // AAC LC
+      out(o + 3) = (((chanCfg & 3) << 6) | ((frameLen >> 11) & 3)).toByte
+      out(o + 4) = ((frameLen >> 3) & 0xff).toByte
+      out(o + 5) = (((frameLen & 7) << 5) | 0x1f).toByte  // + fullness hi
+      out(o + 6) = 0xfc.toByte                            // fullness lo, 1 block
+    }
+    out
+  }
+
+  /** Deterministic compressed-audio corpus: even ids are MPEG1 Layer III
+    * streams (rate/bitrate/channel-mode/frame-count/ID3 presence all
+    * closed forms of the id), odd ids are ADTS AAC streams — every
+    * header field the walks parse is replayable in SQL (the x83 oracle).
+    */
+  def syntheticCompressedAudio(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) => {
+      if (id % 2 == 0) {
+        val k = id / 2
+        mp3Bytes(srIdx = (k % 3).toInt, brIdx = (1 + k % 14).toInt,
+          mono = id % 4 == 0, frames = (3 + k % 5).toInt,
+          id3Payload = if (id % 6 == 0) 64 else 0)
+      } else {
+        val k = (id - 1) / 2
+        adtsBytes(sfIdx = (4 + k % 8).toInt, chanCfg = (1 + k % 3).toInt,
+          frames = (2 + k % 6).toInt, payload = (40 + k % 50).toInt)
+      }
+    })
+    df.select(col(idCol).as("doc_id"), gen(col(idCol)).as("media"))
+  }
 
   // ---- video: frame-container walk + per-frame perceptual hashing ---------
 

@@ -1101,6 +1101,58 @@ object ExtensionQueries {
                cast(sum(bit) AS BIGINT) AS frame_hash
         FROM bits GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- multimodal: compressed-audio HEADER facts — MPEG Layer III and
+    // ADTS AAC frame-header walks (published grammars, pure byte math;
+    // payload decode has no JDK codec and stays a documented refusal).
+    // The corpus alternates MP3 (even ids: rate/bitrate/channel-mode/
+    // frame-count/ID3v2-presence all closed forms of the id) and ADTS
+    // (odd ids); the oracle replays every parsed field INCLUDING total
+    // byte size (frame lengths are bitrate arithmetic), so sync
+    // placement, ID3 skipping, and the frame walk are all hash-gated. ----
+    "x83_audio_header_facts" -> Q(
+      (s, dir) => Multimodal.decode(s,
+          Multimodal.syntheticCompressedAudio(
+            Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id"))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("format_guess"),
+          col("channels"), col("sample_rate"), col("n_samples"))
+        .orderBy(col("doc_id")),
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+        mp3 AS (
+          SELECT id, id // 2 AS k FROM ids WHERE id % 2 = 0),
+        mp3f AS (
+          SELECT id,
+            CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+            CASE 1 + k % 14 WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+              WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96
+              WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+              WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps,
+            3 + k % 5 AS frames,
+            CASE WHEN id % 4 = 0 THEN 1 ELSE 2 END AS ch,
+            CASE WHEN id % 6 = 0 THEN 74 ELSE 0 END AS id3
+          FROM mp3),
+        aac AS (
+          SELECT id, (id - 1) // 2 AS k FROM ids WHERE id % 2 = 1),
+        aacf AS (
+          SELECT id,
+            CASE 4 + k % 8 WHEN 4 THEN 44100 WHEN 5 THEN 32000 WHEN 6 THEN 24000
+              WHEN 7 THEN 22050 WHEN 8 THEN 16000 WHEN 9 THEN 12000
+              WHEN 10 THEN 11025 ELSE 8000 END AS sr,
+            1 + k % 3 AS ch, 2 + k % 6 AS frames, 47 + k % 50 AS flen
+          FROM aac),
+        unioned AS (
+          SELECT id AS doc_id,
+            cast(id3 + frames * (144000 * kbps // sr) AS BIGINT) AS n_bytes,
+            'mp3' AS format_guess, cast(ch AS INT) AS channels,
+            cast(sr AS INT) AS sample_rate,
+            cast(frames * 1152 AS BIGINT) AS n_samples
+          FROM mp3f
+          UNION ALL
+          SELECT id, cast(frames * flen AS BIGINT), 'aac-adts',
+            cast(ch AS INT), cast(sr AS INT), cast(frames * 1024 AS BIGINT)
+          FROM aacf)
+        SELECT * FROM unioned ORDER BY doc_id""")),
+
     // ---- multimodal: COMPRESSED audio — mono IMA-ADPCM (WAV format tag
     // 0x11, the published integer predictor/step-table spec). The engine
     // decodes planted nibble streams (4-byte block header seeding

@@ -47,6 +47,54 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(Multimodal.bmpBytes(9, 8)).isEmpty)
   }
 
+  test("MP3 header walk: facts, ID3v2 skip, VBR, truncation; decode stays refused") {
+    // 128 kbps @ 48000, stereo, 4 frames, 64-byte ID3v2 payload:
+    // frameLen = 144000*128/48000 = 384
+    val mp3 = Multimodal.mp3Bytes(srIdx = 1, brIdx = 9, mono = false,
+      frames = 4, id3Payload = 64)
+    assert(mp3.length === 74 + 4 * 384)
+    assert(Multimodal.mp3Facts(mp3) === Some((2, 48000, 4608L)))
+    val feats = Multimodal.decodeOne(3L, mp3)
+    assert((feats.format_guess, feats.channels, feats.sample_rate,
+      feats.n_samples) === (("mp3", Some(2), Some(48000), Some(4608L))))
+    // VBR: a 320 kbps frame follows a 128 kbps one — each frame's own
+    // header sizes it; facts come from the first
+    val vbr = Multimodal.mp3Bytes(0, 9, mono = true, frames = 1) ++
+      Multimodal.mp3Bytes(0, 14, mono = true, frames = 1)
+    assert(Multimodal.mp3Facts(vbr) === Some((1, 44100, 2304L)))
+    // a cut inside the last frame drops it (log-and-truncate)
+    assert(Multimodal.mp3Facts(java.util.Arrays.copyOf(mp3, mp3.length - 7))
+      === Some((2, 48000, 3456L)))
+    // payload decode stays a documented refusal
+    assert(Multimodal.audioFingerprint(mp3).isEmpty)
+    // free-format bitrate and garbage refuse; text stays text
+    assert(Multimodal.mp3Facts("IDx plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeOne(4L, "plain".getBytes("UTF-8")).format_guess
+      === "utf8-text")
+  }
+
+  test("ADTS header walk: facts, multi-frame walk, refusals") {
+    // sfIdx 7 = 22050 Hz, 2 channels, 3 frames of 25-byte payloads
+    val aac = Multimodal.adtsBytes(sfIdx = 7, chanCfg = 2, frames = 3,
+      payload = 25)
+    assert(aac.length === 3 * 32)
+    assert(Multimodal.adtsFacts(aac) === Some((2, 22050, 3072L)))
+    val feats = Multimodal.decodeOne(9L, aac)
+    assert((feats.format_guess, feats.channels, feats.sample_rate,
+      feats.n_samples) === (("aac-adts", Some(2), Some(22050), Some(3072L))))
+    // truncation drops the cut frame
+    assert(Multimodal.adtsFacts(java.util.Arrays.copyOf(aac, aac.length - 2))
+      === Some((2, 22050, 2048L)))
+    // PCE-defined channel config 0 refuses (facts would be a guess)
+    assert(Multimodal.adtsFacts(
+      Multimodal.adtsBytes(7, chanCfg = 0, frames = 1, payload = 8)).isEmpty)
+    // an MP3 sync is NOT ADTS (layer bits differ) and vice versa
+    val mp3 = Multimodal.mp3Bytes(0, 9, mono = true, frames = 1)
+    assert(Multimodal.adtsFacts(mp3).isEmpty)
+    assert(Multimodal.mp3Facts(aac).isEmpty)
+    assert(Multimodal.audioFingerprint(aac).isEmpty)
+  }
+
   test("audioNearDupPairs finds exactly the planted intra-group pairs") {
     val media = Multimodal.syntheticAudio((0L until 16L).toDF("doc_id"), "doc_id")
     val pairs = Multimodal.audioNearDupPairs(spark, media, maxHamming = 3)
