@@ -429,21 +429,80 @@ object Dedup {
       case None => df.localCheckpoint(true)
     }
 
+  /** Pair count at or below which connected components run as a driver-side
+    * union-find over the COLLECTED pair list instead of the distributed
+    * label-propagation loop. The pair list is the lightweight DECISION data
+    * of a dedup pipeline (two longs per edge — the payloads never ride it),
+    * and below the cap it is KB-to-MB scale: 1M edges collect as ~16 MB,
+    * the same envelope class as the repo's other bounded driver collects
+    * (IVF/PQ codebooks, auto-k seed sets, Bloom reference sketches). The
+    * distributed loop pays ~6 jobs × O(cores) tasks PER ROUND regardless of
+    * data size — measured round-20 (OptProbe, local[32], sf0.1): the x47
+    * pair graph is 753 edges and its CC loop still burned 2.6 s wall /
+    * 8.2 CPU-s, i.e. the loop was 100% scheduling overhead. Union-find on
+    * the driver answers the same 753 edges in microseconds. Past the cap
+    * (huge near-dup graphs at corpus scale) the pointer-jumping loop below
+    * is unchanged — O(log diameter) rounds of linear shuffles.
+    * Mutable only as a test seam: the equality/convergence specs set it to
+    * force the distributed path on spec-sized graphs.
+    */
+  private[graft] var ccDriverEdgeCap: Long = 1000000L
+
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 30,
                       checkpointDir: Option[String] = None): DataFrame = {
     // lineage truncation for one round's labels (see scaladoc)
     def truncate(df: DataFrame): DataFrame = truncateLineage(df, checkpointDir)
-    // the edges are TRUNCATED, not merely persisted: `pairs` is usually an
+    // the PAIR LIST is truncated first, alone: `pairs` is usually an
     // expensive candidate-generation subplan (LSH banding / an inverted-
-    // index self-join), and a persist keeps that whole tree in the logical
-    // plan — every round's two jobs then re-analyze and re-optimize it
-    // (cache hits save the compute, not the planning), which measured as
-    // ~2.5x the loop's own CPU at 32 threads (CcProbe: x18 warm 11-13
-    // CPU-s as one plan vs 4.4 with the input checkpointed). The truncated
-    // frame is one LogicalRDD leaf per round, same as the labels.
+    // index self-join), and building the symmetric edge set as
+    // union(pairs, swap(pairs)) BEFORE materializing executed that
+    // generator twice in the truncation job (Spark plans the two union
+    // sides independently); a persist instead of truncation keeps the
+    // whole tree in the logical plan — every round's jobs then re-analyze
+    // it (cache hits save the compute, not the planning), which measured
+    // as ~2.5x the loop's own CPU at 32 threads (CcProbe). The truncated
+    // frame is one LogicalRDD leaf, reused by the size probe, the driver
+    // fast path, and the loop's symmetric union alike.
+    val p = truncate(pairs.select(col("id_a"), col("id_b")))
+    val spark = p.sparkSession
+    val longIds = p.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && p.count() <= ccDriverEdgeCap) {
+      // driver fast path: union-find with min-id roots — identical output
+      // contract to the loop (every node that appears in a pair labeled by
+      // the smallest id reachable from it), pinned by the equality spec
+      import spark.implicits._
+      val es = p.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, java.lang.Long](es.length * 2)
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x0
+        while (c != r) { val n: Long = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // attach the larger root under the smaller: roots stay component
+        // minima with no separate min bookkeeping
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new Array[(Long, Long)](parent.size())
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val n: Long = it.next(); out(i) = (n, find(n)); i += 1 }
+      // RDD-backed (not a LocalRelation): a million-row local relation
+      // would ride the logical plan of every downstream join
+      val parts = math.max(1, out.length / 500000)
+      return spark.createDataset(
+          spark.sparkContext.parallelize(out.toIndexedSeq, parts))
+        .toDF("doc_id", "cluster_id")
+    }
     val edges = truncate(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
     locally {
       // seed with the FIRST neighbor-min fold fused into initialization:
       // label(v) = min(v, min neighbor) — edges are symmetric so every node

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-20 optimization probe (test scope): attributes the heavy queries'
+  * cost to pipeline STAGES, timing each sub-plan with the noop sink
+  * (guide §1.4 — computes every column, no count-pruning) after a small-SF
+  * warm-up. One `PROBE stage secs cpu` line per stage per repeat.
+  *
+  *   sbt "Test/runMain graft.OptProbe x48"     // stage attribution for x48
+  *   GRAFT_CPUS=32 GRAFT_SF_DIR=/root/testdata/sf0.1
+  */
+object OptProbe {
+  private def cpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => Double.NaN
+    }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private var spark: SparkSession = _
+  private var sfDir: String = _
+
+  private def time(name: String)(body: => Unit): Unit = {
+    val c0 = cpuSec(); val t0 = System.nanoTime()
+    body
+    val w = (System.nanoTime() - t0) / 1e9; val c = cpuSec() - c0
+    println(f"PROBE $name%-34s ${w}%7.3f s  cpu ${c}%7.3f")
+  }
+
+  def main(args: Array[String]): Unit = {
+    sfDir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("GRAFT_CPUS", "32")
+    spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm up codegen/readers (same rationale as QueryTimer)
+    SparkEntry.queries("x42_pipeline_v2")(spark, "/root/testdata/sf0.01").count()
+    val reps = sys.env.getOrElse("GRAFT_REPEATS", "2").toInt
+    (1 to reps).foreach { _ => args.foreach(run) }
+    spark.stop()
+  }
+
+  private def run(which: String): Unit = which match {
+    case "x48" => probeX48()
+    case "x47" => probeX47()
+    case "x65" => probeX65()
+    case "x27" => probeX27()
+    case other => println(s"unknown probe $other")
+  }
+
+  /** x48 = minhashDedupAgainst(corpus=19/20, ref=1/20 of documents). */
+  private def probeX48(): Unit = {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L)
+    val ref = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+    var sigC: DataFrame = null; var sigR: DataFrame = null
+    time("x48.signatures(corpus)") {
+      sigC = Dedup.minhashSignatures(corpus, "doc_id", "text", 32).localCheckpoint(true)
+    }
+    time("x48.signatures(ref)") {
+      sigR = Dedup.minhashSignatures(ref, "doc_id", "text", 32).localCheckpoint(true)
+    }
+    var cand: DataFrame = null
+    time("x48.band_join+distinct") {
+      cand = Dedup.bandHashes(sigC, 16).as("a")
+        .join(Dedup.bandHashes(sigR, 16).as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+        .localCheckpoint(true)
+      println(s"  cand pairs = ${cand.count()}")
+    }
+    // the cross-rescore internals (token checkpoints + two joins + intersect)
+    def toks(df: DataFrame) = df.select(col("doc_id").as("id"),
+        array_distinct(transform(Dedup.tokenSet(col("text")),
+          t => xxhash64(t))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    var ta: DataFrame = null; var tb: DataFrame = null
+    time("x48.rescore.toks(corpus)") { ta = toks(corpus).localCheckpoint(true) }
+    time("x48.rescore.toks(ref)") { tb = toks(ref).localCheckpoint(true) }
+    time("x48.rescore.join+intersect") {
+      noop(cand
+        .join(ta.select(col("id").as("id_a"), col("toks").as("__ta")), Seq("id_a"))
+        .join(tb.select(col("id").as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (size(col("__ta")) + size(col("__tb")) - col("inter")).cast("double"))
+        .select(col("id_a"), col("id_b"), col("jaccard")))
+    }
+    time("x48.end_to_end") {
+      noop(Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text", 0.8)
+        .select(col("doc_id"), col("lang"), col("source")))
+    }
+  }
+
+  /** x47 = semanticDedup(embeddings, label prototypes, threshold 0.36). */
+  private def probeX47(): Unit = {
+    import graft.ops.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, sfDir)
+    var init: Array[(Int, Seq[Double])] = null
+    time("x47.classCentroids.collect") {
+      init = Similarity.classCentroids(emb, "embedding", "label", 4)
+        .orderBy(col("label")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    }
+    val base = emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+    var assigned: DataFrame = null
+    time("x47.assign+checkpoint") {
+      assigned = Similarity.kmeansAssign(base, "vec", init, iters = 0, 4)
+        .select(col("id"), col("cluster"), col("vec"))
+        .localCheckpoint(true)
+    }
+    var pairs: DataFrame = null
+    time("x47.pair_join+cosine") {
+      pairs = assigned.select(col("id").as("id_a"), col("cluster"), col("vec").as("va"))
+        .join(assigned.select(col("id").as("id_b"), col("cluster"), col("vec").as("vb")),
+          Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= 0.36)
+        .select("id_a", "id_b")
+        .localCheckpoint(true)
+      println(s"  pairs = ${pairs.count()}")
+    }
+    time("x47.cc") {
+      noop(Dedup.nearDupClusters(pairs))
+    }
+    time("x47.end_to_end") {
+      noop(Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.36))
+    }
+  }
+
+  /** x65 = three applyBatchScd2 batches into a throwaway catalog. */
+  private def probeX65(): Unit = {
+    import graft.connector.{CdcApply, ChangeFeed, GraftCatalog}
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"probe-cdc-$id").toString
+    spark.conf.set(s"spark.sql.catalog.p$id", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.p$id.root", root)
+    val cat = s"p$id"
+    spark.sql(s"CREATE TABLE $cat.hist (k BIGINT, price_micro BIGINT, " +
+      "__start_at BIGINT, __end_at BIGINT)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val batch1 = o.select(
+      col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+      (col("o_totalprice").cast(dec) * lit(1000000L)).cast("long").as("price_micro"),
+      lit("insert").as(ChangeFeed.TypeCol), lit(1L).as(ChangeFeed.VersionCol))
+    val batch2 = c.filter(col("c_custkey") % 5 === 0).select(
+      col("c_custkey").cast("long").as("k"),
+      (lit(1000000000000000L) + col("c_custkey")).cast("long").as("seq"),
+      (col("c_custkey") * 1000).cast("long").as("price_micro"),
+      lit("insert").as(ChangeFeed.TypeCol), lit(2L).as(ChangeFeed.VersionCol))
+    val batch3 = c.filter(col("c_custkey") % 4 === 0).select(
+      col("c_custkey").cast("long").as("k"),
+      (lit(2000000000000000L) + col("c_custkey")).cast("long").as("seq"),
+      lit(0L).as("price_micro"),
+      lit("delete").as(ChangeFeed.TypeCol), lit(3L).as(ChangeFeed.VersionCol))
+    val dataCols = Seq("k", "seq", "price_micro")
+    time("x65.batch1(150k inserts)") {
+      CdcApply.applyBatchScd2(batch1, s"$cat.hist", Seq("k"), dataCols, "seq")
+    }
+    time("x65.batch2(3k restatements)") {
+      CdcApply.applyBatchScd2(batch2, s"$cat.hist", Seq("k"), dataCols, "seq")
+    }
+    time("x65.batch3(3.75k closes)") {
+      CdcApply.applyBatchScd2(batch3, s"$cat.hist", Seq("k"), dataCols, "seq")
+    }
+    time("x65.final_read") {
+      noop(spark.table(s"$cat.hist").orderBy(col("k"), col("__start_at")))
+    }
+  }
+
+  /** x27 = exact + fuzzy canonical dedup — check where its 4 CPU-s go. */
+  private def probeX27(): Unit = {
+    time("x27.end_to_end") {
+      noop(SparkEntry.queries("x27_dedup_canonical")(spark, sfDir))
+    }
+  }
+}

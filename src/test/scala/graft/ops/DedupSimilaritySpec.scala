@@ -83,6 +83,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == exact && exact.nonEmpty)
   }
 
+  /** Run `body` with the CC driver fast path disabled (cap 0 routes every
+    * graph through the distributed pointer-jumping loop). */
+  private def withCcLoop[A](body: => A): A = {
+    val prev = Dedup.ccDriverEdgeCap
+    Dedup.ccDriverEdgeCap = 0L
+    try body finally Dedup.ccDriverEdgeCap = prev
+  }
+
   test("near-dup clusters: components labeled by their minimum doc id") {
     // components: {1,2,3} (chain 1-2, 2-3), {7,9}, singleton-free
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
@@ -92,21 +100,39 @@ class DedupSimilaritySpec extends SparkSpec {
     // a long chain needs pointer jumping to converge inside the default
     // bound: plain neighbor-min would need ~119 rounds for a 120-node path,
     // far beyond maxIters=30 — O(log diameter) jumping gets there in ~7
+    // (forced through the loop: the driver fast path has no rounds)
     val chain = (1L to 120L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
-    val labels = Dedup.nearDupClusters(chain)
+    val labels = withCcLoop(Dedup.nearDupClusters(chain))
       .collect().map(_.getLong(1)).toSet
     assert(labels == Set(1L))
+  }
+
+  test("near-dup clusters: driver union-find path == distributed loop") {
+    // a mixed graph: chains, a star, singleton pairs, duplicate and
+    // self-referential edges — the driver path (default cap) must agree
+    // with the pointer-jumping loop row for row
+    val edges = ((1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      Seq((100L, 107L), (100L, 103L), (100L, 150L), (103L, 150L),
+          (200L, 201L), (300L, 300L), (100L, 107L), (9L, 2L))).toDF("id_a", "id_b")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val fast = rows(Dedup.nearDupClusters(edges))
+    val loop = withCcLoop(rows(Dedup.nearDupClusters(edges)))
+    assert(fast == loop && fast.nonEmpty)
+    // routing really is by the cap: at cap 0 the loop's convergence guard
+    // is reachable (see the non-convergence test below)
   }
 
   test("near-dup clusters: non-convergence within maxIters fails loudly") {
     // even with pointer jumping, 2 rounds reach only a bounded distance
     // along a 400-node path; the loop must throw rather than return
-    // silently split clusters
+    // silently split clusters (driver fast path disabled — union-find has
+    // no iteration bound to test)
     val chain = (1L to 400L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.nearDupClusters(chain, maxIters = 2).collect()
+      withCcLoop(Dedup.nearDupClusters(chain, maxIters = 2).collect())
     }
     assert(e.getMessage.contains("maxIters"))
   }
@@ -551,7 +577,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     val chain = (1L to 120L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
-    val labels = Dedup.nearDupClusters(chain, checkpointDir = Some(dir))
+    // forced through the distributed loop — the reliable-checkpoint knob
+    // exists for exactly the graphs too big for the driver fast path
+    val labels = withCcLoop(Dedup.nearDupClusters(chain, checkpointDir = Some(dir)))
       .collect().map(_.getLong(1)).toSet
     assert(labels == Set(1L))
     // the loop really used the reliable checkpoint dir (RDD files on disk)
