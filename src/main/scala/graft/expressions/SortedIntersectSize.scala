@@ -1,0 +1,100 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Intersection SIZE of two SORTED-ascending long arrays as one fused merge
+  * loop — the verification kernel of every candidates-then-verify near-dup
+  * pipeline (`Dedup.rescoreJaccard` runs it once per candidate pair).
+  *
+  * Spark's `array_intersect` is the semantically-equivalent builtin, but per
+  * evaluation it builds a hash set over one side, probes the other, and
+  * MATERIALIZES the intersection array — only for `size(...)` to throw the
+  * elements away. On x48's 1.13M-pair rescore that allocation/probe loop was
+  * the stage's dominant CPU (measured round-20, OptProbe: 5.3 of 6.0 CPU-s
+  * warm). Over pre-sorted inputs the same count is a two-pointer merge: no
+  * allocation, no hashing, no output array, and the loop stays inside
+  * whole-stage codegen.
+  *
+  * Contract: both inputs must be sorted ascending. Duplicates are counted
+  * pairwise (equal runs advance both sides one element per match), which
+  * equals `size(array_intersect(a, b))` exactly when either side is
+  * duplicate-free — the token-set arrays the dedup pipeline produces are
+  * `array_distinct`ed before sorting. Nulls inside the arrays are not
+  * expected (xxhash64 never returns null); null ARRAY inputs propagate null
+  * like any binary expression.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_intersect_size expects two array<bigint> inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x < $y) { $i++; }
+         |  else if ($x > $y) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect_size"
+}
+
+object SortedIntersectSize {
+  /** Column-API entry point. Inputs must be sorted ascending (see class doc). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftSqlBridge.toColumn(SortedIntersectSize(
+      GraftSqlBridge.toExpr(a), GraftSqlBridge.toExpr(b)))
+}

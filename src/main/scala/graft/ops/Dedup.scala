@@ -112,17 +112,25 @@ object Dedup {
     // with P ≈ tokens²/2^64 (the string oracle would surface one). The
     // empty-token filter keeps the explode form's semantics: a tokenless
     // doc has no token rows, so its pairs vanish from the inner joins.
+    // token-hash arrays are SORTED at materialization (one O(T log T) pass
+    // per doc) so the per-pair |inter| is a fused two-pointer merge
+    // (SortedIntersectSize) instead of array_intersect's per-row hash-set
+    // build + intersection materialization — the rescore runs once per
+    // CANDIDATE PAIR (millions on a dense corpus) while the sort runs once
+    // per DOC. |inter| over distinct sorted arrays is identical to the
+    // array_intersect size, so jaccard values are unchanged.
     val p = pairs.select("id_a", "id_b").localCheckpoint(true)
     val toks = df.select(col(idCol).as("id"),
-        array_distinct(transform(tokenizer(col(textCol)),
-          t => xxhash64(t))).as("toks"))
+        sort_array(array_distinct(transform(tokenizer(col(textCol)),
+          t => xxhash64(t)))).as("toks"))
       .filter(size(col("toks")) > 0)
       .localCheckpoint(true)
     p
       .join(toks.select(col("id").as("id_a"), col("toks").as("__ta")), Seq("id_a"))
       .join(toks.select(col("id").as("id_b"), col("toks").as("__tb")), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        graft.expressions.SortedIntersectSize
+          .sortedIntersectSize(col("__ta"), col("__tb")).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("__ta")) + size(col("__tb")) - col("inter")).cast("double"))
@@ -229,11 +237,12 @@ object Dedup {
                                   left: DataFrame, right: DataFrame,
                                   idCol: String, textCol: String): DataFrame = {
     // same bounded-token-hash-array shape as rescoreJaccard (see there for
-    // the measured explode-form cost and the collision/empty-doc notes);
-    // token strings never ride the pair joins — 8-byte hashes do
+    // the measured explode-form cost, the collision/empty-doc notes, and
+    // why the arrays are SORTED: |inter| per pair becomes a fused
+    // two-pointer merge); token strings never ride the pair joins
     def toks(df: DataFrame) = df.select(col(idCol).as("id"),
-        array_distinct(transform(tokenSet(col(textCol)),
-          t => xxhash64(t))).as("toks"))
+        sort_array(array_distinct(transform(tokenSet(col(textCol)),
+          t => xxhash64(t)))).as("toks"))
       .filter(size(col("toks")) > 0)
       .localCheckpoint(true)
     val p = pairs.select("id_a", "id_b").localCheckpoint(true)
@@ -242,7 +251,8 @@ object Dedup {
       .join(ta.select(col("id").as("id_a"), col("toks").as("__ta")), Seq("id_a"))
       .join(tb.select(col("id").as("id_b"), col("toks").as("__tb")), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        graft.expressions.SortedIntersectSize
+          .sortedIntersectSize(col("__ta"), col("__tb")).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("__ta")) + size(col("__tb")) - col("inter")).cast("double"))

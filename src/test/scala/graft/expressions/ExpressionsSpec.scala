@@ -264,4 +264,56 @@ class ExpressionsSpec extends SparkSpec {
       s"interpreted two-level diverged from codegen on ids $diffs"
     })
   }
+
+  test("SortedIntersectSize == size(array_intersect) on sorted distinct arrays") {
+    // the rescore kernel contract: over sorted duplicate-free long arrays the
+    // merge count must equal the builtin's intersection size — including
+    // empty arrays, disjoint sets, full overlap, and null inputs
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val a = rng.shuffle((0L to 60L).toList).take(rng.nextInt(20))
+        .distinct.sorted
+      val b = rng.shuffle((0L to 60L).toList).take(rng.nextInt(20))
+        .distinct.sorted
+      (i, a, b)
+    } :+ ((201, List.empty[Long], List(1L, 2L))) :+
+      ((202, List(5L), List(5L)))
+    val df = rows.toDF("i", "a", "b")
+      .select(col("i"),
+        SortedIntersectSize.sortedIntersectSize(col("a"), col("b")).as("got"),
+        size(array_intersect(col("a"), col("b"))).as("want"))
+    assert(df.filter(col("got") =!= col("want")).count() == 0)
+    // null array input propagates null
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(SortedIntersectSize.sortedIntersectSize(col("a"), col("b")).as("s"))
+      .first()
+    assert(n.isNullAt(0))
+    // interpreted path agrees with codegen
+    val mode = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(mode, "FALLBACK")
+    spark.conf.set(mode, "NO_CODEGEN")
+    try assert(df.filter(col("got") =!= col("want")).count() == 0)
+    finally spark.conf.set(mode, prev)
+  }
+
+  test("rescoreJaccard sorted-merge kernel: pipeline results unchanged") {
+    // end-to-end guard on the swap from array_intersect to the sorted merge:
+    // exact jaccardPairs (ground truth on strings) == minhashNearDupPairs
+    // (whose verify stage runs the new kernel) on a corpus with partial
+    // overlaps, so |inter| and jaccard must be value-identical
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "omega psi chi phi"),
+      (5L, "omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b", "inter", "jaccard").orderBy("id_a", "id_b")
+      .collect().toList
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .select("id_a", "id_b", "inter", "jaccard").orderBy("id_a", "id_b")
+      .collect().toList
+    assert(got == exact && exact.nonEmpty)
+  }
 }
