@@ -53,6 +53,9 @@ object OptProbe {
     case "x48" => probeX48()
     case "x47" => probeX47()
     case "x65" => probeX65()
+    case "x65m" => probeX65Merges()
+    case "mf" => probeMergeFixed()
+    case "x48plan" => probeX48Plan()
     case "x27" => probeX27()
     case other => println(s"unknown probe $other")
   }
@@ -180,6 +183,132 @@ object OptProbe {
     }
     time("x65.final_read") {
       noop(spark.table(s"$cat.hist").orderBy(col("k"), col("__start_at")))
+    }
+  }
+
+  /** x65 with the applyBatchScd2 internals split per stage: the per-key
+    * reduce+window+checkpoint, then each of the two MERGEs separately.
+    */
+  private def probeX65Merges(): Unit = {
+    import graft.connector.{ChangeFeed, GraftCatalog}
+    import org.apache.spark.sql.expressions.Window
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"probe-cdcm-$id").toString
+    spark.conf.set(s"spark.sql.catalog.m$id", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.m$id.root", root)
+    val cat = s"m$id"
+    spark.sql(s"CREATE TABLE $cat.hist (k BIGINT, price_micro BIGINT, " +
+      "__start_at BIGINT, __end_at BIGINT)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val batches = Seq(
+      ("b1", o.select(
+        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        (col("o_totalprice").cast(dec) * lit(1000000L)).cast("long").as("price_micro"),
+        lit("insert").as(ChangeFeed.TypeCol), lit(1L).as(ChangeFeed.VersionCol))),
+      ("b2", c.filter(col("c_custkey") % 5 === 0).select(
+        col("c_custkey").cast("long").as("k"),
+        (lit(1000000000000000L) + col("c_custkey")).cast("long").as("seq"),
+        (col("c_custkey") * 1000).cast("long").as("price_micro"),
+        lit("insert").as(ChangeFeed.TypeCol), lit(2L).as(ChangeFeed.VersionCol))),
+      ("b3", c.filter(col("c_custkey") % 4 === 0).select(
+        col("c_custkey").cast("long").as("k"),
+        (lit(2000000000000000L) + col("c_custkey")).cast("long").as("seq"),
+        lit(0L).as("price_micro"),
+        lit("delete").as(ChangeFeed.TypeCol), lit(3L).as(ChangeFeed.VersionCol))))
+    batches.foreach { case (tag, batch) =>
+      time(s"x65m.$tag.isEmpty") { batch.isEmpty }
+      var shapedV: DataFrame = null
+      time(s"x65m.$tag.reduce+window+ckpt") {
+        val events = batch
+          .filter(col(ChangeFeed.TypeCol) =!= "update_preimage")
+          .groupBy(col("k"), col("seq"))
+          .agg(max(struct(col(ChangeFeed.VersionCol),
+            lit(2).as("__rank"), col(ChangeFeed.TypeCol),
+            col("price_micro"))).as("__last"))
+          .select(col("k"), col("seq"), col("__last.*"))
+          .drop("__rank", ChangeFeed.VersionCol)
+        val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+        val wAll = Window.partitionBy(col("k"))
+        shapedV = events
+          .withColumn("__end_at", lead(col("seq"), 1).over(w))
+          .withColumn("__min_start", min(col("seq")).over(wAll))
+          .localCheckpoint(true)
+      }
+      shapedV.createOrReplaceTempView(s"probe_$tag")
+      time(s"x65m.$tag.merge1(close)") {
+        spark.sql(
+          s"""MERGE INTO $cat.hist t
+             |USING (SELECT DISTINCT `k`, `__min_start` FROM probe_$tag) s
+             |ON t.`k` <=> s.`k` AND t.`__end_at` IS NULL AND t.`__start_at` <= s.`__min_start`
+             |WHEN MATCHED THEN UPDATE SET t.`__end_at` = s.`__min_start`""".stripMargin)
+      }
+      time(s"x65m.$tag.merge2(upsert)") {
+        spark.sql(
+          s"""MERGE INTO $cat.hist t
+             |USING (SELECT * FROM probe_$tag
+             |       WHERE `${ChangeFeed.TypeCol}` <> 'delete') s
+             |ON t.`k` <=> s.`k` AND t.`__start_at` = s.`seq`
+             |WHEN MATCHED THEN UPDATE SET t.`price_micro` = s.`price_micro`, t.`__end_at` = s.`__end_at`
+             |WHEN NOT MATCHED THEN INSERT (`k`, `price_micro`, `__start_at`, `__end_at`)
+             |VALUES (s.`k`, s.`price_micro`, s.`seq`, s.`__end_at`)""".stripMargin)
+      }
+    }
+  }
+
+  /** Physical plan of the x48 band join + distinct (the candidate stage). */
+  private def probeX48Plan(): Unit = {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L)
+    val ref = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+    val sigC = Dedup.minhashSignatures(corpus, "doc_id", "text", 32).localCheckpoint(true)
+    val sigR = Dedup.minhashSignatures(ref, "doc_id", "text", 32).localCheckpoint(true)
+    Dedup.bandHashes(sigC, 16).as("a")
+      .join(Dedup.bandHashes(sigR, 16).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .explain("formatted")
+  }
+
+  /** Fixed-cost anatomy of one catalog MERGE: no-op merge (empty source),
+    * plain read, plain count — run against a 150k-row cow table.
+    */
+  private def probeMergeFixed(): Unit = {
+    import graft.connector.GraftCatalog
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"probe-mf-$id").toString
+    spark.conf.set(s"spark.sql.catalog.f$id", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.f$id.root", root)
+    val cat = s"f$id"
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(dec) * lit(1000000L)).cast("long").as("v"))
+      .createOrReplaceTempView("probe_src")
+    time("mf.insert(150k)") {
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM probe_src")
+    }
+    time("mf.count") { spark.table(s"$cat.t").count() }
+    time("mf.noop_merge(empty source)") {
+      spark.sql(s"""MERGE INTO $cat.t t USING (SELECT * FROM probe_src WHERE k < 0) s
+                   |ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                   |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    }
+    time("mf.noop_merge2(empty source)") {
+      spark.sql(s"""MERGE INTO $cat.t t USING (SELECT * FROM probe_src WHERE k < 0) s
+                   |ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                   |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    }
+    time("mf.small_merge(30 keys)") {
+      spark.sql(s"""MERGE INTO $cat.t t USING (SELECT * FROM probe_src WHERE k % 5000 = 0) s
+                   |ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET t.v = s.v + 1
+                   |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
     }
   }
 
