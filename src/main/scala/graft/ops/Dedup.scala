@@ -193,20 +193,26 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(a)
 
-  def minhashCandidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
+  def minhashCandidatePairs(sigs: DataFrame, numBands: Int): DataFrame =
     // The signature frame is materialized once (eager, lineage-truncated):
     // it feeds BOTH sides of the self-join plus two re-attach joins, and
     // without the checkpoint Spark re-derives the full signature pipeline
     // (scan + explode + aggregate) for each of the four uses — at corpus
     // scale that is four scans of the raw text instead of one pass over a
     // 32-longs-per-doc index.
-    val s = sigs.localCheckpoint(true)
+    minhashCandidatePairsOn(sigs.localCheckpoint(true), numBands)
+
+  /** [[minhashCandidatePairs]] over an ALREADY-materialized signature frame
+    * (persisted or checkpointed by the caller) — the streaming sink persists
+    * its per-batch signatures anyway, and the public entry's unconditional
+    * localCheckpoint was a redundant second materialization per micro-batch.
+    */
+  private[graft] def minhashCandidatePairsOn(s: DataFrame, numBands: Int): DataFrame =
     bandedCandidates(s, numBands)
       .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .select("id_a", "id_b", "est_jaccard")
-  }
 
   /** End-to-end MinHash-LSH near-dup detection, candidates-then-verify: banded
     * LSH proposes, exact Jaccard (full token sets) disposes. Output equals the
@@ -365,13 +371,21 @@ object Dedup {
     * numChunks−1 shares a chunk), then exact popcount filter.
     */
   def simhashPairs(hashes: DataFrame, maxHamming: Int,
-                   numChunks: Int = 4): DataFrame = {
-    val bits = 64 / numChunks
-    val mask = (1L << bits) - 1
+                   numChunks: Int = 4): DataFrame =
     // materialize the (id, simhash) frame once — 2 longs per doc — so the
     // chunk self-join's two sides read cached blocks instead of re-running
     // the whole simhash pipeline (scan + tf aggregate + 64-lane fold) twice
-    val h = hashes.localCheckpoint(true)
+    simhashPairsOn(hashes.localCheckpoint(true), maxHamming, numChunks)
+
+  /** [[simhashPairs]] over an ALREADY-materialized hash frame — the
+    * perceptual streaming sinks persist their per-batch hashes, and the
+    * public entry's unconditional localCheckpoint was a redundant second
+    * materialization per micro-batch.
+    */
+  private[graft] def simhashPairsOn(h: DataFrame, maxHamming: Int,
+                                    numChunks: Int = 4): DataFrame = {
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
     val chunked = h.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(numChunks - 1))).as("chunk"))
       .withColumn("chunk_val", expr(s"(simhash >> (chunk * $bits)) & $mask"))

@@ -474,21 +474,52 @@ object Similarity {
     */
   def int8Encode(corpus: DataFrame, idCol: String, vecCol: String,
                  keepVec: Boolean = false): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val enc = corpus.select(col(idCol).cast("long").as("id"), v.as("v"))
-      .withColumn("__scale",
-        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / lit(127.0))
-      .withColumn("codes",
-        when(col("__scale") === 0.0, transform(col("v"), _ => lit(0L)))
-          .otherwise(transform(col("v"),
-            x => round(x / col("__scale")).cast("long"))))
-      .withColumn("__n2",
-        aggregate(col("codes"), lit(0L), (s, c) => s + c * c))
+    // Compiled per-row encode (same pattern as the SRP bucketer and the PQ
+    // encoder): the Column-HOF form it replaces — aggregate() for the
+    // max-abs scale, transform() for the codes, aggregate() for __n2 —
+    // executes interpreted per ELEMENT (lambda-variable allocation outside
+    // whole-stage codegen), which dominated the streaming sink's per-batch
+    // encode. Value-identical by construction: the scale is the same
+    // left-to-right max fold, each code is
+    // BigDecimal.valueOf(x/scale).setScale(0, HALF_UP) — exactly Spark's
+    // round(double) — and __n2 the same exact long sum; the x51 oracle
+    // (which replays the quantization in SQL) gates the equivalence.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+    def enc(v: Seq[Double]): (Array[Long], Long) = {
+      val n = v.length
+      var m = 0.0
+      var i = 0
+      while (i < n) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+      val scale = m / 127.0
+      val codes = new Array[Long](n)
+      if (scale != 0.0) {
+        i = 0
+        while (i < n) {
+          codes(i) = java.math.BigDecimal.valueOf(v(i) / scale)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+          i += 1
+        }
+      }
+      var n2 = 0L
+      i = 0
+      while (i < n) { n2 += codes(i) * codes(i); i += 1 }
+      (codes, n2)
+    }
     // keepVec carries the source vector through in the SAME scan — the
     // streaming index sink persists (id, vec, codes, __n2) and would
     // otherwise need a per-micro-batch self-join just to reattach it
-    if (keepVec) enc.select(col("id"), col("v").as("vec"), col("codes"), col("__n2"))
-    else enc.select("id", "codes", "__n2")
+    if (keepVec)
+      base.mapPartitions(_.map { case (id, v) =>
+        val (c, n2) = enc(v); (id, v, c.toSeq, n2)
+      }).toDF("id", "vec", "codes", "__n2")
+    else
+      base.mapPartitions(_.map { case (id, v) =>
+        val (c, n2) = enc(v); (id, c.toSeq, n2)
+      }).toDF("id", "codes", "__n2")
   }
 
   /** SQ8 search over a pre-encoded table: integer code-cosine shortlist,
@@ -518,10 +549,12 @@ object Similarity {
         qIdsFound.diff(qIdsFound.distinct).distinct.mkString(","))
     val q = spark.createDataset(qPage.toSeq)
       .toDF("query_id", "__qc", "__qn2")
+    // fused native dot (LongDotExpression): the zip_with+aggregate HOF form
+    // ran interpreted per element, once per (corpus row × query) — identical
+    // exact integer sum, elementwise left-to-right
     val scored = enc.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("__dot", aggregate(
-        zip_with(col("codes"), col("__qc"), (a, b) => a * b),
-        lit(0L), (s, x) => s + x))
+      .withColumn("__dot", graft.expressions.LongDotExpression
+        .longDot(col("codes"), col("__qc")))
       .withColumn("__approx",
         when(col("__n2") === 0L || col("__qn2") === 0L, lit(0.0))
           .otherwise(col("__dot").cast("double") /

@@ -90,7 +90,9 @@ abstract class PerceptualNearDupSink(spark: SparkSession, stateDir: String,
             .select(col("id")).distinct()
         } else hashes.select(col("id")).limit(0)
       // intra-batch: smaller id wins; chain losers drop with their winner
-      val intraDupIds = Dedup.simhashPairs(hashes, maxHamming, numChunks)
+      // (hashes is already persisted above — the On variant skips the
+      // public entry's redundant per-batch localCheckpoint)
+      val intraDupIds = Dedup.simhashPairsOn(hashes, maxHamming, numChunks)
         .select(col("id_b").as("id")).distinct()
       val dupIds = histDupIds.unionByName(intraDupIds).distinct()
       // kept starts from the BATCH ids: a non-decodable payload yields no

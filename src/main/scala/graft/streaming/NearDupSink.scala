@@ -89,7 +89,9 @@ class NearDupSink(spark: SparkSession, stateDir: String,
       // whose winner was itself a historical dup still drops — its near-dup
       // chain leads to an already-kept prior doc, the batch
       // keep-one-per-pair-chain convention
-      val intraDupIds = Dedup.minhashCandidatePairs(sigs, numBands)
+      // sigs is already persisted above — the On variant skips the public
+      // entry's redundant per-batch localCheckpoint
+      val intraDupIds = Dedup.minhashCandidatePairsOn(sigs, numBands)
         .filter(col("est_jaccard") >= threshold)
         .select(col("id_b").as("id")).distinct()
       val dupIds = histDupIds.unionByName(intraDupIds).distinct()

@@ -296,6 +296,51 @@ class ExpressionsSpec extends SparkSpec {
     finally spark.conf.set(mode, prev)
   }
 
+  test("LongDotExpression == aggregate(zip_with) on long arrays") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 100).map { i =>
+      (i, Seq.fill(64)(rng.nextInt(255).toLong - 127),
+        Seq.fill(64)(rng.nextInt(255).toLong - 127))
+    }
+    val df = rows.toDF("i", "a", "b")
+      .select(col("i"),
+        LongDotExpression.longDot(col("a"), col("b")).as("got"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (s, x) => s + x).as("want"))
+    assert(df.filter(col("got") =!= col("want")).count() == 0)
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(LongDotExpression.longDot(col("a"), col("b")).as("s")).first()
+    assert(n.isNullAt(0))
+  }
+
+  test("compiled int8Encode == the Column-HOF quantization it replaced") {
+    import graft.ops.Similarity
+    // reference: the original declarative formulation, element for element
+    val emb = graft.Tables.embeddings(spark, sf())
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val ref = emb.select(col("vec_id").cast("long").as("id"), v.as("v"))
+      .withColumn("__scale",
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / lit(127.0))
+      .withColumn("codes",
+        when(col("__scale") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => round(x / col("__scale")).cast("long"))))
+      .withColumn("__n2",
+        aggregate(col("codes"), lit(0L), (s, c) => s + c * c))
+      .select("id", "codes", "__n2")
+    val got = Similarity.int8Encode(emb, "vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))).toList
+    assert(rows(got) == rows(ref) && rows(got).nonEmpty)
+    // keepVec carries the double-cast vector through unchanged
+    val kv = Similarity.int8Encode(emb, "vec_id", "embedding", keepVec = true)
+    assert(kv.columns.toList == List("id", "vec", "codes", "__n2"))
+    val zero = Seq((1L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
+    val z = Similarity.int8Encode(zero, "vec_id", "embedding").first()
+    assert(z.getSeq[Long](1) == Seq(0L, 0L) && z.getLong(2) == 0L)
+  }
+
   test("rescoreJaccard sorted-merge kernel: pipeline results unchanged") {
     // end-to-end guard on the swap from array_intersect to the sorted merge:
     // exact jaccardPairs (ground truth on strings) == minhashNearDupPairs
