@@ -17,8 +17,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-path schema memo — the metastore role, played locally. A bare
+    * `spark.read.parquet(path)` re-infers the schema on EVERY call (footer
+    * read + conversion inside resolveRelation): measured 64 ms per warm
+    * call vs 6 ms with an explicit schema (OptProbe `load`, round 20), and
+    * the 148-query bench builds each table frame afresh per query — ~300
+    * loads ≈ 15 s of pure re-inference per suite. At 100 TB these are
+    * catalog tables whose schema comes from the metastore, not from
+    * per-query footer sniffing; this memo is that declared-schema lookup
+    * (file METADATA only — every query still reads the parquet data from
+    * disk; Spark's own session-wide FileStatusCache already does the same
+    * for file listings). The first load of a path in a JVM still infers,
+    * so layout adaptivity (see [[events]]) is unchanged.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -56,6 +56,8 @@ object OptProbe {
     case "x65m" => probeX65Merges()
     case "mf" => probeMergeFixed()
     case "x48plan" => probeX48Plan()
+    case "x42" => probeX42()
+    case "load" => probeLoad()
     case "x27" => probeX27()
     case other => println(s"unknown probe $other")
   }
@@ -254,6 +256,59 @@ object OptProbe {
              |WHEN NOT MATCHED THEN INSERT (`k`, `price_micro`, `__start_at`, `__end_at`)
              |VALUES (s.`k`, s.`price_micro`, s.`seq`, s.`__end_at`)""".stripMargin)
       }
+    }
+  }
+
+  /** Per-call cost of spark.read.parquet (listing + schema inference) —
+    * the fixed tax every one of the 148 queries pays per table load.
+    */
+  private def probeLoad(): Unit = {
+    time("load.orders x100 (schema only)") {
+      (1 to 100).foreach(_ => Tables.orders(spark, sfDir).schema)
+    }
+    time("load.events x100 (layout-adaptive)") {
+      (1 to 100).foreach(_ => Tables.events(spark, sfDir).schema)
+    }
+    time("load.count tiny (nation) x20") {
+      (1 to 20).foreach(_ => Tables.nation(spark, sfDir).count())
+    }
+    val sch = Tables.orders(spark, sfDir).schema
+    time("load.orders x100 (explicit schema)") {
+      (1 to 100).foreach(_ =>
+        spark.read.schema(sch).parquet(s"$sfDir/orders.parquet").schema)
+    }
+    time("load.count.orders x20 (inferred)") {
+      (1 to 20).foreach(_ => Tables.orders(spark, sfDir).count())
+    }
+    time("load.count.orders x20 (explicit schema)") {
+      (1 to 20).foreach(_ =>
+        spark.read.schema(sch).parquet(s"$sfDir/orders.parquet").count())
+    }
+  }
+
+  /** x42 = spanDedup -> quality gate -> exact 4-gram decontamination. */
+  private def probeX42(): Unit = {
+    import graft.ops.{Decontaminate, Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir)
+    var cleaned: DataFrame = null
+    time("x42.spanDedup") {
+      cleaned = Dedup.spanDedup(docs, "doc_id", "text", w = 5)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true)
+    }
+    var qualified: DataFrame = null
+    time("x42.quality+ckpt") {
+      qualified = cleaned
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+        .localCheckpoint(true)
+    }
+    time("x42.removeContaminated") {
+      val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+      noop(Decontaminate.removeContaminated(qualified, bench, "doc_id", "text", n = 4))
+    }
+    time("x42.end_to_end") {
+      noop(SparkEntry.queries("x42_pipeline_v2")(spark, sfDir))
     }
   }
 

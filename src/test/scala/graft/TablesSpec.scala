@@ -80,4 +80,32 @@ class TablesSpec extends SparkSpec {
     val got = df.select(unix_micros(col("ts"))).as[Long].head()
     assert(got == micros, s"expected $micros, got $got")
   }
+
+  test("schema memo: load() == bare spark.read.parquet, per path") {
+    // the memoized loader must resolve the same schema and rows as a bare
+    // inferring read for every fixture table, and repeated loads must stay
+    // stable (the memo serves file METADATA only — data is re-read)
+    val dir = sf("sf0.001")
+    for (name <- Tables.all) {
+      val memo = Tables.load(spark, dir, name)
+      val bare = spark.read.parquet(s"$dir/$name.parquet")
+      assert(memo.schema == bare.schema, s"$name: schema drift through memo")
+      assert(memo.count() == bare.count(), s"$name: row drift through memo")
+      assert(Tables.load(spark, dir, name).count() == bare.count())
+    }
+    // the memo is keyed by PATH: same table name under two dirs with
+    // different schemas resolves each dir's own schema
+    import spark.implicits._
+    val d1 = Files.createTempDirectory("memo-a").toFile
+    val d2 = Files.createTempDirectory("memo-b").toFile
+    d1.deleteOnExit(); d2.deleteOnExit()
+    Seq((1L, "x")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"${d1.getAbsolutePath}/part.parquet")
+    Seq((1L, 2.5)).toDF("k", "w")
+      .write.mode("overwrite").parquet(s"${d2.getAbsolutePath}/part.parquet")
+    assert(Tables.load(spark, d1.getAbsolutePath, "part").schema.fieldNames.toList
+      == List("k", "v"))
+    assert(Tables.load(spark, d2.getAbsolutePath, "part").schema.fieldNames.toList
+      == List("k", "w"))
+  }
 }
