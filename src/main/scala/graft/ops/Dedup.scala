@@ -290,18 +290,112 @@ object Dedup {
     * there by construction; no candidate generator can prune pairs that
     * genuinely qualify.
     */
+  /** Reference band-table size (rows = ref docs × bands) at or below which
+    * [[minhashDedupAgainst]] takes the broadcast-probe candidate route: the
+    * ref buckets collect to a driver map (≤ cap × ~24 B — the same bounded-
+    * reference assumption `bloomDedupAgainst` already broadcasts on; a
+    * benchmark/blocklist corpus is small by definition) and ONE compiled
+    * pass over the corpus SIGNATURE frame emits each doc's deduplicated
+    * candidate ref set directly. The join route it replaces exploded both
+    * sides and equi-joined: on a near-dup-dense corpus a pair agreeing on
+    * ~14 of 16 bands materialized ~14 join rows only for the distinct's
+    * partial aggregate to throw 13 away — measured round-20 (OptProbe x48)
+    * at 6.0 CPU-s for 1.13M distinct candidates from a 16M-row fan-out.
+    * Per-doc dedup makes the probe's output distinct by construction: no
+    * fan-out, no distinct exchange. Candidate SEMANTICS are unchanged —
+    * both routes bucket by the same Spark xxhash64 band hashes (the probe
+    * computes them declaratively, without the explode), and bucket
+    * membership is decided by slice equality modulo hash collisions, which
+    * only ever ADD candidates that the exact rescore disposes. Above the
+    * cap the join route stands (an unbounded reference must never collect).
+    * Mutable only as a test seam (the equality spec forces the join route).
+    */
+  private[graft] var refBroadcastCap: Long = 1000000L
+
+  /** One array of the doc's `numBands` band hashes — the same
+    * xxhash64(band, slice) values [[bandHashes]] produces, computed without
+    * the explode (one row per doc, not per (doc, band)). */
+  private def bandHashArray(numBands: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(b, slice(col("sig"),
+        b * (size(col("sig")) / numBands).cast("int") + 1,
+        (size(col("sig")) / numBands).cast("int"))))
+
   def minhashDedupAgainst(corpus: DataFrame, reference: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
                           numHashes: Int = 32, numBands: Int = 16): DataFrame = {
     require(numBands >= 1 && numHashes / numBands >= 1,
       s"numBands $numBands must leave >= 1 signature row per band at $numHashes hashes (0-row bands would hash every doc into one bucket)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sigC = minhashSignatures(corpus, idCol, textCol, numHashes).localCheckpoint(true)
     val sigR = minhashSignatures(reference, idCol, textCol, numHashes).localCheckpoint(true)
-    val cand = bandHashes(sigC, numBands).as("a")
-      .join(bandHashes(sigR, numBands).as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // ref band rows are bounded (ref docs × bands); collect once and decide
+    // the route by the REAL size, not an estimate
+    val refBandRows: Array[(Int, Long, Long)] = {
+      val limited = bandHashes(sigR, numBands)
+        .select(col("band"), col("band_hash"), col("id"))
+        .as[(Int, Long, Long)]
+      if (sigR.limit((refBroadcastCap / math.max(1, numBands)).toInt + 1).count()
+          <= refBroadcastCap / math.max(1, numBands)) limited.collect()
+      else null
+    }
+    val cand =
+      if (refBandRows != null) {
+        // broadcast-probe route (guide §8: decide against the small side,
+        // move the big side's rows once): per band, hash -> sorted ref ids
+        val perBand: Array[scala.collection.Map[Long, Array[Long]]] =
+          Array.tabulate(numBands) { b =>
+            refBandRows.iterator.filter(_._1 == b)
+              .toArray.groupBy(_._2)
+              .map { case (h, rows) => h -> rows.map(_._3).sorted }
+          }
+        val bc = spark.sparkContext.broadcast(perBand)
+        sigC.select(col("id"), bandHashArray(numBands).as("__bh"))
+          .as[(Long, Seq[Long])]
+          .mapPartitions { it =>
+            val maps = bc.value
+            it.flatMap { case (idA, hs) =>
+              var total = 0
+              val bufs = new Array[Array[Long]](hs.length)
+              var b = 0
+              while (b < hs.length && b < maps.length) {
+                val hit = maps(b).getOrElse(hs(b), null)
+                bufs(b) = hit
+                if (hit != null) total += hit.length
+                b += 1
+              }
+              if (total == 0) Iterator.empty
+              else {
+                // gather + sort + in-place dedupe: output pairs are
+                // distinct per doc by construction
+                val all = new Array[Long](total)
+                var off = 0
+                b = 0
+                while (b < bufs.length) {
+                  val a = bufs(b)
+                  if (a != null) { System.arraycopy(a, 0, all, off, a.length); off += a.length }
+                  b += 1
+                }
+                java.util.Arrays.sort(all)
+                val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                var i = 0
+                while (i < all.length) {
+                  if (i == 0 || all(i) != all(i - 1)) out += ((idA, all(i)))
+                  i += 1
+                }
+                out.iterator
+              }
+            }
+          }
+          .toDF("id_a", "id_b")
+      } else {
+        bandHashes(sigC, numBands).as("a")
+          .join(bandHashes(sigR, numBands).as("b"),
+            col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+      }
     val dirty = rescoreJaccardCross(cand, corpus, reference, idCol, textCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as(idCol)).distinct()

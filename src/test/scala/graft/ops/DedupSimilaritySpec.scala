@@ -124,6 +124,29 @@ class DedupSimilaritySpec extends SparkSpec {
     // is reachable (see the non-convergence test below)
   }
 
+  test("minhashDedupAgainst: broadcast-probe candidates == banded-join candidates") {
+    // the two candidate routes bucket by the same xxhash64 band hashes, so
+    // the surviving corpus must be row-identical whichever route runs; the
+    // fuzz corpus below has dense partial overlaps plus isolated docs
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1L to 120L).map { i =>
+      (i, rng.shuffle(vocab).take(4 + rng.nextInt(5)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toList
+    val probe = rows(Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text", 0.6))
+    val prev = Dedup.refBroadcastCap
+    Dedup.refBroadcastCap = 0L
+    val join = try rows(Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text", 0.6))
+      finally Dedup.refBroadcastCap = prev
+    assert(probe == join && probe.nonEmpty && probe.size < 96,
+      s"probe=${probe.size} join=${join.size} of 96 corpus docs")
+  }
+
   test("near-dup clusters: non-convergence within maxIters fails loudly") {
     // even with pointer jumping, 2 rounds reach only a bounded distance
     // along a 400-node path; the loop must throw rather than return
