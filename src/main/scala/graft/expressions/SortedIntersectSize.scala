@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * Spark's `array_intersect` is the semantically-equivalent builtin, but per
   * evaluation it builds a hash set over one side, probes the other, and
   * MATERIALIZES the intersection array — only for `size(...)` to throw the
-  * elements away. On x48's 1.13M-pair rescore that allocation/probe loop was
-  * the stage's dominant CPU (measured round-20, OptProbe: 5.3 of 6.0 CPU-s
-  * warm). Over pre-sorted inputs the same count is a two-pointer merge: no
+  * elements away. On x48's 1.13M-pair rescore the stage (attach joins +
+  * count) read 5.3 CPU-s warm with array_intersect vs 4.9 with the merge
+  * (OptProbe, round 20) — the count's share shrinks to noise and the
+  * residual is the joins' row materialization.
+  * Over pre-sorted inputs the same count is a two-pointer merge: no
   * allocation, no hashing, no output array, and the loop stays inside
   * whole-stage codegen.
   *
