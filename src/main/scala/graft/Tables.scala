@@ -35,7 +35,17 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val sch = schemaMemo.computeIfAbsent(path,
+    // key on (path, mtime) so an in-session rewrite of a table file
+    // re-infers instead of silently applying a stale schema (round-20
+    // ADVICE); one local-FS stat per load, ~none of the ~60 ms the memo
+    // saves. A vanished path falls through to the bare read's own error.
+    val mtime =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getModificationTime
+      } catch { case _: java.io.IOException => -1L }
+    val sch = schemaMemo.computeIfAbsent(s"$path@$mtime",
       _ => spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }

@@ -2,7 +2,7 @@ package graft.connector
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lead, max, min, struct, when}
+import org.apache.spark.sql.functions.{col, lead, lit, max, min, struct, when}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** APPLY CHANGES INTO — maintain a keyed replica table from a
@@ -272,24 +272,44 @@ object CdcApply {
     val shaped = events
       .withColumn(EndCol, lead(col(seqCol), 1).over(w))
       .withColumn("__min_start", min(col(seqCol)).over(wAll))
+    // ONE MERGE per batch, not two (round-21: the per-MERGE fixed cost —
+    // row-level-op planning + the copy-on-write group rewrite — is ~0.45 s
+    // at sf0.1 REGARDLESS of source size, so halving the statement count
+    // halves the batch's dominant term). The close half rides along as one
+    // synthetic CLOSER row per key (the first event's (key, __min_start),
+    // flagged `__closer`); the event rows are unchanged. Equivalence to the
+    // old close-then-upsert pair, case by case:
+    //  - closer matches the key's open row STRICTLY BELOW the batch
+    //    (`__start_at < __min_start`) and closes it at __min_start — old
+    //    merge 1's `<=` differs only at equality, where old merge 2
+    //    immediately re-set that row from the window; here the equality
+    //    case never routes through the closer at all: the first EVENT row
+    //    matches it via `__start_at = seq` and applies that same final
+    //    state (non-delete: data + window end; delete: the degenerate
+    //    [s, s) close via the third clause).
+    //  - event rows upsert exactly as old merge 2 did; deletes stay in the
+    //    source (they close, never insert).
+    //  - a source row matching NO target row inserts only when it is a
+    //    non-closer non-delete — a closer with no open row (first batch)
+    //    and an unmatched delete are no-ops, as before.
+    // Cardinality is safe: a target row matches at most one source row
+    // (events are unique per (key, seq); at most one closer per key; a row
+    // matching both would need __start_at = seq < __min_start <= seq).
+    val snap = shaped.localCheckpoint(true)
+    val closerSel: Seq[Column] = (snap.columns.toSeq.map {
+      case c if keyCols.contains(c) || c == "__min_start" => col(c)
+      case c if c == seqCol => col("__min_start").as(seqCol)
+      case c => lit(null).cast(snap.schema(c).dataType).as(c)
+    }) :+ lit(true).as("__closer")
+    // the first event per key IS unique (events are reduced per (key, seq)),
+    // so the closer derivation is a narrow filter — no distinct exchange
+    val source = snap.withColumn("__closer", lit(false))
+      .unionByName(snap.filter(col(seqCol) === col("__min_start"))
+        .select(closerSel: _*))
     val view = s"__scd2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    shaped.localCheckpoint(true).createOrReplaceTempView(view)
+    source.createOrReplaceTempView(view)
     try {
       val on = keyCols.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
-      // 1. close the key's open row at the batch's FIRST event. `<=`, not
-      //    `<`: a delete carrying the SAME sequence as the open row (a mor
-      //    DELETE's change row carries the row's own stored sequence) must
-      //    close it — to a degenerate [s, s) interval. The equality case a
-      //    replay hits (its own just-opened row closes here) is repaired by
-      //    merge 2, which re-sets that row's `__end_at` from the window.
-      spark.sql(
-        s"""MERGE INTO $targetTable t
-           |USING (SELECT DISTINCT ${keyCols.map(k => s"`$k`").mkString(", ")},
-           |       `__min_start` FROM $view) s
-           |ON $on AND t.`$EndCol` IS NULL AND t.`$StartCol` <= s.`__min_start`
-           |WHEN MATCHED THEN UPDATE SET t.`$EndCol` = s.`__min_start`""".stripMargin)
-      // 2. upsert the batch's interval rows, keyed on (key, __start_at):
-      //    replays and richer retries converge in place
       val dataSet = (rest.map(c => s"t.`$c` = s.`$c`") :+
         s"t.`$EndCol` = s.`$EndCol`").mkString(", ")
       val insCols = (keyCols ++ rest ++ Seq(StartCol, EndCol))
@@ -297,12 +317,22 @@ object CdcApply {
       val insVals = (keyCols.map(k => s"s.`$k`") ++ rest.map(c => s"s.`$c`") ++
         Seq(s"s.`$seqCol`", s"s.`$EndCol`")).mkString(", ")
       spark.sql(
-        s"""MERGE INTO $targetTable t
-           |USING (SELECT * FROM $view
-           |       WHERE `${ChangeFeed.TypeCol}` <> 'delete') s
-           |ON $on AND t.`$StartCol` = s.`$seqCol`
-           |WHEN MATCHED THEN UPDATE SET $dataSet
-           |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+        s"""MERGE INTO $targetTable t USING $view s
+           |ON $on AND ((NOT s.`__closer` AND t.`$StartCol` = s.`$seqCol`)
+           |  OR (s.`__closer` AND t.`$EndCol` IS NULL
+           |      AND t.`$StartCol` < s.`__min_start`))
+           |WHEN MATCHED AND s.`__closer`
+           |  THEN UPDATE SET t.`$EndCol` = s.`__min_start`
+           |WHEN MATCHED AND NOT s.`__closer`
+           |  AND s.`${ChangeFeed.TypeCol}` <> 'delete'
+           |  THEN UPDATE SET $dataSet
+           |WHEN MATCHED AND NOT s.`__closer`
+           |  AND s.`${ChangeFeed.TypeCol}` = 'delete' AND t.`$EndCol` IS NULL
+           |  AND s.`$seqCol` = s.`__min_start`
+           |  THEN UPDATE SET t.`$EndCol` = s.`__min_start`
+           |WHEN NOT MATCHED AND NOT s.`__closer`
+           |  AND s.`${ChangeFeed.TypeCol}` <> 'delete'
+           |  THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
     } finally spark.catalog.dropTempView(view)
   }
 }

@@ -12,15 +12,18 @@ import org.apache.spark.sql.types._
   * (corpus row × query)). Replaces the interpreted
   * `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF chain with the identical
   * elementwise left-to-right 64-bit sum (integer math — associativity is
-  * exact, so the value cannot differ). Shorter input truncates, like
-  * zip_with over equal-length inputs never exercises; null ARRAY inputs
-  * propagate null.
+  * exact, so the value cannot differ). Mismatched lengths return NULL —
+  * exactly what the replaced form did (zip_with pads the shorter side with
+  * nulls, null*x = null, and the aggregate sum absorbs it to NULL), so a
+  * mis-dimensioned corpus row is EXCLUDED by downstream comparisons
+  * instead of scoring a plausible truncated dot (round-20 ADVICE). Null
+  * ARRAY inputs propagate null.
   */
 case class LongDotExpression(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -38,7 +41,8 @@ case class LongDotExpression(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
@@ -51,12 +55,16 @@ case class LongDotExpression(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

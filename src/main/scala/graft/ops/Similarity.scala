@@ -490,6 +490,7 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
     def enc(v: Seq[Double]): (Array[Long], Long) = {
+      if (v == null) return (null, 0L)   // null embedding propagates (ADVICE r20)
       val n = v.length
       var m = 0.0
       var i = 0
@@ -499,8 +500,16 @@ object Similarity {
       if (scale != 0.0) {
         i = 0
         while (i < n) {
-          codes(i) = java.math.BigDecimal.valueOf(v(i) / scale)
-            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+          val q = v(i) / scale
+          // non-finite quotients (a NaN/Inf element) mirror Spark's
+          // round(double)-then-cast semantics — round passes them through
+          // and the long cast folds NaN to 0 / Inf to Long.Max — instead
+          // of NumberFormatException-ing the job (round-20 ADVICE)
+          codes(i) =
+            if (java.lang.Double.isFinite(q))
+              java.math.BigDecimal.valueOf(q)
+                .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+            else q.toLong
           i += 1
         }
       }
@@ -512,13 +521,14 @@ object Similarity {
     // keepVec carries the source vector through in the SAME scan — the
     // streaming index sink persists (id, vec, codes, __n2) and would
     // otherwise need a per-micro-batch self-join just to reattach it
+    def seqOrNull(c: Array[Long]): Seq[Long] = if (c == null) null else c.toSeq
     if (keepVec)
       base.mapPartitions(_.map { case (id, v) =>
-        val (c, n2) = enc(v); (id, v, c.toSeq, n2)
+        val (c, n2) = enc(v); (id, v, seqOrNull(c), n2)
       }).toDF("id", "vec", "codes", "__n2")
     else
       base.mapPartitions(_.map { case (id, v) =>
-        val (c, n2) = enc(v); (id, c.toSeq, n2)
+        val (c, n2) = enc(v); (id, seqOrNull(c), n2)
       }).toDF("id", "codes", "__n2")
   }
 

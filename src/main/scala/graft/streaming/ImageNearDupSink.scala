@@ -96,10 +96,14 @@ abstract class PerceptualNearDupSink(spark: SparkSession, stateDir: String,
         .select(col("id_b").as("id")).distinct()
       val dupIds = histDupIds.unionByName(intraDupIds).distinct()
       // kept starts from the BATCH ids: a non-decodable payload yields no
-      // hash row, is no duplicate of anything, and must survive the gate
+      // hash row, is no duplicate of anything, and must survive the gate.
+      // LAZY localCheckpoint, not eager — the append is the first action:
+      // it materializes the blocks and truncates lineage in the same job,
+      // one job less per micro-batch (see NearDupSink for why the lineage
+      // truncation is load-bearing under in-stream compaction)
       val kept = batch.select(col("doc_id").as("id")).distinct()
         .join(dupIds, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       batchChunks.join(kept, Seq("id"), "left_semi")
         .select(col("__bucket"), col("chunk"), col("chunk_val"), col("id"),
           col("simhash").as("hash"), lit(batchId).as("__batch"))

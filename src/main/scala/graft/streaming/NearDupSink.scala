@@ -98,11 +98,17 @@ class NearDupSink(spark: SparkSession, stateDir: String,
       // kept starts from the BATCH ids, not the signature frame: a
       // zero-token (empty/whitespace) doc yields no signature row, but it
       // is not a duplicate of anything and must survive the gate.
-      // eager + lineage-truncated: survives the unpersist below, reclaimed
-      // by the ContextCleaner once the caller drops it
+      // LAZY localCheckpoint, not eager (round 21): the append below is the
+      // first action — it materializes the blocks and Spark truncates the
+      // lineage at that job's end, so the dedicated per-batch
+      // materialization job disappears while the caller still reads
+      // executor-pinned blocks with NO live lineage into the state files
+      // (an in-stream compact() deletes them; a lazily-persisted plan
+      // recomputing through the old listing would FileNotFound — measured
+      // in IndexCompactionSpec).
       val kept = batch.select(col(idCol).as("id")).distinct()
         .join(dupIds, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // append ONLY survivors' index entries; state never rewrites
       batchBands.join(kept, Seq("id"), "left_semi")
         .select(col("__bucket"), col("band_hash"), col("id"), col("sig"),

@@ -59,6 +59,7 @@ object OptProbe {
     case "x42" => probeX42()
     case "load" => probeLoad()
     case "x27" => probeX27()
+    case "jobs" => probeJobs()
     case other => println(s"unknown probe $other")
   }
 
@@ -364,6 +365,31 @@ object OptProbe {
                    |ON t.k = s.k
                    |WHEN MATCHED THEN UPDATE SET t.v = s.v + 1
                    |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    }
+  }
+
+  /** Spark JOB COUNT per query (deterministic — window-independent
+    * evidence for job-dispatch optimizations): runs each GRAFT_JOBS query
+    * once and prints jobs + tasks submitted during it.
+    */
+  private def probeJobs(): Unit = {
+    val names = sys.env.getOrElse("GRAFT_JOBS",
+      "j8_thread_tree,x65_scd2_apply,x48_fuzzy_decontaminate").split(",")
+    names.foreach { n =>
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val tasks = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        SparkEntry.queries(n)(spark, sfDir).count()
+        Thread.sleep(500)   // listener bus is async; jobs are already done
+        println(f"PROBE jobs.$n%-34s jobs=${jobs.get()}%4d tasks=${tasks.get()}%6d")
+      } finally spark.sparkContext.removeSparkListener(l)
     }
   }
 

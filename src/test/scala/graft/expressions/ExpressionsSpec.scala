@@ -311,6 +311,13 @@ class ExpressionsSpec extends SparkSpec {
     val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
       .select(LongDotExpression.longDot(col("a"), col("b")).as("s")).first()
     assert(n.isNullAt(0))
+    // mismatched lengths return NULL, like the zip_with form (whose null
+    // padding poisons the aggregate sum) — never a truncated dot
+    val m = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+      .select(LongDotExpression.longDot(col("a"), col("b")).as("s"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (s, x) => s + x).as("want")).first()
+    assert(m.isNullAt(0) && m.isNullAt(1))
   }
 
   test("compiled int8Encode == the Column-HOF quantization it replaced") {
@@ -339,6 +346,17 @@ class ExpressionsSpec extends SparkSpec {
     val zero = Seq((1L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
     val z = Similarity.int8Encode(zero, "vec_id", "embedding").first()
     assert(z.getSeq[Long](1) == Seq(0L, 0L) && z.getLong(2) == 0L)
+    // degenerate inputs must not fail the job (round-20 ADVICE): a NaN
+    // element mirrors round(double)-then-long-cast (NaN -> 0), and a null
+    // embedding propagates a null codes row instead of NPE-ing
+    val weird = Seq((1L, Some(Seq(Double.NaN, 1.0))),
+      (2L, Option.empty[Seq[Double]])).toDF("vec_id", "embedding")
+    val w = Similarity.int8Encode(weird, "vec_id", "embedding")
+      .orderBy("id").collect()
+    // NaN loses the max-abs fold (NaN > m is false), so scale = 1/127;
+    // the NaN quotient casts to 0, the finite element quantizes normally
+    assert(w(0).getSeq[Long](1) == Seq(0L, 127L))
+    assert(w(1).isNullAt(1))
   }
 
   test("rescoreJaccard sorted-merge kernel: pipeline results unchanged") {

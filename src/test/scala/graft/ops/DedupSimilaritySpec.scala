@@ -124,10 +124,13 @@ class DedupSimilaritySpec extends SparkSpec {
     // is reachable (see the non-convergence test below)
   }
 
-  test("minhashDedupAgainst: broadcast-probe candidates == banded-join candidates") {
-    // the two candidate routes bucket by the same xxhash64 band hashes, so
-    // the surviving corpus must be row-identical whichever route runs; the
-    // fuzz corpus below has dense partial overlaps plus isolated docs
+  test("minhashDedupAgainst: fused == probe+rescore == banded-join routes") {
+    // all three routes bucket by the same xxhash64 band hashes and dispose
+    // by the same exact Jaccard, so the surviving corpus must be
+    // row-identical whichever route runs; the fuzz corpus below has dense
+    // partial overlaps plus isolated docs. Routes are forced via the two
+    // cap seams: default = fused probe+rescore single pass; token cap 0 =
+    // broadcast probe + join rescore; band cap 0 = banded equi-join.
     val rng = new scala.util.Random(11)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
       "eta", "theta", "iota", "kappa")
@@ -138,13 +141,30 @@ class DedupSimilaritySpec extends SparkSpec {
     val ref = docs.filter(col("doc_id") % 5 === 0)
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toList
-    val probe = rows(Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text", 0.6))
+    val fused = rows(Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text", 0.6))
+    val prevTok = Dedup.refTokenBroadcastCap
+    Dedup.refTokenBroadcastCap = 0L
+    val probe = try rows(Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text", 0.6))
+      finally Dedup.refTokenBroadcastCap = prevTok
     val prev = Dedup.refBroadcastCap
     Dedup.refBroadcastCap = 0L
     val join = try rows(Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text", 0.6))
       finally Dedup.refBroadcastCap = prev
-    assert(probe == join && probe.nonEmpty && probe.size < 96,
-      s"probe=${probe.size} join=${join.size} of 96 corpus docs")
+    assert(fused == join && probe == join && fused.nonEmpty && fused.size < 96,
+      s"fused=${fused.size} probe=${probe.size} join=${join.size} of 96 corpus docs")
+  }
+
+  test("minhashDedupAgainst: string ids route through the banded join") {
+    // the broadcast routes collect ids as longs; non-integral idCol callers
+    // must keep working through the join route (round-20 ADVICE)
+    val docs = Seq(("a1", "alpha beta gamma delta"), ("a2", "alpha beta gamma delta"),
+      ("b1", "zeta eta theta iota"), ("r1", "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") =!= "r1")
+    val ref = docs.filter(col("doc_id") === "r1")
+    val kept = Dedup.minhashDedupAgainst(corpus, ref, "doc_id", "text", 0.8)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getString(0)).toList
+    assert(kept == List("b1"), s"kept=$kept")
   }
 
   test("near-dup clusters: non-convergence within maxIters fails loudly") {
